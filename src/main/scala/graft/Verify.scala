@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // partition cols of the lake round-trip must stay strings ("01")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) — read as long, converted
+      // exactly in Tables.load
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

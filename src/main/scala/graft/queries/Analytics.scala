@@ -1,0 +1,336 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The extended analytical surface (SURVEY §2.3): joins, aggregations,
+  * window functions, sorts/top-k, set ops, grouping sets — all built-ins,
+  * declared via the DataFrame API so Catalyst picks the physical strategy.
+  *
+  * Numeric discipline for oracle parity: the money/quantity doubles in the
+  * test tables are 2-decimal-clean, so every SUM is done in exact
+  * DECIMAL arithmetic and only the final value is cast to DOUBLE — DuckDB
+  * and Spark then agree bit-for-bit (no float-summation-order drift).
+  *
+  * Scale notes are per-query in the Scaladoc.
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Exact 2-dec decimal views of the clean double columns. Widths are
+    * kept tight so decimal products never exceed precision 38 (no
+    * precision-loss rounding → bit-exact parity with the DuckDB oracle). */
+  private def dec(c: Column): Column = c.cast(DecimalType(10, 2))
+  private def pct(c: Column): Column = c.cast(DecimalType(4, 2))
+  private val one = lit(java.math.BigDecimal.ONE).cast(DecimalType(3, 2))
+
+  /** TPC-H Q1-style pricing summary. One hash aggregate; partial (map-side)
+    * aggregation makes the shuffle carry only |groups| rows per task —
+    * at 100 TB the exchange is O(6 groups × tasks), i.e. free. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-11-30").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount")))
+          * (one + pct(col("l_tax")))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: 3-way join + agg + deterministic top-10.
+    * customer is small → broadcast; orders⋈lineitem shuffles on the join
+    * key once and the aggregate reuses that partitioning (groupBy keys
+    * start with l_orderkey), so Catalyst plans a single exchange. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way join through region→nation→customer/supplier.
+    * All dimension tables broadcast (region/nation/customer/supplier are
+    * tiny vs lineitem even at 100 TB); only orders⋈lineitem shuffles. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(spark, dir, "nation")
+    val cust = t(spark, dir, "customer")
+    val supp = t(spark, dir, "supplier")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Semi + anti join in one result: customers with / without orders.
+    * Planned as BroadcastHashJoin(LeftSemi/LeftAnti) — orders' key set is
+    * the only thing shuffled/broadcast, never its payload. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").select("c_custkey", "c_name")
+    val ordKeys = t(spark, dir, "orders").select("o_custkey")
+    val has = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_orders"))
+    val not = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_orders"))
+    has.unionAll(not).orderBy("c_custkey", "tag")
+  }
+
+  /** Ranking window: top-2 orders per customer. At scale: single shuffle on
+    * o_custkey; rank+filter is Spark's standard top-k-per-group plan. */
+  def windowTopKPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))  // IntegerType — oracle casts to match
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Analytic window: per-supplier running revenue (exact decimal running
+    * sum, fully tie-broken ordering → deterministic). */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("running_revenue",
+        sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+          .over(w).cast("double"))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_revenue")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** ROLLUP grouping sets over lineitem. */
+  def rollupQuantity(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over events (type × tenant). */
+  def cubeEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("tenant", concat(lit("t"), (col("user_id") % 3).cast("string")))
+      .cube(col("event_type"), col("tenant"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("tenant").asc_nulls_first)
+
+  /** Set ops: nations appearing as customer vs supplier nations —
+    * INTERSECT / EXCEPT / UNION distinct, tagged into one result. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cn = t(spark, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+    val sn = t(spark, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    val custOnly = cn.except(sn).withColumn("tag", lit("customer_only"))
+    val suppOnly = sn.except(cn).withColumn("tag", lit("supplier_only"))
+    both.unionAll(custOnly).unionAll(suppOnly).orderBy("tag", "nationkey")
+  }
+
+  /** Top-k by sort+limit → Spark plans TakeOrderedAndProject: each
+    * partition keeps k rows, driver merges k×partitions — no full sort,
+    * no full shuffle. The right plan at any scale. */
+  def topKExpensive(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(15)
+
+  /** DISTINCT aggregation: per-flag distinct order count (two-phase
+    * distinct aggregate — partial distinct before the exchange). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Tumbling-window time aggregation over events (batch analog of the
+    * streaming hourly rollup). */
+  def hourlyEventStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sessionization (gaps-and-islands): new session after a 30-min gap.
+    * Two windows over the same (user_id, time) partitioning → single
+    * shuffle; state is per-partition, no driver involvement. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .select("user_id", "event_id", "session_seq")
+      .orderBy("user_id", "event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_semi_anti_join" -> (semiAntiJoin _),
+    "q_window_topk" -> (windowTopKPerCustomer _),
+    "q_running_revenue" -> (runningRevenue _),
+    "q_rollup" -> (rollupQuantity _),
+    "q_cube_events" -> (cubeEvents _),
+    "q_set_ops" -> (setOps _),
+    "q_topk" -> (topKExpensive _),
+    "q_distinct_agg" -> (distinctAgg _),
+    "q_hourly_events" -> (hourlyEventStats _),
+    "q_sessionize" -> (sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-11-30'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_semi_anti_join" ->
+      """SELECT c_custkey, c_name, 'has_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey, tag""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_running_revenue" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    OVER (PARTITION BY l_suppkey
+        |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube_events" ->
+      """SELECT event_type, 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+        |  CAST(GROUPING(event_type, tenant) AS INT) AS gid
+        |FROM events GROUP BY CUBE (event_type, tenant)
+        |ORDER BY gid, event_type ASC NULLS FIRST, tenant ASC NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """SELECT nationkey, 'both' AS tag FROM
+        |  (SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |   INTERSECT SELECT CAST(s_nationkey AS INT) FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS tag FROM
+        |  (SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |   EXCEPT SELECT CAST(s_nationkey AS INT) FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'supplier_only' AS tag FROM
+        |  (SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |   EXCEPT SELECT CAST(c_nationkey AS INT) FROM customer)
+        |ORDER BY tag, nationkey""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 15""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_hourly_events" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events)
+        |ORDER BY user_id, event_id""".stripMargin)
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.Tables
+import graft.ingest.Ingest
+import graft.model.Schemas
+import graft.operators.{TenantContext, TenantQueries}
+import graft.sources.Lake
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity pipeline semantics (SURVEY §2.1/§2.2), expressed over
+  * the driver's `events` table so each query has a DuckDB oracle.
+  *
+  * Mapping of the fixture onto the reference's data model: `props` is the
+  * JSON payload, `user_id % 3` derives the tenant partition key (the
+  * server-side key of C3), `ts` is the ingest instant, and
+  * `event_type='error'` rows stand in for records routed to the error
+  * prefix (S6).
+  */
+object PipelineQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** tenant = 't' + user_id % 3 — server-derived, never payload-derived. */
+  private val tenantCol = concat(lit("t"), (col("user_id") % 3).cast("string"))
+
+  /** S3/P4: enrichment — TenantId + epoch-seconds ingest timestamp +
+    * payload field extraction, all native expressions (no UDF). */
+  def enrichQuery(spark: SparkSession, dir: String): DataFrame =
+    Ingest.enrich(events(spark, dir), tenantCol, unix_timestamp(col("ts")))
+      .select(
+        col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("k"),
+        col("TenantId").as("tenant"),
+        col("timestamp").as("ingest_ts"))
+      .orderBy("event_id")
+
+  /** P5/S5: Hive partition-value derivation (UTC, zero-padded strftime
+    * parity) from epoch seconds. */
+  def partitionDeriveQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = events(spark, dir)
+      .withColumn("epoch", unix_timestamp(col("ts")))
+    Schemas.partitionColumns(col("epoch"), tenantCol)
+      .foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
+      .select("event_id", "tenant", "year", "month", "day", "hour")
+      .orderBy("event_id")
+  }
+
+  /** P2: required-field predicate — valid side of the split. Validation:
+    * payload parses and carries `k`; `error`-typed events are routed. */
+  def validateQuery(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") =!= "error" &&
+        get_json_object(col("props"), "$.k").isNotNull)
+      .select("event_id", "event_type", "user_id")
+      .orderBy("event_id")
+
+  /** S6: error route — rejected records with an error type, the
+    * `error/<error-type>/` prefix semantics. */
+  def errorRouteQuery(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("error_type",
+        when(get_json_object(col("props"), "$.k").isNull, lit("parse-error"))
+          .when(col("event_type") === "error", lit("event-error")))
+      .filter(col("error_type").isNotNull)
+      .select("event_id", "error_type")
+      .orderBy("event_id")
+
+  /** P3/S7: the reference's one user-facing query — tenant-scoped scan. */
+  def tenantFilterQuery(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("tenant", tenantCol)
+      .filter(col("tenant") === "t1")
+      .select("event_id", "event_type", "value", "tenant")
+      .orderBy("event_id")
+
+  /** S4+S5+S8+S7 end-to-end: enrich → partitioned Parquet write (dynamic
+    * partitions, small-file-aware) → catalog registration (crawler analog)
+    * → tenant-scoped query that PRUNES partitions. The oracle sees the
+    * equivalent direct SQL; this entry proves the lake round-trip preserves
+    * semantics. */
+  def lakeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/root/repo/target/tmp/lake_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(events(spark, dir), tenantCol, unix_timestamp(col("ts"))))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("tenant"), col("year"), col("month"), col("day"), col("hour"))
+    Lake.writeValid(enriched, root)
+    Lake.registerExternal(spark, "lake_events", s"$root/data")
+    implicit val ctx: TenantContext = TenantContext("t1")
+    val out = TenantQueries.queryByTenant(spark, "lake_events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("tenant"), col("year"), col("month"), col("day"), col("hour"))
+      .orderBy("event_id")
+    require(TenantQueries.prunesOnTenant(out), "tenant query must prune partitions")
+    out
+  }
+
+  val oracles: Map[String, String] = Map(
+    "pipe_enrich" ->
+      """SELECT event_id, event_type, json_extract_string(props, '$.k') AS k,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ingest_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "pipe_partition_derive" ->
+      """SELECT event_id, 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+        |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+        |FROM events ORDER BY event_id""".stripMargin,
+    "pipe_validate" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type <> 'error'
+        |  AND json_extract_string(props, '$.k') IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "pipe_error_route" ->
+      """SELECT event_id,
+        |  CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'parse-error'
+        |       WHEN event_type = 'error' THEN 'event-error' END AS error_type
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NULL OR event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "pipe_tenant_filter" ->
+      """SELECT event_id, event_type, value,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant
+        |FROM events WHERE user_id % 3 = 1 ORDER BY event_id""".stripMargin,
+    "pipe_lake_roundtrip" ->
+      """SELECT event_id, event_type, value,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+        |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+        |FROM events WHERE user_id % 3 = 1 ORDER BY event_id""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_enrich" -> (enrichQuery _),
+    "pipe_partition_derive" -> (partitionDeriveQuery _),
+    "pipe_validate" -> (validateQuery _),
+    "pipe_error_route" -> (errorRouteQuery _),
+    "pipe_tenant_filter" -> (tenantFilterQuery _),
+    "pipe_lake_roundtrip" -> (lakeRoundtrip _))
+}

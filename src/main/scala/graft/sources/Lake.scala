@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The partitioned lake writer + crawler-analog catalog maintenance.
+  *
+  * Reference semantics: Firehose dynamic partitioning writes records under
+  * `tenant=<t>/year=YYYY/month=MM/day=DD/hour=HH/` with failures under
+  * `error/<error-type>/` (kinesis-stack.ts:137-139,148-161); a Glue crawler
+  * re-infers schema + partitions every 5 min (multi-tenant-glue-stack.ts:32-44).
+  *
+  * Idiomatic substitutions (SURVEY §1.4): Parquet instead of ND-JSON text
+  * (columnar at rest → pruning + vectorized scan), and catalog registration
+  * at write time (no 5-minute crawler staleness).
+  *
+  * Scale notes (100 TB): dynamic partition writes with tenant×hour keys are
+  * the classic small-file generator. `writeValid` therefore repartitions by
+  * the partition columns before the write so each task writes few
+  * partitions (one file per partition per micro-batch instead of
+  * tasks×partitions files), and caps `maxRecordsPerFile`. `compact` is the
+  * periodic bin-packing pass for long-lived tables.
+  */
+object Lake {
+
+  /** Write the enriched+partition-derived frame under `root` with Hive
+    * layout. Returns the written path. */
+  def writeValid(df: DataFrame, root: String,
+                 maxRecordsPerFile: Long = 5000000L): String = {
+    val path = s"$root/data"
+    df.repartition(Schemas.partitionCols.map(col): _*)
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(Schemas.partitionCols: _*)
+      .parquet(path)
+    path
+  }
+
+  /** S6: error records land under `error/<error-type>/` — same layout rule
+    * as Firehose's `errorOutputPrefix`. */
+  def writeErrors(errors: DataFrame, root: String): String = {
+    val path = s"$root/error"
+    errors.write.mode("append").partitionBy("error_type").parquet(path)
+    path
+  }
+
+  /** S8 / §3.2: the crawler analog. Infers schema from the files, registers
+    * the table in the session catalog, and recovers partitions — re-runnable
+    * (idempotent), like the 5-minute cron crawl. */
+  def refreshCatalog(spark: SparkSession, table: String, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table USING parquet
+         |OPTIONS (path '$path')
+         |PARTITIONED BY (${Schemas.partitionCols.mkString(", ")})
+         |AS SELECT * FROM parquet.`$path` LIMIT 0""".stripMargin)
+    ()
+  }
+
+  /** Register via the simpler external-table route (schema inferred from
+    * footers). Partition discovery via recoverPartitions. */
+  def registerExternal(spark: SparkSession, table: String, path: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.catalog.createTable(table, "parquet", Map("path" -> path))
+    spark.catalog.recoverPartitions(table)
+  }
+
+  /** Small-file compaction: rewrite each partition's files into
+    * size-targeted bins. At 100 TB this runs per recently-written partition
+    * (predicate on partition cols → pruned scan), not over the whole lake. */
+  def compact(spark: SparkSession, path: String, targetRecordsPerFile: Long = 5000000L): Unit = {
+    val df = spark.read.parquet(path)
+    df.repartition(Schemas.partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .partitionBy(Schemas.partitionCols: _*)
+      .parquet(path + "_compacted")
+  }
+}
