@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, PipelineQueries}
+import graft.queries.{Analytics, Extensions, PipelineQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,8 +21,8 @@ object SparkEntry {
     Analytics.q5LocalSupplier(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineQueries.queries ++ Analytics.queries
+    PipelineQueries.queries ++ Analytics.queries ++ Extensions.queries
 
   def oracleSql: Map[String, String] =
-    PipelineQueries.oracles ++ Analytics.oracles
+    PipelineQueries.oracles ++ Analytics.oracles ++ Extensions.oracles
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns, as pure
+  * higher-order-function expressions (codegen'd; no UDF, no ml.Vector
+  * boxing).
+  *
+  * Numeric contract: elements are cast to double FIRST, then combined with
+  * a SEQUENTIAL left fold (`aggregate`), so the result is a deterministic
+  * IEEE-754 operation sequence — bit-identical to the DuckDB oracle's
+  * `list_reduce` fold. (A float-accumulating dot product, like DuckDB's
+  * built-in `list_cosine_similarity`, drifts at the 1e-7 level and cannot
+  * be hash-compared.)
+  */
+object VectorFunctions {
+
+  /** Element-wise double view of a float array column. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold sum of a double array. */
+  private def foldSum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two double arrays (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y))
+
+  /** L2 norm (sequential fold). */
+  def norm(v: Column): Column = sqrt(foldSum(transform(v, x => x * x)))
+
+  /** Cosine similarity with pre-computed norms: dot / (normA * normB). */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = toDouble(a)
+    val bd = toDouble(b)
+    cosineWithNorms(ad, bd, norm(ad), norm(bd))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: unit-free double in
+    * (-1, 1) derived from (seed, plane, dim) via xxhash64 — the same value
+    * on every executor with zero data movement (no driver-side RNG state,
+    * no broadcast of a random matrix needed). */
+  def planeComponent(plane: Int, dim: Column, seed: Long): Column =
+    (xxhash64(lit(seed), lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit of the projection of `v` onto pseudo-random hyperplane
+    * `plane`: the building block of the LSH bucketer. */
+  def lshBit(v: Column, plane: Int, seed: Long): Column = {
+    val proj = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * planeComponent(plane, i, seed)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj >= 0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits sign bits packed in a long).
+    * Cosine-similar vectors collide with high probability; used to
+    * restrict ANN search to one bucket (+ optional neighbor probes). */
+  def lshBucket(v: Column, nBits: Int, seed: Long = 42L): Column =
+    (0 until nBits).map(p => shiftleft(lshBit(v, p, seed), p))
+      .reduce(_ + _)
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`).
+  *
+  * Two paths, as the north-star requires:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Probes are broadcast (they are few); the corpus streams through
+  *    executors once; per-probe top-k via window rank. No shuffle of the
+  *    corpus beyond the final rank exchange of candidate rows.
+  *  - [[lshTopK]]: the 100-TB path — random-hyperplane LSH buckets both
+  *    sides, the join only compares vectors in colliding buckets
+  *    (multi-probe: the probe also visits all 1-bit-flip neighbor buckets
+  *    to recover boundary losses). Corpus bucketing is a narrow map; the
+  *    join shuffles on bucket id, i.e. O(n/2^bits) candidates per probe.
+  */
+object Similarity {
+
+  private def withNormed(df: DataFrame, idCol: String, vecCol: String,
+                         as: String): DataFrame =
+    df.select(col(idCol).as(s"${as}_id"), VF.toDouble(col(vecCol)).as(s"${as}_e"))
+      .withColumn(s"${as}_nrm", VF.norm(col(s"${as}_e")))
+
+  /** Exact cosine top-k for each probe vector. Deterministic: rank by
+    * (cosine desc, corpus id asc). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val c = withNormed(corpus, idCol, vecCol, "c")
+    val p = withNormed(probes, idCol, vecCol, "p")
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k. Multi-probe: each probe also searches
+    * every bucket at Hamming distance 1 from its own (nBits+1 buckets),
+    * which empirically recovers most boundary-split neighbors. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = withNormed(corpus, idCol, vecCol, "c")
+      .withColumn("bucket", VF.lshBucket(col("c_e"), nBits, seed))
+    val p0 = withNormed(probes, idCol, vecCol, "p")
+      .withColumn("bucket0", VF.lshBucket(col("p_e"), nBits, seed))
+    // probe's own bucket + all 1-bit flips
+    val p = p0.withColumn("bucket",
+      explode(array(col("bucket0") +:
+        (0 until nBits).map(b => col("bucket0").bitwiseXOR(lit(1L << b))): _*)))
+    val scored = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+}

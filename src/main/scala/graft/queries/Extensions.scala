@@ -1,0 +1,239 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-data pipeline operator surface: dedup, similarity search,
+  * text analysis, multimodal plumbing. SQL-expressible entries carry a
+  * DuckDB oracle built on the same deterministic arithmetic (sequential
+  * double folds ≡ `list_reduce`, integer counts, modular hashes);
+  * approximate/hash-dependent ops (simhash, LSH top-k, xxhash features)
+  * are rows-only checked here and recall-tested in ScalaTest.
+  */
+object Extensions {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  // ---- dedup ----
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), Seq("text"), "doc_id")
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", k = 2, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairs(embs(s, d), "vec_id", "embedding", threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  // ---- similarity search ----
+
+  def simTopKExact(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  def simTopKLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  // ---- text analysis ----
+
+  def textStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stats(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  def textLangId(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.languageId(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprints(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  // ---- multimodal ----
+
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.asMediaTable(docs(s, d), "doc_id", "text")
+      .select(col("media_id"), col("media_meta.mime").as("mime"),
+        col("media_meta.n_bytes").as("n_bytes"))
+      .orderBy("media_id")
+
+  def multimodalFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))
+      .select(col("media_id"), col("frame_offset"), col("frame_id"))
+      .orderBy("media_id", "frame_offset")
+
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(s,
+      Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))
+      .select(col("media_id"), element_at(col("features"), 1).as("f0"),
+        size(col("features")).as("feat_dim"))
+      .orderBy("media_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgram _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "sim_topk_exact" -> (simTopKExact _),
+    "sim_topk_lsh" -> (simTopKLsh _),
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangId _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_features" -> (multimodalFeatures _))
+
+  private val tokensCte =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+      |  FROM documents
+      |)""".stripMargin
+
+  private val shingleCte =
+    tokensCte +
+      """, s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    END AS sh
+        |  FROM w
+        |)""".stripMargin
+
+  private val ngramJaccardSql: String =
+    shingleCte +
+      """
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |    CAST(len(a.sh) + len(b.sh)
+        |         - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin
+
+  private val vecCte =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, e,
+      |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+      |  FROM v
+      |)""".stripMargin
+
+  private val markers: Map[String, Seq[String]] =
+    graft.functions.TextFunctions.langMarkers.toMap
+
+  private def markerListSql(ms: Seq[String]): String =
+    ms.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // minhash+LSH verifies candidates exactly, so its output semantics
+    // equal the exact n-gram pairs — same oracle.
+    "dedup_minhash" -> ngramJaccardSql,
+    "dedup_embedding" -> (vecCte +
+      """
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]),
+        |      (x,y) -> x+y) / (a.nrm * b.nrm) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin),
+    "sim_topk_exact" -> (vecCte +
+      """
+        |SELECT probe_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+        |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
+        |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10)
+        |QUALIFY rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin),
+    "text_stats" -> (tokensCte +
+      """
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+        |  CAST(len(list_filter(toks, t -> list_contains(""".stripMargin +
+      markerListSql(markers.values.flatten.toSeq) +
+      """, t))) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / CAST(len(toks) AS DOUBLE) AS type_token_ratio
+        |FROM w ORDER BY doc_id""".stripMargin),
+    "text_langid" -> (tokensCte +
+      s""", sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("en"))}, t))) AS s_en,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("de"))}, t))) AS s_de,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("fr"))}, t))) AS s_fr,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("es"))}, t))) AS s_es
+         |  FROM w
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         |       ELSE 'und' END AS detected_lang
+         |FROM sc ORDER BY doc_id""".stripMargin),
+    "text_tokens" -> (tokensCte +
+      """
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+        |FROM w ORDER BY doc_id""".stripMargin),
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image/fake' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id, frame_offset,
+        |  CAST(doc_id AS VARCHAR) || '_' || CAST(frame_offset AS VARCHAR) AS frame_id
+        |FROM (
+        |  SELECT doc_id, unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS frame_offset
+        |  FROM documents)
+        |ORDER BY media_id, frame_offset""".stripMargin)
+}
