@@ -130,18 +130,24 @@ object Dedup {
   }
 
   /** SimHash near-dup: pairs with Hamming distance <= maxHamming. Banding:
-    * split 64 bits into (maxHamming+1) chunks — a pair within the radius
-    * must agree exactly on >= 1 chunk (pigeonhole), so the join is
-    * bucket-shaped, never O(n²). */
+    * split 64 bits into (maxHamming+1) chunks covering ALL bits — a pair
+    * within the radius must agree exactly on >= 1 chunk (pigeonhole), so
+    * the join is bucket-shaped, never O(n²). Radius/chunk-width is the
+    * recall-vs-join-fanout knob: wider chunks (smaller radius) keep
+    * buckets sparse at larger corpus sizes. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int = 2, maxHamming: Int = 3): DataFrame = {
+                          k: Int = 2, maxHamming: Int = 12): DataFrame = {
     val chunks = maxHamming + 1
-    val width = 64 / chunks
+    val base = 64 / chunks
+    val extra = 64 % chunks
+    // chunk c covers [offset, offset+width): first `extra` chunks one wider
+    val widths = (0 until chunks).map(c => if (c < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val sigs = simhashSignatures(docs, idCol, textCol, k)
     val banded = sigs.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
-        shiftrightunsigned(col("simhash"), c * width)
-          .bitwiseAND(lit((1L << width) - 1))): _*)))
+        shiftrightunsigned(col("simhash"), offsets(c))
+          .bitwiseAND(lit((1L << widths(c)) - 1))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "key")
     val l = banded.select(col("id").as("id_a"), col("simhash").as("sig_a"), col("chunk"), col("key"))
     val r = banded.select(col("id").as("id_b"), col("simhash").as("sig_b"), col("chunk"), col("key"))

@@ -45,18 +45,24 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k. Multi-probe: each probe also searches
-    * every bucket at Hamming distance 1 from its own (nBits+1 buckets),
-    * which empirically recovers most boundary-split neighbors. */
+    * every bucket within `probeHamming` bit flips of its own, recovering
+    * boundary-split neighbors. (nBits, probeHamming) sets the scanned
+    * corpus fraction ≈ Σ_{i≤h} C(nBits,i)/2^nBits — the recall/cost knob;
+    * on structureless (near-orthogonal random) embeddings recall is
+    * proportional to that fraction, on clustered real embeddings it is
+    * far better. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-              vecCol: String, k: Int, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+              vecCol: String, k: Int, nBits: Int = 6, probeHamming: Int = 2,
+              seed: Long = 42L): DataFrame = {
     val c = withNormed(corpus, idCol, vecCol, "c")
       .withColumn("bucket", VF.lshBucket(col("c_e"), nBits, seed))
     val p0 = withNormed(probes, idCol, vecCol, "p")
       .withColumn("bucket0", VF.lshBucket(col("p_e"), nBits, seed))
-    // probe's own bucket + all 1-bit flips
+    val masks: Seq[Long] = (0 until nBits).toSet.subsets()
+      .filter(s => s.size <= probeHamming)
+      .map(s => s.foldLeft(0L)((m, b) => m | (1L << b))).toSeq.sorted
     val p = p0.withColumn("bucket",
-      explode(array(col("bucket0") +:
-        (0 until nBits).map(b => col("bucket0").bitwiseXOR(lit(1L << b))): _*)))
+      explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)))
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("p_id") =!= col("c_id"))
       .withColumn("cosine",

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.ingest.Ingest
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest: the reference's Flink→Firehose chain
+  * (SURVEY §3.1) as `readStream → [same batch stages] → writeStream`.
+  *
+  * Parity points:
+  *  - 60 s processing-time trigger ≡ Firehose bufferingHints 60 s
+  *    (kinesis-stack.ts:140-142)
+  *  - checkpointLocation ≡ Flink checkpointing every 60 s
+  *    (kinesis-stack.ts:200-205); exactly-once file-sink commits
+  *  - dynamic partition write tenant/year/month/day/hour ≡ Firehose
+  *    dynamic partitioning (kinesis-stack.ts:137-161)
+  *  - corrupt/invalid records land under error/<error-type>/ per
+  *    micro-batch (S6) — both outputs from ONE pass via foreachBatch.
+  *
+  * The Flink job is stateless, so micro-batch semantics are a strict
+  * superset; no watermark is needed for parity (ingest-time, not
+  * event-time — a delayed record lands in a later hour partition,
+  * exactly like the reference).
+  *
+  * Scale: the stage chain is narrow (no shuffle); the only exchange is
+  * the optional pre-sink repartition by partition columns that bounds
+  * file counts (small-file mitigation, SURVEY §7.4).
+  */
+object StreamingIngest {
+
+  /** Raw-string stream → enriched, partition-derived stream + error split,
+    * written per micro-batch. `tenantFromCol` mirrors C3: the tenant comes
+    * from the transport key column, never the payload. */
+  def start(spark: SparkSession, raw: DataFrame, rawCol: String,
+            tenantCol: String, lakeRoot: String, checkpoint: String,
+            trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          val (valid, errors) = Ingest.validateAndSplit(cached, rawCol)
+          val enriched = Ingest.derivePartitions(
+            Ingest.enrich(valid, col(tenantCol), unix_timestamp()))
+            .drop(rawCol)
+          graft.sources.Lake.writeValid(enriched, lakeRoot)
+          if (!errors.isEmpty) graft.sources.Lake.writeErrors(errors, lakeRoot)
+          ()
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+
+  /** File-source variant: watch a directory of JSON-lines files — the test
+    * and local-smoke entry point (README §1.1 payload shape). */
+  def fromJsonDir(spark: SparkSession, inDir: String, tenantCol: String,
+                  lakeRoot: String, checkpoint: String,
+                  trigger: Trigger): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(tenantCol,
+          org.apache.spark.sql.types.StringType))))
+      .json(inDir)
+    start(spark, raw, "value", tenantCol, lakeRoot, checkpoint, trigger)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf0001, "documents")
+  private lazy val embs = Tables.load(spark, sf0001, "embeddings")
+
+  test("exact dedup collapses planted exact duplicates") {
+    val planted = docs.limit(5).union(docs.limit(2)) // 2 exact dups
+    val out = Dedup.exact(planted, Seq("text"), "doc_id")
+    assert(out.count() == 5)
+    assert(out.agg(sum($"n_copies")).as[Long].head() == 7)
+  }
+
+  test("minhash+LSH near-dup pairs equal exact n-gram jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash finds the planted near-dup pairs") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 2, 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(pairs), s"simhash missed ${exact -- pairs}")
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val probes = embs.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(embs, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall")
+  }
+
+  test("brute-force top-k ranks by true cosine") {
+    val out = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" === 0),
+      "vec_id", "embedding", 3)
+      .select("rank", "cosine").as[(Int, Double)].collect().sortBy(_._1)
+    assert(out.length == 3)
+    assert(out.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.model.Schemas
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.2 property tests (seeded sampling): partition derivation ≡
+  * strftime (UTC, zero-padded, boundary-safe); rolling fingerprint ≡
+  * reference fold; jaccard symmetry/bounds. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+
+  test("partition derivation equals JQ strftime semantics for arbitrary epochs") {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy|MM|dd|HH")
+      .withZone(java.time.ZoneOffset.UTC)
+    // 1990..2100 plus explicit year/day/hour boundaries
+    val es = Seq.fill(300)(631152000L + (rng.nextDouble() * (4102444800L - 631152000L)).toLong) ++
+      Seq(631151999L, 631152000L, 946684799L, 946684800L, 1704067199L, 1704067200L)
+    val derived = Schemas.partitionColumns(col("epoch"), lit("t"))
+      .foldLeft(es.toDF("epoch")) { case (d, (n, c)) => d.withColumn(n, c) }
+      .select($"epoch", concat_ws("|", $"year", $"month", $"day", $"hour"))
+      .as[(Long, String)].collect().toMap
+    es.foreach { e =>
+      assert(derived(e) == fmt.format(java.time.Instant.ofEpochSecond(e)), s"epoch $e")
+    }
+  }
+
+  test("rolling fingerprint matches reference fold for arbitrary ASCII text") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    val texts = Seq.fill(100)(rng.alphanumeric.take(rng.nextInt(60) + 1).mkString) :+
+      "hello world! 123" :+ "a"
+    val got = texts.toDF("text")
+      .select($"text", graft.functions.TextFunctions.rollingFingerprint($"text"))
+      .as[(String, Long)].collect().toMap
+    texts.foreach(t => assert(got(t) == ref(t), s"text '$t'"))
+  }
+
+  test("jaccard is symmetric and bounded on random token arrays") {
+    val vocab = Seq("a", "b", "c", "d", "e")
+    val pairs = Seq.fill(50)((
+      Seq.fill(8)(vocab(rng.nextInt(5))),
+      Seq.fill(8)(vocab(rng.nextInt(5)))))
+    val df = pairs.toDF("x", "y")
+      .select(array_distinct($"x").as("x"), array_distinct($"y").as("y"))
+    val js = df.select(
+      graft.functions.TextFunctions.jaccard($"x", $"y"),
+      graft.functions.TextFunctions.jaccard($"y", $"x")).as[(Double, Double)].collect()
+    js.foreach { case (j1, j2) =>
+      assert(j1 == j2 && j1 >= 0.0 && j1 <= 1.0)
+    }
+  }
+
+  test("enrichment is payload-preserving under arbitrary extra fields") {
+    val raws = Seq.fill(30) {
+      val extra = rng.alphanumeric.take(6).mkString
+      s"""{"Data":{"device":"d$extra","event":"e$extra","region":"r$extra","x_$extra":1}}"""
+    }
+    val (valid, errors) = graft.ingest.Ingest.validateAndSplit(raws.toDF("raw"), "raw")
+    assert(errors.count() == 0)
+    val out = graft.ingest.Ingest.enrich(valid, lit("t0"), lit(0L))
+      .select("device", "event", "region").as[(String, String, String)].collect()
+    assert(out.length == raws.length)
+    out.foreach { case (d, e, r) =>
+      assert(d.startsWith("d") && e.startsWith("e") && r.startsWith("r"))
+    }
+  }
+}

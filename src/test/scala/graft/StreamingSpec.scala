@@ -1,0 +1,43 @@
+package graft
+
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming parity (SURVEY §2.1 S2-S6): file-source micro-batch ingest
+  * through the SAME stage functions as batch, with checkpointing, dynamic
+  * partition writes, and error routing. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming ingest writes partitioned lake + error route, resumes from checkpoint") {
+    val in = tmpDir("stream_in")
+    val lake = tmpDir("stream_lake")
+    val ckpt = tmpDir("stream_ckpt")
+
+    val batch1 = Seq(
+      ("""{"Data":{"event":"e1","region":"US","device":"TV"}}""", "acme"),
+      ("""{"Data":{"event":"e2","region":"EU","device":"web"}}""", "globex"),
+      ("""broken""", "acme"))
+    batch1.toDF("value", "tenant_key").write.mode("append").json(in)
+
+    val q = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
+      Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val lakeDf = spark.read.parquet(s"$lake/data")
+    assert(lakeDf.count() == 2)
+    assert(lakeDf.select("tenant").distinct().as[String].collect().toSet ==
+      Set("acme", "globex"))
+    val errDf = spark.read.parquet(s"$lake/error")
+    assert(errDf.count() == 1)
+    assert(errDf.select("error_type").as[String].head() == "parse-error")
+
+    // second micro-batch: checkpoint resume must not re-ingest batch 1
+    Seq(("""{"Data":{"event":"e3","region":"US","device":"TV"}}""", "acme"))
+      .toDF("value", "tenant_key").write.mode("append").json(in)
+    val q2 = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
+      Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$lake/data").count() == 3)
+  }
+}
