@@ -17,6 +17,8 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) — read as long, converted
       // exactly in Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parallel task-side commit of dynamic-partition files
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -22,9 +22,11 @@ object TextFunctions {
         sequence(lit(0), size(tokens) - k),
         i => concat_ws(" ", slice(tokens, i + 1, lit(k)))))
 
-  /** Distinct shingles — the set used for Jaccard. */
+  /** Distinct shingles — the set used for Jaccard. Routed through the
+    * codegen'd single-pass expression (graft.plans.WordShingleSet); the
+    * declarative [[shingles]] form above documents the exact semantics. */
   def shingleSet(text: Column, k: Int): Column =
-    array_distinct(shingles(words(text), k))
+    graft.plans.ShingleExpressions.wordShingleSet(text, k)
 
   /** Exact Jaccard similarity of two string arrays (already distinct). */
   def jaccard(a: Column, b: Column): Column =

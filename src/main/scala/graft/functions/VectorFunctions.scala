@@ -19,16 +19,14 @@ object VectorFunctions {
   /** Element-wise double view of a float array column. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential-fold sum of a double array. */
-  private def foldSum(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x)
-
-  /** Dot product of two double arrays (sequential fold). */
+  /** Dot product of two double arrays — the codegen'd native expression
+    * (bit-identical to the sequential HOF fold it replaced; see
+    * graft.plans.DotProductF64). */
   def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x * y))
+    graft.plans.VectorExpressions.dotF64(a, b)
 
-  /** L2 norm (sequential fold). */
-  def norm(v: Column): Column = sqrt(foldSum(transform(v, x => x * x)))
+  /** L2 norm via the same sequential dot. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Cosine similarity with pre-computed norms: dot / (normA * normB). */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =

@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.plans.SketchExpressions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline surface: exact,
@@ -47,54 +49,62 @@ object Dedup {
                         k: Int = 3, threshold: Double = 0.8,
                         maxShinglePostings: Int = 100000): DataFrame = {
     val sets = withShingleSets(docs, idCol, textCol, k)
-    val postings = sets.select(col(idCol).as("id"), explode(col("sh")).as("shingle"))
-    // Posting-list formulation: the shingle self-join COUNTS the exact
-    // distinct-shingle intersection I per pair, and Jaccard follows as
-    // I/(nA+nB-I) — no per-pair array materialization, so the cost is
-    // Σ_shingle df² (join-shaped), not O(n²)·|shingles|.
-    // Stop-shingle cut: shingles with df > maxShinglePostings can't
-    // discriminate and would explode the join quadratically; at the
-    // default cap this only drops boilerplate shingles (undercounting I
-    // for pairs that were far below threshold anyway).
-    val df = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val rare = postings.join(df.filter(col("df") <= maxShinglePostings), "shingle")
-    val l = rare.select(col("id").as("id_a"), col("shingle"))
-    val r = rare.select(col("id").as("id_b"), col("shingle"))
-    val inter = l.join(r, "shingle")
+    val postings = sets.select(col(idCol).as("id"), col("sh_n"),
+      explode(col("sh")).as("shingle"))
+    // Prefix filtering (PPJoin lemma): under a global shingle order, two
+    // sets with J >= t must share an element within their first
+    // |x| - ceil(t|x|) + 1 elements. Ordering by ascending document
+    // frequency puts the RAREST shingles in the prefix, so the candidate
+    // join only fans out on low-df keys — at 100 TB this is the
+    // difference between a join on long-tail keys and a quadratic blowup.
+    // Stop-shingle cut: df > maxShinglePostings keys are dropped before
+    // ranking (cannot discriminate; bounds worst-case skew).
+    val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShinglePostings)
+    val ranked = postings.join(dfreq, "shingle")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+    val prefixLen = col("sh_n") - ceil(lit(threshold) * col("sh_n")).cast("int") + 1
+    val prefix = ranked.filter(col("rn") <= prefixLen)
+    val l = prefix.select(col("id").as("id_a"), col("shingle"))
+    val r = prefix.select(col("id").as("id_b"), col("shingle"))
+    val candidates = l.join(r, "shingle")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("i"))
-    val sizes = sets.select(col(idCol), col("sh_n"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("sh_n").as("n_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sh_n").as("n_b")), "id_b")
-      .withColumn("jaccard", col("i").cast("double") /
-        (col("n_a") + col("n_b") - col("i")).cast("double"))
+      .select("id_a", "id_b").distinct()
+    verifyPairs(candidates, sets, idCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (shared by the exact
+    * prefix-filter path and the MinHash LSH path). */
+  private def verifyPairs(candidates: DataFrame, sets: DataFrame,
+                          idCol: String, threshold: Double): DataFrame = {
+    val a = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", TF.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signatures: nHashes min-hashes over the shingle set, computed
-    * as nHashes independent min-aggregations over exploded shingles
-    * (xxhash64 seeded per hash index). O(n·|shingles|), fully codegen'd. */
+  /** MinHash signatures: one codegen'd pass per row (no explode, no
+    * shuffle) — one xxhash per shingle + universal-hash permutations per
+    * hash index (graft.plans.MinHashSignature). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, nHashes: Int = 64): DataFrame = {
-    val sets = withShingleSets(docs, idCol, textCol, k)
-    val exploded = sets.select(col(idCol), explode(col("sh")).as("shingle"))
-    val mins = (0 until nHashes).map(j =>
-      min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until nHashes).map(j => col(s"h$j")): _*).as("sig"))
-  }
+                        k: Int = 3, nHashes: Int = 64): DataFrame =
+    withShingleSets(docs, idCol, textCol, k)
+      .select(col(idCol),
+        SketchExpressions.minhashSignature(col("sh"), nHashes).as("sig"))
 
-  /** MinHash + banded LSH near-dup: candidates from band-bucket collisions,
+    /** MinHash + banded LSH near-dup: candidates from band-bucket collisions,
     * then EXACT Jaccard verification — the output semantics are therefore
     * identical to [[ngramJaccardPairs]] (LSH only prunes the pair space).
     * bands×rowsPerBand = nHashes; P(miss | jaccard=s) = (1-s^r)^b. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 3, threshold: Double = 0.8,
                           bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, bands * rowsPerBand)
+    val sets = withShingleSets(docs, idCol, textCol, k)
+    val sigs = sets.select(col(idCol),
+      SketchExpressions.minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
@@ -104,32 +114,18 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sets = withShingleSets(docs, idCol, textCol, k)
-    val a = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    candidates.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", TF.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyPairs(candidates, sets, idCol, threshold)
   }
 
-  /** 64-bit SimHash over word shingles: per-bit majority vote of shingle
-    * hashes. Computed with 64 conditional-sum aggregations over the
-    * exploded shingles — one shuffle, no UDF. */
+  /** 64-bit SimHash over word shingles: per-bit majority vote, one
+    * codegen'd pass per row (graft.plans.SimHash64) — no explode, no
+    * shuffle, no per-bit aggregations. */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 2): DataFrame = {
-    val exploded = withShingleSets(docs, idCol, textCol, k)
-      .select(col(idCol), explode(col("sh")).as("shingle"))
-      .withColumn("h", xxhash64(col("shingle")))
-    val votes = (0 until 64).map(b => sum(TF.simhashVote(col("h"), b)).as(s"v$b"))
-    exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+                        k: Int = 2): DataFrame =
+    withShingleSets(docs, idCol, textCol, k)
+      .select(col(idCol), SketchExpressions.simhash64(col("sh")).as("simhash"))
 
-  /** SimHash near-dup: pairs with Hamming distance <= maxHamming. Banding:
+    /** SimHash near-dup: pairs with Hamming distance <= maxHamming. Banding:
     * split 64 bits into (maxHamming+1) chunks covering ALL bits — a pair
     * within the radius must agree exactly on >= 1 chunk (pigeonhole), so
     * the join is bucket-shaped, never O(n²). Radius/chunk-width is the
@@ -155,8 +151,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // filter BEFORE the distinct
+      .distinct()                           // shuffle — candidates, not fanout
   }
 
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the recall

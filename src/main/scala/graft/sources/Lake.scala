@@ -29,7 +29,13 @@ object Lake {
   def writeValid(df: DataFrame, root: String,
                  maxRecordsPerFile: Long = 5000000L): String = {
     val path = s"$root/data"
-    df.repartition(Schemas.partitionCols.map(col): _*)
+    // Explicit partition count: an AQE-coalesced (cols-only) repartition
+    // can collapse a small micro-batch to ONE task that then writes every
+    // partition directory sequentially — measured 42 s vs 2 s at sf0.1.
+    // Hash-distributing the partition keys across numShufflePartitions
+    // keeps ≤1 file per directory per batch AND parallel writers.
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, Schemas.partitionCols.map(col): _*)
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(Schemas.partitionCols: _*)
