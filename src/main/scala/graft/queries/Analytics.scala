@@ -210,7 +210,45 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** PIVOT: per-tenant event counts spread across event-type columns.
+    * Planned as one aggregate with filtered counts — single shuffle. */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("tenant", concat(lit("t"), (col("user_id") % 3).cast("string")))
+      .groupBy(col("tenant"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("tenant")
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join):
+    * customers above their nation's average balance. Exact decimal sum /
+    * count keeps the threshold deterministic. */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_sq")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal FROM customer_sq c1
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer_sq c2 WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Sketch aggregate: HLL++ approximate distinct per group (mergeable,
+    * constant memory — the 100 TB path for distinct counts). Implementation
+    * is engine-specific → rows-only check, with the exact count alongside
+    * for the ScalaTest error-bound assertion. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (pivotEvents _),
+    "q_correlated_subquery" -> (correlatedSubquery _),
+    "q_approx_distinct" -> (approxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -226,6 +264,20 @@ object Analytics {
     "q_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1 ORDER BY tenant""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c1
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,

@@ -99,7 +99,68 @@ object PipelineQueries {
     out
   }
 
+  /** P1/C3 wire-format parity: the reference base64-encodes the payload
+    * between the edge and the stream (multi-tenant-apigateway-stack.ts:125).
+    * Encode → decode → extract must be lossless. */
+  def wireRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Ingest.wireEncode(col("props"))
+    events(spark, dir)
+      .select(col("event_id"), wire.as("wire"),
+        get_json_object(Ingest.wireDecode(wire), "$.k").as("k"))
+      .orderBy("event_id")
+  }
+
+  /** S2–S6 through Structured Streaming, driver-gated: events → JSON-lines
+    * envelope stream → readStream → validate/enrich/partition-derive →
+    * dynamic-partition lake + checkpoint (AvailableNow trigger) → read
+    * back. Ingest time comes from the record's transport column (the
+    * deterministic analog of ingest-wall-clock), so the oracle can
+    * reproduce the result. */
+  def streamingRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/stream_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, lake, ckpt) = (s"$base/in", s"$base/lake", s"$base/ckpt")
+    events(spark, dir).select(
+      to_json(struct(struct(
+        concat(lit("dev"), col("event_id").cast("string")).as("device"),
+        col("event_type").as("event"),
+        lit("US").as("region")).as("Data"))).as("value"),
+      tenantCol.as("tenant_key"),
+      unix_timestamp(col("ts")).as("event_epoch"))
+      .write.mode("overwrite").json(inDir)
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("value", StringType),
+        StructField("tenant_key", StringType),
+        StructField("event_epoch", LongType))))
+      .json(inDir)
+    val q = graft.streaming.StreamingIngest.start(spark, raw, "value", "tenant_key",
+      lake, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      ingestTs = col("event_epoch"))
+    q.awaitTermination()
+    spark.read.parquet(s"$lake/data")
+      .select(col("device"), col("event"), col("region"),
+        col("timestamp").as("ingest_ts"), col("tenant"),
+        col("year"), col("month"), col("day"), col("hour"))
+      .orderBy("device")
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipe_wire_roundtrip" ->
+      """SELECT event_id, to_base64(encode(props)) AS wire,
+        |  json_extract_string(props, '$.k') AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "pipe_streaming_roundtrip" ->
+      """SELECT 'dev' || CAST(event_id AS VARCHAR) AS device,
+        |  event_type AS event, 'US' AS region,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ingest_ts,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+        |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+        |FROM events ORDER BY device""".stripMargin,
     "pipe_enrich" ->
       """SELECT event_id, event_type, json_extract_string(props, '$.k') AS k,
         |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
@@ -139,5 +200,7 @@ object PipelineQueries {
     "pipe_validate" -> (validateQuery _),
     "pipe_error_route" -> (errorRouteQuery _),
     "pipe_tenant_filter" -> (tenantFilterQuery _),
-    "pipe_lake_roundtrip" -> (lakeRoundtrip _))
+    "pipe_lake_roundtrip" -> (lakeRoundtrip _),
+    "pipe_streaming_roundtrip" -> (streamingRoundtrip _),
+    "pipe_wire_roundtrip" -> (wireRoundtrip _))
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.ingest.Ingest
 import graft.model.Schemas
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -35,7 +35,8 @@ object StreamingIngest {
     * from the transport key column, never the payload. */
   def start(spark: SparkSession, raw: DataFrame, rawCol: String,
             tenantCol: String, lakeRoot: String, checkpoint: String,
-            trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+            trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+            ingestTs: Column = unix_timestamp()): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -44,7 +45,7 @@ object StreamingIngest {
         try {
           val (valid, errors) = Ingest.validateAndSplit(cached, rawCol)
           val enriched = Ingest.derivePartitions(
-            Ingest.enrich(valid, col(tenantCol), unix_timestamp()))
+            Ingest.enrich(valid, col(tenantCol), ingestTs))
             .drop(rawCol)
           graft.sources.Lake.writeValid(enriched, lakeRoot)
           if (!errors.isEmpty) graft.sources.Lake.writeErrors(errors, lakeRoot)
