@@ -92,3 +92,36 @@ object ProfileLake {
     spark.stop()
   }
 }
+
+/** Similarity stage profiler. */
+object ProfileSim {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val x = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $name"); x
+    }
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    time("warmup")(embs.count())
+    import graft.functions.{VectorFunctions => VF}
+    val c = embs.select(col("vec_id").as("c_id"), VF.toDouble(col("embedding")).as("c_e"))
+      .withColumn("c_nrm", VF.norm(col("c_e")))
+    time("corpus normed")(c.count())
+    val p = embs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_id"), VF.toDouble(col("embedding")).as("p_e"))
+      .withColumn("p_nrm", VF.norm(col("p_e")))
+    val scored = c.crossJoin(broadcast(p)).filter(col("p_id") =!= col("c_id"))
+      .withColumn("cosine", VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+    time("scored")(scored.count())
+    time("full topk")(graft.operators.Similarity.bruteForceTopK(embs,
+      embs.filter(col("vec_id") < 10), "vec_id", "embedding", 5).count())
+    spark.stop()
+  }
+}
