@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so `spark.sql` users get the
+  * same codegen'd operators as the Column API:
+  *
+  *   spark.sql("SELECT graft_dot(a, b) ...")
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *   // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  /** (identifier, info, builder) triples — also directly registrable on a
+    * live session via `sessionState.functionRegistry.registerFunction`. */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen'd double-array dot product"),
+      (args: Seq[Expression]) => DotProductF64(args(0), args(1))),
+    (FunctionIdentifier("graft_word_shingles"),
+      info("graft_word_shingles", "graft_word_shingles(text, k) - distinct word k-shingles"),
+      (args: Seq[Expression]) => WordShingleSet(args(0),
+        args(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(shingles, n) - n-element MinHash signature"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(shingles) - 64-bit SimHash"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+
+  /** Register on an already-running session (tests, shells). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (id, i, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, i, b)
+    }
+}

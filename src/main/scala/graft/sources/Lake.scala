@@ -51,26 +51,19 @@ object Lake {
     path
   }
 
-  /** S8 / §3.2: the crawler analog. Infers schema from the files, registers
-    * the table in the session catalog, and recovers partitions — re-runnable
-    * (idempotent), like the 5-minute cron crawl. */
-  def refreshCatalog(spark: SparkSession, table: String, path: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(
-      s"""CREATE TABLE $table USING parquet
-         |OPTIONS (path '$path')
-         |PARTITIONED BY (${Schemas.partitionCols.mkString(", ")})
-         |AS SELECT * FROM parquet.`$path` LIMIT 0""".stripMargin)
-    ()
-  }
-
-  /** Register via the simpler external-table route (schema inferred from
-    * footers). Partition discovery via recoverPartitions. */
+  /** S8 / §3.2: the crawler analog — register an external parquet table
+    * (schema inferred from footers) and recover its Hive partitions.
+    * Re-runnable (idempotent), like the 5-minute cron crawl; running it
+    * after new files land picks up new partitions and merged schema. */
   def registerExternal(spark: SparkSession, table: String, path: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.catalog.createTable(table, "parquet", Map("path" -> path))
     spark.catalog.recoverPartitions(table)
   }
+
+  /** Alias with the crawler's name, for API parity with SURVEY §3.2. */
+  def refreshCatalog(spark: SparkSession, table: String, path: String): Unit =
+    registerExternal(spark, table, path)
 
   /** Small-file compaction: rewrite each partition's files into
     * size-targeted bins. At 100 TB this runs per recently-written partition

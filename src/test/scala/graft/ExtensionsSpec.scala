@@ -1,0 +1,27 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** The custom expressions exposed through the SQL function surface. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom expressions usable from SQL after registration") {
+    GraftExtensions.registerAll(spark)
+    val dot = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .as[Double].head()
+    assert(dot == 11.0)
+    val sh = spark.sql("SELECT graft_word_shingles('a b c d', 3) AS s")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val mh = spark.sql(
+      "SELECT size(graft_minhash(graft_word_shingles('a b c d e f', 3), 16)) AS n")
+      .as[Int].head()
+    assert(mh == 16)
+    val simEq = spark.sql(
+      """SELECT graft_simhash(graft_word_shingles('x y z w', 2)) =
+        |       graft_simhash(graft_word_shingles('x y z w', 2)) AS eq""".stripMargin)
+      .as[Boolean].head()
+    assert(simEq)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.StreamingAggregates
+import graft.streaming.StreamingAggregates.{SessionEvent, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(1704067200000L + min * 60000L) // 2024-01-01T00:00Z + min
+
+  test("watermarked hourly aggregation emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("TenantId", "event_time", "value")
+    val agg = StreamingAggregates.hourlyTenantCounts(df, lateness = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      in.addData(("t0", ts(5), 1.0), ("t0", ts(20), 2.0), ("t1", ts(40), 3.0))
+      q.processAllAvailable()
+      // watermark must pass hour 0 end before the window finalizes
+      in.addData(("t0", ts(135), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_out")
+        .select($"TenantId", $"n", $"sum_value").as[(String, Long, Double)]
+        .collect().sortBy(_._1)
+      assert(out.toSeq == Seq(("t0", 2L, 3.0), ("t1", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark bounds streaming dedup state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val df = in.toDF().toDF("event_id", "event_time")
+    val dedup = StreamingAggregates.dedupWithinWatermark(df, "event_time", Seq("event_id"),
+      lateness = "10 minutes")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(0)), (2L, ts(1)))
+      q.processAllAvailable()
+      in.addData((1L, ts(0)), (3L, ts(2)))
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n == 3, s"expected 3 distinct events, got $n")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val sessions = StreamingAggregates.sessionize(in.toDS(), gapSec = 600L,
+      lateness = "1 minute")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("session_out").start()
+    try {
+      // session 1: two events 5 min apart; then a 20-min gap closes it
+      in.addData(SessionEvent("t0", 1L, ts(0), 1.0), SessionEvent("t0", 1L, ts(5), 2.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent("t0", 1L, ts(30), 5.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent("t0", 1L, ts(90), 7.0)) // advance watermark far
+      q.processAllAvailable()
+      val out = spark.table("session_out").as[SessionOut].collect()
+        .sortBy(_.startEpoch)
+      assert(out.length >= 1)
+      assert(out.head.nEvents == 2 && out.head.sumValue == 3.0)
+    } finally q.stop()
+  }
+}
