@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for the cases AQE's runtime skew-join split
+  * does not cover (aggregation hot keys, stream-static joins, fixed
+  * pre-partitioning). SURVEY §4.1 / builder rules: "Skewed keys →
+  * salting or AQE skew-join".
+  *
+  * Technique (public, standard): append a salt in [0, saltN) to the big
+  * side's key, replicate the small side saltN times, join/aggregate on
+  * (key, salt), then merge. Results are exactly equal to the unsalted
+  * plan; the hot key's rows now spread over saltN tasks.
+  */
+object Skew {
+
+  /** Deterministic-enough uniform salt: hash of the row's position. */
+  private def saltCol(saltN: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(saltN.toLong))
+
+  /** Inner equi-join with a salted big side and a replicated small side.
+    * Exactly equivalent to big.join(small, key); hot keys fan out over
+    * saltN partitions instead of one straggler task. */
+  def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String,
+                      saltN: Int = 16): DataFrame = {
+    val salted = big.withColumn("__salt", saltCol(saltN))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltN - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase salted aggregation for decomposable aggregates: partial
+    * per (key, salt), final per key. `sum`s and `count`s re-merge with
+    * sum; decimal sums stay exact, so results equal the direct groupBy. */
+  def saltedSumCount(df: DataFrame, key: String, valueExpr: Column,
+                     saltN: Int = 16): DataFrame =
+    df.withColumn("__salt", saltCol(saltN))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(valueExpr).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(key))
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("cnt"))
+}
