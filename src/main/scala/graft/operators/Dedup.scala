@@ -155,8 +155,38 @@ object Dedup {
       .distinct()                           // shuffle — candidates, not fanout
   }
 
+  /** Embedding-cosine near-dup pairs via LSH blocking — the 100 TB path:
+    * bucket both sides with random-hyperplane LSH (multi-probe on one bit
+    * flip), compare only within buckets, verify with the exact cosine.
+    * Same output contract as [[embeddingNearDupPairs]] minus LSH misses
+    * (recall measured in DedupSimilaritySpec). */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, idCol: String,
+                               vecCol: String, threshold: Double,
+                               nBits: Int = 6, probeHamming: Int = 2,
+                               seed: Long = 42L): DataFrame = {
+    val withNorm = embeddings.select(col(idCol),
+      VF.toDouble(col(vecCol)).as("e"))
+      .withColumn("nrm", VF.norm(col("e")))
+      .withColumn("bucket0", VF.lshBucket(col("e"), nBits, seed))
+    val masks: Seq[Long] = (0 until nBits).toSet.subsets()
+      .filter(ss => ss.size <= probeHamming)
+      .map(ss => ss.foldLeft(0L)((m, b) => m | (1L << b))).toSeq.sorted
+    val a = withNorm.select(col(idCol).as("id_a"), col("e").as("e_a"),
+      col("nrm").as("n_a"),
+      explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val b = withNorm.select(col(idCol).as("id_b"), col("e").as("e_b"),
+      col("nrm").as("n_b"), col("bucket0").as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VF.cosineWithNorms(col("e_a"), col("e_b"), col("n_a"), col("n_b")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the recall
-    * baseline; the ANN path for scale is Similarity.lshTopK). */
+    * baseline; the ANN paths for scale are [[embeddingNearDupPairsLsh]]
+    * and Similarity.lshTopK/ivfTopK). */
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
                             vecCol: String, threshold: Double): DataFrame = {
     val withNorm = embeddings.select(col(idCol),

@@ -74,4 +74,44 @@ object Similarity {
       .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
         col("cosine"), col("rank"))
   }
+
+  /** IVF-flat ANN: partition the corpus into `nCells` Voronoi cells around
+    * deterministic centroids (first nCells vectors by id — a seeded sample;
+    * a k-means refinement would drop in here), then each probe searches
+    * only its `nProbe` nearest cells. The cell assignment is a broadcast
+    * argmin (no shuffle of the corpus); the search join shuffles on
+    * cell id — O(corpus/nCells · nProbe) comparisons per probe. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 3): DataFrame = {
+    val cents = withNormed(
+      corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol, "cent")
+    val assignW = Window.partitionBy(col("c_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val c = withNormed(corpus, idCol, vecCol, "c")
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        VF.cosineWithNorms(col("c_e"), col("cent_e"), col("c_nrm"), col("cent_nrm")))
+      .withColumn("cent_rank", row_number().over(assignW))
+      .filter(col("cent_rank") === 1)
+      .select(col("c_id"), col("c_e"), col("c_nrm"), col("cent_id").as("cell"))
+    val probeW = Window.partitionBy(col("p_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val p = withNormed(probes, idCol, vecCol, "p")
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        VF.cosineWithNorms(col("p_e"), col("cent_e"), col("p_nrm"), col("cent_nrm")))
+      .withColumn("cent_rank", row_number().over(probeW))
+      .filter(col("cent_rank") <= nProbe)
+      .select(col("p_id"), col("p_e"), col("p_nrm"), col("cent_id").as("cell"))
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
 }

@@ -54,6 +54,16 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  def simTopKIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupPairsLsh(embs(s, d), "vec_id", "embedding", threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
   // ---- text analysis ----
 
   def textStats(s: SparkSession, d: String): DataFrame =
@@ -96,6 +106,8 @@ object Extensions {
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_exact" -> (simTopKExact _),
     "sim_topk_lsh" -> (simTopKLsh _),
+    "sim_topk_ivf" -> (simTopKIvf _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangId _),
     "text_tokens" -> (textTokens _),

@@ -43,6 +43,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"ANN recall too low: $recall")
   }
 
+  test("LSH-blocked embedding near-dup achieves high recall vs exact") {
+    val exact = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairsLsh(embs, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH path must never invent pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    // threshold 0.35 is ~70 deg — far pairs, so recall tracks the scanned
+    // fraction (P[<=2 of 6 bits agree-flip] ~ 0.57); true near-dups
+    // (cosine >= 0.9) collide with probability ~1
+    assert(recall >= 0.4, s"LSH near-dup recall too low: $recall")
+  }
+
+  test("IVF top-k achieves reasonable recall vs brute force") {
+    val probes = embs.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embs, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+  }
+
   test("brute-force top-k ranks by true cosine") {
     val out = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" === 0),
       "vec_id", "embedding", 3)
