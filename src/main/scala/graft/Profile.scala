@@ -68,6 +68,8 @@ object ProfileLake {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_CODEC", "zstd"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time[T](name: String)(f: => T): T = {

@@ -60,6 +60,31 @@ class PipelineSpec extends SparkSpec {
     assert(errDf.select("error_type").distinct().count() == 2)
   }
 
+  test("open schema: a later batch with extra fields merges on refresh") {
+    val root = tmpDir("evolve")
+    val b1 = Seq(("""{"Data":{"event":"e1","region":"US","device":"TV"}}""", "acme"))
+      .toDF("raw", "tenant_key")
+    val b2 = Seq(("""{"Data":{"event":"e2","region":"EU","device":"web","channel":"mobile"}}""", "acme"))
+      .toDF("raw", "tenant_key")
+    def ingest(df: org.apache.spark.sql.DataFrame, extra: Boolean): Unit = {
+      val (valid, _) = Ingest.validateAndSplit(df, "raw")
+      val withExtra = if (extra)
+        valid.withColumn("channel", get_json_object(col("raw"), "$.Data.channel"))
+      else valid
+      val enriched = Ingest.derivePartitions(
+        Ingest.enrich(withExtra, col("tenant_key"), lit(1704067199L)))
+        .drop("raw", "tenant_key")
+      Lake.writeValid(enriched, root)
+    }
+    ingest(b1, extra = false)
+    ingest(b2, extra = true)
+    // crawler analog re-run picks up the merged schema (mergeSchema read)
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$root/data")
+    assert(merged.columns.contains("channel"))
+    assert(merged.count() == 2)
+    assert(merged.filter(col("channel").isNull).count() == 1)
+  }
+
   test("tenant-scoped SQL passthrough cannot see other tenants") {
     implicit val ctx: TenantContext = TenantContext("acme")
     val out = TenantQueries.sqlInTenantScope(spark, "t_events",

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the "is this the plan you'd want at
+  * 100 TB" checks (builder rule: .explain and iterate until it's the plan
+  * you'd want, then lock it in). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q5: all five dimension joins are broadcast (no shuffle joins)") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dimension join must not sort-merge")
+  }
+
+  test("q1: filter and column pruning reach the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed:\n$p")
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"))
+    assert(p.contains("ReadSchema"))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner+dedup") {
+    val p = plan("q_semi_anti_join")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
+  test("ingest pipeline is a single narrow stage (no exchange)") {
+    val p = SparkEntry.queries("pipe_enrich")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // orderBy adds one exchange at the edge; the stage chain itself
+    // (parse/enrich/derive) must not shuffle
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 2, p)
+  }
+
+  test("custom expressions appear inside whole-stage codegen") {
+    val df = Tables.load(spark, sf0001, "embeddings")
+      .select(graft.plans.VectorExpressions.dotF64(
+        graft.functions.VectorFunctions.toDouble(col("embedding")),
+        graft.functions.VectorFunctions.toDouble(col("embedding"))).as("d"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(formatted.contains("WholeStageCodegen"), formatted.take(500))
+  }
+}
