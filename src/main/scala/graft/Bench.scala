@@ -1,5 +1,10 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Bench main: one JSON line, sec per query over SPARK_GRAFT_SF_DIR.
+  * Also derives ingest throughput (records/s) from the streaming
+  * round-trip per BASELINE.md's records/s target. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,6 +21,10 @@ object Bench {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the codegen/scan machinery once so per-query numbers measure
+    // the queries, not first-touch JVM initialization
+    spark.range(100000).selectExpr("sum(id)").collect()
+    Tables.load(spark, sfDir, "lineitem").limit(1).collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -24,7 +33,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ingestRate = results.get("pipe_streaming_roundtrip")
+      .filter(_ > 0)
+      .map { sec =>
+        val n = Tables.load(spark, sfDir, "events").count()
+        n / sec
+      }.getOrElse(0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_records_per_s":$ingestRate,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.ingest.Ingest
+import graft.operators.{TenantContext, TenantQueries}
+import graft.sources.Lake
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The top-level library facade: what a user of the reference pipeline
+  * would hold instead of {API GW + Kinesis + Flink + Firehose + Glue +
+  * Athena}. One object wires the same lifecycle (SURVEY §3):
+  *
+  *   val engine = Engine(spark, lakeRoot = "s3://bucket/lake", table = "events")
+  *   engine.ingestBatch(rawDf, "raw", tenantCol)    // §3.1 (batch)
+  *   engine.startStream(rawStream, "raw", "tenant") // §3.1 (streaming, 60 s)
+  *   engine.refreshCatalog()                        // §3.2 (crawler)
+  *   engine.query(TenantContext("acme"))            // §3.3 (tenant-pruned scan)
+  */
+final case class Engine(spark: SparkSession, lakeRoot: String, table: String) {
+
+  /** Batch ingest: validate → project → enrich → partitioned write +
+    * error routing. Returns (validCount, errorCount). */
+  def ingestBatch(raw: DataFrame, rawCol: String, tenant: Column,
+                  ingestTs: Column = unix_timestamp()): (Long, Long) = {
+    val cached = raw.persist()
+    try {
+      val (valid, errors) = Ingest.validateAndSplit(cached, rawCol)
+      val enriched = Ingest.derivePartitions(Ingest.enrich(valid, tenant, ingestTs))
+        .drop(rawCol)
+      Lake.writeValid(enriched, lakeRoot)
+      val nErr = errors.count()
+      if (nErr > 0) Lake.writeErrors(errors, lakeRoot)
+      refreshCatalog()
+      (enriched.count(), nErr)
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Streaming ingest with the reference's 60 s freshness floor. */
+  def startStream(raw: DataFrame, rawCol: String, tenantCol: String,
+                  checkpoint: String,
+                  trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    graft.streaming.StreamingIngest.start(spark, raw, rawCol, tenantCol,
+      lakeRoot, checkpoint, trigger)
+
+  /** Crawler analog: (re-)register the lake table + partitions. */
+  def refreshCatalog(): Unit =
+    Lake.registerExternal(spark, table, s"$lakeRoot/data")
+
+  /** Tenant-scoped table handle — the only query entry point; the engine
+    * appends the tenant predicate from the authenticated context (C3). */
+  def query(implicit ctx: TenantContext): DataFrame =
+    TenantQueries.queryByTenant(spark, table)
+
+  /** Tenant-scoped SQL (the Athena saved-query analog). */
+  def sql(userSql: String)(implicit ctx: TenantContext): DataFrame =
+    TenantQueries.sqlInTenantScope(spark, table, userSql)
+
+  /** Periodic small-file compaction for the hot partitions. */
+  def compact(): Unit = Lake.compact(spark, s"$lakeRoot/data")
+}

@@ -41,6 +41,22 @@ object TextAnalysis {
       size(TF.words(col(textCol))).cast("long").as("ws_tokens"),
       TF.bpeishTokenCount(col(textCol)).cast("long").as("bpeish_tokens"))
 
+  /** Per-document top-k term profile with corpus document frequency —
+    * the building block of TF-IDF feature pipelines. Shuffles once on
+    * (doc, term) and once on term; integer counts only (deterministic). */
+  def termFrequency(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(TF.words(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tf").desc, col("term"))
+    tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .join(dfreq, "term")
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   /** Rolling-hash document fingerprint (64-bit). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),

@@ -75,6 +75,10 @@ object Extensions {
   def textTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
+  def textTermFreq(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.termFrequency(docs(s, d), "doc_id", "text", topK = 5)
+      .orderBy("doc_id", "rank")
+
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
@@ -111,6 +115,7 @@ object Extensions {
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangId _),
     "text_tokens" -> (textTokens _),
+    "text_term_freq" -> (textTermFreq _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -231,6 +236,32 @@ object Extensions {
         |  CAST(len(toks) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
         |FROM w ORDER BY doc_id""".stripMargin),
+    "text_term_freq" -> (tokensCte.replace("SELECT doc_id, text,", "SELECT doc_id,").replace("AS toks\n", "AS toks\n") +
+      """
+        |, toks AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1)
+        |SELECT doc_id, term, tf, df, rank FROM (
+        |  SELECT doc_id, term, tf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, term) AS INT) AS rank
+        |  FROM tf) t
+        |JOIN df USING (term)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
+    "text_term_freq" -> (tokensCte +
+      """
+        |, toks2 AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM toks2) GROUP BY 1)
+        |SELECT doc_id, term, tf, df, rank FROM (
+        |  SELECT doc_id, term, tf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, term) AS INT) AS rank
+        |  FROM tf) t
+        |JOIN df USING (term)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(
