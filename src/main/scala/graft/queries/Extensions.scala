@@ -64,6 +64,22 @@ object Extensions {
     Dedup.embeddingNearDupPairsLsh(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** As-of join: each click matched to the user's most recent purchase
+    * at-or-before it. Purchases deduped to one per (user, instant) with
+    * the max event id — the same tie rule as the oracle's ASOF JOIN. */
+  def asofClickPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.load(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    graft.operators.AsOfJoin.leftAsOf(clicks, purchases, Seq("user_id"),
+      "ts", "ts", Seq("purchase_id"), "purchase_id")
+      .select("click_id", "purchase_id")
+      .orderBy("click_id")
+  }
+
   // ---- text analysis ----
 
   def textStats(s: SparkSession, d: String): DataFrame =
@@ -112,6 +128,7 @@ object Extensions {
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "q_asof_join" -> (asofClickPurchase _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangId _),
     "text_tokens" -> (textTokens _),
@@ -249,6 +266,18 @@ object Extensions {
         |  FROM tf) t
         |JOIN df USING (term)
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT user_id, ts, max(event_id) AS purchase_id FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT c.click_id, p.purchase_id
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY click_id""".stripMargin,
     "text_term_freq" -> (tokensCte +
       """
         |, toks2 AS (SELECT doc_id, unnest(toks) AS term FROM w),
