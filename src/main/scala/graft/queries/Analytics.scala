@@ -245,7 +245,26 @@ object Analytics {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
+  /** Range join (non-equi): lineitems shipped within 30 days of ANY of
+    * the first 20 orders' dates — no key equality. Composed as a binned
+    * equi-join (RangeJoin), never a nested-loop scan. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val ords = t(spark, dir, "orders").filter(col("o_orderkey") <= 20)
+      .select(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("start"),
+        (unix_timestamp(col("o_orderdate")) + lit(30 * day)).as("end"))
+    val pts = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("pt"))
+    graft.operators.RangeJoin.pointInInterval(pts, ords,
+      col("pt"), col("start"), col("end"), binSeconds = 15 * day)
+      .select("o_orderkey", "l_orderkey", "l_linenumber")
+      .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (rangeJoin _),
     "q_pivot" -> (pivotEvents _),
     "q_correlated_subquery" -> (correlatedSubquery _),
     "q_approx_distinct" -> (approxDistinct _),
@@ -264,6 +283,15 @@ object Analytics {
     "q_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT o_orderkey, l_orderkey, l_linenumber
+        |FROM orders JOIN lineitem
+        |  ON CAST(floor(epoch(l_shipdate)) AS BIGINT)
+        |       >= CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        | AND CAST(floor(epoch(l_shipdate)) AS BIGINT)
+        |       < CAST(floor(epoch(o_orderdate)) AS BIGINT) + 2592000
+        |WHERE o_orderkey <= 20
+        |ORDER BY o_orderkey, l_orderkey, l_linenumber""".stripMargin,
     "q_pivot" ->
       """SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
