@@ -263,7 +263,18 @@ object Analytics {
       .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
   }
 
+  /** Exact interpolated percentiles per group (the sort-based exact
+    * path; the sketch path for scale is approx_percentile). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantiles" -> (quantiles _),
     "q_range_join" -> (rangeJoin _),
     "q_pivot" -> (pivotEvents _),
     "q_correlated_subquery" -> (correlatedSubquery _),
@@ -283,6 +294,12 @@ object Analytics {
     "q_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_range_join" ->
       """SELECT o_orderkey, l_orderkey, l_linenumber
         |FROM orders JOIN lineitem
