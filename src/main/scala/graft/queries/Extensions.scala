@@ -40,6 +40,25 @@ object Extensions {
     Dedup.embeddingNearDupPairs(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** Source-level set similarity via the mergeable MinHash AGGREGATE:
+    * one signature per source (map-side-combinable), then a tiny pairwise
+    * compare of 20 signatures — group-level dedup/similarity without ever
+    * joining documents. Estimator output is an exact multiple of 1/64 →
+    * deterministic (rows-only check: hash-family dependent). */
+  def dedupSourceSimilarity(s: SparkSession, d: String): DataFrame = {
+    import graft.plans.MinHashAgg
+    val sigs = docs(s, d)
+      .select(col("source"), graft.functions.TextFunctions.shingleSet(col("text"), 3).as("sh"))
+      .groupBy(col("source"))
+      .agg(MinHashAgg.minhashAgg(col("sh"), 64).as("sig"))
+    val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        MinHashAgg.estimatedJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   // ---- similarity search ----
 
   def simTopKExact(s: SparkSession, d: String): DataFrame = {
@@ -129,6 +148,7 @@ object Extensions {
     "sim_topk_ivf" -> (simTopKIvf _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_asof_join" -> (asofClickPurchase _),
+    "dedup_source_similarity" -> (dedupSourceSimilarity _),
     "text_stats" -> (textStats _),
     "text_langid" -> (textLangId _),
     "text_tokens" -> (textTokens _),
