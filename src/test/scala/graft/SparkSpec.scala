@@ -13,6 +13,7 @@ object TestSession {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
     .getOrCreate()
 }
 
