@@ -74,6 +74,47 @@ object Dedup {
     verifyPairs(candidates, sets, idCol, threshold)
   }
 
+  /** Connected components over near-dup pairs → cluster labels: each node
+    * gets the MIN id reachable in its component. Iterative min-label
+    * propagation (alternating small-star-ish rounds); each iteration is
+    * one join + one aggregate, and convergence takes O(log diameter)
+    * rounds — dedup clusters are tiny, so 2-3 rounds in practice. The
+    * driver loop only checks a changed-count per round (no data collect). */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame,
+                          idCol: String, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val propagated = labels.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), col("label"))
+        .unionAll(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .persist()
+      changed = propagated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = propagated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The actual corpus dedup: every doc labeled with the canonical
+    * (minimum) id of its near-dup cluster; docs with no near-dup are
+    * their own canonical. Filtering `id = canonical_id` keeps one
+    * representative per cluster. */
+  def canonicalize(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, k, threshold)
+    connectedComponents(pairs, docs.select(col(idCol)), idCol)
+      .select(col("id").as(idCol), col("label").as("canonical_id"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs (shared by the exact
     * prefix-filter path and the MinHash LSH path). */
   private def verifyPairs(candidates: DataFrame, sets: DataFrame,

@@ -36,6 +36,10 @@ object Extensions {
     Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", k = 2, maxHamming = 12)
       .orderBy("id_a", "id_b")
 
+  def dedupCanonical(s: SparkSession, d: String): DataFrame =
+    Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
+      .orderBy("doc_id")
+
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
@@ -142,6 +146,7 @@ object Extensions {
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_exact" -> (simTopKExact _),
     "sim_topk_lsh" -> (simTopKLsh _),
@@ -210,6 +215,26 @@ object Extensions {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_canonical" -> (shingleCte.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
+      """, pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |      CAST(len(a.sh) + len(b.sh)
+        |           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |  WHERE jaccard >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst
+        |)
+        |SELECT id AS doc_id, min(r) AS canonical_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     // minhash+LSH verifies candidates exactly, so its output semantics
     // equal the exact n-gram pairs — same oracle.
     "dedup_minhash" -> ngramJaccardSql,

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class CanonicalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components label multi-hop chains with the component min") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val nodes = (1L to 12L).toDF("id")
+    val labels = Dedup.connectedComponents(pairs, nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(labels(12L) == 12L) // isolated node is its own canonical
+  }
+
+  test("canonicalize keeps exactly one representative per near-dup cluster") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val canon = Dedup.canonicalize(docs, "doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val total = docs.count()
+    val kept = canon.filter(col("doc_id") === col("canonical_id")).count()
+    // reference union-find: kept representatives == connected components
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val mergedAway = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .count(x => find(x) != x)
+    assert(kept == total - mergedAway)
+    // both members of each pair share a canonical id
+    val labels = canon.as[(Long, Long)].collect().toMap
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b)) }
+  }
+}
