@@ -27,7 +27,8 @@ object Lake {
   /** Write the enriched+partition-derived frame under `root` with Hive
     * layout. Returns the written path. */
   def writeValid(df: DataFrame, root: String,
-                 maxRecordsPerFile: Long = 5000000L): String = {
+                 maxRecordsPerFile: Long = 5000000L,
+                 format: String = "parquet"): String = {
     val path = s"$root/data"
     // Explicit partition count: an AQE-coalesced (cols-only) repartition
     // can collapse a small micro-batch to ONE task that then writes every
@@ -39,7 +40,8 @@ object Lake {
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(Schemas.partitionCols: _*)
-      .parquet(path)
+      .format(format) // "json" = the reference's ND-JSON at-rest format
+      .save(path)
     path
   }
 
@@ -55,9 +57,10 @@ object Lake {
     * (schema inferred from footers) and recover its Hive partitions.
     * Re-runnable (idempotent), like the 5-minute cron crawl; running it
     * after new files land picks up new partitions and merged schema. */
-  def registerExternal(spark: SparkSession, table: String, path: String): Unit = {
+  def registerExternal(spark: SparkSession, table: String, path: String,
+                       format: String = "parquet"): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.catalog.createTable(table, "parquet", Map("path" -> path))
+    spark.catalog.createTable(table, format, Map("path" -> path))
     spark.catalog.recoverPartitions(table)
   }
 
