@@ -273,7 +273,22 @@ object Analytics {
         expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
       .orderBy("l_returnflag")
 
+  /** Column profiling: exact per-column stats (the df.summary()/crawler
+    * statistics analog) — counts, null counts, min/max (exact element
+    * picks, no float arithmetic). One pass, partial-aggregated. */
+  def profileLineitem(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(when(col("l_returnflag").isNull, 1).otherwise(0)).cast("long").as("null_returnflag"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"), max(col("l_extendedprice")).as("max_price"),
+        min(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("min_shipdate"),
+        max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("max_shipdate"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (profileLineitem _),
     "q_quantiles" -> (quantiles _),
     "q_range_join" -> (rangeJoin _),
     "q_pivot" -> (pivotEvents _),
@@ -294,6 +309,15 @@ object Analytics {
     "q_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_shipdate,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_shipdate
+        |FROM lineitem""".stripMargin,
     "q_quantiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
