@@ -28,11 +28,15 @@ object TextFunctions {
   def shingleSet(text: Column, k: Int): Column =
     graft.plans.ShingleExpressions.wordShingleSet(text, k)
 
-  /** Exact Jaccard similarity of two string arrays (already distinct). */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)).cast("double"))
+  /** Exact Jaccard similarity of two string arrays that are already
+    * DISTINCT (sets): |A∩B| via the one-pass codegen'd count, |A∪B| by
+    * inclusion-exclusion — same integers, same double division as the
+    * array_intersect/array_union form it replaced. */
+  def jaccard(a: Column, b: Column): Column = {
+    val i = graft.plans.SetExpressions.arrayIntersectCount(a, b)
+    val u = size(a) + size(b) - i
+    when(u === 0, lit(0.0)).otherwise(i.cast("double") / u.cast("double"))
+  }
 
   /** Token count under a BPE-ish regex (word runs + single punctuation) —
     * the pre-tokenizer shape used by byte-pair encoders. */
