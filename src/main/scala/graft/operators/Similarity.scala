@@ -53,18 +53,31 @@ object Similarity {
     * far better. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int, nBits: Int = 6, probeHamming: Int = 2,
-              seed: Long = 42L): DataFrame = {
-    val c = withNormed(corpus, idCol, vecCol, "c")
-      .withColumn("bucket", VF.lshBucket(col("c_e"), nBits, seed))
-    val p0 = withNormed(probes, idCol, vecCol, "p")
-      .withColumn("bucket0", VF.lshBucket(col("p_e"), nBits, seed))
+              nTables: Int = 1, seed: Long = 42L): DataFrame = {
+    // OR-amplification: nTables independent hash tables; a neighbor is a
+    // candidate if it collides (within probeHamming flips) in ANY table.
+    // Miss probability decays as miss_one^nTables at ~linear cost.
+    // The table id is part of the join key, so all tables ride ONE join.
+    val cTables = (0 until nTables).map { t =>
+      withNormed(corpus, idCol, vecCol, "c")
+        .withColumn("table", lit(t))
+        .withColumn("bucket", VF.lshBucket(col("c_e"), nBits, seed + t))
+    }.reduce(_ unionAll _)
     val masks: Seq[Long] = (0 until nBits).toSet.subsets()
       .filter(s => s.size <= probeHamming)
       .map(s => s.foldLeft(0L)((m, b) => m | (1L << b))).toSeq.sorted
-    val p = p0.withColumn("bucket",
-      explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)))
-    val scored = c.join(broadcast(p), Seq("bucket"))
+    val pTables = (0 until nTables).map { t =>
+      withNormed(probes, idCol, vecCol, "p")
+        .withColumn("table", lit(t))
+        .withColumn("bucket0", VF.lshBucket(col("p_e"), nBits, seed + t))
+        .withColumn("bucket",
+          explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)))
+    }.reduce(_ unionAll _)
+    val scored = cTables.join(broadcast(pTables), Seq("table", "bucket"))
       .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"), col("p_e"), col("c_e"),
+        col("p_nrm"), col("c_nrm"))
+      .distinct() // a pair may collide in several tables — score once
       .withColumn("cosine",
         VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
     val w = Window.partitionBy(col("p_id"))

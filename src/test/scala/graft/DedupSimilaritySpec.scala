@@ -41,6 +41,13 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.5, s"ANN recall too low: $recall")
+    // OR-amplification: three independent tables must not lose recall,
+    // and should recover most single-table misses
+    val ann3 = Similarity.lshTopK(embs, probes, "vec_id", "embedding", 5, nTables = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall3 = (exact & ann3).size.toDouble / exact.size
+    assert(recall3 >= recall, s"multi-table recall $recall3 < single $recall")
+    assert(recall3 >= 0.7, s"3-table recall too low: $recall3")
   }
 
   test("LSH-blocked embedding near-dup achieves high recall vs exact") {
