@@ -69,6 +69,29 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize plumbing: payload → strided payload (every `stride`-th byte —
+    * the deterministic stand-in for an image resampler) with metadata
+    * updated to match. Same mapPartitions batch shape as the decoder:
+    * per-partition codec init, streaming rows, binary in/binary out. */
+  def resizeStub(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("resized_bytes", LongType),
+      StructField("resized_payload", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          // ??? <- real resampler goes here; stride keeps it deterministic
+          val resized = Array.range(0, payload.length, stride).map(payload(_))
+          Row(r.getAs[Long]("media_id"), payload.length.toLong,
+            resized.length.toLong, resized)
+        }
+      }(enc)
+  }
+
   /** Frame-sample plumbing for "video": deterministic sample offsets from
     * the payload — shows the explode-per-frame shape (1 row in → n frames
     * out) used by real frame extractors. */

@@ -141,7 +141,13 @@ object Extensions {
         size(col("features")).as("feat_dim"))
       .orderBy("media_id")
 
+  def multimodalResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizeStub(s, Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))
+      .select(col("media_id"), col("n_bytes"), col("resized_bytes"))
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_resize" -> (multimodalResize _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -342,6 +348,16 @@ object Extensions {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image/fake' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
