@@ -15,10 +15,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Q5-style multi-join + aggregation — exercises broadcast joins, shuffle
-    * agg, and ordered output in one plan. */
+    * Q3-style multi-join + aggregation + deterministic top-10 — broadcast
+    * join, shuffle agg, and TakeOrdered in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q5LocalSupplier(spark, "/root/testdata/sf0.001")
+    Analytics.q3ShippingPriority(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PipelineQueries.queries ++ Analytics.queries ++ Extensions.queries
