@@ -123,11 +123,14 @@ object PipelineQueries {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     val (inDir, lake, ckpt) = (s"$base/in", s"$base/lake", s"$base/ckpt")
+    // `error`-typed events carry an unparsable payload → they must be
+    // routed to error/, exercising the S6 split through the stream
     events(spark, dir).select(
-      to_json(struct(struct(
-        concat(lit("dev"), col("event_id").cast("string")).as("device"),
-        col("event_type").as("event"),
-        lit("US").as("region")).as("Data"))).as("value"),
+      when(col("event_type") === "error", lit("not json {"))
+        .otherwise(to_json(struct(struct(
+          concat(lit("dev"), col("event_id").cast("string")).as("device"),
+          col("event_type").as("event"),
+          lit("US").as("region")).as("Data")))).as("value"),
       tenantCol.as("tenant_key"),
       unix_timestamp(col("ts")).as("event_epoch"))
       .write.mode("overwrite").json(inDir)
@@ -141,6 +144,9 @@ object PipelineQueries {
       lake, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       ingestTs = col("event_epoch"))
     q.awaitTermination()
+    val errs = spark.read.parquet(s"$lake/error")
+    require(errs.count() > 0 && errs.select("error_type").distinct().count() == 1,
+      "streaming error route must carry the parse errors")
     spark.read.parquet(s"$lake/data")
       .select(col("device"), col("event"), col("region"),
         col("timestamp").as("ingest_ts"), col("tenant"),
@@ -160,7 +166,8 @@ object PipelineQueries {
         |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
         |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
         |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
-        |FROM events ORDER BY device""".stripMargin,
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY device""".stripMargin,
     "pipe_enrich" ->
       """SELECT event_id, event_type, json_extract_string(props, '$.k') AS k,
         |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,

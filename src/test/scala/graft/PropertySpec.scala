@@ -52,6 +52,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("wire encode/decode round-trips arbitrary unicode payloads") {
+    val strs = Seq.fill(60)(Seq.fill(rng.nextInt(40))(
+      (rng.nextInt(0xD7FF - 32) + 32).toChar).mkString) :+ "πß漢字 emoji é" :+ ""
+    val out = strs.toDF("s")
+      .select($"s", graft.ingest.Ingest.wireDecode(graft.ingest.Ingest.wireEncode($"s")))
+      .as[(String, String)].collect()
+    out.foreach { case (orig, round) => assert(round == orig) }
+  }
+
+  test("parser never throws on arbitrary garbage; every row is classified") {
+    val garbage = Seq.fill(80)(Seq.fill(rng.nextInt(30))(
+      (rng.nextInt(94) + 32).toChar).mkString) ++
+      Seq("{", "[]", "null", "{\"Data\":4}", "{\"Data\":{}}", "")
+    val (valid, errors) = graft.ingest.Ingest.validateAndSplit(garbage.toDF("raw"), "raw")
+    assert(valid.count() + errors.count() == garbage.length)
+    val types = errors.select("error_type").distinct().as[String].collect().toSet
+    assert(types.subsetOf(Set("parse-error", "validation-error")))
+  }
+
   test("enrichment is payload-preserving under arbitrary extra fields") {
     val raws = Seq.fill(30) {
       val extra = rng.alphanumeric.take(6).mkString
