@@ -121,6 +121,15 @@ object Extensions {
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
+  /** Deterministic content-hash train/val/test split + stratified
+    * sample flag — reproducible in any engine that can fold the same
+    * modular hash (oracle does). */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      graft.operators.Sampling.contentSplit(col("text")).as("split"),
+      (graft.operators.Sampling.contentBucket(col("text")) < 20).as("in_20pct_sample"))
+      .orderBy("doc_id")
+
   // ---- multimodal ----
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -148,6 +157,7 @@ object Extensions {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_resize" -> (multimodalResize _),
+    "sample_split" -> (sampleSplit _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -348,11 +358,33 @@ object Extensions {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_split" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  b < 20 AS in_20pct_sample
+        |FROM f ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+    "sample_split" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS b
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  b < 20 AS in_20pct_sample
+        |FROM f ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
