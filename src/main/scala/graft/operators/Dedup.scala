@@ -136,7 +136,7 @@ object Dedup {
       .select(col(idCol),
         SketchExpressions.minhashSignature(col("sh"), nHashes).as("sig"))
 
-    /** MinHash + banded LSH near-dup: candidates from band-bucket collisions,
+  /** MinHash + banded LSH near-dup: candidates from band-bucket collisions,
     * then EXACT Jaccard verification — the output semantics are therefore
     * identical to [[ngramJaccardPairs]] (LSH only prunes the pair space).
     * bands×rowsPerBand = nHashes; P(miss | jaccard=s) = (1-s^r)^b. */
@@ -166,7 +166,7 @@ object Dedup {
     withShingleSets(docs, idCol, textCol, k)
       .select(col(idCol), SketchExpressions.simhash64(col("sh")).as("simhash"))
 
-    /** SimHash near-dup: pairs with Hamming distance <= maxHamming. Banding:
+  /** SimHash near-dup: pairs with Hamming distance <= maxHamming. Banding:
     * split 64 bits into (maxHamming+1) chunks covering ALL bits — a pair
     * within the radius must agree exactly on >= 1 chunk (pigeonhole), so
     * the join is bucket-shaped, never O(n²). Radius/chunk-width is the
