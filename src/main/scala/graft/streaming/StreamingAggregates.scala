@@ -34,6 +34,21 @@ object StreamingAggregates {
     df.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: click events joined to purchase events
+    * of the same user within `windowSec` AFTER the click. Both sides are
+    * watermarked so the join state is bounded: a buffered click can be
+    * dropped once the purchase-side watermark passes click.ts+window. */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                          lateness: String = "10 minutes",
+                          windowSec: Long = 3600L): DataFrame = {
+    val c = clicks.withWatermark("click_ts", lateness)
+    val p = purchases.withWatermark("purchase_ts", lateness)
+    c.join(p,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+  }
+
   case class SessionEvent(tenant: String, userId: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
   case class SessionOut(tenant: String, userId: Long, startEpoch: Long,

@@ -49,6 +49,28 @@ class StreamingAggSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingAggregates.clickToPurchaseJoin(
+      clicks.toDF().toDF("click_user", "click_ts"),
+      purchases.toDF().toDF("purchase_user", "purchase_ts"),
+      windowSec = 1800L)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData((1L, ts(0)), (2L, ts(0)))
+      purchases.addData((1L, ts(10)), (2L, ts(40)), (1L, ts(170)))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select($"click_user", $"purchase_ts").collect()
+      // user 1: purchase at +10min joins; +170min is outside the 30-min window
+      // user 2: purchase at +40min is outside
+      assert(out.length == 1 && out.head.getLong(0) == 1L)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState closes sessions after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
