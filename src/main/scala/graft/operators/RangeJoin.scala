@@ -26,12 +26,15 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointTime: Column, startCol: Column, endCol: Column,
                       binSeconds: Long): DataFrame = {
-    val p = points.withColumn("__bin", (pointTime.cast("long") / binSeconds).cast("long"))
+    // floor division via pmod → correct binning for negative epochs too
+    def bin(c: Column): Column =
+      ((c.cast("long") - pmod(c.cast("long"), lit(binSeconds))) / binSeconds).cast("long")
+    val p = points.withColumn("__bin", bin(pointTime))
     val i = intervals
       .withColumn("__bin", explode(sequence(
-        (startCol.cast("long") / binSeconds).cast("long"),
+        bin(startCol),
         // end is exclusive, but a partial last bin still needs coverage
-        (endCol.cast("long") / binSeconds).cast("long"))))
+        bin(endCol))))
     p.join(i, Seq("__bin"))
       .filter(pointTime >= startCol && pointTime < endCol)
       .drop("__bin")

@@ -17,4 +17,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned == naive)
     assert(naive.nonEmpty)
   }
+
+  test("binned range join handles negative (pre-epoch) times") {
+    val pts = Seq((1L, -100L), (2L, -5L), (3L, 5L)).toDF("pid", "t")
+    val ivs = Seq((1L, -150L, -50L), (2L, -10L, 10L)).toDF("iid", "s", "e")
+    val naive = pts.join(ivs, $"t" >= $"s" && $"t" < $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val binned = RangeJoin.pointInInterval(pts, ivs, $"t", $"s", $"e", binSeconds = 64)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned == naive && naive.nonEmpty)
+  }
 }
