@@ -287,7 +287,22 @@ object Analytics {
         min(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("min_shipdate"),
         max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("max_shipdate"))
 
+  /** FULL OUTER join with null-coalescing: nations by customer count vs
+    * supplier count (some nations have only one side). */
+  def outerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val su = t(spark, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(su, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_outer_join" -> (outerJoin _),
     "q_profile" -> (profileLineitem _),
     "q_quantiles" -> (quantiles _),
     "q_range_join" -> (rangeJoin _),
@@ -309,6 +324,15 @@ object Analytics {
     "q_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q_outer_join" ->
+      """SELECT nationkey,
+        |  COALESCE(n_customers, 0) AS n_customers,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1) s USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
     "q_profile" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders,

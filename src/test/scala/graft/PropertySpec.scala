@@ -71,6 +71,30 @@ class PropertySpec extends SparkSpec {
     assert(types.subsetOf(Set("parse-error", "validation-error")))
   }
 
+  test("tenant isolation holds under arbitrary tenant interleavings") {
+    import graft.operators.{TenantContext, TenantQueries}
+    val tenants = Seq("acme", "globex", "initech")
+    val rows = (1 to 120).map { i =>
+      (s"""{"Data":{"event":"e$i","region":"US","device":"d"}}""",
+        tenants(rng.nextInt(3)), i.toLong)
+    }
+    val df = rows.toDF("raw", "tenant_key", "row_id")
+    val (valid, _) = graft.ingest.Ingest.validateAndSplit(df, "raw")
+    val enriched = graft.ingest.Ingest.derivePartitions(
+      graft.ingest.Ingest.enrich(valid, $"tenant_key", lit(1704067199L)))
+      .drop("raw", "tenant_key")
+    val root = tmpDir("iso")
+    graft.sources.Lake.writeValid(enriched, root)
+    graft.sources.Lake.registerExternal(spark, "iso_events", s"$root/data")
+    val expected = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    tenants.foreach { t =>
+      implicit val ctx: TenantContext = TenantContext(t)
+      val got = TenantQueries.queryByTenant(spark, "iso_events")
+        .select("row_id").as[Long].collect().toSet
+      assert(got == expected.getOrElse(t, Set.empty), s"tenant $t leaked/lost rows")
+    }
+  }
+
   test("enrichment is payload-preserving under arbitrary extra fields") {
     val raws = Seq.fill(30) {
       val extra = rng.alphanumeric.take(6).mkString
