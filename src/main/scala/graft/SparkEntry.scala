@@ -20,9 +20,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.q3ShippingPriority(spark, "/root/testdata/sf0.001")
 
+  // Cross-module uniqueness guard: `mapA ++ mapB` silently overrides on a
+  // shared key, so a query/oracle accidentally defined in two modules
+  // would swallow one definition — fail fast instead.
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PipelineQueries.queries ++ Analytics.queries ++ Extensions.queries
+    graft.queries.Entries.toMapUnique("SparkEntry.queries",
+      PipelineQueries.queries.toSeq ++ Analytics.queries.toSeq ++ Extensions.queries.toSeq)
 
   def oracleSql: Map[String, String] =
-    PipelineQueries.oracles ++ Analytics.oracles ++ Extensions.oracles
+    graft.queries.Entries.toMapUnique("SparkEntry.oracleSql",
+      PipelineQueries.oracles.toSeq ++ Analytics.oracles.toSeq ++ Extensions.oracles.toSeq)
 }

@@ -38,4 +38,18 @@ object JwtFunctions {
   /** Strip an Authorization header to the raw token (app.py:13-18). */
   def stripBearer(header: Column): Column =
     regexp_replace(header, "^Bearer ", "")
+
+  /** The `exp` claim as epoch seconds (null if absent/non-numeric —
+    * try_cast, because an ANSI cast would fail the whole query on one
+    * malformed token). */
+  def jwtExp(token: Column): Column =
+    jwtClaims(token).getField("exp").try_cast("long")
+
+  /** Claim-level expiry check, parity with the authorizer's exp validation
+    * (lambda_authorizer/app.py: deny when the token is past `exp`). RFC
+    * 7519 §4.1.4: valid iff now < exp. FAIL-CLOSED: a missing or
+    * unparsable `exp` counts as expired, like the authorizer's
+    * deny-by-default. No signature crypto (out of scope per SURVEY §2.4). */
+  def jwtExpired(token: Column, nowEpochSeconds: Column): Column =
+    coalesce(jwtExp(token) <= nowEpochSeconds, lit(true))
 }

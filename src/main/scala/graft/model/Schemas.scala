@@ -38,14 +38,24 @@ object Schemas {
 
   /** Hive partition-value derivation from an epoch-seconds column —
     * semantics of JQ-1.6 `strftime` (kinesis-stack.ts:153-154): UTC,
-    * zero-padded. Pure column functions → codegen'd, no UDF. */
+    * zero-padded. Pure column functions → codegen'd, no UDF.
+    *
+    * Timezone-INDEPENDENT by construction: `from_unixtime`/`date_format`
+    * on timestamps render in the session time zone, so the old form was
+    * only UTC because every bundled driver sets
+    * `spark.sql.session.timeZone=UTC` — a library caller with another tz
+    * got wrong partition values. Instead: floor-divide epoch seconds into
+    * days (pmod → negative-epoch-safe) and read calendar fields from a
+    * DateType (a tz-free day count); hour comes from the remainder. */
   def partitionColumns(epochSeconds: Column, tenantId: Column): Seq[(String, Column)] = {
-    val ts = to_timestamp(from_unixtime(epochSeconds))
+    val secOfDay = pmod(epochSeconds, lit(86400L))
+    val days = ((epochSeconds - secOfDay) / lit(86400L)).cast("int")
+    val d = date_add(to_date(lit("1970-01-01")), days)
     Seq(
       "tenant" -> tenantId,
-      "year"   -> date_format(ts, "yyyy"),
-      "month"  -> date_format(ts, "MM"),
-      "day"    -> date_format(ts, "dd"),
-      "hour"   -> date_format(ts, "HH"))
+      "year"   -> format_string("%04d", year(d)),
+      "month"  -> format_string("%02d", month(d)),
+      "day"    -> format_string("%02d", dayofmonth(d)),
+      "hour"   -> format_string("%02d", (secOfDay / lit(3600L)).cast("int")))
   }
 }

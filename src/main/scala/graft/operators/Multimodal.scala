@@ -41,10 +41,15 @@ object Multimodal {
         length(col(textCol).cast("binary")).cast("long").as("n_bytes")).as("media_meta"))
 
   /** STUB decoder: a real implementation would hand `payload` to an image
-    * codec here. Deterministic fake: "pixel mean" = mean byte value. */
+    * codec here. Deterministic fake: "pixel mean" = mean byte value,
+    * computed as ONE double division then a float cast — both IEEE
+    * round-to-nearest steps any engine reproduces bit-for-bit (the DuckDB
+    * oracle does), unlike a float-accumulating mean. */
   private def decodeImageStub(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
     // ??? <- real codec goes here; deterministic fake keeps tests runnable
-    val mean = if (payload.isEmpty) 0f else payload.map(_ & 0xff).sum.toFloat / payload.length
+    val mean =
+      if (payload.isEmpty) 0f
+      else (payload.map(_ & 0xff).sum.toDouble / payload.length).toFloat
     Array.tabulate(8)(i => mean + i)
   }
 

@@ -15,16 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic-enough uniform salt: hash of the row's position. */
-  private def saltCol(saltN: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id()), lit(saltN.toLong))
+  /** Deterministic uniform salt: hash of the ROW CONTENT, never of
+    * position. `monotonically_increasing_id`/`rand` are nondeterministic
+    * across task retries — used as a shuffle key they can re-salt rows
+    * into different reduce partitions on stage recomputation and
+    * duplicate/drop rows (the SPARK-23207 hazard). A content hash is
+    * retry-stable; identical rows share a salt, which only matters if one
+    * key's rows are also near-identical across ALL columns. */
+  private def saltCol(df: DataFrame, saltN: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltN.toLong))
 
   /** Inner equi-join with a salted big side and a replicated small side.
     * Exactly equivalent to big.join(small, key); hot keys fan out over
     * saltN partitions instead of one straggler task. */
   def saltedInnerJoin(big: DataFrame, small: DataFrame, key: String,
                       saltN: Int = 16): DataFrame = {
-    val salted = big.withColumn("__salt", saltCol(saltN))
+    val salted = big.withColumn("__salt", saltCol(big, saltN))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltN - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -35,7 +41,7 @@ object Skew {
     * sum; decimal sums stay exact, so results equal the direct groupBy. */
   def saltedSumCount(df: DataFrame, key: String, valueExpr: Column,
                      saltN: Int = 16): DataFrame =
-    df.withColumn("__salt", saltCol(saltN))
+    df.withColumn("__salt", saltCol(df, saltN))
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueExpr).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

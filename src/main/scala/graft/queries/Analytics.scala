@@ -235,14 +235,19 @@ object Analytics {
   }
 
   /** Sketch aggregate: HLL++ approximate distinct per group (mergeable,
-    * constant memory — the 100 TB path for distinct counts). Implementation
-    * is engine-specific → rows-only check, with the exact count alongside
-    * for the ScalaTest error-bound assertion. */
+    * constant memory — the 100 TB path for distinct counts). The raw HLL
+    * estimate is engine-specific, so the ORACLE-CHECKED output is the
+    * exact count plus `within_5pct`, the deterministic assertion that the
+    * estimate landed inside the HLL++ error envelope (the oracle emits a
+    * literal TRUE — a drifting sketch breaks the hash match). */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")) / col("exact_orders") <= 0.05)
+          .as("within_5pct"))
       .orderBy("l_returnflag")
 
   /** Range join (non-equi): lineitems shipped within 30 days of ANY of
@@ -301,7 +306,8 @@ object Analytics {
       .orderBy("nationkey")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Entries.toMapUnique("Analytics.queries", Seq(
     "q_outer_join" -> (outerJoin _),
     "q_profile" -> (profileLineitem _),
     "q_quantiles" -> (quantiles _),
@@ -321,9 +327,15 @@ object Analytics {
     "q_topk" -> (topKExpensive _),
     "q_distinct_agg" -> (distinctAgg _),
     "q_hourly_events" -> (hourlyEventStats _),
-    "q_sessionize" -> (sessionize _))
+    "q_sessionize" -> (sessionize _)))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] =
+    Entries.toMapUnique("Analytics.oracles", Seq(
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  CAST(1 AS BOOLEAN) AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_outer_join" ->
       """SELECT nationkey,
         |  COALESCE(n_customers, 0) AS n_customers,
@@ -477,5 +489,5 @@ object Analytics {
         |      OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
         |      THEN 1 ELSE 0 END AS is_new
         |  FROM events)
-        |ORDER BY user_id, event_id""".stripMargin)
+        |ORDER BY user_id, event_id""".stripMargin))
 }

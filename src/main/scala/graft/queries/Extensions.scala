@@ -155,7 +155,8 @@ object Extensions {
       .select(col("media_id"), col("n_bytes"), col("resized_bytes"))
       .orderBy("media_id")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Entries.toMapUnique("Extensions.queries", Seq(
     "multimodal_resize" -> (multimodalResize _),
     "sample_split" -> (sampleSplit _),
     "dedup_exact" -> (dedupExact _),
@@ -177,7 +178,7 @@ object Extensions {
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_features" -> (multimodalFeatures _))
+    "multimodal_features" -> (multimodalFeatures _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -226,7 +227,11 @@ object Extensions {
   private def markerListSql(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
-  val oracles: Map[String, String] = Map(
+  /** Oracle SQL as an entry LIST folded into a Map through a uniqueness
+    * guard: a duplicate key in a `Map(...)` literal silently keeps only the
+    * last definition (it happened in round 1 — three keys were defined
+    * twice and the earlier copies were dead). `toMapUnique` fails fast. */
+  private val oracleEntries: Seq[(String, String)] = Seq(
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -314,19 +319,6 @@ object Extensions {
         |  CAST(len(toks) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
         |FROM w ORDER BY doc_id""".stripMargin),
-    "text_term_freq" -> (tokensCte.replace("SELECT doc_id, text,", "SELECT doc_id,").replace("AS toks\n", "AS toks\n") +
-      """
-        |, toks AS (SELECT doc_id, unnest(toks) AS term FROM w),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df
-        |       FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1)
-        |SELECT doc_id, term, tf, df, rank FROM (
-        |  SELECT doc_id, term, tf,
-        |    CAST(row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY tf DESC, term) AS INT) AS rank
-        |  FROM tf) t
-        |JOIN df USING (term)
-        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
     "q_asof_join" ->
       """WITH clicks AS (
         |  SELECT event_id AS click_id, user_id, ts FROM events
@@ -374,22 +366,21 @@ object Extensions {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
-    "sample_split" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    list_reduce(
-        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS b
+    // f0 = the stub decoder's "pixel mean": exact integer byte sum →
+    // one double division → one float cast, reproducible bit-for-bit
+    // (texts are ASCII, so ascii(char) == payload byte — same assumption
+    // the green text_fingerprint oracle already relies on).
+    "multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS bytes
         |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
-        |  b < 20 AS in_20pct_sample
-        |FROM f ORDER BY doc_id""".stripMargin,
-    "multimodal_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |SELECT media_id,
+        |  CAST(CASE WHEN len(bytes) = 0 THEN 0
+        |       ELSE CAST(list_sum(bytes) AS DOUBLE) / CAST(len(bytes) AS DOUBLE)
+        |       END AS FLOAT) AS f0,
+        |  CAST(8 AS INT) AS feat_dim
+        |FROM b ORDER BY media_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image/fake' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -401,4 +392,15 @@ object Extensions {
         |  SELECT doc_id, unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS frame_offset
         |  FROM documents)
         |ORDER BY media_id, frame_offset""".stripMargin)
+
+  val oracles: Map[String, String] = Entries.toMapUnique("Extensions.oracles", oracleEntries)
+}
+
+/** Shared fail-fast Map builder for query/oracle registries. */
+object Entries {
+  def toMapUnique[V](what: String, entries: Seq[(String, V)]): Map[String, V] = {
+    val dups = entries.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"$what has duplicate keys: ${dups.mkString(", ")}")
+    entries.toMap
+  }
 }

@@ -154,7 +154,8 @@ object PipelineQueries {
       .orderBy("device")
   }
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] =
+    Entries.toMapUnique("PipelineQueries.oracles", Seq(
     "pipe_wire_roundtrip" ->
       """SELECT event_id, to_base64(encode(props)) AS wire,
         |  json_extract_string(props, '$.k') AS k
@@ -199,9 +200,10 @@ object PipelineQueries {
         |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
         |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
         |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
-        |FROM events WHERE user_id % 3 = 1 ORDER BY event_id""".stripMargin)
+        |FROM events WHERE user_id % 3 = 1 ORDER BY event_id""".stripMargin))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Entries.toMapUnique("PipelineQueries.queries", Seq(
     "pipe_enrich" -> (enrichQuery _),
     "pipe_partition_derive" -> (partitionDeriveQuery _),
     "pipe_validate" -> (validateQuery _),
@@ -209,5 +211,5 @@ object PipelineQueries {
     "pipe_tenant_filter" -> (tenantFilterQuery _),
     "pipe_lake_roundtrip" -> (lakeRoundtrip _),
     "pipe_streaming_roundtrip" -> (streamingRoundtrip _),
-    "pipe_wire_roundtrip" -> (wireRoundtrip _))
+    "pipe_wire_roundtrip" -> (wireRoundtrip _)))
 }

@@ -24,4 +24,15 @@ class ExtensionsSpec extends SparkSpec {
       .as[Boolean].head()
     assert(simEq)
   }
+
+  test("query/oracle registries fail fast on duplicate keys") {
+    intercept[IllegalArgumentException] {
+      graft.queries.Entries.toMapUnique("test", Seq("a" -> 1, "b" -> 2, "a" -> 3))
+    }
+    // force-evaluate every real registry through the guard
+    assert(SparkEntry.queries.nonEmpty && SparkEntry.oracleSql.nonEmpty)
+    // every oracle key must have a query backing it
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
 }

@@ -23,4 +23,20 @@ class JwtSpec extends SparkSpec {
       .getField("cognito:username")).as[String].head()
     assert(user == "alice")
   }
+
+  test("jwt exp claim check: valid, expired, boundary, and missing-exp tokens") {
+    def tok(payload: String): String =
+      b64url("""{"alg":"RS256","kid":"k1"}""") + "." + b64url(payload) + ".sig"
+    val now = 1700000000L
+    val cases = Seq(
+      (tok(s"""{"sub":"u","exp":"${now + 600}"}"""), false), // still valid
+      (tok(s"""{"sub":"u","exp":"${now - 1}"}"""), true),    // past exp
+      (tok(s"""{"sub":"u","exp":"$now"}"""), true),          // now == exp → expired (RFC: now must be BEFORE exp)
+      (tok("""{"sub":"u"}"""), true),                        // missing exp → fail closed
+      (tok("""{"sub":"u","exp":"garbage"}"""), true))        // unparsable → fail closed
+    val got = cases.map(_._1).toDF("token")
+      .select($"token", JwtFunctions.jwtExpired($"token", lit(now)))
+      .as[(String, Boolean)].collect().toMap
+    cases.foreach { case (t, want) => assert(got(t) == want, s"token $t") }
+  }
 }

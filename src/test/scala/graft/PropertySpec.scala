@@ -26,6 +26,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("partition derivation is session-timezone-independent") {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy|MM|dd|HH")
+      .withZone(java.time.ZoneOffset.UTC)
+    // boundary epochs where a non-UTC rendering flips year/day/hour
+    val es = Seq(0L, 631151999L, 631152000L, 1704067199L, 1704067200L, 1704063600L) ++
+      Seq.fill(60)(631152000L + (rng.nextDouble() * (4102444800L - 631152000L)).toLong)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      Seq("America/New_York", "Asia/Tokyo", "Australia/Eucla").foreach { tz =>
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        val derived = Schemas.partitionColumns(col("epoch"), lit("t"))
+          .foldLeft(es.toDF("epoch")) { case (d, (n, c)) => d.withColumn(n, c) }
+          .select($"epoch", concat_ws("|", $"year", $"month", $"day", $"hour"))
+          .as[(Long, String)].collect().toMap
+        es.foreach { e =>
+          assert(derived(e) == fmt.format(java.time.Instant.ofEpochSecond(e)),
+            s"epoch $e in session tz $tz")
+        }
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("rolling fingerprint matches reference fold for arbitrary ASCII text") {
     def ref(s: String): Long =
       s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
