@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Element-wise double view of a float array column. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Element-wise double view of a float array column. A native array
+    * CAST, not `transform(_.cast)`: the HOF is CodegenFallback and drags
+    * the whole enclosing projection out of whole-stage codegen, while the
+    * cast is codegen'd — and float→double widening is exact either way. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Dot product of two double arrays — the codegen'd native expression
     * (bit-identical to the sequential HOF fold it replaced; see
@@ -58,8 +61,17 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH bucket id (nBits sign bits packed in a long).
     * Cosine-similar vectors collide with high probability; used to
-    * restrict ANN search to one bucket (+ optional neighbor probes). */
+    * restrict ANN search to one bucket (+ optional neighbor probes).
+    * Codegen'd single-pass expression — bit-identical to the HOF
+    * derivation [[lshBucketHof]] (equivalence locked in VectorSpec), but
+    * one array traversal instead of nBits interpreted folds. */
   def lshBucket(v: Column, nBits: Int, seed: Long = 42L): Column =
+    graft.plans.VectorExpressions.lshBucket(v, nBits, seed)
+
+  /** The declarative (HOF) derivation of [[lshBucket]] — the readable
+    * spec of the hash family; interpreted per bit, so only used as the
+    * equivalence-test reference, never in a hot path. */
+  private[graft] def lshBucketHof(v: Column, nBits: Int, seed: Long = 42L): Column =
     (0 until nBits).map(p => shiftleft(lshBit(v, p, seed), p))
       .reduce(_ + _)
 }

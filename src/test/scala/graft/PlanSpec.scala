@@ -51,4 +51,14 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.execution.CodegenMode)
     assert(formatted.contains("WholeStageCodegen"), formatted.take(500))
   }
+
+  test("lsh bucketer runs inside whole-stage codegen (no interpreted HOF folds)") {
+    val df = Tables.load(spark, sf0001, "embeddings")
+      .select(graft.functions.VectorFunctions.lshBucket(
+        graft.functions.VectorFunctions.toDouble(col("embedding")), 6).as("b"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    assert(formatted.contains("WholeStageCodegen"), formatted.take(500))
+    assert(formatted.contains("lsh_bucket"), formatted.take(500))
+  }
 }
