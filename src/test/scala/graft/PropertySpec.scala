@@ -117,6 +117,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sqlInTenantScope enforces the view-only rule (no base-table bypass)") {
+    import graft.operators.{TenantContext, TenantQueries}
+    val rows = (1 to 30).map { i =>
+      (s"""{"Data":{"event":"e$i","region":"US","device":"d"}}""",
+        if (i % 2 == 0) "acme" else "globex", i.toLong)
+    }
+    val df = rows.toDF("raw", "tenant_key", "row_id")
+    val (valid, _) = graft.ingest.Ingest.validateAndSplit(df, "raw")
+    val enriched = graft.ingest.Ingest.derivePartitions(
+      graft.ingest.Ingest.enrich(valid, $"tenant_key", lit(1704067199L)))
+      .drop("raw", "tenant_key")
+    val root = tmpDir("scoped")
+    graft.sources.Lake.writeValid(enriched, root)
+    graft.sources.Lake.registerExternal(spark, "scoped_events", s"$root/data")
+    implicit val ctx: TenantContext = TenantContext("acme")
+    // legal: view + own CTE + subquery over the view
+    val ok = TenantQueries.sqlInTenantScope(spark, "scoped_events",
+      """WITH t AS (SELECT row_id FROM tenant_events)
+        |SELECT count(*) AS n FROM t
+        |WHERE EXISTS (SELECT 1 FROM tenant_events)""".stripMargin)
+      .as[Long].head()
+    assert(ok == rows.count(_._2 == "acme"))
+    // bypass attempts must be rejected BEFORE execution
+    val bypasses = Seq(
+      "SELECT * FROM scoped_events",                                  // base table directly
+      "WITH t AS (SELECT * FROM scoped_events) SELECT * FROM t",      // hidden in a CTE body
+      "SELECT * FROM tenant_events WHERE EXISTS (SELECT 1 FROM scoped_events)", // in a subquery
+      "SELECT (SELECT max(row_id) FROM scoped_events) AS x",          // scalar subquery
+      "SELECT * FROM tenant_events JOIN scoped_events USING (row_id)", // joined in
+      "DROP TABLE scoped_events")                                     // command
+    bypasses.foreach { sql =>
+      intercept[IllegalArgumentException] {
+        TenantQueries.sqlInTenantScope(spark, "scoped_events", sql)
+      }
+    }
+    assert(spark.catalog.tableExists("scoped_events"), "command must not have run")
+  }
+
   test("enrichment is payload-preserving under arbitrary extra fields") {
     val raws = Seq.fill(30) {
       val extra = rng.alphanumeric.take(6).mkString
