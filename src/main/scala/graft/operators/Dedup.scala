@@ -75,11 +75,18 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs → cluster labels: each node
-    * gets the MIN id reachable in its component. Iterative min-label
-    * propagation (alternating small-star-ish rounds); each iteration is
-    * one join + one aggregate, and convergence takes O(log diameter)
-    * rounds — dedup clusters are tiny, so 2-3 rounds in practice. The
-    * driver loop only checks a changed-count per round (no data collect). */
+    * gets the MIN id reachable in its component. Each round does (a) one
+    * hop of min-label propagation over edges and (b) a POINTER-DOUBLING
+    * shortcut (jump to the label's own label), which halves the remaining
+    * chain depth — convergence in O(log diameter) rounds, the same
+    * round-complexity family as large-star/small-star. The driver loop
+    * only checks a changed-count per round (no data collect).
+    *
+    * Throws IllegalStateException if the loop hits `maxIter` while labels
+    * are still changing — a silent early exit would keep multiple
+    * "canonical" ids for one component and leave duplicates in the
+    * output with no error. With doubling, maxIter=10 covers any
+    * diameter up to ~2^10; real dedup clusters converge in 2-3 rounds. */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame,
                           idCol: String, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -89,18 +96,32 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val propagated = labels.join(edges, col("id") === col("src"))
+      val oneHop = labels.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("label"))
         .unionAll(labels)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .persist()
-      changed = propagated.join(labels.withColumnRenamed("label", "old"), "id")
+      // shortcut: label ← label(label). Labels are always node ids, so the
+      // self-join hits; left+coalesce guards the root (label = own id).
+      // localCheckpoint truncates lineage: the self-join references the
+      // round's plan twice, so without truncation the logical plan doubles
+      // every round (exponential planning/OOM). On a real cluster swap in
+      // checkpoint(dir) for executor-loss resilience.
+      val byId = oneHop.select(col("id").as("pid"), col("label").as("plabel"))
+      val doubled = oneHop.join(byId, col("label") === col("pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = doubled.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
-      labels = propagated
+      labels = doubled
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter")
     labels
   }
 

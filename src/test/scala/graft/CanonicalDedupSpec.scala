@@ -17,6 +17,24 @@ class CanonicalDedupSpec extends SparkSpec {
     assert(labels(12L) == 12L) // isolated node is its own canonical
   }
 
+  test("pointer doubling converges on a 300-hop chain within the default round cap") {
+    // one-hop-only propagation would need ~300 rounds here; doubling
+    // needs ~log2(300) ≈ 9 — must fit in the default maxIter=10
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 300L).toDF("id")
+    val labels = Dedup.connectedComponents(pairs, nodes, "id")
+      .as[(Long, Long)].collect()
+    assert(labels.forall(_._2 == 0L), "every chain node must reach the min label")
+  }
+
+  test("non-convergence raises instead of returning split components") {
+    val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 50L).toDF("id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, nodes, "id", maxIter = 2)
+    }
+  }
+
   test("canonicalize keeps exactly one representative per near-dup cluster") {
     val docs = Tables.load(spark, sf0001, "documents")
     val canon = Dedup.canonicalize(docs, "doc_id", "text")
