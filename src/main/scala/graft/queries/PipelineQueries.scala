@@ -140,14 +140,22 @@ object PipelineQueries {
         StructField("tenant_key", StringType),
         StructField("event_epoch", LongType))))
       .json(inDir)
+    val tbl = s"stream_events_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
     val q = graft.streaming.StreamingIngest.start(spark, raw, "value", "tenant_key",
       lake, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      ingestTs = col("event_epoch"))
+      ingestTs = col("event_epoch"), table = Some(tbl))
     q.awaitTermination()
     val errs = spark.read.parquet(s"$lake/error")
     require(errs.count() > 0 && errs.select("error_type").distinct().count() == 1,
       "streaming error route must carry the parse errors")
-    spark.read.parquet(s"$lake/data")
+    // the sink registered the streamed partitions per micro-batch: the
+    // result is read THROUGH THE TABLE (crawler parity, zero lag), and a
+    // tenant-scoped probe over it must partition-prune
+    implicit val ctx: TenantContext = TenantContext("t1")
+    require(TenantQueries.prunesOnTenant(TenantQueries.queryByTenant(spark, tbl)),
+      "tenant query over the streamed table must prune partitions")
+    spark.table(tbl)
       .select(col("device"), col("event"), col("region"),
         col("timestamp").as("ingest_ts"), col("tenant"),
         col("year"), col("month"), col("day"), col("hour"))

@@ -25,10 +25,17 @@ import org.apache.spark.sql.functions._
 object Lake {
 
   /** Write the enriched+partition-derived frame under `root` with Hive
-    * layout. Returns the written path. */
+    * layout. Returns the written path.
+    *
+    * `saltFiles` > 1 spreads each partition's rows over that many writer
+    * tasks (deterministic content-hash salt): without it, one giant
+    * tenant×hour partition serializes a micro-batch behind a single
+    * writer. Trade-off: up to `saltFiles` files per partition per batch
+    * (compact() re-bins later); `maxRecordsPerFile` still bounds size. */
   def writeValid(df: DataFrame, root: String,
                  maxRecordsPerFile: Long = 5000000L,
-                 format: String = "parquet"): String = {
+                 format: String = "parquet",
+                 saltFiles: Int = 1): String = {
     val path = s"$root/data"
     // Explicit partition count: an AQE-coalesced (cols-only) repartition
     // can collapse a small micro-batch to ONE task that then writes every
@@ -36,7 +43,12 @@ object Lake {
     // Hash-distributing the partition keys across numShufflePartitions
     // keeps ≤1 file per directory per batch AND parallel writers.
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.repartition(n, Schemas.partitionCols.map(col): _*)
+    val distKeys = Schemas.partitionCols.map(col) ++
+      (if (saltFiles > 1)
+        // content hash, not monotonically_increasing_id/rand: retry-stable
+        Seq(pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFiles.toLong)))
+      else Nil)
+    df.repartition(n, distKeys: _*)
       .write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(Schemas.partitionCols: _*)
@@ -68,15 +80,70 @@ object Lake {
   def refreshCatalog(spark: SparkSession, table: String, path: String): Unit =
     registerExternal(spark, table, path)
 
-  /** Small-file compaction: rewrite each partition's files into
-    * size-targeted bins. At 100 TB this runs per recently-written partition
-    * (predicate on partition cols → pruned scan), not over the whole lake. */
-  def compact(spark: SparkSession, path: String, targetRecordsPerFile: Long = 5000000L): Unit = {
-    val df = spark.read.parquet(path)
-    df.repartition(Schemas.partitionCols.map(col): _*)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", targetRecordsPerFile)
-      .partitionBy(Schemas.partitionCols: _*)
-      .parquet(path + "_compacted")
+  private def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** The INCREMENTAL crawler analog, for per-micro-batch catalog
+    * maintenance: ensure `table` exists over `path`, then register exactly
+    * the given partition tuples (one `ALTER TABLE ADD IF NOT EXISTS` with
+    * all specs) and invalidate the cached file listing so appends into
+    * already-registered partitions become visible. O(batch partitions)
+    * metastore work per call — a full `recoverPartitions` crawl is
+    * O(table partitions) and unusable at 100 TB micro-batch cadence. */
+  def registerPartitions(spark: SparkSession, table: String, path: String,
+                         parts: Seq[Map[String, String]],
+                         format: String = "parquet"): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      registerExternal(spark, table, path, format)
+    } else {
+      if (parts.nonEmpty) {
+        val specs = parts.map(p => Schemas.partitionCols
+          .map(c => s"$c=${sqlLit(p(c))}").mkString("PARTITION (", ", ", ")"))
+        spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS ${specs.mkString(" ")}")
+      }
+      spark.catalog.refreshTable(table)
+    }
+  }
+
+  /** Small-file compaction, partition-scoped and IN-PLACE:
+    *  1. read only the partitions matching `predicate` through the table
+    *     (partition-pruned scan — never the whole lake);
+    *  2. stage the compacted rows next to the table location;
+    *  3. swap them in with a DYNAMIC partition overwrite (only the
+    *     partitions present in the staged data are replaced, atomically
+    *     per partition) and refresh the catalog.
+    * The staging hop exists because Spark refuses to overwrite a table
+    * it is reading in the same plan. At 100 TB this runs per
+    * recently-written partition predicate (e.g. the last hour), with
+    * metastore + IO cost proportional to the partitions touched. */
+  def compact(spark: SparkSession, table: String, predicate: String = "true",
+              targetRecordsPerFile: Long = 5000000L): Unit = {
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .location.toString
+    val stage = loc.stripSuffix("/") + "__compact_stage"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stage), spark.sparkContext.hadoopConfiguration)
+    val pruned = spark.table(table).where(predicate)
+    // session-conf (not per-write option) — insertInto does not honor the
+    // DataFrameWriter option here, and a STATIC overwrite would silently
+    // drop every partition outside the predicate
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      pruned.write.mode("overwrite").parquet(stage)
+      val cols = spark.table(table).schema.fieldNames
+      val n = spark.sessionState.conf.numShufflePartitions
+      spark.conf.set(key, "dynamic")
+      spark.read.parquet(stage)
+        .repartition(n, Schemas.partitionCols.map(col): _*)
+        .select(cols.map(col).toSeq: _*)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", targetRecordsPerFile)
+        .insertInto(table)
+      spark.catalog.refreshTable(table)
+    } finally {
+      prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true); ()
+    }
   }
 }

@@ -32,11 +32,21 @@ object StreamingIngest {
 
   /** Raw-string stream → enriched, partition-derived stream + error split,
     * written per micro-batch. `tenantFromCol` mirrors C3: the tenant comes
-    * from the transport key column, never the payload. */
+    * from the transport key column, never the payload.
+    *
+    * `table`: when set, the sink maintains the catalog TRANSACTIONALLY per
+    * micro-batch (SURVEY §3.2) — after each commit it registers exactly the
+    * batch's partition tuples (incremental ADD PARTITION, O(batch
+    * partitions)) so the streamed data is queryable through
+    * `spark.table`/`TenantQueries` immediately, with zero crawler lag (the
+    * reference needs a 5-min Glue crawl, multi-tenant-glue-stack.ts:41-43).
+    * The per-batch `.distinct().collect()` is metadata-scale (tenants ×
+    * hours in one batch), never data-scale. */
   def start(spark: SparkSession, raw: DataFrame, rawCol: String,
             tenantCol: String, lakeRoot: String, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-            ingestTs: Column = unix_timestamp()): StreamingQuery =
+            ingestTs: Column = unix_timestamp(),
+            table: Option[String] = None): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -47,7 +57,19 @@ object StreamingIngest {
           val enriched = Ingest.derivePartitions(
             Ingest.enrich(valid, col(tenantCol), ingestTs))
             .drop(rawCol)
-          graft.sources.Lake.writeValid(enriched, lakeRoot)
+          val path = graft.sources.Lake.writeValid(enriched, lakeRoot)
+          table.foreach { t =>
+            val pcols = Schemas.partitionCols
+            val parts = enriched.select(pcols.map(col): _*).distinct()
+              .collect()
+              .map(r => pcols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap)
+              .toSeq
+            // catalog ops run on the CALLER's session, not batch
+            // .sparkSession: foreachBatch hands a cloned session whose
+            // relation cache is isolated — refreshing the clone would
+            // leave the session users actually query through stale.
+            graft.sources.Lake.registerPartitions(spark, t, path, parts)
+          }
           if (!errors.isEmpty) graft.sources.Lake.writeErrors(errors, lakeRoot)
           ()
         } finally { cached.unpersist(); () }
@@ -58,7 +80,8 @@ object StreamingIngest {
     * and local-smoke entry point (README §1.1 payload shape). */
   def fromJsonDir(spark: SparkSession, inDir: String, tenantCol: String,
                   lakeRoot: String, checkpoint: String,
-                  trigger: Trigger): StreamingQuery = {
+                  trigger: Trigger,
+                  table: Option[String] = None): StreamingQuery = {
     val raw = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("value",
@@ -66,6 +89,7 @@ object StreamingIngest {
         org.apache.spark.sql.types.StructField(tenantCol,
           org.apache.spark.sql.types.StringType))))
       .json(inDir)
-    start(spark, raw, "value", tenantCol, lakeRoot, checkpoint, trigger)
+    start(spark, raw, "value", tenantCol, lakeRoot, checkpoint, trigger,
+      table = table)
   }
 }

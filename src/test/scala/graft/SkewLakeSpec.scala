@@ -35,26 +35,53 @@ class SkewLakeSpec extends SparkSpec {
       salted.map(r => (r.getString(0), r.getDecimal(1).stripTrailingZeros, r.getLong(2))))
   }
 
-  test("compaction preserves rows and reduces file count") {
-    val root = tmpDir("compact")
-    val li = Tables.load(spark, sf0001, "lineitem").limit(1000)
-      .withColumn("tenant", lit("t0")).withColumn("year", lit("2024"))
+  private def fileCount(p: String): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+    var n = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    n
+  }
+
+  private def withLakeCols(df: org.apache.spark.sql.DataFrame, tenant: String) =
+    df.withColumn("tenant", lit(tenant)).withColumn("year", lit("2024"))
       .withColumn("month", lit("01")).withColumn("day", lit("01"))
       .withColumn("hour", lit("00"))
-    // three small appends → many files in one partition
-    (1 to 3).foreach(_ => graft.sources.Lake.writeValid(li, root))
-    val dataPath = s"$root/data"
-    def fileCount(p: String): Int = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
-      var n = 0
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
-    }
-    val before = fileCount(dataPath)
-    graft.sources.Lake.compact(spark, dataPath)
-    val compacted = s"${dataPath}_compacted"
-    assert(spark.read.parquet(compacted).count() == 3000)
-    assert(fileCount(compacted) < before)
+
+  test("compaction is partition-scoped, in-place, and content-preserving") {
+    val root = tmpDir("compact")
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity").limit(1000)
+    // hot partition t0 gets 3 small appends; t1 gets 1 — t1 must be untouched
+    (1 to 3).foreach(_ => graft.sources.Lake.writeValid(withLakeCols(li, "t0"), root))
+    graft.sources.Lake.writeValid(withLakeCols(li, "t1"), root)
+    graft.sources.Lake.registerExternal(spark, "compact_tbl", s"$root/data")
+    val t0Dir = s"$root/data/tenant=t0"
+    val t1Dir = s"$root/data/tenant=t1"
+    val (t0Before, t1Before) = (fileCount(t0Dir), fileCount(t1Dir))
+    assert(t0Before > 1, "precondition: hot partition has many small files")
+    val before = spark.table("compact_tbl").collect().toSeq
+      .map(_.toString).sorted
+    // the compaction read itself must partition-prune
+    val pruned = spark.table("compact_tbl").where("tenant = 't0'")
+    assert(graft.operators.TenantQueries.prunesOnTenant(pruned))
+    graft.sources.Lake.compact(spark, "compact_tbl", "tenant = 't0'")
+    assert(fileCount(t0Dir) < t0Before, "hot partition must have fewer files")
+    assert(fileCount(t1Dir) == t1Before, "untouched partition must keep its files")
+    val after = spark.table("compact_tbl").collect().toSeq
+      .map(_.toString).sorted
+    assert(before == after, "compaction must be content-preserving")
+  }
+
+  test("salted writer spreads one hot partition across multiple writers") {
+    val root = tmpDir("salted")
+    val hot = withLakeCols(
+      Tables.load(spark, sf0001, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity").limit(2000), "t0")
+    graft.sources.Lake.writeValid(hot, root, saltFiles = 4)
+    val files = fileCount(s"$root/data/tenant=t0")
+    assert(files > 1, "hot partition must be written by more than one task")
+    assert(files <= 4, "salt must bound the file count")
+    assert(spark.read.parquet(s"$root/data").count() == 2000)
   }
 }

@@ -20,11 +20,14 @@ class StreamingSpec extends SparkSpec {
       ("""broken""", "acme"))
     batch1.toDF("value", "tenant_key").write.mode("append").json(in)
 
+    spark.sql("DROP TABLE IF EXISTS stream_reg_tbl")
     val q = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
-      Trigger.AvailableNow())
+      Trigger.AvailableNow(), table = Some("stream_reg_tbl"))
     q.awaitTermination(120000)
 
-    val lakeDf = spark.read.parquet(s"$lake/data")
+    // queryable THROUGH THE TABLE immediately — the sink registered the
+    // batch's partitions itself (zero crawler lag)
+    val lakeDf = spark.table("stream_reg_tbl")
     assert(lakeDf.count() == 2)
     assert(lakeDf.select("tenant").distinct().as[String].collect().toSet ==
       Set("acme", "globex"))
@@ -32,12 +35,21 @@ class StreamingSpec extends SparkSpec {
     assert(errDf.count() == 1)
     assert(errDf.select("error_type").as[String].head() == "parse-error")
 
-    // second micro-batch: checkpoint resume must not re-ingest batch 1
+    // second micro-batch: checkpoint resume must not re-ingest batch 1,
+    // and the appended data must be table-visible with no manual refresh
+    // (same partition → exercises the file-listing invalidation path)
     Seq(("""{"Data":{"event":"e3","region":"US","device":"TV"}}""", "acme"))
       .toDF("value", "tenant_key").write.mode("append").json(in)
     val q2 = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
-      Trigger.AvailableNow())
+      Trigger.AvailableNow(), table = Some("stream_reg_tbl"))
     q2.awaitTermination(120000)
-    assert(spark.read.parquet(s"$lake/data").count() == 3)
+    assert(spark.table("stream_reg_tbl").count() == 3)
+
+    // tenant-scoped query over the streamed table partition-prunes
+    import graft.operators.{TenantContext, TenantQueries}
+    implicit val ctx: TenantContext = TenantContext("acme")
+    val scoped = TenantQueries.queryByTenant(spark, "stream_reg_tbl")
+    assert(TenantQueries.prunesOnTenant(scoped), "streamed table must prune on tenant")
+    assert(scoped.count() == 2)
   }
 }
