@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression gate.
+
+Usage: check_bench.py <new_bench.json> <prev_BENCH_rNN.json> [threshold]
+
+<new_bench.json>: the bench's own JSON line (e.g. target/bench_last.json)
+  or a driver BENCH_r{N}.json wrapper.
+<prev_BENCH_rNN.json>: same formats accepted.
+threshold: per-query slowdown alarm factor (default 2.0). Queries faster
+  than 0.3 s in the baseline are exempt (pure noise at that scale).
+
+Exit 1 if any query regressed past the threshold or total regressed >1.5x.
+"""
+import json
+import re
+import sys
+
+
+def load_bench(path):
+    raw = open(path).read()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        d = None
+    if isinstance(d, dict) and "queries" in d:
+        return d
+    # driver wrapper: {"tail": "...{json line}..."} or parsed field
+    if isinstance(d, dict):
+        if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+            return d["parsed"]
+        m = re.search(r'\{"metric".*?"sf":[^}]*\}', d.get("tail", ""))
+        if m:
+            return json.loads(m.group(0))
+    # last resort: grep the file text for the JSON line
+    m = re.search(r'\{"metric".*?"sf":[^}]*\}', raw)
+    if m:
+        return json.loads(m.group(0))
+    raise SystemExit(f"cannot find bench JSON in {path}")
+
+
+def main():
+    new = load_bench(sys.argv[1])
+    prev = load_bench(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    noise_floor = 0.3
+    bad = []
+    for q, old_t in sorted(prev["queries"].items()):
+        new_t = new["queries"].get(q)
+        if new_t is None:
+            print(f"GONE {q}: was {old_t:.2f}s, missing in new run")
+            bad.append(q)
+            continue
+        ratio = new_t / old_t if old_t > 0 else float("inf")
+        flag = old_t >= noise_floor and ratio > threshold
+        mark = "SLOW" if flag else "ok  "
+        if flag or ratio > threshold:
+            print(f"{mark} {q}: {old_t:.2f}s -> {new_t:.2f}s ({ratio:.2f}x)")
+        if flag:
+            bad.append(q)
+    tot_ratio = new["value"] / prev["value"] if prev.get("value") else 1.0
+    print(f"total: {prev.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s ({tot_ratio:.2f}x)")
+    if "freshness_sec" in new:
+        f = new["freshness_sec"]
+        print(f"freshness_sec: {f:.1f}")
+        if f > 60:
+            print("SLOW freshness above the 60 s reference envelope")
+            bad.append("freshness")
+    if bad or tot_ratio > 1.5:
+        print(f"REGRESSIONS: {bad}")
+        return 1
+    print("BENCH OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
