@@ -268,6 +268,45 @@ object Extensions {
         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4
         |ORDER BY id_a, id_b""".stripMargin),
+    // IVF is approximate only in WHICH candidates it scores — centroid
+    // choice (first 16 ids), cell assignment, probe fan-out, and the
+    // final cosines are all deterministic double math, so the full
+    // operator is oracle-checkable with the same sequential-fold recipe
+    // as sim_topk_exact.
+    "sim_topk_ivf" -> (vecCte +
+      """, cents AS (
+        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+        |  FROM n ORDER BY vec_id LIMIT 16
+        |), ca0 AS (
+        |  SELECT a.vec_id AS c_id, a.e AS c_e, a.nrm AS c_nrm, b.cent_id AS cell,
+        |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |      (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+        |  FROM n a CROSS JOIN cents b
+        |), ca AS (
+        |  SELECT c_id, c_e, c_nrm, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_id
+        |      ORDER BY cos DESC, cell) AS rn FROM ca0)
+        |  WHERE rn = 1
+        |), pa AS (
+        |  SELECT p_id, p_e, p_nrm, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY p_id
+        |      ORDER BY cos DESC, cell) AS rn FROM (
+        |      SELECT a.vec_id AS p_id, a.e AS p_e, a.nrm AS p_nrm, b.cent_id AS cell,
+        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+        |      FROM n a CROSS JOIN cents b WHERE a.vec_id < 10))
+        |  WHERE rn <= 3
+        |)
+        |SELECT probe_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |FROM (
+        |  SELECT pa.p_id AS probe_id, ca.c_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(pa.p_e)+1), i -> pa.p_e[i]*ca.c_e[i]),
+        |      (x,y) -> x+y) / (pa.p_nrm * ca.c_nrm) AS cosine
+        |  FROM pa JOIN ca USING (cell) WHERE pa.p_id <> ca.c_id)
+        |QUALIFY rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin),
     "sim_topk_exact" -> (vecCte +
       """
         |SELECT probe_id, neighbor_id, cosine,

@@ -52,4 +52,37 @@ class StreamingSpec extends SparkSpec {
     assert(TenantQueries.prunesOnTenant(scoped), "streamed table must prune on tenant")
     assert(scoped.count() == 2)
   }
+
+  test("scheduled refresh picks up externally-written partitions (crawler cadence)") {
+    import org.apache.spark.sql.functions.lit
+    val root = tmpDir("crawl")
+    def rows(tenant: String) = spark.range(5).toDF("event_id")
+      .withColumn("tenant", lit(tenant)).withColumn("year", lit("2024"))
+      .withColumn("month", lit("02")).withColumn("day", lit("01"))
+      .withColumn("hour", lit("00"))
+    graft.sources.Lake.writeValid(rows("t0"), root)
+    spark.sql("DROP TABLE IF EXISTS crawl_tbl")
+    val h = graft.sources.Maintenance.scheduleRefresh(spark, "crawl_tbl",
+      s"$root/data", intervalSeconds = 1L)
+    try {
+      // first tick registers the table
+      eventually(20000)(spark.catalog.tableExists("crawl_tbl") &&
+        spark.table("crawl_tbl").count() == 5)
+      // an EXTERNAL writer lands a new partition; no explicit refresh —
+      // only the cadence can surface it
+      graft.sources.Lake.writeValid(rows("t1"), root)
+      eventually(20000)(spark.table("crawl_tbl").count() == 10)
+      assert(h.lastFailure.isEmpty, s"refresh tick failed: ${h.lastFailure}")
+      assert(h.tickCount >= 1)
+    } finally h.close()
+  }
+
+  private def eventually(timeoutMs: Long)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond) {
+      if (System.currentTimeMillis() > deadline)
+        fail(s"condition not met within ${timeoutMs}ms")
+      Thread.sleep(250)
+    }
+  }
 }
