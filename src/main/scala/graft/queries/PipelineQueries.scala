@@ -162,8 +162,81 @@ object PipelineQueries {
       .orderBy("device")
   }
 
+  /** Watermarked hourly window aggregation THROUGH Structured Streaming
+    * (driver-gated analog of the StreamingAggSpec-only coverage): the
+    * events table is replayed as a one-file JSON stream, aggregated with
+    * `StreamingAggregates.hourlyTenantCounts` (watermark + window) in
+    * complete mode to a memory sink. Under AvailableNow the result equals
+    * the batch GROUP BY, so the oracle is plain SQL. Decimal sum → one
+    * double cast keeps it bit-exact. */
+  def streamingWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val in = s"/root/repo/target/tmp/swin_$tag/in"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"/root/repo/target/tmp/swin_$tag"), true)
+    // one file → one micro-batch → deterministic watermark behavior
+    events(spark, dir).select(col("user_id"), col("value"), col("ts"))
+      .coalesce(1).write.mode("overwrite").json(in)
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("value", DoubleType),
+        StructField("ts", TimestampType))))
+      .json(in)
+    val enriched = raw.select(col("ts").as("event_time"),
+      concat(lit("t"), (col("user_id") % 3).cast("string")).as("TenantId"),
+      col("value").cast(DecimalType(10, 2)).as("value"))
+    val qn = s"swin_$tag"
+    val q = graft.streaming.StreamingAggregates.hourlyTenantCounts(enriched)
+      .writeStream.format("memory").queryName(qn).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00").as("hour_start"),
+        col("TenantId").as("tenant"), col("n"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("hour_start", "tenant")
+  }
+
+  /** Streaming exact dedup (dropDuplicatesWithinWatermark) driver-gated:
+    * one-file replay → one batch → the kept key set equals batch
+    * DISTINCT, which is the oracle. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val in = s"/root/repo/target/tmp/sdedup_$tag/in"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"/root/repo/target/tmp/sdedup_$tag"), true)
+    events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+      .coalesce(1).write.mode("overwrite").json(in)
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("ts", TimestampType))))
+      .json(in)
+    val qn = s"sdedup_$tag"
+    val q = graft.streaming.StreamingAggregates
+      .dedupWithinWatermark(raw, "ts", Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"))
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).orderBy("user_id", "event_type")
+  }
+
   val oracles: Map[String, String] =
     Entries.toMapUnique("PipelineQueries.oracles", Seq(
+    "pipe_streaming_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipe_streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "pipe_wire_roundtrip" ->
       """SELECT event_id, to_base64(encode(props)) AS wire,
         |  json_extract_string(props, '$.k') AS k
@@ -219,5 +292,7 @@ object PipelineQueries {
     "pipe_tenant_filter" -> (tenantFilterQuery _),
     "pipe_lake_roundtrip" -> (lakeRoundtrip _),
     "pipe_streaming_roundtrip" -> (streamingRoundtrip _),
+    "pipe_streaming_window" -> (streamingWindowAgg _),
+    "pipe_streaming_dedup" -> (streamingDedup _),
     "pipe_wire_roundtrip" -> (wireRoundtrip _)))
 }
