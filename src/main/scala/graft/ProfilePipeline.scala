@@ -1,0 +1,55 @@
+package graft
+
+import graft.ingest.Ingest
+import graft.sources.Lake
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch stage profiler for the lake/streaming pipeline hot path. */
+object ProfilePipeline {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f s  $name")
+      r
+    }
+
+    val root = "/root/repo/target/tmp/profile_lake"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    spark.sql("DROP TABLE IF EXISTS profile_tbl")
+
+    val events = Tables.load(spark, sfDir, "events")
+    time("warmup count")(events.count())
+    val tenantCol = concat(lit("t"), (col("user_id") % 3).cast("string"))
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(events, tenantCol, unix_timestamp(col("ts"))))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("tenant"), col("year"), col("month"), col("day"), col("hour"))
+    time("enrich+derive (no write)")(enriched.count())
+    time("writeValid dynamic-partition write")(Lake.writeValid(enriched, root))
+    time("registerExternal (create+recoverPartitions)")(
+      Lake.registerExternal(spark, "profile_tbl", s"$root/data"))
+    time("tenant query via table")(
+      spark.table("profile_tbl").filter(col("tenant") === "t1").count())
+    time("tenant query again (warm cache)")(
+      spark.table("profile_tbl").filter(col("tenant") === "t1").count())
+    time("full table scan via table")(spark.table("profile_tbl").count())
+    spark.stop()
+  }
+}
