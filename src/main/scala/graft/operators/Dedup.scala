@@ -113,10 +113,12 @@ object Dedup {
         .localCheckpoint(true)
       changed = doubled.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+      uncache(labels)
       labels = doubled
       iter += 1
     }
+    // NOTE: the final round's checkpoint blocks stay alive — they ARE the
+    // returned data (lineage was truncated; uncaching would lose it).
     edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
@@ -124,6 +126,17 @@ object Dedup {
           s"($changed labels still changing) — raise maxIter")
     labels
   }
+
+  /** Free a per-round label set. `Dataset.unpersist` is a no-op for a
+    * localCheckpointed frame (its blocks were persisted on the RDD
+    * directly, outside the cache manager) — without reaching through to
+    * the underlying RDD, every round's full label set would stay resident
+    * until GC, which at corpus scale is an OOM. */
+  private def uncache(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+      case _ => df.unpersist(); ()
+    }
 
   /** The actual corpus dedup: every doc labeled with the canonical
     * (minimum) id of its near-dup cluster; docs with no near-dup are

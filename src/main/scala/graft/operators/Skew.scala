@@ -20,10 +20,24 @@ object Skew {
     * across task retries — used as a shuffle key they can re-salt rows
     * into different reduce partitions on stage recomputation and
     * duplicate/drop rows (the SPARK-23207 hazard). A content hash is
-    * retry-stable; identical rows share a salt, which only matters if one
-    * key's rows are also near-identical across ALL columns. */
-  private def saltCol(df: DataFrame, saltN: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltN.toLong))
+    * retry-stable. Limitations, by construction: map-typed columns are
+    * excluded (xxhash64 rejects MapType), and rows that are byte-identical
+    * across ALL hashed columns share a salt — full-duplicate hot rows
+    * won't spread (any deterministic content function has this property;
+    * pre-aggregate or add a disambiguating column upstream for that case). */
+  private def saltCol(df: DataFrame, saltN: Int): Column = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    val hashable = df.schema.fields.filterNot(f => hasMap(f.dataType))
+      .map(f => col(f.name)).toSeq
+    require(hashable.nonEmpty, "no hashable columns to derive a deterministic salt from")
+    pmod(xxhash64(hashable: _*), lit(saltN.toLong))
+  }
 
   /** Inner equi-join with a salted big side and a replicated small side.
     * Exactly equivalent to big.join(small, key); hot keys fan out over

@@ -30,50 +30,68 @@ object TenantQueries {
 
   /** General passthrough: user SQL over a view that is already
     * tenant-filtered. Isolation is ENFORCED, not assumed: `spark.sql` runs
-    * with full catalog access, so before execution the query is parsed and
-    * every table reference must resolve to the tenant view (or a CTE the
-    * query itself defines) — SQL naming the unfiltered base table, any
-    * other table, or any catalog command is rejected. The walk covers CTE
-    * bodies and subqueries in expressions (EXISTS/IN/scalar), so a
-    * reference cannot hide inside either. */
+    * with full catalog access, so before execution the SQL is parsed with
+    * the QUERY-ONLY grammar (`parseQuery` — INSERT/commands/any
+    * side-effecting statement fail to parse) and every table reference
+    * must resolve to the tenant view or a CTE that is lexically IN SCOPE
+    * at the reference site. Scoping matters: a CTE merely named somewhere
+    * in the query must not whitelist an out-of-scope reference — `WITH q
+    * AS (WITH base AS (...) SELECT ...) SELECT * FROM base` resolves the
+    * outer `base` to the real catalog table. The walk covers CTE bodies
+    * and subqueries in expressions (EXISTS/IN/scalar). */
   def sqlInTenantScope(spark: SparkSession, table: String, userSql: String,
                        viewName: String = "tenant_events")(implicit ctx: TenantContext): DataFrame = {
-    val parsed = spark.sessionState.sqlParser.parsePlan(userSql)
+    val parsed =
+      try spark.sessionState.sqlParser.parseQuery(userSql)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          throw new IllegalArgumentException(
+            s"tenant-scoped SQL must be a pure query: ${e.getMessage}")
+      }
     require(!parsed.isInstanceOf[Command],
       "tenant-scoped SQL must be a query, not a command")
-    val (refs, cteNames) = referencedRelations(parsed)
-    val illegal = refs -- cteNames - viewName.toLowerCase
+    val illegal = illegalRefs(parsed, Set(viewName.toLowerCase))
     require(illegal.isEmpty,
-      s"tenant-scoped SQL may only reference '$viewName' (and its own CTEs); " +
-        s"found: ${illegal.toSeq.sorted.mkString(", ")}")
+      s"tenant-scoped SQL may only reference '$viewName' (and its own in-scope CTEs); " +
+        s"found: ${illegal.sorted.mkString(", ")}")
     queryByTenant(spark, table).createOrReplaceTempView(viewName)
     spark.sql(userSql)
   }
 
-  /** All relation names a parsed (unresolved) plan references, plus the
-    * CTE names it defines. Recurses into CTE bodies explicitly
-    * (`UnresolvedWith` keeps them as innerChildren, which `collect` does
-    * not traverse) and into subquery expressions. */
-  private def referencedRelations(plan: LogicalPlan): (Set[String], Set[String]) = {
-    var refs = Set.empty[String]
-    var ctes = Set.empty[String]
-    def walk(n: LogicalPlan): Unit = {
-      n match {
-        case w: UnresolvedWith =>
-          ctes ++= w.cteRelations.map(_._1.toLowerCase)
-          w.cteRelations.foreach { rel => walk(rel._2) }
-        case r: UnresolvedRelation =>
-          refs += r.multipartIdentifier.map(_.toLowerCase).mkString(".")
-        case _ => ()
-      }
-      n.children.foreach(walk)
+  /** Relation references that are not in the LEXICAL scope of allowed
+    * names. CTE scoping follows Spark's resolution: a CTE body sees the
+    * CTEs defined BEFORE it in the same WITH (plus outer scopes); the
+    * WITH's main child sees all of them; nothing outside the WITH sees
+    * any. Bodies are walked explicitly with their own scope —
+    * `UnresolvedWith` keeps them as innerChildren, which generic child
+    * traversal misses, and a global name set would let a nested CTE
+    * shadow-whitelist the real table. */
+  private def illegalRefs(plan: LogicalPlan, allowed: Set[String]): Seq[String] = {
+    val bad = scala.collection.mutable.ListBuffer[String]()
+    def walk(n: LogicalPlan, scope: Set[String]): Unit = n match {
+      case w: UnresolvedWith =>
+        var s = scope
+        val bodies = w.cteRelations.map(_._2)
+        w.cteRelations.foreach { rel =>
+          walk(rel._2, s) // body sees only earlier CTEs (+ outer scope)
+          s += rel._1.toLowerCase
+        }
+        w.children.filterNot(c => bodies.exists(_ eq c)).foreach(walk(_, s))
+        walkExprs(w, s)
+      case r: UnresolvedRelation =>
+        val name = r.multipartIdentifier.map(_.toLowerCase).mkString(".")
+        if (!scope.contains(name)) bad += name
+      case other =>
+        other.children.foreach(walk(_, scope))
+        walkExprs(other, scope)
+    }
+    def walkExprs(n: LogicalPlan, scope: Set[String]): Unit =
       n.expressions.foreach(_.foreach {
-        case sq: SubqueryExpression => walk(sq.plan)
+        case sq: SubqueryExpression => walk(sq.plan, scope)
         case _ => ()
       })
-    }
-    walk(plan)
-    (refs, ctes)
+    walk(plan, allowed)
+    bad.toSeq.distinct
   }
 
   /** True iff the physical plan prunes on the tenant partition column —

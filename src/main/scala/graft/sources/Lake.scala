@@ -80,7 +80,11 @@ object Lake {
   def refreshCatalog(spark: SparkSession, table: String, path: String): Unit =
     registerExternal(spark, table, path)
 
-  private def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"
+  /** A null partition value means the row landed in Hive's default
+    * partition directory — register that, never NPE on one null key. */
+  private def sqlLit(v: String): String =
+    if (v == null) "'__HIVE_DEFAULT_PARTITION__'"
+    else "'" + v.replace("'", "''") + "'"
 
   /** The INCREMENTAL crawler analog, for per-micro-batch catalog
     * maintenance: ensure `table` exists over `path`, then register exactly
@@ -92,6 +96,10 @@ object Lake {
   def registerPartitions(spark: SparkSession, table: String, path: String,
                          parts: Seq[Map[String, String]],
                          format: String = "parquet"): Unit = {
+    // no partitions → no-op. Creating the table here would infer the
+    // schema from a possibly EMPTY path (an all-errors first micro-batch
+    // writes no data files) and crash-loop the stream on AnalysisException.
+    if (parts.isEmpty) return
     val fresh = !spark.catalog.tableExists(table)
     if (fresh) {
       // create WITHOUT a recoverPartitions crawl: the caller knows the
@@ -121,6 +129,19 @@ object Lake {
     * metastore + IO cost proportional to the partitions touched. */
   def compact(spark: SparkSession, table: String, predicate: String = "true",
               targetRecordsPerFile: Long = 5000000L): Unit = {
+    // The predicate must be PARTITION-ALIGNED: dynamic overwrite replaces
+    // whole partitions with the staged rows, so a row-level predicate
+    // (e.g. `tenant='t0' AND qty>5`) would silently DELETE the
+    // non-matching rows of every touched partition. Reject anything that
+    // references a non-partition column.
+    val refs = spark.sessionState.sqlParser.parseExpression(predicate).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.toLowerCase
+    }.toSet
+    val nonPartition = refs -- Schemas.partitionCols.map(_.toLowerCase).toSet
+    require(nonPartition.isEmpty,
+      s"compact predicate may only reference partition columns " +
+        s"(${Schemas.partitionCols.mkString(", ")}); found: ${nonPartition.mkString(", ")}")
     val loc = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .location.toString
@@ -128,6 +149,7 @@ object Lake {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stage), spark.sparkContext.hadoopConfiguration)
     val pruned = spark.table(table).where(predicate)
+    if (pruned.isEmpty) return // nothing to compact — not an error
     // session-conf (not per-write option) — insertInto does not honor the
     // DataFrameWriter option here, and a STATIC overwrite would silently
     // drop every partition outside the predicate

@@ -58,6 +58,7 @@ object Maintenance {
       try {
         refreshOnce(spark, table, path)
         handle.ticks += 1
+        handle.lastError = None // a healthy tick clears a stale failure
       } catch {
         case e: Throwable => handle.lastError = Some(e)
       }

@@ -54,8 +54,16 @@ object StreamingIngest {
         val cached = batch.persist()
         try {
           val (valid, errors) = Ingest.validateAndSplit(cached, rawCol)
+          // C3: a record whose TRANSPORT tenant key is null cannot be
+          // partition-keyed — route it to the error prefix (the analog of
+          // a Firehose partition-extraction failure), never to a
+          // __HIVE_DEFAULT_PARTITION__ directory.
+          val noTenant = valid.filter(col(tenantCol).isNull)
+            .select(col(rawCol).as("raw"),
+              lit("missing-tenant-key").as(Ingest.ErrorTypeCol))
           val enriched = Ingest.derivePartitions(
-            Ingest.enrich(valid, col(tenantCol), ingestTs))
+            Ingest.enrich(valid.filter(col(tenantCol).isNotNull),
+              col(tenantCol), ingestTs))
             .drop(rawCol)
           val path = graft.sources.Lake.writeValid(enriched, lakeRoot)
           table.foreach { t =>
@@ -70,7 +78,8 @@ object StreamingIngest {
             // leave the session users actually query through stale.
             graft.sources.Lake.registerPartitions(spark, t, path, parts)
           }
-          if (!errors.isEmpty) graft.sources.Lake.writeErrors(errors, lakeRoot)
+          val allErrors = errors.unionByName(noTenant)
+          if (!allErrors.isEmpty) graft.sources.Lake.writeErrors(allErrors, lakeRoot)
           ()
         } finally { cached.unpersist(); () }
       }

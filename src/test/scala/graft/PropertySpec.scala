@@ -146,6 +146,15 @@ class PropertySpec extends SparkSpec {
       "SELECT * FROM tenant_events WHERE EXISTS (SELECT 1 FROM scoped_events)", // in a subquery
       "SELECT (SELECT max(row_id) FROM scoped_events) AS x",          // scalar subquery
       "SELECT * FROM tenant_events JOIN scoped_events USING (row_id)", // joined in
+      // nested-CTE shadowing: the inner CTE named 'scoped_events' is NOT
+      // in scope at the outer reference — it resolves to the real table
+      """WITH q AS (WITH scoped_events AS (SELECT 1 AS row_id)
+        |           SELECT * FROM scoped_events)
+        |SELECT * FROM scoped_events""".stripMargin,
+      // non-Command side effects must die at the query-only parse
+      "INSERT OVERWRITE DIRECTORY '/tmp/exfil' USING parquet SELECT * FROM tenant_events",
+      "INSERT INTO scoped_events SELECT * FROM tenant_events",
+      "CACHE TABLE evil AS SELECT * FROM scoped_events",
       "DROP TABLE scoped_events")                                     // command
     bypasses.foreach { sql =>
       intercept[IllegalArgumentException] {
@@ -153,6 +162,12 @@ class PropertySpec extends SparkSpec {
       }
     }
     assert(spark.catalog.tableExists("scoped_events"), "command must not have run")
+    // a CTE reference in proper scope (earlier CTE used by a later one) is legal
+    val scoped = TenantQueries.sqlInTenantScope(spark, "scoped_events",
+      """WITH a AS (SELECT row_id FROM tenant_events),
+        |     b AS (SELECT row_id FROM a)
+        |SELECT count(*) AS n FROM b""".stripMargin)
+    assert(scoped.as[Long].head() == ok)
   }
 
   test("enrichment is payload-preserving under arbitrary extra fields") {

@@ -73,6 +73,24 @@ class SkewLakeSpec extends SparkSpec {
     assert(before == after, "compaction must be content-preserving")
   }
 
+  test("compact rejects row-level predicates and no-ops on empty matches") {
+    val root = tmpDir("compact_guard")
+    val li = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity").limit(100)
+    graft.sources.Lake.writeValid(withLakeCols(li, "t0"), root)
+    graft.sources.Lake.registerExternal(spark, "compact_guard_tbl", s"$root/data")
+    // a row-level predicate would DELETE non-matching rows of the
+    // touched partitions under dynamic overwrite — must be rejected
+    intercept[IllegalArgumentException] {
+      graft.sources.Lake.compact(spark, "compact_guard_tbl",
+        "tenant = 't0' AND l_quantity > 5")
+    }
+    assert(spark.table("compact_guard_tbl").count() == 100, "table untouched")
+    // empty match → no-op, not a crash
+    graft.sources.Lake.compact(spark, "compact_guard_tbl", "tenant = 'absent'")
+    assert(spark.table("compact_guard_tbl").count() == 100)
+  }
+
   test("salted writer spreads one hot partition across multiple writers") {
     val root = tmpDir("salted")
     val hot = withLakeCols(

@@ -53,6 +53,44 @@ class StreamingSpec extends SparkSpec {
     assert(scoped.count() == 2)
   }
 
+  test("null transport tenant key routes to the error prefix, not a default partition") {
+    val in = tmpDir("nulltenant_in")
+    val lake = tmpDir("nulltenant_lake")
+    val ckpt = tmpDir("nulltenant_ckpt")
+    Seq(
+      ("""{"Data":{"event":"e1","region":"US","device":"TV"}}""", "acme"),
+      ("""{"Data":{"event":"e2","region":"EU","device":"web"}}""", null))
+      .toDF("value", "tenant_key").write.mode("append").json(in)
+    spark.sql("DROP TABLE IF EXISTS nulltenant_tbl")
+    val q = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
+      Trigger.AvailableNow(), table = Some("nulltenant_tbl"))
+    q.awaitTermination(120000)
+    assert(spark.table("nulltenant_tbl").count() == 1)
+    val errs = spark.read.parquet(s"$lake/error")
+    assert(errs.filter($"error_type" === "missing-tenant-key").count() == 1)
+  }
+
+  test("all-errors first micro-batch does not crash table registration") {
+    val in = tmpDir("allerr_in")
+    val lake = tmpDir("allerr_lake")
+    val ckpt = tmpDir("allerr_ckpt")
+    Seq(("not json {", "acme"), ("also broken", "acme"))
+      .toDF("value", "tenant_key").write.mode("append").json(in)
+    spark.sql("DROP TABLE IF EXISTS allerr_tbl")
+    val q = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
+      Trigger.AvailableNow(), table = Some("allerr_tbl"))
+    q.awaitTermination(120000) // must not crash-loop on empty-path inference
+    assert(!spark.catalog.tableExists("allerr_tbl"), "no data → no table yet")
+    assert(spark.read.parquet(s"$lake/error").count() == 2)
+    // a later batch WITH data creates the table normally
+    Seq(("""{"Data":{"event":"e1","region":"US","device":"TV"}}""", "acme"))
+      .toDF("value", "tenant_key").write.mode("append").json(in)
+    val q2 = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
+      Trigger.AvailableNow(), table = Some("allerr_tbl"))
+    q2.awaitTermination(120000)
+    assert(spark.table("allerr_tbl").count() == 1)
+  }
+
   test("scheduled refresh picks up externally-written partitions (crawler cadence)") {
     import org.apache.spark.sql.functions.lit
     val root = tmpDir("crawl")

@@ -62,7 +62,10 @@ def main():
     if "freshness_sec" in new:
         f = new["freshness_sec"]
         print(f"freshness_sec: {f:.1f}")
-        if f > 60:
+        if f < 0:  # Bench emits -1.0 when the probe itself failed
+            print("FAIL freshness probe errored (streaming/catalog path broken)")
+            bad.append("freshness")
+        elif f > 60:
             print("SLOW freshness above the 60 s reference envelope")
             bad.append("freshness")
     if bad or tot_ratio > 1.5:
