@@ -162,6 +162,35 @@ object PipelineQueries {
       .orderBy("device")
   }
 
+  /** Compaction round-trip, driver-gated: build a t1-only lake with THREE
+    * small appends per partition (the small-file state), register, compact
+    * the t1 partitions in place, then read back through the table. The
+    * oracle is the plain SQL of the (tripled) content — hash-equality
+    * proves the dynamic-overwrite rewrite preserved every row while
+    * `SkewLakeSpec` separately proves the file count drops. */
+  def compactRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/compact_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = s"compact_events_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // deterministic event_id prefix: bounds the toy lake's partition
+    // explosion (hour-grain over months of synthetic time) — the proof is
+    // about the rewrite, not about writing thousands of tiny dirs twice
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(
+        events(spark, dir).filter(col("user_id") % 3 === 1 && col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("tenant"), col("year"), col("month"), col("day"), col("hour"))
+    (1 to 3).foreach(_ => Lake.writeValid(enriched, root))
+    Lake.registerExternal(spark, tbl, s"$root/data")
+    Lake.compact(spark, tbl, "tenant = 't1'")
+    spark.table(tbl)
+      .orderBy("event_id", "year", "month", "day", "hour")
+  }
+
   /** Watermarked hourly window aggregation THROUGH Structured Streaming
     * (driver-gated analog of the StreamingAggSpec-only coverage): the
     * events table is replayed as a one-file JSON stream, aggregated with
@@ -237,6 +266,16 @@ object PipelineQueries {
     "pipe_streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin,
+    "pipe_compact_roundtrip" ->
+      """WITH t1 AS (
+        |  SELECT event_id, event_type, value,
+        |    't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |    strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+        |    strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+        |  FROM events WHERE user_id % 3 = 1 AND event_id <= 2000)
+        |SELECT * FROM (
+        |  SELECT * FROM t1 UNION ALL SELECT * FROM t1 UNION ALL SELECT * FROM t1)
+        |ORDER BY event_id""".stripMargin,
     "pipe_wire_roundtrip" ->
       """SELECT event_id, to_base64(encode(props)) AS wire,
         |  json_extract_string(props, '$.k') AS k
@@ -294,5 +333,6 @@ object PipelineQueries {
     "pipe_streaming_roundtrip" -> (streamingRoundtrip _),
     "pipe_streaming_window" -> (streamingWindowAgg _),
     "pipe_streaming_dedup" -> (streamingDedup _),
+    "pipe_compact_roundtrip" -> (compactRoundtrip _),
     "pipe_wire_roundtrip" -> (wireRoundtrip _)))
 }
