@@ -112,10 +112,16 @@ object PipelineQueries {
 
   /** S2–S6 through Structured Streaming, driver-gated: events → JSON-lines
     * envelope stream → readStream → validate/enrich/partition-derive →
-    * dynamic-partition lake + checkpoint (AvailableNow trigger) → read
-    * back. Ingest time comes from the record's transport column (the
-    * deterministic analog of ingest-wall-clock), so the oracle can
-    * reproduce the result. */
+    * dynamic-partition lake + checkpoint (AvailableNow trigger) →
+    * per-batch catalog registration → read back THROUGH THE TABLE.
+    *
+    * Ingest time is a fixed deterministic instant: the reference's
+    * partitioning is INGEST-time (Flink injects arrival wall-clock,
+    * FirehoseStreamingSinkJob.java:74-82), so one micro-batch lands in
+    * ONE hour partition per tenant — exactly what a constant instant
+    * reproduces (and the oracle can express). Per-row event-TIME
+    * partition derivation across arbitrary epochs is separately
+    * oracle-gated by pipe_partition_derive and pipe_lake_roundtrip. */
   def streamingRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -125,26 +131,25 @@ object PipelineQueries {
     val (inDir, lake, ckpt) = (s"$base/in", s"$base/lake", s"$base/ckpt")
     // `error`-typed events carry an unparsable payload → they must be
     // routed to error/, exercising the S6 split through the stream
+    val ingestEpoch = 1704067200L // 2024-01-01T00:00:00Z — "the batch's arrival hour"
     events(spark, dir).select(
       when(col("event_type") === "error", lit("not json {"))
         .otherwise(to_json(struct(struct(
           concat(lit("dev"), col("event_id").cast("string")).as("device"),
           col("event_type").as("event"),
           lit("US").as("region")).as("Data")))).as("value"),
-      tenantCol.as("tenant_key"),
-      unix_timestamp(col("ts")).as("event_epoch"))
+      tenantCol.as("tenant_key"))
       .write.mode("overwrite").json(inDir)
     val raw = spark.readStream
       .schema(StructType(Seq(
         StructField("value", StringType),
-        StructField("tenant_key", StringType),
-        StructField("event_epoch", LongType))))
+        StructField("tenant_key", StringType))))
       .json(inDir)
     val tbl = s"stream_events_$tag"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     val q = graft.streaming.StreamingIngest.start(spark, raw, "value", "tenant_key",
       lake, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      ingestTs = col("event_epoch"), table = Some(tbl))
+      ingestTs = lit(ingestEpoch), table = Some(tbl))
     q.awaitTermination()
     val errs = spark.read.parquet(s"$lake/error")
     require(errs.count() > 0 && errs.select("error_type").distinct().count() == 1,
@@ -283,10 +288,9 @@ object PipelineQueries {
     "pipe_streaming_roundtrip" ->
       """SELECT 'dev' || CAST(event_id AS VARCHAR) AS device,
         |  event_type AS event, 'US' AS region,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS ingest_ts,
+        |  CAST(1704067200 AS BIGINT) AS ingest_ts,
         |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
-        |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
-        |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+        |  '2024' AS year, '01' AS month, '01' AS day, '00' AS hour
         |FROM events WHERE event_type <> 'error'
         |ORDER BY device""".stripMargin,
     "pipe_enrich" ->
