@@ -84,8 +84,13 @@ object PipelineQueries {
     val root = s"/root/repo/target/tmp/lake_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)
+    // bounded event_id prefix: keeps a real multi-hour, multi-tenant
+    // partition spread (derivation + pruning are exercised for real) while
+    // capping the toy lake's partition count; full-table per-row
+    // derivation is oracle-gated by pipe_partition_derive
     val enriched = Ingest.derivePartitions(
-      Ingest.enrich(events(spark, dir), tenantCol, unix_timestamp(col("ts"))))
+      Ingest.enrich(events(spark, dir).filter(col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
       .select(col("event_id"), col("event_type"), col("value"),
         col("tenant"), col("year"), col("month"), col("day"), col("hour"))
     Lake.writeValid(enriched, root)
@@ -324,7 +329,8 @@ object PipelineQueries {
         |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
         |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
         |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
-        |FROM events WHERE user_id % 3 = 1 ORDER BY event_id""".stripMargin))
+        |FROM events WHERE user_id % 3 = 1 AND event_id <= 2000
+        |ORDER BY event_id""".stripMargin))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("PipelineQueries.queries", Seq(
