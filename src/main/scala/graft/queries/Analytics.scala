@@ -91,6 +91,33 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7-style volume shipping: lineitem⋈orders is the only
+    * fact-fact shuffle; supplier/customer and BOTH nation copies
+    * broadcast. The dual-direction nation predicate runs after the
+    * broadcasts; grouping keys are tiny. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_9", "NATION_10")
+    val n1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        date_format(col("l_shipdate"), "yyyy").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Semi + anti join in one result: customers with / without orders.
     * Planned as BroadcastHashJoin(LeftSemi/LeftAnti) — orders' key set is
     * the only thing shuffled/broadcast, never its payload. */
@@ -318,6 +345,7 @@ object Analytics {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
     "q_semi_anti_join" -> (semiAntiJoin _),
     "q_window_topk" -> (windowTopKPerCustomer _),
     "q_running_revenue" -> (runningRevenue _),
@@ -417,6 +445,24 @@ object Analytics {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    strftime(l_shipdate, '%Y') AS l_year, l_extendedprice, l_discount
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q_semi_anti_join" ->
       """SELECT c_custkey, c_name, 'has_orders' AS tag FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
