@@ -214,9 +214,12 @@ object PipelineQueries {
     val in = s"/root/repo/target/tmp/swin_$tag/in"
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(s"/root/repo/target/tmp/swin_$tag"), true)
-    // one file → one micro-batch → deterministic watermark behavior
+    // all files present before start + no maxFilesPerTrigger → ONE
+    // micro-batch under AvailableNow (and complete-mode output equals
+    // the batch aggregate regardless of batching); parallel files keep
+    // the write and the stateful stage multi-core
     events(spark, dir).select(col("user_id"), col("value"), col("ts"))
-      .coalesce(1).write.mode("overwrite").json(in)
+      .write.mode("overwrite").json(in)
     val raw = spark.readStream
       .schema(StructType(Seq(
         StructField("user_id", LongType), StructField("value", DoubleType),
@@ -247,8 +250,11 @@ object PipelineQueries {
     val in = s"/root/repo/target/tmp/sdedup_$tag/in"
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(s"/root/repo/target/tmp/sdedup_$tag"), true)
+    // single BATCH (not single file) is what makes the kept key set equal
+    // batch DISTINCT: all files land before start and AvailableNow has no
+    // file cap, so dedup state sees everything in one pass
     events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
-      .coalesce(1).write.mode("overwrite").json(in)
+      .write.mode("overwrite").json(in)
     val raw = spark.readStream
       .schema(StructType(Seq(
         StructField("user_id", LongType), StructField("event_type", StringType),
