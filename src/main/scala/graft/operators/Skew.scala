@@ -25,7 +25,9 @@ object Skew {
     * across ALL hashed columns share a salt — full-duplicate hot rows
     * won't spread (any deterministic content function has this property;
     * pre-aggregate or add a disambiguating column upstream for that case). */
-  private def saltCol(df: DataFrame, saltN: Int): Column = {
+  /** Shared with Lake.writeValid — one definition of the retry-stable
+    * content salt, so fixes (like the MapType exclusion) apply everywhere. */
+  private[graft] def saltCol(df: DataFrame, saltN: Int): Column = {
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
     def hasMap(dt: DataType): Boolean = dt match {
       case _: MapType => true

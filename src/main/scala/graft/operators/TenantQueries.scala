@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{ExpressionWithUnresolvedIdentifier, PlanWithUnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Command, LogicalPlan, UnresolvedWith}
 import org.apache.spark.sql.functions._
@@ -81,6 +81,12 @@ object TenantQueries {
       case r: UnresolvedRelation =>
         val name = r.multipartIdentifier.map(_.toLowerCase).mkString(".")
         if (!scope.contains(name)) bad += name
+      // IDENTIFIER('name') resolves a relation DYNAMICALLY during
+      // analysis — it never surfaces as UnresolvedRelation at parse time,
+      // so a static walk cannot know what it names. Reject outright: it
+      // is exactly a guard-bypass primitive.
+      case _: PlanWithUnresolvedIdentifier =>
+        bad += "IDENTIFIER(...)"
       case other =>
         other.children.foreach(walk(_, scope))
         walkExprs(other, scope)
@@ -88,6 +94,7 @@ object TenantQueries {
     def walkExprs(n: LogicalPlan, scope: Set[String]): Unit =
       n.expressions.foreach(_.foreach {
         case sq: SubqueryExpression => walk(sq.plan, scope)
+        case _: ExpressionWithUnresolvedIdentifier => bad += "IDENTIFIER(...)"
         case _ => ()
       })
     walk(plan, allowed)

@@ -46,7 +46,8 @@ object Lake {
     val distKeys = Schemas.partitionCols.map(col) ++
       (if (saltFiles > 1)
         // content hash, not monotonically_increasing_id/rand: retry-stable
-        Seq(pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFiles.toLong)))
+        // (shared with Skew — same MapType-safe derivation)
+        Seq(graft.operators.Skew.saltCol(df, saltFiles))
       else Nil)
     df.repartition(n, distKeys: _*)
       .write.mode("append")
@@ -80,11 +81,7 @@ object Lake {
   def refreshCatalog(spark: SparkSession, table: String, path: String): Unit =
     registerExternal(spark, table, path)
 
-  /** A null partition value means the row landed in Hive's default
-    * partition directory — register that, never NPE on one null key. */
-  private def sqlLit(v: String): String =
-    if (v == null) "'__HIVE_DEFAULT_PARTITION__'"
-    else "'" + v.replace("'", "''") + "'"
+  private def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"
 
   /** The INCREMENTAL crawler analog, for per-micro-batch catalog
     * maintenance: ensure `table` exists over `path`, then register exactly
@@ -96,10 +93,17 @@ object Lake {
   def registerPartitions(spark: SparkSession, table: String, path: String,
                          parts: Seq[Map[String, String]],
                          format: String = "parquet"): Unit = {
+    // Specs containing a NULL value (rows written under a
+    // __HIVE_DEFAULT_PARTITION__ dir) are skipped: registering the literal
+    // default-partition STRING would diverge from recoverPartitions' null
+    // decoding (`WHERE col IS NULL` would see different rows per path).
+    // The engine's own sink never produces them — null tenants are
+    // error-routed — a crawler `refreshOnce` picks stragglers up.
+    val registrable = parts.filter(_.values.forall(_ != null))
     // no partitions → no-op. Creating the table here would infer the
     // schema from a possibly EMPTY path (an all-errors first micro-batch
     // writes no data files) and crash-loop the stream on AnalysisException.
-    if (parts.isEmpty) return
+    if (registrable.isEmpty) return
     val fresh = !spark.catalog.tableExists(table)
     if (fresh) {
       // create WITHOUT a recoverPartitions crawl: the caller knows the
@@ -108,11 +112,9 @@ object Lake {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.catalog.createTable(table, format, Map("path" -> path))
     }
-    if (parts.nonEmpty) {
-      val specs = parts.map(p => Schemas.partitionCols
-        .map(c => s"$c=${sqlLit(p(c))}").mkString("PARTITION (", ", ", ")"))
-      spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS ${specs.mkString(" ")}")
-    }
+    val specs = registrable.map(p => Schemas.partitionCols
+      .map(c => s"$c=${sqlLit(p(c))}").mkString("PARTITION (", ", ", ")"))
+    spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS ${specs.mkString(" ")}")
     if (!fresh) spark.catalog.refreshTable(table)
   }
 
@@ -132,23 +134,32 @@ object Lake {
     // The predicate must be PARTITION-ALIGNED: dynamic overwrite replaces
     // whole partitions with the staged rows, so a row-level predicate
     // (e.g. `tenant='t0' AND qty>5`) would silently DELETE the
-    // non-matching rows of every touched partition. Reject anything that
-    // references a non-partition column.
-    val refs = spark.sessionState.sqlParser.parseExpression(predicate).collect {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        a.name.toLowerCase
-    }.toSet
-    val nonPartition = refs -- Schemas.partitionCols.map(_.toLowerCase).toSet
-    require(nonPartition.isEmpty,
-      s"compact predicate may only reference partition columns " +
-        s"(${Schemas.partitionCols.mkString(", ")}); found: ${nonPartition.mkString(", ")}")
-    val loc = spark.sessionState.catalog
+    // non-matching rows of every touched partition. Validate against the
+    // TABLE'S OWN partition columns (a data column that merely shares a
+    // standard partition-column name must not pass), and reject
+    // non-deterministic predicates (`rand() < 0.5` is row-level despite
+    // referencing no column).
+    val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location.toString
+    val partCols = meta.partitionColumnNames.map(_.toLowerCase).toSet
+    val prunedPlan = spark.table(table).where(predicate)
+    // validate the ANALYZED condition: unresolved placeholders report
+    // deterministic=true, and resolved references name real columns
+    prunedPlan.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.foreach { cond =>
+      require(cond.deterministic,
+        s"compact predicate must be deterministic; got: $predicate")
+      val nonPartition = cond.references.map(_.name.toLowerCase).toSet -- partCols
+      require(nonPartition.isEmpty,
+        s"compact predicate may only reference the table's partition columns " +
+          s"(${meta.partitionColumnNames.mkString(", ")}); found: ${nonPartition.mkString(", ")}")
+    }
+    val loc = meta.location.toString
     val stage = loc.stripSuffix("/") + "__compact_stage"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(stage), spark.sparkContext.hadoopConfiguration)
-    val pruned = spark.table(table).where(predicate)
+    val pruned = prunedPlan
     if (pruned.isEmpty) return // nothing to compact — not an error
     // session-conf (not per-write option) — insertInto does not honor the
     // DataFrameWriter option here, and a STATIC overwrite would silently

@@ -151,6 +151,10 @@ class PropertySpec extends SparkSpec {
       """WITH q AS (WITH scoped_events AS (SELECT 1 AS row_id)
         |           SELECT * FROM scoped_events)
         |SELECT * FROM scoped_events""".stripMargin,
+      // IDENTIFIER() resolves relations dynamically at ANALYSIS time —
+      // invisible to a static relation walk, so it must be rejected as such
+      "SELECT * FROM IDENTIFIER('scoped_events')",
+      "SELECT * FROM tenant_events WHERE EXISTS (SELECT 1 FROM IDENTIFIER('scoped' || '_events'))",
       // non-Command side effects must die at the query-only parse
       "INSERT OVERWRITE DIRECTORY '/tmp/exfil' USING parquet SELECT * FROM tenant_events",
       "INSERT INTO scoped_events SELECT * FROM tenant_events",

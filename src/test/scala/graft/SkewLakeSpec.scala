@@ -85,6 +85,10 @@ class SkewLakeSpec extends SparkSpec {
       graft.sources.Lake.compact(spark, "compact_guard_tbl",
         "tenant = 't0' AND l_quantity > 5")
     }
+    // attribute-free but row-level (non-deterministic) predicates too
+    intercept[IllegalArgumentException] {
+      graft.sources.Lake.compact(spark, "compact_guard_tbl", "rand() < 0.5")
+    }
     assert(spark.table("compact_guard_tbl").count() == 100, "table untouched")
     // empty match → no-op, not a crash
     graft.sources.Lake.compact(spark, "compact_guard_tbl", "tenant = 'absent'")
