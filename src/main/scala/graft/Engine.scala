@@ -36,16 +36,23 @@ final case class Engine(spark: SparkSession, lakeRoot: String, table: String) {
     } finally { cached.unpersist(); () }
   }
 
-  /** Streaming ingest with the reference's 60 s freshness floor. */
+  /** Streaming ingest with the reference's 60 s freshness floor. The sink
+    * maintains the catalog per micro-batch — streamed data is queryable
+    * through [[query]]/[[sql]] with zero crawler lag. */
   def startStream(raw: DataFrame, rawCol: String, tenantCol: String,
                   checkpoint: String,
                   trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
     graft.streaming.StreamingIngest.start(spark, raw, rawCol, tenantCol,
-      lakeRoot, checkpoint, trigger)
+      lakeRoot, checkpoint, trigger, table = Some(table))
 
   /** Crawler analog: (re-)register the lake table + partitions. */
   def refreshCatalog(): Unit =
     Lake.registerExternal(spark, table, s"$lakeRoot/data")
+
+  /** Crawler-cadence maintenance for externally-written data (the
+    * streaming sink keeps its own catalog current). */
+  def scheduleCatalogRefresh(intervalSeconds: Long = 300L): graft.sources.Maintenance.RefreshHandle =
+    graft.sources.Maintenance.scheduleRefresh(spark, table, s"$lakeRoot/data", intervalSeconds)
 
   /** Tenant-scoped table handle — the only query entry point; the engine
     * appends the tenant predicate from the authenticated context (C3). */
@@ -56,6 +63,8 @@ final case class Engine(spark: SparkSession, lakeRoot: String, table: String) {
   def sql(userSql: String)(implicit ctx: TenantContext): DataFrame =
     TenantQueries.sqlInTenantScope(spark, table, userSql)
 
-  /** Periodic small-file compaction for the hot partitions. */
-  def compact(): Unit = Lake.compact(spark, s"$lakeRoot/data")
+  /** Periodic small-file compaction, in place through the table; scope it
+    * with a partition predicate (e.g. the last hour's partitions). */
+  def compact(partitionPredicate: String = "true"): Unit =
+    Lake.compact(spark, table, partitionPredicate)
 }

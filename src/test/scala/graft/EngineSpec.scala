@@ -21,5 +21,29 @@ class EngineSpec extends SparkSpec {
     val out = engine.sql("SELECT event, region FROM tenant_events")
       .as[(String, String)].collect()
     assert(out.toSeq == Seq(("click", "US")))
+    // compaction through the facade: content unchanged, tenant-scoped
+    engine.compact("tenant = 'acme'")
+    assert(engine.query.count() == 1)
+    assert(engine.query(TenantContext("globex")).count() == 1)
+  }
+
+  test("engine streaming: streamed rows queryable through the facade immediately") {
+    val engine = Engine(spark, tmpDir("engine_s"), "engine_stream_events")
+    spark.sql("DROP TABLE IF EXISTS engine_stream_events")
+    val in = tmpDir("engine_s_in")
+    Seq(("""{"Data":{"event":"click","region":"US","device":"TV"}}""", "acme"))
+      .toDF("value", "tenant_key").write.mode("append").json(in)
+    val raw = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tenant_key",
+          org.apache.spark.sql.types.StringType))))
+      .json(in)
+    val q = engine.startStream(raw, "value", "tenant_key", tmpDir("engine_s_ckpt"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    implicit val ctx: TenantContext = TenantContext("acme")
+    assert(engine.query.count() == 1) // no refreshCatalog() call needed
   }
 }
