@@ -24,6 +24,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema"))
   }
 
+  test("q7: both nation copies + supplier/customer broadcast; one fact-fact shuffle join") {
+    val p = plan("q7_volume_shipping")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4, p)
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      "only lineitem-orders may shuffle")
+  }
+
   test("top-k plans TakeOrderedAndProject, not global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
