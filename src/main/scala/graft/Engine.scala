@@ -45,9 +45,18 @@ final case class Engine(spark: SparkSession, lakeRoot: String, table: String) {
     graft.streaming.StreamingIngest.start(spark, raw, rawCol, tenantCol,
       lakeRoot, checkpoint, trigger, table = Some(table))
 
-  /** Crawler analog: (re-)register the lake table + partitions. */
-  def refreshCatalog(): Unit =
+  /** Crawler analog: (re-)register the lake table + partitions, plus the
+    * error prefix as `<table>_errors` (the reference's crawler indexes
+    * both, so dead-letter triage is SQL). */
+  def refreshCatalog(): Unit = {
     Lake.registerExternal(spark, table, s"$lakeRoot/data")
+    Lake.registerErrors(spark, table, lakeRoot)
+  }
+
+  /** Dead-letter records, tenant-agnostic by design: the error prefix
+    * holds records that FAILED tenant keying/validation, so triage is an
+    * operator concern, not a tenant query. */
+  def errors: DataFrame = spark.table(s"${table}_errors")
 
   /** Crawler-cadence maintenance for externally-written data (the
     * streaming sink keeps its own catalog current). */

@@ -81,6 +81,19 @@ object Lake {
   def refreshCatalog(spark: SparkSession, table: String, path: String): Unit =
     registerExternal(spark, table, path)
 
+  /** Register the error prefix as `<table>_errors` — the reference's
+    * crawler indexes the whole bucket, so `error/<error-type>/` records
+    * are queryable through Athena too (kinesis-stack.ts:139,
+    * multi-tenant-glue-stack.ts:32-44); dead-letter triage is a SQL
+    * query, not a file spelunk. No-op until errors exist. */
+  def registerErrors(spark: SparkSession, table: String, root: String): Unit = {
+    val path = s"$root/error"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      registerExternal(spark, s"${table}_errors", path)
+  }
+
   private def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"
 
   /** The INCREMENTAL crawler analog, for per-micro-batch catalog

@@ -25,11 +25,15 @@ class EngineSpec extends SparkSpec {
     engine.compact("tenant = 'acme'")
     assert(engine.query.count() == 1)
     assert(engine.query(TenantContext("globex")).count() == 1)
+    // dead-letter records are SQL-queryable (crawler-indexes-errors parity)
+    assert(engine.errors.count() == 1)
+    assert(engine.errors.select("error_type").as[String].head() == "parse-error")
   }
 
   test("engine streaming: streamed rows queryable through the facade immediately") {
     val engine = Engine(spark, tmpDir("engine_s"), "engine_stream_events")
     spark.sql("DROP TABLE IF EXISTS engine_stream_events")
+    val listener = graft.streaming.Monitoring.attach(spark)
     val in = tmpDir("engine_s_in")
     Seq(("""{"Data":{"event":"click","region":"US","device":"TV"}}""", "acme"))
       .toDF("value", "tenant_key").write.mode("append").json(in)
@@ -45,5 +49,16 @@ class EngineSpec extends SparkSpec {
     q.awaitTermination(120000)
     implicit val ctx: TenantContext = TenantContext("acme")
     assert(engine.query.count() == 1) // no refreshCatalog() call needed
+    // the monitoring listener saw the batch (task-metrics parity); the
+    // listener bus is async, so poll briefly
+    val deadline = System.currentTimeMillis() + 20000
+    while (listener.snapshot.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(200)
+    val m = listener.snapshot
+    assert(m.nonEmpty && m.map(_.inputRows).sum >= 1,
+      s"listener must capture batch metrics, got $m")
+    assert(graft.streaming.Monitoring.metricsTable(spark, listener)
+      .columns.contains("inputRowsPerSec"))
+    spark.streams.removeListener(listener)
   }
 }
