@@ -13,7 +13,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - 60 s processing-time trigger ≡ Firehose bufferingHints 60 s
   *    (kinesis-stack.ts:140-142)
   *  - checkpointLocation ≡ Flink checkpointing every 60 s
-  *    (kinesis-stack.ts:200-205); exactly-once file-sink commits
+  *    (kinesis-stack.ts:200-205). Delivery: processed-offset tracking
+  *    makes restarts replay-free, but foreachBatch itself is
+  *    AT-LEAST-ONCE on mid-batch failure (an epoch that crashed between
+  *    data write and checkpoint commit re-appends on replay) — the same
+  *    envelope as the reference's Flink→Firehose→S3 chain. Exactly-once
+  *    readers dedup on a record key (Dedup.exact) or use a
+  *    transactional table format for the sink.
   *  - dynamic partition write tenant/year/month/day/hour ≡ Firehose
   *    dynamic partitioning (kinesis-stack.ts:137-161)
   *  - corrupt/invalid records land under error/<error-type>/ per
