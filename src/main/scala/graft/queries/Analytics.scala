@@ -261,6 +261,20 @@ object Analytics {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated EXISTS in the PROJECTION (not the filter): per-customer
+    * boolean flag. Catalyst decorrelates to an existence join — single
+    * shuffle on the correlation key, no per-row subquery execution. */
+  def existsSelect(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer_ef")
+    t(spark, dir, "orders").createOrReplaceTempView("orders_ef")
+    spark.sql(
+      """SELECT c_custkey,
+        |  EXISTS(SELECT 1 FROM orders_ef o
+        |         WHERE o.o_custkey = c.c_custkey
+        |           AND o.o_totalprice > 100000) AS has_big_order
+        |FROM customer_ef c ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Sketch aggregate: HLL++ approximate distinct per group (mergeable,
     * constant memory — the 100 TB path for distinct counts). The raw HLL
     * estimate is engine-specific, so the ORACLE-CHECKED output is the
@@ -341,6 +355,7 @@ object Analytics {
     "q_range_join" -> (rangeJoin _),
     "q_pivot" -> (pivotEvents _),
     "q_correlated_subquery" -> (correlatedSubquery _),
+    "q_exists_select" -> (existsSelect _),
     "q_approx_distinct" -> (approxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -364,6 +379,12 @@ object Analytics {
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  CAST(1 AS BOOLEAN) AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_exists_select" ->
+      """SELECT c_custkey,
+        |  EXISTS(SELECT 1 FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |           AND o.o_totalprice > 100000) AS has_big_order
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
     "q_outer_join" ->
       """SELECT nationkey,
         |  COALESCE(n_customers, 0) AS n_customers,
