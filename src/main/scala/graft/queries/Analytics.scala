@@ -275,6 +275,21 @@ object Analytics {
         |FROM customer_ef c ORDER BY c_custkey""".stripMargin)
   }
 
+  /** LATERAL correlated subquery: per-nation top-2 customers by balance.
+    * Catalyst rewrites the lateral top-k into a ranked window over one
+    * shuffle — no per-outer-row re-execution. */
+  def lateralTopK(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "nation").createOrReplaceTempView("nation_lt")
+    t(spark, dir, "customer").createOrReplaceTempView("customer_lt")
+    spark.sql(
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+        |FROM nation_lt, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer_lt
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
   /** Sketch aggregate: HLL++ approximate distinct per group (mergeable,
     * constant memory — the 100 TB path for distinct counts). The raw HLL
     * estimate is engine-specific, so the ORACLE-CHECKED output is the
@@ -356,6 +371,7 @@ object Analytics {
     "q_pivot" -> (pivotEvents _),
     "q_correlated_subquery" -> (correlatedSubquery _),
     "q_exists_select" -> (existsSelect _),
+    "q_lateral_topk" -> (lateralTopK _),
     "q_approx_distinct" -> (approxDistinct _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
@@ -379,6 +395,13 @@ object Analytics {
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  CAST(1 AS BOOLEAN) AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_lateral_topk" ->
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
     "q_exists_select" ->
       """SELECT c_custkey,
         |  EXISTS(SELECT 1 FROM orders o
