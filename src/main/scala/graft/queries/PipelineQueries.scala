@@ -271,8 +271,52 @@ object PipelineQueries {
     spark.table(qn).orderBy("user_id", "event_type")
   }
 
+  /** Stream-stream interval join driver-gated: click and purchase event
+    * streams joined on user within one hour AFTER the click, both sides
+    * watermarked (StreamingAggregates.clickToPurchaseJoin). One
+    * AvailableNow batch → the emitted pairs equal the batch interval
+    * join, which is the oracle. */
+  def streamingJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/sjoin_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val ev = events(spark, dir)
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .write.mode("overwrite").json(s"$base/clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"))
+      .write.mode("overwrite").json(s"$base/purchases")
+    def stream(path: String, id: String, user: String, ts: String) =
+      spark.readStream.schema(StructType(Seq(
+        StructField(id, LongType), StructField(user, LongType),
+        StructField(ts, TimestampType)))).json(path)
+    val joined = graft.streaming.StreamingAggregates.clickToPurchaseJoin(
+      stream(s"$base/clicks", "click_id", "click_user", "click_ts"),
+      stream(s"$base/purchases", "purchase_id", "purchase_user", "purchase_ts"))
+      .select(col("click_id"), col("purchase_id"))
+    val qn = s"sjoin_$tag"
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).orderBy("click_id", "purchase_id")
+  }
+
   val oracles: Map[String, String] =
     Entries.toMapUnique("PipelineQueries.oracles", Seq(
+    "pipe_streaming_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "pipe_streaming_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
         |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
@@ -349,6 +393,7 @@ object PipelineQueries {
     "pipe_streaming_roundtrip" -> (streamingRoundtrip _),
     "pipe_streaming_window" -> (streamingWindowAgg _),
     "pipe_streaming_dedup" -> (streamingDedup _),
+    "pipe_streaming_join" -> (streamingJoin _),
     "pipe_compact_roundtrip" -> (compactRoundtrip _),
     "pipe_wire_roundtrip" -> (wireRoundtrip _)))
 }
