@@ -308,8 +308,71 @@ object PipelineQueries {
     spark.table(qn).orderBy("click_id", "purchase_id")
   }
 
+  /** Custom keyed state (flatMapGroupsWithState) driver-gated: the
+    * per-(tenant,user) sessionizer over a replayed event stream. Emission
+    * under AvailableNow is deterministic and two-fold: sessions CLOSED
+    * INLINE (a later event gaps >30 min) emit in the data batch, and a
+    * final timeout batch emits each user's last session iff its event-time
+    * timeout passed the final watermark (last activity < maxTs − 3600 s:
+    * 30 min gap + 30 min watermark delay). The oracle reproduces exactly
+    * that rule over batch sessionization. `sumValue` is excluded: a
+    * double fold over same-timestamp ties is order-sensitive; counts and
+    * epoch bounds are not. */
+  def streamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/ssess_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    events(spark, dir).select(
+      concat(lit("t"), (col("user_id") % 3).cast("string")).as("tenant"),
+      col("user_id").as("userId"), col("ts"), col("value"))
+      .write.mode("overwrite").json(s"$base/in")
+    val raw = spark.readStream.schema(StructType(Seq(
+      StructField("tenant", StringType), StructField("userId", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType))))
+      .json(s"$base/in")
+    import spark.implicits._
+    val sessions = graft.streaming.StreamingAggregates.sessionize(
+      raw.as[graft.streaming.StreamingAggregates.SessionEvent])
+    val qn = s"ssess_$tag"
+    val q = sessions.toDF()
+      .select(col("tenant"), col("userId"), col("startEpoch"),
+        col("endEpoch"), col("nEvents"))
+      .writeStream.format("memory").queryName(qn).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).orderBy("userId", "startEpoch")
+  }
+
   val oracles: Map[String, String] =
     Entries.toMapUnique("PipelineQueries.oracles", Seq(
+    "pipe_streaming_sessions" ->
+      """WITH e AS (
+        |  SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS tenant, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events
+        |), m AS (
+        |  SELECT tenant, user_id, t,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        |), s AS (
+        |  SELECT tenant, user_id, t,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM m
+        |), agg AS (
+        |  SELECT tenant, user_id AS userId, seq,
+        |    min(t) AS startEpoch, max(t) AS endEpoch, count(*) AS nEvents
+        |  FROM s GROUP BY 1, 2, 3
+        |), mx AS (SELECT max(t) AS mt FROM e)
+        |SELECT tenant, userId, startEpoch, endEpoch, nEvents
+        |FROM agg CROSS JOIN mx
+        |QUALIFY seq < max(seq) OVER (PARTITION BY userId)
+        |  OR endEpoch < mt - 3600
+        |ORDER BY userId, startEpoch""".stripMargin,
     "pipe_streaming_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id
         |FROM events c JOIN events p
@@ -394,6 +457,7 @@ object PipelineQueries {
     "pipe_streaming_window" -> (streamingWindowAgg _),
     "pipe_streaming_dedup" -> (streamingDedup _),
     "pipe_streaming_join" -> (streamingJoin _),
+    "pipe_streaming_sessions" -> (streamingSessions _),
     "pipe_compact_roundtrip" -> (compactRoundtrip _),
     "pipe_wire_roundtrip" -> (wireRoundtrip _)))
 }
