@@ -282,7 +282,9 @@ object PipelineQueries {
     val base = s"/root/repo/target/tmp/sjoin_$tag"
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(base), true)
-    val ev = events(spark, dir)
+    // bounded prefix: join-state cost scales with rows buffered per
+    // watermark window; the correctness proof doesn't need the full toy SF
+    val ev = events(spark, dir).filter(col("event_id") <= 20000)
     ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
         col("ts").as("click_ts"))
@@ -379,6 +381,7 @@ object PipelineQueries {
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.user_id = c.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
+        |WHERE c.event_id <= 20000 AND p.event_id <= 20000
         |ORDER BY click_id, purchase_id""".stripMargin,
     "pipe_streaming_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
