@@ -31,7 +31,10 @@ final case class Engine(spark: SparkSession, lakeRoot: String, table: String) {
       Lake.writeValid(enriched, lakeRoot)
       val nErr = errors.count()
       if (nErr > 0) Lake.writeErrors(errors, lakeRoot)
-      refreshCatalog()
+      Lake.registerExternal(spark, table, s"$lakeRoot/data")
+      // error registration only when this batch produced errors — a full
+      // re-crawl of an unchanged error prefix per batch is pure churn
+      if (nErr > 0) Lake.registerErrors(spark, table, lakeRoot)
       (enriched.count(), nErr)
     } finally { cached.unpersist(); () }
   }
@@ -55,11 +58,24 @@ final case class Engine(spark: SparkSession, lakeRoot: String, table: String) {
 
   /** Dead-letter records, tenant-agnostic by design: the error prefix
     * holds records that FAILED tenant keying/validation, so triage is an
-    * operator concern, not a tenant query. */
-  def errors: DataFrame = spark.table(s"${table}_errors")
+    * operator concern, not a tenant query. A lake with no errors yet
+    * yields an EMPTY frame (a zero-dead-letters dashboard must read 0,
+    * not crash on a missing table). */
+  def errors: DataFrame =
+    if (spark.catalog.tableExists(s"${table}_errors")) spark.table(s"${table}_errors")
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("raw",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("error_type",
+          org.apache.spark.sql.types.StringType))))
 
-  /** Crawler-cadence maintenance for externally-written data (the
-    * streaming sink keeps its own catalog current). */
+  /** Crawler-cadence maintenance for externally-written DATA (the
+    * streaming sink keeps its own catalog current, and both engine ingest
+    * paths register `<table>_errors` whenever they write errors; an
+    * external error writer needs its own `Maintenance.scheduleRefresh`
+    * over `$lakeRoot/error`). */
   def scheduleCatalogRefresh(intervalSeconds: Long = 300L): graft.sources.Maintenance.RefreshHandle =
     graft.sources.Maintenance.scheduleRefresh(spark, table, s"$lakeRoot/data", intervalSeconds)
 

@@ -226,7 +226,7 @@ object PipelineQueries {
         StructField("ts", TimestampType))))
       .json(in)
     val enriched = raw.select(col("ts").as("event_time"),
-      concat(lit("t"), (col("user_id") % 3).cast("string")).as("TenantId"),
+      tenantCol.as("TenantId"),
       col("value").cast(DecimalType(10, 2)).as("value"))
     val qn = s"swin_$tag"
     val q = graft.streaming.StreamingAggregates.hourlyTenantCounts(enriched)
@@ -326,9 +326,14 @@ object PipelineQueries {
     val base = s"/root/repo/target/tmp/ssess_$tag"
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(base), true)
+    // whole-second timestamps: a sub-second component on the MAX event ts
+    // shifts the final watermark by that fraction, which flips the
+    // timeout rule's boundary case (endEpoch == maxTs-3600) — truncation
+    // makes `endEpoch < mt - 3600` exact rather than fixture-luck
     events(spark, dir).select(
-      concat(lit("t"), (col("user_id") % 3).cast("string")).as("tenant"),
-      col("user_id").as("userId"), col("ts"), col("value"))
+      tenantCol.as("tenant"),
+      col("user_id").as("userId"),
+      date_trunc("second", col("ts")).as("ts"), col("value"))
       .write.mode("overwrite").json(s"$base/in")
     val raw = spark.readStream.schema(StructType(Seq(
       StructField("tenant", StringType), StructField("userId", LongType),

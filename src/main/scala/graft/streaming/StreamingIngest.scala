@@ -85,7 +85,13 @@ object StreamingIngest {
             graft.sources.Lake.registerPartitions(spark, t, path, parts)
           }
           val allErrors = errors.unionByName(noTenant)
-          if (!allErrors.isEmpty) graft.sources.Lake.writeErrors(allErrors, lakeRoot)
+          if (!allErrors.isEmpty) {
+            graft.sources.Lake.writeErrors(allErrors, lakeRoot)
+            // dead letters are SQL-queryable like the data (the crawler
+            // indexes the whole bucket in the reference); registered only
+            // on batches that actually produced errors
+            table.foreach(t => graft.sources.Lake.registerErrors(spark, t, lakeRoot))
+          }
           ()
         } finally { cached.unpersist(); () }
       }

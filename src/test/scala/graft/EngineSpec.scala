@@ -9,6 +9,9 @@ class EngineSpec extends SparkSpec {
 
   test("engine lifecycle: ingest -> catalog -> tenant query") {
     val engine = Engine(spark, tmpDir("engine"), "engine_events")
+    spark.sql("DROP TABLE IF EXISTS engine_events_errors")
+    // a lake with no dead letters reads as ZERO, not a missing-table crash
+    assert(engine.errors.count() == 0)
     val raw = Seq(
       ("""{"Data":{"event":"click","region":"US","device":"TV"}}""", "acme"),
       ("""{"Data":{"event":"view","region":"EU","device":"web"}}""", "globex"),
@@ -46,7 +49,7 @@ class EngineSpec extends SparkSpec {
       .json(in)
     val q = engine.startStream(raw, "value", "tenant_key", tmpDir("engine_s_ckpt"),
       org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream must finish within the timeout")
     implicit val ctx: TenantContext = TenantContext("acme")
     assert(engine.query.count() == 1) // no refreshCatalog() call needed
     // the monitoring listener saw the batch (task-metrics parity); the

@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stream_reg_tbl")
     val q = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
       Trigger.AvailableNow(), table = Some("stream_reg_tbl"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream must finish within the timeout")
 
     // queryable THROUGH THE TABLE immediately — the sink registered the
     // batch's partitions itself (zero crawler lag)
@@ -42,7 +42,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("value", "tenant_key").write.mode("append").json(in)
     val q2 = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
       Trigger.AvailableNow(), table = Some("stream_reg_tbl"))
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "stream must finish within the timeout")
     assert(spark.table("stream_reg_tbl").count() == 3)
 
     // tenant-scoped query over the streamed table partition-prunes
@@ -64,7 +64,7 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS nulltenant_tbl")
     val q = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
       Trigger.AvailableNow(), table = Some("nulltenant_tbl"))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream must finish within the timeout")
     assert(spark.table("nulltenant_tbl").count() == 1)
     val errs = spark.read.parquet(s"$lake/error")
     assert(errs.filter($"error_type" === "missing-tenant-key").count() == 1)
@@ -79,7 +79,7 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS allerr_tbl")
     val q = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
       Trigger.AvailableNow(), table = Some("allerr_tbl"))
-    q.awaitTermination(120000) // must not crash-loop on empty-path inference
+    assert(q.awaitTermination(120000)) // must not crash-loop on empty-path inference
     assert(!spark.catalog.tableExists("allerr_tbl"), "no data → no table yet")
     assert(spark.read.parquet(s"$lake/error").count() == 2)
     // a later batch WITH data creates the table normally
@@ -87,7 +87,7 @@ class StreamingSpec extends SparkSpec {
       .toDF("value", "tenant_key").write.mode("append").json(in)
     val q2 = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
       Trigger.AvailableNow(), table = Some("allerr_tbl"))
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "stream must finish within the timeout")
     assert(spark.table("allerr_tbl").count() == 1)
   }
 
