@@ -69,7 +69,14 @@ object Lake {
   /** S8 / §3.2: the crawler analog — register an external parquet table
     * (schema inferred from footers) and recover its Hive partitions.
     * Re-runnable (idempotent), like the 5-minute cron crawl; running it
-    * after new files land picks up new partitions and merged schema. */
+    * after new files land picks up new partitions and merged schema.
+    *
+    * The DROP+CREATE is deliberate — it is what re-infers an EVOLVED
+    * schema (new columns in later files), exactly like a Glue re-crawl —
+    * and carries the same maintenance-window semantics: a query racing
+    * the recreate can briefly see a missing table. Steady-state callers
+    * that know their partitions use [[registerPartitions]], which never
+    * drops. */
   def registerExternal(spark: SparkSession, table: String, path: String,
                        format: String = "parquet"): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
