@@ -201,6 +201,20 @@ object PipelineQueries {
       .orderBy("event_id", "year", "month", "day", "hour")
   }
 
+  /** Stateful-stream fixtures run with a reduced shuffle-partition count:
+    * state-store instances scale with reduce partitions (a stream-stream
+    * join opens 4 stores per partition per side), and on a local fs the
+    * store setup/commit dominates a small fixture — 32 partitions cost
+    * ~8 s of pure store overhead for the same result 8 produce in ~2 s.
+    * At 100 TB the SAME knob is sized UP with the data instead. Results
+    * are partition-count independent. */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Watermarked hourly window aggregation THROUGH Structured Streaming
     * (driver-gated analog of the StreamingAggSpec-only coverage): the
     * events table is replayed as a one-file JSON stream, aggregated with
@@ -229,11 +243,13 @@ object PipelineQueries {
       tenantCol.as("TenantId"),
       col("value").cast(DecimalType(10, 2)).as("value"))
     val qn = s"swin_$tag"
-    val q = graft.streaming.StreamingAggregates.hourlyTenantCounts(enriched)
-      .writeStream.format("memory").queryName(qn).outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val q = graft.streaming.StreamingAggregates.hourlyTenantCounts(enriched)
+        .writeStream.format("memory").queryName(qn).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
       .select(date_format(col("hour_start"), "yyyy-MM-dd HH:00").as("hour_start"),
         col("TenantId").as("tenant"), col("n"),
@@ -261,13 +277,15 @@ object PipelineQueries {
         StructField("ts", TimestampType))))
       .json(in)
     val qn = s"sdedup_$tag"
-    val q = graft.streaming.StreamingAggregates
-      .dedupWithinWatermark(raw, "ts", Seq("user_id", "event_type"))
-      .select(col("user_id"), col("event_type"))
-      .writeStream.format("memory").queryName(qn).outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val q = graft.streaming.StreamingAggregates
+        .dedupWithinWatermark(raw, "ts", Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn).orderBy("user_id", "event_type")
   }
 
@@ -302,11 +320,13 @@ object PipelineQueries {
       stream(s"$base/purchases", "purchase_id", "purchase_user", "purchase_ts"))
       .select(col("click_id"), col("purchase_id"))
     val qn = s"sjoin_$tag"
-    val q = joined.writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn).orderBy("click_id", "purchase_id")
   }
 
@@ -343,13 +363,15 @@ object PipelineQueries {
     val sessions = graft.streaming.StreamingAggregates.sessionize(
       raw.as[graft.streaming.StreamingAggregates.SessionEvent])
     val qn = s"ssess_$tag"
-    val q = sessions.toDF()
-      .select(col("tenant"), col("userId"), col("startEpoch"),
-        col("endEpoch"), col("nEvents"))
-      .writeStream.format("memory").queryName(qn).outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val q = sessions.toDF()
+        .select(col("tenant"), col("userId"), col("startEpoch"),
+          col("endEpoch"), col("nEvents"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn).orderBy("userId", "startEpoch")
   }
 
