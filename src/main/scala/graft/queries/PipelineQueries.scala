@@ -268,8 +268,10 @@ object PipelineQueries {
       .delete(new org.apache.hadoop.fs.Path(s"/root/repo/target/tmp/sdedup_$tag"), true)
     // single BATCH (not single file) is what makes the kept key set equal
     // batch DISTINCT: all files land before start and AvailableNow has no
-    // file cap, so dedup state sees everything in one pass
-    events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    // file cap, so dedup state sees everything in one pass; bounded
+    // prefix per the stateful-fixture rule
+    events(spark, dir).filter(col("event_id") <= 20000)
+      .select(col("user_id"), col("event_type"), col("ts"))
       .write.mode("overwrite").json(in)
     val raw = spark.readStream
       .schema(StructType(Seq(
@@ -418,6 +420,7 @@ object PipelineQueries {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pipe_streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
+        |WHERE event_id <= 20000
         |ORDER BY user_id, event_type""".stripMargin,
     "pipe_compact_roundtrip" ->
       """WITH t1 AS (
