@@ -130,6 +130,31 @@ object Extensions {
       (graft.operators.Sampling.contentBucket(col("text")) < 20).as("in_20pct_sample"))
       .orderBy("doc_id")
 
+  /** The FLAGSHIP COMPOSITION: a training-corpus preparation pipeline —
+    * near-dup canonicalization (keep one representative per cluster) →
+    * language filter (en) → deterministic content-hash split → per-split
+    * corpus stats. Every stage is an already-oracle-verified operator;
+    * this query proves they COMPOSE (the reason the engine exists). One
+    * plan: the dedup candidate join + CC rounds feed a broadcast-able
+    * representative set; the text stages are per-row expressions; the
+    * final rollup is one tiny aggregate. */
+  def trainCorpusPrep(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val reps = Dedup.canonicalize(all, "doc_id", "text")
+      .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+      .join(all, "doc_id")
+    val lang = TextAnalysis.languageId(reps, "doc_id", "text")
+    val toks = TextAnalysis.tokenCounts(reps, "doc_id", "text")
+    reps.join(lang, "doc_id").join(toks, "doc_id")
+      .filter(col("detected_lang") === "en")
+      .select(col("doc_id"),
+        graft.operators.Sampling.contentSplit(col("text")).as("split"),
+        col("ws_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
+      .orderBy("split")
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -178,7 +203,8 @@ object Extensions {
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_features" -> (multimodalFeatures _)))
+    "multimodal_features" -> (multimodalFeatures _),
+    "train_corpus_prep" -> (trainCorpusPrep _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -420,6 +446,56 @@ object Extensions {
         |       END AS FLOAT) AS f0,
         |  CAST(8 AS INT) AS feat_dim
         |FROM b ORDER BY media_id""".stripMargin,
+    // flagship composition — assembled verbatim from the verified pieces:
+    // canonical closure (dedup_canonical), language scores (text_langid,
+    // en wins ties), whitespace tokens (text_stats/tokens), split hash
+    // (sample_split)
+    "train_corpus_prep" -> (shingleCte.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
+      s""", pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |      CAST(len(a.sh) + len(b.sh)
+         |           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+         |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         |  WHERE jaccard >= 0.8
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst
+         |), canon AS (
+         |  SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+         |), reps AS (
+         |  SELECT d.doc_id, d.text,
+         |    list_filter(string_split(lower(d.text), ' '), x -> len(x) > 0) AS toks
+         |  FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+         |  WHERE c.doc_id = c.canonical_id
+         |), lang AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("en"))}, t))) AS s_en,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("de"))}, t))) AS s_de,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("fr"))}, t))) AS s_fr,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("es"))}, t))) AS s_es
+         |  FROM reps
+         |), en AS (
+         |  SELECT r.doc_id, r.text, len(r.toks) AS ws_tokens
+         |  FROM reps r JOIN lang l ON r.doc_id = l.doc_id
+         |  WHERE greatest(s_en, s_de, s_fr, s_es) > 0
+         |    AND s_en = greatest(s_en, s_de, s_fr, s_es)
+         |), f AS (
+         |  SELECT doc_id, ws_tokens,
+         |    list_reduce(
+         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+         |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS b
+         |  FROM en)
+         |SELECT
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens
+         |FROM f GROUP BY 1 ORDER BY split""".stripMargin),
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image/fake' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
