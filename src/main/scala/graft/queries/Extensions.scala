@@ -139,17 +139,19 @@ object Extensions {
     * representative set; the text stages are per-row expressions; the
     * final rollup is one tiny aggregate. */
   def trainCorpusPrep(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
     val all = docs(s, d)
     val reps = Dedup.canonicalize(all, "doc_id", "text")
       .filter(col("doc_id") === col("canonical_id")).select("doc_id")
       .join(all, "doc_id")
-    val lang = TextAnalysis.languageId(reps, "doc_id", "text")
-    val toks = TextAnalysis.tokenCounts(reps, "doc_id", "text")
-    reps.join(lang, "doc_id").join(toks, "doc_id")
-      .filter(col("detected_lang") === "en")
-      .select(col("doc_id"),
+    // language id, token count, and split are per-row COLUMN expressions —
+    // one projection, no join-back (the operator-level wrappers exist for
+    // standalone use; composing at column level keeps the plan narrow)
+    reps
+      .filter(TF.langId(col("text")) === "en")
+      .select(
         graft.operators.Sampling.contentSplit(col("text")).as("split"),
-        col("ws_tokens"))
+        size(TF.words(col("text"))).cast("long").as("ws_tokens"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
       .orderBy("split")
