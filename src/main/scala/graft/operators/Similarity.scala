@@ -88,16 +88,48 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
-  /** IVF-flat ANN: partition the corpus into `nCells` Voronoi cells around
-    * deterministic centroids (first nCells vectors by id — a seeded sample;
-    * a k-means refinement would drop in here), then each probe searches
-    * only its `nProbe` nearest cells. The cell assignment is a broadcast
-    * argmin (no shuffle of the corpus); the search join shuffles on
-    * cell id — O(corpus/nCells · nProbe) comparisons per probe. */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 3): DataFrame = {
-    val cents = withNormed(
+  /** Lloyd-refined IVF centroids: start from the deterministic seed
+    * (first `nCells` vectors by id) and run `iters` k-means rounds —
+    * assign each corpus vector to its max-cosine centroid (broadcast
+    * argmin, corpus never shuffles for assignment), recompute each cell's
+    * elementwise mean (posexplode → per-(cell,dim) avg → re-assemble; the
+    * shuffle carries nCells×dim rows after partial aggregation), keep the
+    * old centroid for a cell that lost all members. Balanced cells =
+    * bounded per-probe scan cost at 100 TB; on clustered real embeddings
+    * this also concentrates neighbors into fewer probed cells. */
+  def ivfCentroidsRefined(corpus: DataFrame, idCol: String, vecCol: String,
+                          nCells: Int = 16, iters: Int = 2): DataFrame = {
+    var cents = withNormed(
       corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol, "cent")
+    val c = withNormed(corpus, idCol, vecCol, "c")
+    val assignW = Window.partitionBy(col("c_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    (1 to iters).foreach { _ =>
+      val assigned = c.crossJoin(broadcast(cents))
+        .withColumn("cent_cos",
+          VF.cosineWithNorms(col("c_e"), col("cent_e"), col("c_nrm"), col("cent_nrm")))
+        .withColumn("cent_rank", row_number().over(assignW))
+        .filter(col("cent_rank") === 1)
+        .select(col("cent_id").as("cell"), col("c_e"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("c_e")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("mean_e"))
+      cents = cents.join(means, col("cent_id") === col("cell"), "left")
+        .select(col("cent_id"),
+          coalesce(col("mean_e"), col("cent_e")).as("cent_e"))
+        .withColumn("cent_nrm", VF.norm(col("cent_e")))
+        .localCheckpoint(true) // truncate the per-iteration lineage
+    }
+    cents
+  }
+
+  /** IVF-flat ANN top-k with CALLER-SUPPLIED centroids (see
+    * [[ivfCentroidsRefined]] for the k-means path). */
+  def ivfTopKWith(cents: DataFrame, corpus: DataFrame, probes: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
     val assignW = Window.partitionBy(col("c_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val c = withNormed(corpus, idCol, vecCol, "c")
@@ -127,4 +159,13 @@ object Similarity {
       .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
         col("cosine"), col("rank"))
   }
+
+  /** IVF-flat ANN with the deterministic seed centroids (first nCells by
+    * id) — the oracle-able default; pass [[ivfCentroidsRefined]] output
+    * to [[ivfTopKWith]] for the k-means-refined variant. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 3): DataFrame =
+    ivfTopKWith(
+      withNormed(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol, "cent"),
+      corpus, probes, idCol, vecCol, k, nProbe)
 }

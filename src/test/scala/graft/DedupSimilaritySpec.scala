@@ -9,6 +9,26 @@ class DedupSimilaritySpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, sf0001, "documents")
   private lazy val embs = Tables.load(spark, sf0001, "embeddings")
 
+  test("Lloyd-refined IVF centroids preserve recall and per-probe result size") {
+    val probes = embs.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        .intersect(exact).size.toDouble / exact.size
+    val cents = Similarity.ivfCentroidsRefined(embs, "vec_id", "embedding",
+      nCells = 16, iters = 2)
+    assert(cents.count() == 16, "every cell keeps a centroid (empty cells fall back)")
+    val refined = Similarity.ivfTopKWith(cents, embs, probes, "vec_id", "embedding", 5)
+    assert(refined.groupBy("probe_id").count()
+      .filter($"count" =!= 5L).count() == 0, "k rows per probe")
+    val base = recall(Similarity.ivfTopK(embs, probes, "vec_id", "embedding", 5))
+    val ref = recall(refined)
+    // fixture embeddings are structureless (no clusters), so refinement
+    // can't help — but it must not collapse the cell structure either
+    assert(ref >= base - 0.15, s"refined recall $ref vs seed recall $base")
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val planted = docs.limit(5).union(docs.limit(2)) // 2 exact dups
     val out = Dedup.exact(planted, Seq("text"), "doc_id")
