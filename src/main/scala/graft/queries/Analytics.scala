@@ -118,6 +118,31 @@ object Analytics {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q8-style market share: NATION_9's fraction of PROMO-part
+    * revenue per order year — a RATIO OF AGGREGATES (conditional sum over
+    * total sum) after a 4-way join. part/supplier/nation broadcast; the
+    * single fact-fact shuffle is lineitem⋈orders. Both sums stay exact
+    * DECIMAL and each casts to double once before the one division. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val nat = t(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("supp_nation"))
+    val vol = sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_9",
+          dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(12, 4))))
+          .cast("double") / vol.cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** Semi + anti join in one result: customers with / without orders.
     * Planned as BroadcastHashJoin(LeftSemi/LeftAnti) — orders' key set is
     * the only thing shuffled/broadcast, never its payload. */
@@ -377,6 +402,7 @@ object Analytics {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
     "q_semi_anti_join" -> (semiAntiJoin _),
     "q_window_topk" -> (windowTopKPerCustomer _),
     "q_running_revenue" -> (runningRevenue _),
@@ -489,6 +515,19 @@ object Analytics {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1999-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q8_market_share" ->
+      """SELECT strftime(o_orderdate, '%Y') AS o_year,
+        |  CAST(SUM(CASE WHEN n_name = 'NATION_9'
+        |    THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'PROMO'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
