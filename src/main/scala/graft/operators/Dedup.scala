@@ -59,8 +59,15 @@ object Dedup {
     // difference between a join on long-tail keys and a quadratic blowup.
     // Stop-shingle cut: df > maxShinglePostings keys are dropped before
     // ranking (cannot discriminate; bounds worst-case skew).
+    // Frequency pre-filter: a df=1 shingle exists in exactly one document,
+    // so it can never produce a candidate pair — drop its postings BEFORE
+    // the per-doc window rank and the self-join (on long-tail corpora the
+    // singleton shingles are the bulk of the postings list). Exactness
+    // survives because removals only move surviving shingles EARLIER in
+    // the doc's df-order: prefixLen still uses the full set size |x|, so
+    // every shared shingle that sat in the original prefix still does.
     val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShinglePostings)
+      .filter(col("df") >= 2 && col("df") <= maxShinglePostings)
     val ranked = postings.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
@@ -203,11 +210,21 @@ object Dedup {
   /** SimHash near-dup: pairs with Hamming distance <= maxHamming. Banding:
     * split 64 bits into (maxHamming+1) chunks covering ALL bits — a pair
     * within the radius must agree exactly on >= 1 chunk (pigeonhole), so
-    * the join is bucket-shaped, never O(n²). Radius/chunk-width is the
-    * recall-vs-join-fanout knob: wider chunks (smaller radius) keep
-    * buckets sparse at larger corpus sizes. */
+    * the join is bucket-shaped, never O(n²); within the radius it is
+    * EXACT (asserted against brute-force Hamming in DedupSimilaritySpec).
+    *
+    * Radius/chunk-width is THE scale knob and the default must serve the
+    * 100 TB regime: maxHamming=3 → 4 chunks × 16 bits → up to 2^16
+    * distinct values per chunk, so bucket occupancy stays ~n/65536 and
+    * the collision join is sparse at web-corpus sizes. A wide radius
+    * (e.g. 12 → 13 chunks of 4–5 bits → ≤32 values per chunk) makes each
+    * bucket hold ~n/32 of the corpus — effectively quadratic — and is
+    * only appropriate for SMALL corpora of SHORT documents, where the
+    * per-bit majority margins are tight and near-dups land 8–12 bits
+    * apart. Long documents (real training corpora) put near-dups within
+    * 1–3 bits, which is what the default serves. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int = 2, maxHamming: Int = 12): DataFrame = {
+                          k: Int = 2, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val base = 64 / chunks
     val extra = 64 % chunks

@@ -33,7 +33,7 @@ object Extensions {
       .orderBy("id_a", "id_b")
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", k = 2, maxHamming = 12)
+    Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", k = 2)
       .orderBy("id_a", "id_b")
 
   def dedupCanonical(s: SparkSession, d: String): DataFrame =

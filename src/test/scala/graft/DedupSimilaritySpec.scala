@@ -45,8 +45,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
-  test("simhash finds the planted near-dup pairs") {
-    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 2, 12)
+  test("simhash banding is exact within the radius at the scale default (h=3)") {
+    // The pigeonhole banding guarantee: banded output == brute-force
+    // Hamming-radius pairs, exactly. Asserted at the scale-safe default
+    // radius the driver query ships with.
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text", 2)
+    val a = sigs.select($"doc_id".as("id_a"), $"simhash".as("sa"))
+    val b = sigs.select($"doc_id".as("id_b"), $"simhash".as("sb"))
+    val brute = a.join(b, $"id_a" < $"id_b")
+      .filter(bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain in-radius pairs")
+    assert(banded == brute, s"banding lost ${brute -- banded} / invented ${banded -- brute}")
+  }
+
+  test("wide-radius simhash recovers the planted short-doc near-dups") {
+    // Short fixture docs (10-99 words) leave tight per-bit majority
+    // margins, so jaccard~0.98 pairs land up to ~10 bits apart — the
+    // regime where the wide radius (13 narrow chunks, small-corpus only;
+    // see Dedup.simhashNearDupPairs doc) is the right setting.
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 2, maxHamming = 12)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
