@@ -103,9 +103,10 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val oneHop = labels.join(edges, col("id") === col("src"))
+      val prev = labels.select(col("id"), col("label"))
+      val oneHop = prev.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), col("label"))
-        .unionAll(labels)
+        .unionAll(prev)
         .groupBy("id").agg(min(col("label")).as("label"))
       // shortcut: label ← label(label). Labels are always node ids, so the
       // self-join hits; left+coalesce guards the root (label = own id).
@@ -114,12 +115,16 @@ object Dedup {
       // every round (exponential planning/OOM). On a real cluster swap in
       // checkpoint(dir) for executor-loss resilience.
       val byId = oneHop.select(col("id").as("pid"), col("label").as("plabel"))
+      // the changed flag is stamped INSIDE the checkpointed plan: the
+      // convergence check then reads the materialized blocks directly —
+      // one job per round, not a checkpoint job plus a compare-join job
       val doubled = oneHop.join(byId, col("label") === col("pid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .join(prev.select(col("id"), col("label").as("old")), "id")
+        .select(col("id"), col("label"), (col("label") =!= col("old")).as("chg"))
         .localCheckpoint(true)
-      changed = doubled.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      changed = doubled.filter(col("chg")).count()
       uncache(labels)
       labels = doubled
       iter += 1
@@ -131,7 +136,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing) — raise maxIter")
-    labels
+    labels.select(col("id"), col("label"))
   }
 
   /** Free a per-round label set. `Dataset.unpersist` is a no-op for a
@@ -151,9 +156,26 @@ object Dedup {
     * representative per cluster. */
   def canonicalize(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, k, threshold)
-    connectedComponents(pairs, docs.select(col(idCol)), idCol)
-      .select(col("id").as(idCol), col("label").as("canonical_id"))
+    // pairs feed BOTH the node derivation and the CC edge set — cache one
+    // materialization of the candidate-generation pipeline across them
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, k, threshold).persist()
+    // CC only over the TOUCHED subgraph (nodes with >= 1 near-dup edge):
+    // dup clusters are a small fraction of any real corpus, so the
+    // iterative machinery (per-round join + checkpoint + changed-count
+    // job) runs over the dup docs only — O(rounds x dup-docs), not
+    // O(rounds x corpus). Untouched docs become their own canonical via
+    // the left join below (the small label set broadcasts).
+    val touched = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    val labels = connectedComponents(pairs, touched, "id")
+      .withColumnRenamed("id", idCol)
+    // CC returned a localCheckpointed (materialized, lineage-truncated)
+    // frame, so the pair cache is no longer referenced
+    pairs.unpersist()
+    docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("canonical_id"))
   }
 
   /** Exact-Jaccard verification of candidate pairs (shared by the exact

@@ -92,13 +92,43 @@ object Lake {
     * crawler indexes the whole bucket, so `error/<error-type>/` records
     * are queryable through Athena too (kinesis-stack.ts:139,
     * multi-tenant-glue-stack.ts:32-44); dead-letter triage is a SQL
-    * query, not a file spelunk. No-op until errors exist. */
+    * query, not a file spelunk. No-op until errors exist.
+    *
+    * FULL-CRAWL form (DROP+CREATE + recoverPartitions) — the scheduled
+    * crawler-cadence path for stragglers/evolved error schemas. The
+    * per-micro-batch path is [[registerErrorPartitions]]: a stream that
+    * re-crawled here would make `<table>_errors` transiently unqueryable
+    * on EVERY errored batch and pay O(error-prefix partitions) per batch. */
   def registerErrors(spark: SparkSession, table: String, root: String): Unit = {
     val path = s"$root/error"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(path)))
       registerExternal(spark, s"${table}_errors", path)
+  }
+
+  /** INCREMENTAL dead-letter registration, for the per-micro-batch sink
+    * path: ensure `<table>_errors` exists over `root`/error, then register
+    * exactly the batch's `error_type` partitions (one `ALTER TABLE ADD IF
+    * NOT EXISTS`, O(batch error types)) and invalidate the cached listing
+    * so appends into already-registered error partitions become visible.
+    * Never drops mid-stream — the table stays queryable THROUGH every
+    * errored batch (mirrors [[registerPartitions]] for the data table). */
+  def registerErrorPartitions(spark: SparkSession, table: String, root: String,
+                              errorTypes: Seq[String]): Unit = {
+    val types = errorTypes.filter(_ != null).distinct
+    if (types.isEmpty) return
+    val tbl = s"${table}_errors"
+    val fresh = !spark.catalog.tableExists(tbl)
+    if (fresh) {
+      // schema inferred from the just-written error files (the caller
+      // writes BEFORE registering, so the path is never empty here)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.createTable(tbl, "parquet", Map("path" -> s"$root/error"))
+    }
+    val specs = types.map(t => s"PARTITION (error_type=${sqlLit(t)})")
+    spark.sql(s"ALTER TABLE $tbl ADD IF NOT EXISTS ${specs.mkString(" ")}")
+    if (!fresh) spark.catalog.refreshTable(tbl)
   }
 
   private def sqlLit(v: String): String = "'" + v.replace("'", "''") + "'"

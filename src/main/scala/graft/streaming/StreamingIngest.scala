@@ -88,9 +88,17 @@ object StreamingIngest {
           if (!allErrors.isEmpty) {
             graft.sources.Lake.writeErrors(allErrors, lakeRoot)
             // dead letters are SQL-queryable like the data (the crawler
-            // indexes the whole bucket in the reference); registered only
-            // on batches that actually produced errors
-            table.foreach(t => graft.sources.Lake.registerErrors(spark, t, lakeRoot))
+            // indexes the whole bucket in the reference). INCREMENTAL
+            // registration of the batch's error types only — a full
+            // re-crawl here would DROP+CREATE `<table>_errors` on every
+            // errored batch (transient missing-table window mid-stream)
+            // and pay O(error-prefix partitions) per batch. The distinct
+            // collect is metadata-scale (error types in one batch).
+            table.foreach { t =>
+              val types = allErrors.select(Ingest.ErrorTypeCol).distinct()
+                .collect().map(_.getString(0)).toSeq
+              graft.sources.Lake.registerErrorPartitions(spark, t, lakeRoot, types)
+            }
           }
           ()
         } finally { cached.unpersist(); () }

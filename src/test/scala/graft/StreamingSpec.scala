@@ -91,6 +91,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("allerr_tbl").count() == 1)
   }
 
+  test("errored batches register dead-letter partitions incrementally, never dropping mid-stream") {
+    val in = tmpDir("increrr_in")
+    val lake = tmpDir("increrr_lake")
+    val ckpt = tmpDir("increrr_ckpt")
+    spark.sql("DROP TABLE IF EXISTS increrr_tbl")
+    spark.sql("DROP TABLE IF EXISTS increrr_tbl_errors")
+    // batch 1: data + a parse error
+    Seq(("""{"Data":{"event":"e1","region":"US","device":"TV"}}""", "acme"),
+      ("broken", "acme")).toDF("value", "tenant_key").write.mode("append").json(in)
+    val q = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
+      Trigger.AvailableNow(), table = Some("increrr_tbl"))
+    assert(q.awaitTermination(120000), "stream must finish within the timeout")
+    // dead letters queryable THROUGH THE TABLE immediately after the batch
+    assert(spark.table("increrr_tbl_errors").count() == 1)
+    def createTime = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("increrr_tbl_errors")).createTime
+    val created1 = createTime
+    // batch 2: the SAME error type again (append into a registered
+    // partition) plus a NEW type (missing tenant key → new partition)
+    Seq(("also broken", "acme"),
+      ("""{"Data":{"event":"e2","region":"EU","device":"web"}}""", null))
+      .toDF("value", "tenant_key").write.mode("append").json(in)
+    val q2 = StreamingIngest.fromJsonDir(spark, in, "tenant_key", lake, ckpt,
+      Trigger.AvailableNow(), table = Some("increrr_tbl"))
+    assert(q2.awaitTermination(120000), "stream must finish within the timeout")
+    val errs = spark.table("increrr_tbl_errors")
+    assert(errs.count() == 3)
+    assert(errs.select("error_type").distinct().as[String].collect().toSet ==
+      Set("parse-error", "missing-tenant-key"))
+    // a DROP+CREATE re-crawl would reset the catalog entry — createTime
+    // stability proves the second errored batch registered incrementally
+    // with no missing-table window
+    assert(createTime == created1,
+      "errors table must never be DROP+CREATEd mid-stream")
+  }
+
   test("scheduled refresh picks up externally-written partitions (crawler cadence)") {
     import org.apache.spark.sql.functions.lit
     val root = tmpDir("crawl")
