@@ -172,6 +172,77 @@ object PipelineQueries {
       .orderBy("device")
   }
 
+  /** Exactly-once READER recipe, driver-gated. foreachBatch delivery is
+    * AT-LEAST-ONCE per epoch: an epoch that crashes between its data
+    * write and its checkpoint commit re-appends every row on restart.
+    * This query FORCES that failure mode — it runs the stream to
+    * completion, deletes the epoch's commit marker (the crash point),
+    * and restarts so batch 0 replays and double-appends — then applies
+    * the documented read-side recipe (dedup on the record key) and must
+    * hash-match the no-failure result exactly. The mid-fixture `require`
+    * proves the hazard is real (the lake DID hold duplicates); the
+    * oracle proves the recipe removes it byte-for-byte. */
+  def streamingExactlyOnce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/sxo_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, lake, ckpt) = (s"$base/in", s"$base/lake", s"$base/ckpt")
+    val ingestEpoch = 1704067200L
+    // bounded prefix per the stateful-fixture rule; error rows excluded —
+    // the duplicate-epoch mechanics are the same and S6 is gated elsewhere
+    events(spark, dir)
+      .filter(col("event_id") <= 5000 && col("event_type") =!= "error")
+      .select(
+        to_json(struct(struct(
+          concat(lit("dev"), col("event_id").cast("string")).as("device"),
+          col("event_type").as("event"),
+          lit("US").as("region")).as("Data"))).as("value"),
+        tenantCol.as("tenant_key"))
+      .write.mode("overwrite").json(inDir)
+    def run(): Unit = {
+      // a terminated query releases its in-memory checkpoint lock
+      // asynchronously; the tight same-JVM restart below can race it
+      // (real crash recovery restarts a fresh driver and never does) —
+      // retry the start briefly on that one condition
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val raw = spark.readStream
+          .schema(StructType(Seq(
+            StructField("value", StringType),
+            StructField("tenant_key", StringType))))
+          .json(inDir)
+        val q = graft.streaming.StreamingIngest.start(spark, raw, "value",
+          "tenant_key", lake, ckpt,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          ingestTs = lit(ingestEpoch))
+        try { q.awaitTermination(); done = true }
+        catch {
+          case e: Throwable if attempts < 40 &&
+            Option(e.getMessage).exists(_.contains("concurrently using")) =>
+            attempts += 1; Thread.sleep(250)
+        }
+      }
+    }
+    run()
+    val n1 = spark.read.parquet(s"$lake/data").count()
+    // the crash: epoch 0's data is on disk but its commit marker is not —
+    // a restart re-plans and re-appends the same input files
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false)
+    run()
+    val dup = spark.read.parquet(s"$lake/data")
+    require(dup.count() == 2 * n1,
+      s"replayed epoch must double-append (at-least-once): ${dup.count()} vs $n1")
+    // read-side exactly-once: collapse on the record key
+    dup.dropDuplicates("device")
+      .select(col("device"), col("event"), col("region"),
+        col("timestamp").as("ingest_ts"), col("tenant"),
+        col("year"), col("month"), col("day"), col("hour"))
+      .orderBy("device")
+  }
+
   /** Compaction round-trip, driver-gated: build a t1-only lake with THREE
     * small appends per partition (the small-file state), register, compact
     * the t1 partitions in place, then read back through the table. The
@@ -436,6 +507,14 @@ object PipelineQueries {
       """SELECT event_id, to_base64(encode(props)) AS wire,
         |  json_extract_string(props, '$.k') AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "pipe_streaming_exactly_once" ->
+      """SELECT 'dev' || CAST(event_id AS VARCHAR) AS device,
+        |  event_type AS event, 'US' AS region,
+        |  CAST(1704067200 AS BIGINT) AS ingest_ts,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  '2024' AS year, '01' AS month, '01' AS day, '00' AS hour
+        |FROM events WHERE event_type <> 'error' AND event_id <= 5000
+        |ORDER BY device""".stripMargin,
     "pipe_streaming_roundtrip" ->
       """SELECT 'dev' || CAST(event_id AS VARCHAR) AS device,
         |  event_type AS event, 'US' AS region,
@@ -487,6 +566,7 @@ object PipelineQueries {
     "pipe_tenant_filter" -> (tenantFilterQuery _),
     "pipe_lake_roundtrip" -> (lakeRoundtrip _),
     "pipe_streaming_roundtrip" -> (streamingRoundtrip _),
+    "pipe_streaming_exactly_once" -> (streamingExactlyOnce _),
     "pipe_streaming_window" -> (streamingWindowAgg _),
     "pipe_streaming_dedup" -> (streamingDedup _),
     "pipe_streaming_join" -> (streamingJoin _),

@@ -80,7 +80,19 @@ object Lake {
   def registerExternal(spark: SparkSession, table: String, path: String,
                        format: String = "parquet"): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.catalog.createTable(table, format, Map("path" -> path))
+    // Merge footers AT CRAWL TIME so an EVOLVED schema (columns added in
+    // later files) lands in the catalog — default inference reads one
+    // footer and can re-register the OLD shape. The merged schema is
+    // stored on the table, so steady-state reads stay footer-cheap and
+    // old files simply yield NULL for the newer columns; only the crawl
+    // itself pays the O(files) footer scan (exactly what a Glue re-crawl
+    // pays, and it runs as a distributed job).
+    val key = "spark.sql.parquet.mergeSchema"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "true")
+      spark.catalog.createTable(table, format, Map("path" -> path))
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
     spark.catalog.recoverPartitions(table)
   }
 

@@ -31,14 +31,25 @@ object Maintenance {
     override def close(): Unit = { exec.shutdownNow(); () }
   }
 
-  /** One crawl: register the table if missing, else re-infer partitions
-    * and invalidate the cached file listing. Idempotent, like a crawler
-    * run. */
+  /** One crawl: register the table if missing; if the merged file schema
+    * has DRIFTED from the catalog (columns added by later writers — the
+    * crawler's schema-evolution case) re-register so the new columns
+    * surface (old files read NULL for them); otherwise just re-infer
+    * partitions and invalidate the cached file listing. Idempotent, like
+    * a crawler run. The drift check pays a merged-footer inference per
+    * tick — crawl-cadence cost, same as a Glue crawl; steady-state
+    * writers use `Lake.registerPartitions` and skip this path. */
   def refreshOnce(spark: SparkSession, table: String, path: String): Unit = {
     if (!spark.catalog.tableExists(table)) Lake.registerExternal(spark, table, path)
     else {
-      spark.catalog.recoverPartitions(table)
-      spark.catalog.refreshTable(table)
+      val catalogCols = spark.table(table).schema.fieldNames.toSet
+      val inferredCols = spark.read.option("mergeSchema", "true")
+        .parquet(path).schema.fieldNames.toSet
+      if (inferredCols != catalogCols) Lake.registerExternal(spark, table, path)
+      else {
+        spark.catalog.recoverPartitions(table)
+        spark.catalog.refreshTable(table)
+      }
     }
   }
 
