@@ -68,6 +68,11 @@ object VectorFunctions {
   def lshBucket(v: Column, nBits: Int, seed: Long = 42L): Column =
     graft.plans.VectorExpressions.lshBucket(v, nBits, seed)
 
+  /** Per-plane projection values behind [[lshBucket]] (same planes, same
+    * fold) — the probe-side margins for query-directed multi-probe. */
+  def lshProjections(v: Column, nBits: Int, seed: Long = 42L): Column =
+    graft.plans.VectorExpressions.lshProjections(v, nBits, seed)
+
   /** The declarative (HOF) derivation of [[lshBucket]] — the readable
     * spec of the hash family; interpreted per bit, so only used as the
     * equivalence-test reference, never in a hot path. */

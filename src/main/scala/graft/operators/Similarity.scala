@@ -45,15 +45,25 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k. Multi-probe: each probe also searches
-    * every bucket within `probeHamming` bit flips of its own, recovering
+    * buckets within `probeHamming` bit flips of its own, recovering
     * boundary-split neighbors. (nBits, probeHamming) sets the scanned
     * corpus fraction ≈ Σ_{i≤h} C(nBits,i)/2^nBits — the recall/cost knob;
     * on structureless (near-orthogonal random) embeddings recall is
     * proportional to that fraction, on clustered real embeddings it is
-    * far better. */
+    * far better.
+    *
+    * `nProbes > 0` enables QUERY-DIRECTED probing: flipping bit b costs
+    * the probe's margin to hyperplane b (|projection_b|), a mask costs the
+    * sum over its flipped bits, and only the `nProbes` cheapest masks are
+    * probed — the buckets most likely to hold boundary-split neighbors.
+    * At scale this is the knob that matters: the scanned corpus fraction
+    * drops from Σ C(nBits,i)/2^nBits to nProbes/2^nBits at near-equal
+    * recall, and the margin ranking runs on the PROBE side only (few
+    * rows; the corpus is never touched). `nProbes <= 0` probes every
+    * mask within the radius (the exhaustive-enumeration form). */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int, nBits: Int = 6, probeHamming: Int = 2,
-              nTables: Int = 1, seed: Long = 42L): DataFrame = {
+              nTables: Int = 1, seed: Long = 42L, nProbes: Int = 0): DataFrame = {
     // OR-amplification: nTables independent hash tables; a neighbor is a
     // candidate if it collides (within probeHamming flips) in ANY table.
     // Miss probability decays as miss_one^nTables at ~linear cost.
@@ -67,11 +77,30 @@ object Similarity {
       .filter(s => s.size <= probeHamming)
       .map(s => s.foldLeft(0L)((m, b) => m | (1L << b))).toSeq.sorted
     val pTables = (0 until nTables).map { t =>
-      withNormed(probes, idCol, vecCol, "p")
+      val base = withNormed(probes, idCol, vecCol, "p")
         .withColumn("table", lit(t))
         .withColumn("bucket0", VF.lshBucket(col("p_e"), nBits, seed + t))
-        .withColumn("bucket",
+      if (nProbes <= 0)
+        base.withColumn("bucket",
           explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)))
+      else {
+        // rank masks by summed flip margin; array_sort on (cost, mask)
+        // structs orders by cost with the mask id as the deterministic
+        // tiebreak. Probe-side-only work: an interpreted HOF over a
+        // handful of rows, never the corpus.
+        val rankedMasks = masks.map { m =>
+          val bits = (0 until nBits).filter(b => (m & (1L << b)) != 0L)
+          val cost = bits.map(b => abs(element_at(col("proj"), b + 1)))
+            .reduceOption(_ + _).getOrElse(lit(0.0))
+          struct(cost.as("cost"), lit(m).as("m"))
+        }
+        base
+          .withColumn("proj", VF.lshProjections(col("p_e"), nBits, seed + t))
+          .withColumn("sel", slice(array_sort(array(rankedMasks: _*)), 1, nProbes))
+          .withColumn("bucket",
+            explode(transform(col("sel"), x => col("bucket0").bitwiseXOR(x.getField("m")))))
+          .drop("proj", "sel")
+      }
     }.reduce(_ unionAll _)
     val scored = cTables.join(broadcast(pTables), Seq("table", "bucket"))
       .filter(col("p_id") =!= col("c_id"))

@@ -139,6 +139,71 @@ case class LshBucket(child: Expression, nBits: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** The raw hyperplane projections behind [[LshBucket]] — BIT-IDENTICAL
+  * plane derivation and fold, returning the per-plane projection values
+  * instead of their packed signs. Powers query-directed multi-probe: the
+  * magnitude |proj(b)| is the margin to hyperplane b, i.e. the cost of
+  * probing the bucket with bit b flipped. Runs on the PROBE side only
+  * (few rows); the corpus side never needs the margins. */
+case class LshProjections(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "lsh_projections"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val h0 = XXH64.hashLong(seed, 42L)
+    val planeSeed = new Array[Long](nBits)
+    var p = 0
+    while (p < nBits) { planeSeed(p) = XXH64.hashInt(p, h0); p += 1 }
+    val proj = new Array[Double](nBits)
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      var q = 0
+      while (q < nBits) {
+        proj(q) += x * (XXH64.hashInt(i, planeSeed(q)).toDouble / Long.MaxValue.toDouble)
+        q += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(proj)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+      val ps = ctx.freshName("planeSeed")
+      val proj = ctx.freshName("proj")
+      val h0 = ctx.freshName("h0")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val x = ctx.freshName("x")
+      s"""
+         |long $h0 = $xxh.hashLong(${seed}L, 42L);
+         |long[] $ps = new long[$nBits];
+         |for (int $p = 0; $p < $nBits; $p++) {
+         |  $ps[$p] = $xxh.hashInt($p, $h0);
+         |}
+         |double[] $proj = new double[$nBits];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i);
+         |  for (int $p = 0; $p < $nBits; $p++) {
+         |    $proj[$p] += $x * (((double) $xxh.hashInt($i, $ps[$p])) / (double) Long.MAX_VALUE);
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($proj);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the codegen'd dot product. */
   def dotF64(a: Column, b: Column): Column =
@@ -148,5 +213,10 @@ object VectorExpressions {
   /** Column API for the codegen'd single-pass LSH bucketer. */
   def lshBucket(v: Column, nBits: Int, seed: Long): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(LshBucket(
+      org.apache.spark.sql.graft.ColumnBridge.expression(v), nBits, seed))
+
+  /** Column API for the per-plane projection values (probe-side margins). */
+  def lshProjections(v: Column, nBits: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(LshProjections(
       org.apache.spark.sql.graft.ColumnBridge.expression(v), nBits, seed))
 }

@@ -315,6 +315,43 @@ object Analytics {
         |ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
   }
 
+  /** Distribution window functions: per-nation balance quartile (NTILE),
+    * percent_rank and cume_dist per customer. Ranking windows shuffle
+    * ONCE on the partition key and sort within each partition — the
+    * standard distributed plan; the fully-tie-broken ordering (balance,
+    * custkey) makes every rank deterministic. */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, dir, "customer")
+      .filter(col("c_nationkey") <= 2)
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("nationkey"),
+        col("c_acctbal"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("nationkey", "c_acctbal", "c_custkey")
+  }
+
+  /** TPC-H Q2-style correlated-min-over-join: the suppliers of one region
+    * holding their nation's MINIMUM account balance. Catalyst decorrelates
+    * the scalar-min subquery into an aggregate joined back on the
+    * correlation key — one extra pass over supplier, never a per-outer-row
+    * re-scan; nation/region ride broadcast joins. */
+  def q2MinBalanceSupplier(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "supplier").createOrReplaceTempView("supplier_q2")
+    t(spark, dir, "nation").createOrReplaceTempView("nation_q2")
+    t(spark, dir, "region").createOrReplaceTempView("region_q2")
+    spark.sql(
+      """SELECT n_name, s_suppkey, s_name, s_acctbal
+        |FROM supplier_q2 s JOIN nation_q2 n ON s_nationkey = n_nationkey
+        |JOIN region_q2 r ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier_q2 s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY n_name, s_suppkey""".stripMargin)
+  }
+
   /** Sketch aggregate: HLL++ approximate distinct per group (mergeable,
     * constant memory — the 100 TB path for distinct counts). The raw HLL
     * estimate is engine-specific, so the ORACLE-CHECKED output is the
@@ -405,6 +442,8 @@ object Analytics {
     "q8_market_share" -> (q8MarketShare _),
     "q_semi_anti_join" -> (semiAntiJoin _),
     "q_window_topk" -> (windowTopKPerCustomer _),
+    "q_ntile_quartiles" -> (ntileQuartiles _),
+    "q2_min_balance_supplier" -> (q2MinBalanceSupplier _),
     "q_running_revenue" -> (runningRevenue _),
     "q_rollup" -> (rollupQuantity _),
     "q_cube_events" -> (cubeEvents _),
@@ -553,6 +592,22 @@ object Analytics {
         |SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey, tag""".stripMargin,
+    "q_ntile_quartiles" ->
+      """SELECT c_custkey, CAST(c_nationkey AS INT) AS nationkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer WHERE c_nationkey <= 2
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY nationkey, c_acctbal, c_custkey""".stripMargin,
+    "q2_min_balance_supplier" ->
+      """SELECT n_name, s_suppkey, s_name, s_acctbal
+        |FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+        |JOIN region r ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY n_name, s_suppkey""".stripMargin,
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -73,7 +73,10 @@ object Extensions {
 
   def simTopKLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
-    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    // query-directed multi-probe: 12 margin-ranked buckets of the 22
+    // within the Hamming-2 radius — the scale path (see Similarity.lshTopK)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nProbes = 12)
       .orderBy("probe_id", "rank")
   }
 

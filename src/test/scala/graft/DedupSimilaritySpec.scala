@@ -90,6 +90,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall3 >= 0.7, s"3-table recall too low: $recall3")
   }
 
+  test("query-directed multi-probe concentrates recall into fewer buckets") {
+    val probes = embs.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def ann(nProbes: Int) =
+      Similarity.lshTopK(embs, probes, "vec_id", "embedding", 5, nProbes = nProbes)
+        .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val full = ann(0) // exhaustive: all 22 masks within Hamming 2 of 6 bits
+    // probing every mask through the margin-ranking path is a pure
+    // reordering — identical output proves the directed machinery correct
+    assert(ann(22) == full, "directed probing of all masks must equal exhaustive")
+    // The fixture embeddings are STRUCTURELESS (no clusters), where recall
+    // is proportional to the scanned corpus fraction for ANY probe choice
+    // — the hardest case for directed probing. The property that must
+    // hold even here: margin-ranked buckets beat a proportional scan
+    // (10/22 of the budget must retain MORE than 10/22 of the recall,
+    // because boundary-split neighbors concentrate in low-margin buckets).
+    // On clustered real embeddings the gap widens to near-equal recall.
+    val directed = ann(10)
+    val rFull = (exact & full).size.toDouble / exact.size
+    val rDirected = (exact & directed).size.toDouble / exact.size
+    info(s"recall full(22 probes)=$rFull directed(10 probes)=$rDirected")
+    assert(rDirected > rFull * (10.0 / 22.0),
+      s"directed probing must beat proportional scanning: $rDirected vs $rFull")
+    assert(rDirected >= 0.3, s"directed recall too low: $rDirected")
+  }
+
   test("LSH-blocked embedding near-dup achieves high recall vs exact") {
     val exact = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.35)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
