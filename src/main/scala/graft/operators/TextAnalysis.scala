@@ -57,6 +57,40 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Corpus-level heavy hitters: exact top-k terms by count,
+    * cross-checked against a COUNT-MIN SKETCH built over the same token
+    * stream. The sketch is the 100 TB half of the operator: a fixed-size
+    * (w×d counters) MERGEABLE summary built in one pass with map-side
+    * combines — at corpus scale you keep only the sketch plus a candidate
+    * heap and skip the exact aggregate entirely; here the exact aggregate
+    * doubles as the oracle and the sketch's guarantees become testable
+    * output columns:
+    *  - `cms_never_under`: estimate >= true count (structural CMS
+    *    guarantee — must ALWAYS hold);
+    *  - `cms_within_envelope`: estimate <= true + eps·N (holds with
+    *    probability 1-δ; deterministic for the fixed seed).
+    * The driver touches exactly k result terms and one constant-size
+    * sketch — never the token stream. */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                   topK: Int = 20, eps: Double = 0.001,
+                   confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(TF.words(col(textCol))).as("term"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topK) // TakeOrdered, no full sort
+    val cms = toks.stat.countMinSketch("term", eps, confidence, seed)
+    val bound = (eps * cms.totalCount()).toLong
+    val rows = top.collect().toSeq.map { r =>
+      val term = r.getString(0)
+      val n = r.getLong(1)
+      val est = cms.estimateCount(term)
+      (term, n, est >= n, est <= n + bound)
+    }
+    import spark.implicits._
+    rows.toDF("term", "n", "cms_never_under", "cms_within_envelope")
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** Rolling-hash document fingerprint (64-bit). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),

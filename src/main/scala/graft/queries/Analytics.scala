@@ -315,6 +315,31 @@ object Analytics {
         |ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
   }
 
+  /** Approx-quantile sketch with a testable guarantee: per-flag
+    * percentile_approx median (Greenwald-Khanna style mergeable sketch,
+    * constant memory — the 100 TB path for quantiles) checked against
+    * its RANK-ERROR contract: the number of rows <= the approximate
+    * median must sit within N/accuracy of N/2. The raw approximate value
+    * is engine-specific, so the oracle-checked output is the exact group
+    * size plus the deterministic in-envelope flag (same pattern as
+    * q_approx_distinct). The 3-row sketch result broadcasts back onto
+    * lineitem for the rank count — one pass, no sort. */
+  def approxQuantilesEnvelope(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 100
+    val li = t(spark, dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    val approx = li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))
+        .as("approx_median"), count(lit(1)).as("n"))
+    li.join(broadcast(approx), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(sum(when(col("l_extendedprice") <= col("approx_median"), 1L)
+        .otherwise(0L)).as("rank_le"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("rank_le") - col("n") / lit(2.0)) <= col("n") / lit(acc) + lit(1.0))
+          .as("within_rank_envelope"))
+      .orderBy("l_returnflag")
+  }
+
   /** Distribution window functions: per-nation balance quartile (NTILE),
     * percent_rank and cume_dist per customer. Ranking windows shuffle
     * ONCE on the partition key and sort within each partition — the
@@ -443,6 +468,7 @@ object Analytics {
     "q_semi_anti_join" -> (semiAntiJoin _),
     "q_window_topk" -> (windowTopKPerCustomer _),
     "q_ntile_quartiles" -> (ntileQuartiles _),
+    "q_approx_quantiles" -> (approxQuantilesEnvelope _),
     "q2_min_balance_supplier" -> (q2MinBalanceSupplier _),
     "q_running_revenue" -> (runningRevenue _),
     "q_rollup" -> (rollupQuantity _),
@@ -592,6 +618,9 @@ object Analytics {
         |SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey, tag""".stripMargin,
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n, TRUE AS within_rank_envelope
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ntile_quartiles" ->
       """SELECT c_custkey, CAST(c_nationkey AS INT) AS nationkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,

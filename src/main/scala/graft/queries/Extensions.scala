@@ -121,6 +121,9 @@ object Extensions {
     TextAnalysis.termFrequency(docs(s, d), "doc_id", "text", topK = 5)
       .orderBy("doc_id", "rank")
 
+  def textHeavyHitters(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.heavyHitters(docs(s, d), "doc_id", "text", topK = 20)
+
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
@@ -205,6 +208,7 @@ object Extensions {
     "text_langid" -> (textLangId _),
     "text_tokens" -> (textTokens _),
     "text_term_freq" -> (textTermFreq _),
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -401,6 +405,13 @@ object Extensions {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin,
+    "text_heavy_hitters" -> (tokensCte +
+      """
+        |, t AS (SELECT unnest(toks) AS term FROM w)
+        |SELECT term, count(*) AS n,
+        |  TRUE AS cms_never_under, TRUE AS cms_within_envelope
+        |FROM t GROUP BY term
+        |ORDER BY n DESC, term LIMIT 20""".stripMargin),
     "text_term_freq" -> (tokensCte +
       """
         |, toks2 AS (SELECT doc_id, unnest(toks) AS term FROM w),
