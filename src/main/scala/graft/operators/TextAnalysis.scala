@@ -57,6 +57,28 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Gopher/RefinedWeb-style repetition quality signal: the duplicate
+    * {2,3}-gram fraction per document (1 - distinct/total). Highly
+    * repetitive documents (boilerplate, generated spam, scraped
+    * navigation) score high and get filtered before training. Pure
+    * per-row column arithmetic — no shuffle, no join; integer counts and
+    * ONE double division keep it bit-exact against the oracle. */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def frac(d: org.apache.spark.sql.Column,
+             n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(n > 0, lit(1.0) - d.cast("double") / n.cast("double")).otherwise(lit(0.0))
+    docs.select(col(idCol), TF.words(col(textCol)).as("toks"))
+      .withColumn("sh2", TF.shingles(col("toks"), 2))
+      .withColumn("sh3", TF.shingles(col("toks"), 3))
+      .select(col(idCol),
+        size(col("sh2")).cast("long").as("n2"),
+        size(array_distinct(col("sh2"))).cast("long").as("d2"),
+        size(col("sh3")).cast("long").as("n3"),
+        size(array_distinct(col("sh3"))).cast("long").as("d3"))
+      .withColumn("dup2_frac", frac(col("d2"), col("n2")))
+      .withColumn("dup3_frac", frac(col("d3"), col("n3")))
+  }
+
   /** Corpus-level heavy hitters: exact top-k terms by count,
     * cross-checked against a COUNT-MIN SKETCH built over the same token
     * stream. The sketch is the 100 TB half of the operator: a fixed-size

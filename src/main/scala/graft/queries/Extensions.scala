@@ -121,6 +121,9 @@ object Extensions {
     TextAnalysis.termFrequency(docs(s, d), "doc_id", "text", topK = 5)
       .orderBy("doc_id", "rank")
 
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
   def textHeavyHitters(s: SparkSession, d: String): DataFrame =
     TextAnalysis.heavyHitters(docs(s, d), "doc_id", "text", topK = 20)
 
@@ -209,6 +212,7 @@ object Extensions {
     "text_tokens" -> (textTokens _),
     "text_term_freq" -> (textTermFreq _),
     "text_heavy_hitters" -> (textHeavyHitters _),
+    "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -405,6 +409,26 @@ object Extensions {
         |FROM clicks c ASOF LEFT JOIN purch p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY click_id""".stripMargin,
+    "text_repetition" -> (tokensCte +
+      """
+        |, r AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_transform(range(len(toks)-1),
+        |      i -> toks[i+1] || ' ' || toks[i+2])) AS BIGINT) AS n2,
+        |    CAST(len(list_distinct(list_transform(range(len(toks)-1),
+        |      i -> toks[i+1] || ' ' || toks[i+2]))) AS BIGINT) AS d2,
+        |    CAST(len(list_transform(range(len(toks)-2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS BIGINT) AS n3,
+        |    CAST(len(list_distinct(list_transform(range(len(toks)-2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS BIGINT) AS d3
+        |  FROM w)
+        |SELECT doc_id, n2, d2,
+        |  CASE WHEN n2 > 0 THEN CAST(1 AS DOUBLE) - CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS dup2_frac,
+        |  n3, d3,
+        |  CASE WHEN n3 > 0 THEN CAST(1 AS DOUBLE) - CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS dup3_frac
+        |FROM r ORDER BY doc_id""".stripMargin),
     "text_heavy_hitters" -> (tokensCte +
       """
         |, t AS (SELECT unnest(toks) AS term FROM w)
