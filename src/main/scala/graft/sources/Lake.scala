@@ -35,7 +35,9 @@ object Lake {
   def writeValid(df: DataFrame, root: String,
                  maxRecordsPerFile: Long = 5000000L,
                  format: String = "parquet",
-                 saltFiles: Int = 1): String = {
+                 saltFiles: Int = 1,
+                 sortCols: Seq[String] = Nil,
+                 writerOptions: Map[String, String] = Map.empty): String = {
     val path = s"$root/data"
     // Explicit partition count: an AQE-coalesced (cols-only) repartition
     // can collapse a small micro-batch to ONE task that then writes every
@@ -49,12 +51,25 @@ object Lake {
         // (shared with Skew — same MapType-safe derivation)
         Seq(graft.operators.Skew.saltCol(df, saltFiles))
       else Nil)
-    df.repartition(n, distKeys: _*)
-      .write.mode("append")
+    val distributed = df.repartition(n, distKeys: _*)
+    // Data clustering: sorting within each writer task (partition dirs
+    // first, then sortCols) gives every parquet row group a NARROW
+    // min/max range on the sort columns, so later scans with predicates
+    // on them skip whole row groups via pushed-down stats — the lever
+    // for selective NON-partition predicates at 100 TB (partition
+    // pruning only covers the partition keys). Cost: one in-task sort at
+    // write time, no extra shuffle. Evidence: ClusteringSpec measures
+    // the scan's numOutputRows collapse vs an unclustered write.
+    val clustered =
+      if (sortCols.isEmpty) distributed
+      else distributed.sortWithinPartitions(
+        (Schemas.partitionCols ++ sortCols).map(col): _*)
+    val writer = clustered.write.mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(writerOptions)
       .partitionBy(Schemas.partitionCols: _*)
       .format(format) // "json" = the reference's ND-JSON at-rest format
-      .save(path)
+    writer.save(path)
     path
   }
 
