@@ -315,6 +315,38 @@ object Analytics {
         |ORDER BY n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
   }
 
+  /** TPC-H Q6-style forecast revenue: filter-only aggregate, no grouping.
+    * The shape that proves pushdown matters — all three predicates reach
+    * the parquet scan, the aggregate is a two-phase partial+final over
+    * whatever survives, and the exchange carries ONE row per task. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * pct(col("l_discount")))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q10-style returned-items report: which customers returned the
+    * most revenue in a window. One fact-fact shuffle (lineitem⋈orders);
+    * customer and nation broadcast; deterministic top-20 via
+    * TakeOrderedAndProject (revenue desc, custkey tiebreak). */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Approx-quantile sketch with a testable guarantee: per-flag
     * percentile_approx median (Greenwald-Khanna style mergeable sketch,
     * constant memory — the 100 TB path for quantiles) checked against
@@ -469,6 +501,8 @@ object Analytics {
     "q_window_topk" -> (windowTopKPerCustomer _),
     "q_ntile_quartiles" -> (ntileQuartiles _),
     "q_approx_quantiles" -> (approxQuantilesEnvelope _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "q2_min_balance_supplier" -> (q2MinBalanceSupplier _),
     "q_running_revenue" -> (runningRevenue _),
     "q_rollup" -> (rollupQuantity _),
@@ -621,6 +655,23 @@ object Analytics {
     "q_approx_quantiles" ->
       """SELECT l_returnflag, count(*) AS n, TRUE AS within_rank_envelope
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_ntile_quartiles" ->
       """SELECT c_custkey, CAST(c_nationkey AS INT) AS nationkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,
