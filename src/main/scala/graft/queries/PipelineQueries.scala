@@ -243,6 +243,69 @@ object PipelineQueries {
       .orderBy("device")
   }
 
+  /** TRANSACTIONAL sink gate: the same forced failure as
+    * [[streamingExactlyOnce]] — but through the manifest-committed sink,
+    * so exactly-once needs NO read-side dedup. The crash is planted at
+    * the worst point (between the epoch's data write and its manifest
+    * commit, simulated by deleting both the manifest entry and the
+    * checkpoint commit): the replayed epoch OVERWRITES its own directory
+    * and re-commits, and the committed view is byte-equal to the
+    * no-failure run with zero dedup. */
+  def streamingTransactional(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/stx_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val (inDir, lake, ckpt) = (s"$base/in", s"$base/lake", s"$base/ckpt")
+    val ingestEpoch = 1704067200L
+    events(spark, dir)
+      .filter(col("event_id") <= 5000 && col("event_type") =!= "error")
+      .select(
+        to_json(struct(struct(
+          concat(lit("dev"), col("event_id").cast("string")).as("device"),
+          col("event_type").as("event"),
+          lit("US").as("region")).as("Data"))).as("value"),
+        tenantCol.as("tenant_key"))
+      .write.mode("overwrite").json(inDir)
+    def run(): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val raw = spark.readStream
+          .schema(StructType(Seq(
+            StructField("value", StringType),
+            StructField("tenant_key", StringType))))
+          .json(inDir)
+        val q = graft.streaming.StreamingIngest.startTransactional(spark, raw,
+          "value", "tenant_key", lake, ckpt,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          ingestTs = lit(ingestEpoch))
+        try { q.awaitTermination(); done = true }
+        catch {
+          case e: Throwable if attempts < 40 &&
+            Option(e.getMessage).exists(_.contains("concurrently using")) =>
+            attempts += 1; Thread.sleep(250)
+        }
+      }
+    }
+    run()
+    val n1 = graft.sources.TransactionalLake.readCommitted(spark, lake).count()
+    // the crash: epoch 0 wrote data but neither its manifest entry nor
+    // its checkpoint commit survived — restart replays and REWRITES
+    fs.delete(new org.apache.hadoop.fs.Path(s"$lake/_manifest/0"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false)
+    run()
+    val committed = graft.sources.TransactionalLake.readCommitted(spark, lake)
+    require(committed.count() == n1,
+      s"transactional replay must not duplicate: ${committed.count()} vs $n1")
+    committed // NO dropDuplicates — the sink itself is exactly-once
+      .select(col("device"), col("event"), col("region"),
+        col("timestamp").as("ingest_ts"), col("tenant"),
+        col("year"), col("month"), col("day"), col("hour"))
+      .orderBy("device")
+  }
+
   /** Compaction round-trip, driver-gated: build a t1-only lake with THREE
     * small appends per partition (the small-file state), register, compact
     * the t1 partitions in place, then read back through the table. The
@@ -507,6 +570,14 @@ object PipelineQueries {
       """SELECT event_id, to_base64(encode(props)) AS wire,
         |  json_extract_string(props, '$.k') AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "pipe_streaming_transactional" ->
+      """SELECT 'dev' || CAST(event_id AS VARCHAR) AS device,
+        |  event_type AS event, 'US' AS region,
+        |  CAST(1704067200 AS BIGINT) AS ingest_ts,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  '2024' AS year, '01' AS month, '01' AS day, '00' AS hour
+        |FROM events WHERE event_type <> 'error' AND event_id <= 5000
+        |ORDER BY device""".stripMargin,
     "pipe_streaming_exactly_once" ->
       """SELECT 'dev' || CAST(event_id AS VARCHAR) AS device,
         |  event_type AS event, 'US' AS region,
@@ -567,6 +638,7 @@ object PipelineQueries {
     "pipe_lake_roundtrip" -> (lakeRoundtrip _),
     "pipe_streaming_roundtrip" -> (streamingRoundtrip _),
     "pipe_streaming_exactly_once" -> (streamingExactlyOnce _),
+    "pipe_streaming_transactional" -> (streamingTransactional _),
     "pipe_streaming_window" -> (streamingWindowAgg _),
     "pipe_streaming_dedup" -> (streamingDedup _),
     "pipe_streaming_join" -> (streamingJoin _),

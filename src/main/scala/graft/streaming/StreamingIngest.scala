@@ -105,6 +105,45 @@ object StreamingIngest {
       }
       .start()
 
+  /** EXACTLY-ONCE variant of [[start]]: each epoch's valid rows are
+    * delivered through [[graft.sources.TransactionalLake.commitEpoch]] —
+    * idempotent epoch-directory overwrite + atomic manifest publish — so
+    * a replayed epoch (crash between data write and checkpoint commit,
+    * the at-least-once hazard of the append path) rewrites its own
+    * directory or skips, never duplicates. Readers use
+    * `TransactionalLake.readCommitted`. Dead letters keep the append
+    * path (diagnostics: replay may re-log an error, it cannot corrupt
+    * the data). Catalog registration is the reader's `readCommitted`
+    * view rather than per-partition ALTERs — epoch dirs come and go with
+    * the replay window, the manifest is the source of truth. */
+  def startTransactional(spark: SparkSession, raw: DataFrame, rawCol: String,
+                         tenantCol: String, lakeRoot: String, checkpoint: String,
+                         trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+                         ingestTs: Column = unix_timestamp()): StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val cached = batch.persist()
+        try {
+          val (valid, errors) = Ingest.validateAndSplit(cached, rawCol)
+          val noTenant = valid.filter(col(tenantCol).isNull)
+            .select(col(rawCol).as("raw"),
+              lit("missing-tenant-key").as(Ingest.ErrorTypeCol))
+          val enriched = Ingest.derivePartitions(
+            Ingest.enrich(valid.filter(col(tenantCol).isNotNull),
+              col(tenantCol), ingestTs))
+            .drop(rawCol)
+          graft.sources.TransactionalLake.commitEpoch(enriched, lakeRoot, epochId)
+          val allErrors = errors.unionByName(noTenant)
+          if (!allErrors.isEmpty) {
+            graft.sources.Lake.writeErrors(allErrors, lakeRoot); ()
+          }
+          ()
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+
   /** File-source variant: watch a directory of JSON-lines files — the test
     * and local-smoke entry point (README §1.1 payload shape). */
   def fromJsonDir(spark: SparkSession, inDir: String, tenantCol: String,
