@@ -53,3 +53,75 @@ object JwtFunctions {
   def jwtExpired(token: Column, nowEpochSeconds: Column): Column =
     coalesce(jwtExp(token) <= nowEpochSeconds, lit(true))
 }
+
+/** RS256 signature verification — the request-level half of the
+  * reference's authorizer (lambda_authorizer/app.py:50-59: JWKS lookup by
+  * `kid`, RS256 check, deny on failure). The authorizer verifies ONE
+  * token per request, so this is deliberately a plain JVM API, not a
+  * per-row column expression: the control plane calls it once and then
+  * runs `TenantQueries` under the verified tenant. Only the JWKS FETCH
+  * (network) stays out of scope — verification against supplied keys is
+  * pure JDK crypto. Every path FAILS CLOSED: malformed token, unknown
+  * kid, wrong alg, bad signature, or expired → deny. */
+object JwtVerify {
+  import java.security.interfaces.RSAPublicKey
+
+  private val b64 = java.util.Base64.getUrlDecoder
+
+  /** Build an RSAPublicKey from a JWK's base64url `n`/`e` members — the
+    * shape a JWKS document carries per key id. */
+  def rsaKeyFromJwk(nB64Url: String, eB64Url: String): RSAPublicKey = {
+    val n = new java.math.BigInteger(1, b64.decode(nB64Url))
+    val e = new java.math.BigInteger(1, b64.decode(eB64Url))
+    java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.RSAPublicKeySpec(n, e))
+      .asInstanceOf[RSAPublicKey]
+  }
+
+  private def headerJson(token: String): Option[String] =
+    token.split('.') match {
+      case Array(h, _, _) =>
+        try Some(new String(b64.decode(h), "UTF-8")) catch { case _: Exception => None }
+      case _ => None
+    }
+
+  /** `kid` from the token header (None on any malformation). The tiny
+    * regex avoids a JSON dependency for a two-field header. */
+  def keyId(token: String): Option[String] =
+    headerJson(token).flatMap(j =>
+      "\"kid\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(j).map(_.group(1)))
+
+  private def alg(token: String): Option[String] =
+    headerJson(token).flatMap(j =>
+      "\"alg\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(j).map(_.group(1)))
+
+  /** SHA256withRSA over `header.payload` against the token's signature.
+    * False (never a throw) on any malformation. */
+  def verifyRs256(token: String, key: RSAPublicKey): Boolean =
+    token.split('.') match {
+      case Array(h, p, s) if alg(token).contains("RS256") =>
+        try {
+          val sig = java.security.Signature.getInstance("SHA256withRSA")
+          sig.initVerify(key)
+          sig.update(s"$h.$p".getBytes("UTF-8"))
+          sig.verify(b64.decode(s))
+        } catch { case _: Exception => false }
+      case _ => false
+    }
+
+  /** Full authorizer parity minus the network fetch: kid → key lookup,
+    * RS256 signature check, expiry check. */
+  def authorize(token: String, keys: Map[String, RSAPublicKey],
+                nowEpochSeconds: Long): Boolean = {
+    val expOk = token.split('.') match {
+      case Array(_, p, _) =>
+        try {
+          val payload = new String(b64.decode(p), "UTF-8")
+          "\"exp\"\\s*:\\s*\"?(\\d+)\"?".r.findFirstMatchIn(payload)
+            .exists(_.group(1).toLong > nowEpochSeconds)
+        } catch { case _: Exception => false }
+      case _ => false
+    }
+    expOk && keyId(token).flatMap(keys.get).exists(verifyRs256(token, _))
+  }
+}

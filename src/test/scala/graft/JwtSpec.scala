@@ -39,4 +39,53 @@ class JwtSpec extends SparkSpec {
       .as[(String, Boolean)].collect().toMap
     cases.foreach { case (t, want) => assert(got(t) == want, s"token $t") }
   }
+
+  test("RS256 signature verification: good, tampered, wrong-key, expired, unknown-kid all fail closed") {
+    import graft.functions.JwtVerify
+    val b64e = java.util.Base64.getUrlEncoder.withoutPadding()
+    def enc(s: String) = b64e.encodeToString(s.getBytes("UTF-8"))
+    val gen = java.security.KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    val pair = gen.generateKeyPair()
+    val otherPair = gen.generateKeyPair()
+    val pub = pair.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    def sign(h: String, p: String, k: java.security.PrivateKey): String = {
+      val body = s"${enc(h)}.${enc(p)}"
+      val sig = java.security.Signature.getInstance("SHA256withRSA")
+      sig.initSign(k)
+      sig.update(body.getBytes("UTF-8"))
+      s"$body.${b64e.encodeToString(sig.sign())}"
+    }
+    val now = 1700000000L
+    val header = """{"alg":"RS256","kid":"k1"}"""
+    val payload = s"""{"sub":"u","custom:tenantId":"acme","exp":"${now + 600}"}"""
+    val good = sign(header, payload, pair.getPrivate)
+    val keys = Map("k1" -> pub)
+
+    // the JWK (n,e) round-trip reconstructs the same key material
+    val jwkKey = JwtVerify.rsaKeyFromJwk(
+      b64e.encodeToString(pub.getModulus.toByteArray),
+      b64e.encodeToString(pub.getPublicExponent.toByteArray))
+    assert(jwkKey.getModulus == pub.getModulus)
+
+    assert(JwtVerify.keyId(good).contains("k1"))
+    assert(JwtVerify.verifyRs256(good, pub))
+    assert(JwtVerify.verifyRs256(good, jwkKey), "JWK-built key must verify too")
+    assert(JwtVerify.authorize(good, keys, now))
+
+    // tampered payload (tenant swap) → signature fails
+    val Array(h, _, s) = good.split('.')
+    val tampered = s"$h.${enc(payload.replace("acme", "evil"))}.$s"
+    assert(!JwtVerify.verifyRs256(tampered, pub))
+    assert(!JwtVerify.authorize(tampered, keys, now))
+    // wrong key / unknown kid / expired / alg=none / malformed → deny
+    assert(!JwtVerify.verifyRs256(good,
+      otherPair.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]))
+    assert(!JwtVerify.authorize(good, Map("other" -> pub), now))
+    assert(!JwtVerify.authorize(
+      sign(header, s"""{"sub":"u","exp":"${now - 1}"}""", pair.getPrivate), keys, now))
+    val noneAlg = s"${enc("""{"alg":"none","kid":"k1"}""")}.${enc(payload)}."
+    assert(!JwtVerify.verifyRs256(noneAlg, pub))
+    assert(!JwtVerify.authorize("not-a-jwt", keys, now))
+  }
 }
