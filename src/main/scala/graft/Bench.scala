@@ -31,9 +31,7 @@ object Bench {
     // touch every input table once: file listing + footer reads are
     // first-query costs that would otherwise land on whichever query is
     // alphabetically first, not on the table's actual users
-    Seq("lineitem", "orders", "customer", "supplier", "nation", "region",
-      "part", "events", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, sfDir, t).limit(1).collect())
+    Tables.all.foreach(t => Tables.load(spark, sfDir, t).limit(1).collect())
     // Measurement isolation: DEFINED (sorted) run order, and a quiesce
     // barrier before every entry so one query's leftover machinery can't
     // bleed into the next one's window — the stateful-streaming fixtures

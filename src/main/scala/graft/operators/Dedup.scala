@@ -99,7 +99,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    // Label universe = nodes ∪ edge endpoints: an endpoint missing from
+    // `nodes` must still relay labels (and appear in the output) — the
+    // per-round convergence join keys on this universe, so an id outside
+    // it would silently drop and could SPLIT a component.
+    var labels = nodes.select(col(idCol).as("id"))
+      .unionAll(edges.select(col("src").as("id")))
+      .distinct()
+      .select(col("id"), col("id").as("label")).persist()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {

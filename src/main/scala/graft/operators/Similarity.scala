@@ -79,23 +79,30 @@ object Similarity {
     val pTables = (0 until nTables).map { t =>
       val base = withNormed(probes, idCol, vecCol, "p")
         .withColumn("table", lit(t))
-        .withColumn("bucket0", VF.lshBucket(col("p_e"), nBits, seed + t))
       if (nProbes <= 0)
-        base.withColumn("bucket",
-          explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)))
+        base
+          .withColumn("bucket0", VF.lshBucket(col("p_e"), nBits, seed + t))
+          .withColumn("bucket",
+            explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)))
       else {
         // rank masks by summed flip margin; array_sort on (cost, mask)
         // structs orders by cost with the mask id as the deterministic
         // tiebreak. Probe-side-only work: an interpreted HOF over a
-        // handful of rows, never the corpus.
+        // handful of rows, never the corpus. bucket0 is the SIGN-PACK of
+        // the same projections (invariant pinned in VectorSpec), so the
+        // vector is hashed once, not once per expression.
         val rankedMasks = masks.map { m =>
           val bits = (0 until nBits).filter(b => (m & (1L << b)) != 0L)
           val cost = bits.map(b => abs(element_at(col("proj"), b + 1)))
             .reduceOption(_ + _).getOrElse(lit(0.0))
           struct(cost.as("cost"), lit(m).as("m"))
         }
+        val signPack = (0 until nBits).map(b =>
+          when(element_at(col("proj"), b + 1) >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
         base
           .withColumn("proj", VF.lshProjections(col("p_e"), nBits, seed + t))
+          .withColumn("bucket0", signPack)
           .withColumn("sel", slice(array_sort(array(rankedMasks: _*)), 1, nProbes))
           .withColumn("bucket",
             explode(transform(col("sel"), x => col("bucket0").bitwiseXOR(x.getField("m")))))

@@ -93,7 +93,7 @@ object TextAnalysis {
     *    probability 1-δ; deterministic for the fixed seed).
     * The driver touches exactly k result terms and one constant-size
     * sketch — never the token stream. */
-  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+  def heavyHitters(docs: DataFrame, textCol: String,
                    topK: Int = 20, eps: Double = 0.001,
                    confidence: Double = 0.99, seed: Int = 42): DataFrame = {
     val spark = docs.sparkSession

@@ -125,7 +125,7 @@ object Extensions {
     TextAnalysis.repetition(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
   def textHeavyHitters(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.heavyHitters(docs(s, d), "doc_id", "text", topK = 20)
+    TextAnalysis.heavyHitters(docs(s, d), "text", topK = 20)
 
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, d), "doc_id", "text").orderBy("doc_id")

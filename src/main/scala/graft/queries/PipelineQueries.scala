@@ -182,16 +182,16 @@ object PipelineQueries {
     * hash-match the no-failure result exactly. The mid-fixture `require`
     * proves the hazard is real (the lake DID hold duplicates); the
     * oracle proves the recipe removes it byte-for-byte. */
-  def streamingExactlyOnce(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared crash-replay fixture for the delivery-semantics gates: the
+    * bounded events prefix (error rows excluded — the duplicate-epoch
+    * mechanics are identical and S6 is gated elsewhere) as envelope JSON
+    * under `base`/in; returns the stream-reader factory. */
+  private def replayFixture(spark: SparkSession, dir: String,
+                            base: String): () => DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/root/repo/target/tmp/sxo_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val (inDir, lake, ckpt) = (s"$base/in", s"$base/lake", s"$base/ckpt")
-    val ingestEpoch = 1704067200L
-    // bounded prefix per the stateful-fixture rule; error rows excluded —
-    // the duplicate-epoch mechanics are the same and S6 is gated elsewhere
+    val inDir = s"$base/in"
     events(spark, dir)
       .filter(col("event_id") <= 5000 && col("event_type") =!= "error")
       .select(
@@ -201,31 +201,26 @@ object PipelineQueries {
           lit("US").as("region")).as("Data"))).as("value"),
         tenantCol.as("tenant_key"))
       .write.mode("overwrite").json(inDir)
-    def run(): Unit = {
-      // a terminated query releases its in-memory checkpoint lock
-      // asynchronously; the tight same-JVM restart below can race it
-      // (real crash recovery restarts a fresh driver and never does) —
-      // retry the start briefly on that one condition
-      var attempts = 0
-      var done = false
-      while (!done) {
-        val raw = spark.readStream
-          .schema(StructType(Seq(
-            StructField("value", StringType),
-            StructField("tenant_key", StringType))))
-          .json(inDir)
-        val q = graft.streaming.StreamingIngest.start(spark, raw, "value",
-          "tenant_key", lake, ckpt,
-          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-          ingestTs = lit(ingestEpoch))
-        try { q.awaitTermination(); done = true }
-        catch {
-          case e: Throwable if attempts < 40 &&
-            Option(e.getMessage).exists(_.contains("concurrently using")) =>
-            attempts += 1; Thread.sleep(250)
-        }
-      }
-    }
+    () => spark.readStream
+      .schema(StructType(Seq(
+        StructField("value", StringType),
+        StructField("tenant_key", StringType))))
+      .json(inDir)
+  }
+
+  private val replayIngestEpoch = 1704067200L
+
+  def streamingExactlyOnce(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/sxo_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val mkRaw = replayFixture(spark, dir, base)
+    val (lake, ckpt) = (s"$base/lake", s"$base/ckpt")
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingIngest.start(spark, mkRaw(), "value",
+        "tenant_key", lake, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        ingestTs = lit(replayIngestEpoch)))
     run()
     val n1 = spark.read.parquet(s"$lake/data").count()
     // the crash: epoch 0's data is on disk but its commit marker is not —
@@ -252,43 +247,16 @@ object PipelineQueries {
     * and re-commits, and the committed view is byte-equal to the
     * no-failure run with zero dedup. */
   def streamingTransactional(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = s"/root/repo/target/tmp/stx_$tag"
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(base), true)
-    val (inDir, lake, ckpt) = (s"$base/in", s"$base/lake", s"$base/ckpt")
-    val ingestEpoch = 1704067200L
-    events(spark, dir)
-      .filter(col("event_id") <= 5000 && col("event_type") =!= "error")
-      .select(
-        to_json(struct(struct(
-          concat(lit("dev"), col("event_id").cast("string")).as("device"),
-          col("event_type").as("event"),
-          lit("US").as("region")).as("Data"))).as("value"),
-        tenantCol.as("tenant_key"))
-      .write.mode("overwrite").json(inDir)
-    def run(): Unit = {
-      var attempts = 0
-      var done = false
-      while (!done) {
-        val raw = spark.readStream
-          .schema(StructType(Seq(
-            StructField("value", StringType),
-            StructField("tenant_key", StringType))))
-          .json(inDir)
-        val q = graft.streaming.StreamingIngest.startTransactional(spark, raw,
-          "value", "tenant_key", lake, ckpt,
-          org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-          ingestTs = lit(ingestEpoch))
-        try { q.awaitTermination(); done = true }
-        catch {
-          case e: Throwable if attempts < 40 &&
-            Option(e.getMessage).exists(_.contains("concurrently using")) =>
-            attempts += 1; Thread.sleep(250)
-        }
-      }
-    }
+    val mkRaw = replayFixture(spark, dir, base)
+    val (lake, ckpt) = (s"$base/lake", s"$base/ckpt")
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingIngest.startTransactional(spark, mkRaw(),
+        "value", "tenant_key", lake, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        ingestTs = lit(replayIngestEpoch)))
     run()
     val n1 = graft.sources.TransactionalLake.readCommitted(spark, lake).count()
     // the crash: epoch 0 wrote data but neither its manifest entry nor

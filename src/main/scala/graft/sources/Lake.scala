@@ -149,9 +149,14 @@ object Lake {
     val fresh = !spark.catalog.tableExists(tbl)
     if (fresh) {
       // schema inferred from the just-written error files (the caller
-      // writes BEFORE registering, so the path is never empty here)
+      // writes BEFORE registering, so the path is never empty here).
+      // One recoverPartitions crawl at CREATION only: a restarted app
+      // registering over an existing error prefix must surface the
+      // historical error types too, not just this batch's (the
+      // per-batch path below stays incremental).
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.catalog.createTable(tbl, "parquet", Map("path" -> s"$root/error"))
+      spark.catalog.recoverPartitions(tbl)
     }
     val specs = types.map(t => s"PARTITION (error_type=${sqlLit(t)})")
     spark.sql(s"ALTER TABLE $tbl ADD IF NOT EXISTS ${specs.mkString(" ")}")
@@ -185,7 +190,10 @@ object Lake {
     if (fresh) {
       // create WITHOUT a recoverPartitions crawl: the caller knows the
       // batch's partitions, and a full recover is O(table partitions) —
-      // measured ~2x the metastore cost on a 2k-partition lake
+      // measured ~2x the metastore cost on a 2k-partition lake. A
+      // RESTARTED app over a pre-existing lake runs Maintenance
+      // .refreshOnce ONCE at startup to surface historical partitions;
+      // the sink's hot path must never pay the full crawl.
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.catalog.createTable(table, format, Map("path" -> path))
     }

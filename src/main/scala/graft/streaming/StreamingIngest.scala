@@ -144,6 +144,28 @@ object StreamingIngest {
       }
       .start()
 
+  /** Start a query via `mk` and await termination, retrying (bounded) on
+    * the one same-JVM restart race: a terminated query releases its
+    * in-memory checkpoint lock asynchronously, so an immediate restart on
+    * the same checkpoint can see "concurrently using". Real crash
+    * recovery restarts a fresh driver and never hits this; the retry
+    * exists for crash-SIMULATING harnesses (the delivery-semantics gates
+    * and specs) that restart within one JVM. */
+  def awaitWithRestartRetry(mk: () => StreamingQuery,
+                            maxAttempts: Int = 40): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val q = mk()
+      try { q.awaitTermination(); done = true }
+      catch {
+        case e: Throwable if attempts < maxAttempts &&
+          Option(e.getMessage).exists(_.contains("concurrently using")) =>
+          attempts += 1; Thread.sleep(250)
+      }
+    }
+  }
+
   /** File-source variant: watch a directory of JSON-lines files — the test
     * and local-smoke entry point (README §1.1 payload shape). */
   def fromJsonDir(spark: SparkSession, inDir: String, tenantCol: String,

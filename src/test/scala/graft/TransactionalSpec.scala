@@ -19,10 +19,8 @@ class TransactionalSpec extends SparkSpec {
       ("""{"Data":{"event":"e3","region":"US","device":"app"}}""", "acme"))
       .toDF("value", "tenant_key").write.mode("overwrite").json(in)
 
-  private def run(in: String, lake: String, ckpt: String): Unit = {
-    var attempts = 0
-    var done = false
-    while (!done) {
+  private def run(in: String, lake: String, ckpt: String): Unit =
+    StreamingIngest.awaitWithRestartRetry { () =>
       val raw = spark.readStream
         .schema(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("value",
@@ -30,16 +28,9 @@ class TransactionalSpec extends SparkSpec {
           org.apache.spark.sql.types.StructField("tenant_key",
             org.apache.spark.sql.types.StringType))))
         .json(in)
-      val q = StreamingIngest.startTransactional(spark, raw, "value",
+      StreamingIngest.startTransactional(spark, raw, "value",
         "tenant_key", lake, ckpt, Trigger.AvailableNow(), ingestTs = lit(1704067200L))
-      try { q.awaitTermination(120000); done = true }
-      catch {
-        case e: Throwable if attempts < 40 &&
-          Option(e.getMessage).exists(_.contains("concurrently using")) =>
-          attempts += 1; Thread.sleep(250)
-      }
     }
-  }
 
   private def snapshot(lake: String): Seq[Row] =
     TransactionalLake.readCommitted(spark, lake)
