@@ -37,7 +37,19 @@ object GraftExtensions {
         args(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("graft_simhash"),
       info("graft_simhash", "graft_simhash(shingles) - 64-bit SimHash"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("graft_lsh_bucket"),
+      info("graft_lsh_bucket",
+        "graft_lsh_bucket(vec, nBits, seed) - random-hyperplane LSH bucket"),
+      (args: Seq[Expression]) => LshBucket(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].longValue())),
+    (FunctionIdentifier("graft_lsh_projections"),
+      info("graft_lsh_projections",
+        "graft_lsh_projections(vec, nBits, seed) - per-plane LSH projection values"),
+      (args: Seq[Expression]) => LshProjections(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].longValue())))
 
   /** Register on an already-running session (tests, shells). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -23,6 +23,14 @@ class ExtensionsSpec extends SparkSpec {
         |       graft_simhash(graft_word_shingles('x y z w', 2)) AS eq""".stripMargin)
       .as[Boolean].head()
     assert(simEq)
+    // LSH pair: the bucket is the sign-pack of the projections (the
+    // directed-probe invariant, here through the SQL surface)
+    val (bucket, nProj) = spark.sql(
+      """SELECT graft_lsh_bucket(array(1.0d, -2.0d, 0.5d), 6, 42),
+        |       size(graft_lsh_projections(array(1.0d, -2.0d, 0.5d), 6, 42))""".stripMargin)
+      .as[(Long, Int)].head()
+    assert(nProj == 6)
+    assert(bucket >= 0L && bucket < 64L)
   }
 
   test("query/oracle registries fail fast on duplicate keys") {
