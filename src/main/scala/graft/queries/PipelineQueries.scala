@@ -303,6 +303,37 @@ object PipelineQueries {
       .orderBy("event_id", "year", "month", "day", "hour")
   }
 
+  /** Stream-static enrichment, driver-gated (the lookup-table pattern,
+    * previously spec-only): the replayed events stream joins per
+    * micro-batch against the STATIC customer dimension — broadcast, and
+    * re-planned each batch so dimension updates between batches are
+    * picked up. Stateless (no watermark/state store); one AvailableNow
+    * batch equals the batch join, which is the oracle. */
+  def streamingStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val in = s"/root/repo/target/tmp/ssenrich_$tag/in"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"/root/repo/target/tmp/ssenrich_$tag"), true)
+    events(spark, dir).filter(col("event_id") <= 20000)
+      .select(col("event_id"), col("user_id"))
+      .write.mode("overwrite").json(in)
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType))))
+      .json(in)
+    val dim = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val joined = raw.join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        col("c_nationkey").cast("int").as("nationkey"))
+    val qn = s"ssenrich_$tag"
+    val q = joined.writeStream.format("memory").queryName(qn).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qn).orderBy("event_id")
+  }
+
   /** Stateful-stream fixtures run with a reduced shuffle-partition count:
     * state-store instances scale with reduce partitions (a stream-stream
     * join opens 4 stores per partition per side), and on a local fs the
@@ -520,6 +551,11 @@ object PipelineQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipe_streaming_static_enrich" ->
+      """SELECT e.event_id, e.user_id, CAST(c.c_nationkey AS INT) AS nationkey
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_id <= 20000
+        |ORDER BY event_id""".stripMargin,
     "pipe_streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
         |WHERE event_id <= 20000
@@ -609,6 +645,7 @@ object PipelineQueries {
     "pipe_streaming_transactional" -> (streamingTransactional _),
     "pipe_streaming_window" -> (streamingWindowAgg _),
     "pipe_streaming_dedup" -> (streamingDedup _),
+    "pipe_streaming_static_enrich" -> (streamingStaticEnrich _),
     "pipe_streaming_join" -> (streamingJoin _),
     "pipe_streaming_sessions" -> (streamingSessions _),
     "pipe_compact_roundtrip" -> (compactRoundtrip _),

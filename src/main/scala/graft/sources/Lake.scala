@@ -215,7 +215,8 @@ object Lake {
     * recently-written partition predicate (e.g. the last hour), with
     * metastore + IO cost proportional to the partitions touched. */
   def compact(spark: SparkSession, table: String, predicate: String = "true",
-              targetRecordsPerFile: Long = 5000000L): Unit = {
+              targetRecordsPerFile: Long = 5000000L,
+              sortCols: Seq[String] = Nil): Unit = {
     // The predicate must be PARTITION-ALIGNED: dynamic overwrite replaces
     // whole partitions with the staged rows, so a row-level predicate
     // (e.g. `tenant='t0' AND qty>5`) would silently DELETE the
@@ -256,8 +257,17 @@ object Lake {
       val cols = spark.table(table).schema.fieldNames
       val n = spark.sessionState.conf.numShufflePartitions
       spark.conf.set(key, "dynamic")
-      spark.read.parquet(stage)
+      val rebinned = spark.read.parquet(stage)
         .repartition(n, Schemas.partitionCols.map(col): _*)
+      // compaction is the natural clustering point: the rewrite is paid
+      // anyway, so sorting the re-binned files here buys row-group
+      // min/max skipping on the sort keys for every later scan
+      // (see writeValid's sortCols / ClusteringSpec)
+      val clustered =
+        if (sortCols.isEmpty) rebinned
+        else rebinned.sortWithinPartitions(
+          (Schemas.partitionCols ++ sortCols).map(col): _*)
+      clustered
         .select(cols.map(col).toSeq: _*)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", targetRecordsPerFile)

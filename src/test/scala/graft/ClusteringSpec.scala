@@ -54,4 +54,29 @@ class ClusteringSpec extends SparkSpec {
     // identical content either way
     assert(spark.read.parquet(s"$clustered/data").count() == 20000)
   }
+
+  test("compact(sortCols) clusters the rewritten partitions") {
+    val root = tmpDir("compact_cluster")
+    spark.sql("DROP TABLE IF EXISTS compact_cluster_tbl")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 32 * 1024)
+    try {
+      // three small unsorted appends — the classic fragmented state
+      (1 to 3).foreach(_ => Lake.writeValid(rows, root))
+      Lake.registerExternal(spark, "compact_cluster_tbl", s"$root/data")
+      val before = scannedRows(s"$root/data")
+      Lake.compact(spark, "compact_cluster_tbl", "tenant = 't0'",
+        sortCols = Seq("event_id"))
+      val after = scannedRows(s"$root/data")
+      info(s"scanned rows: before=$before after-compact=$after of 60000")
+      assert(spark.table("compact_cluster_tbl").count() == 60000,
+        "compaction must preserve every row")
+      assert(after < before / 4,
+        s"clustered compaction must skip most row groups: $after vs $before")
+    } finally {
+      if (prevBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prevBlock)
+    }
+  }
 }
