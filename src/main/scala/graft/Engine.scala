@@ -89,7 +89,10 @@ final case class Engine(spark: SparkSession, lakeRoot: String, table: String) {
     TenantQueries.sqlInTenantScope(spark, table, userSql)
 
   /** Periodic small-file compaction, in place through the table; scope it
-    * with a partition predicate (e.g. the last hour's partitions). */
-  def compact(partitionPredicate: String = "true"): Unit =
-    Lake.compact(spark, table, partitionPredicate)
+    * with a partition predicate (e.g. the last hour's partitions).
+    * `sortCols` clusters the rewritten files for row-group skipping on
+    * those columns (see Lake.compact / ClusteringSpec). */
+  def compact(partitionPredicate: String = "true",
+              sortCols: Seq[String] = Nil): Unit =
+    Lake.compact(spark, table, partitionPredicate, sortCols = sortCols)
 }

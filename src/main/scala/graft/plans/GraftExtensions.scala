@@ -42,14 +42,31 @@ object GraftExtensions {
       info("graft_lsh_bucket",
         "graft_lsh_bucket(vec, nBits, seed) - random-hyperplane LSH bucket"),
       (args: Seq[Expression]) => LshBucket(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].longValue())),
+        lshBits(args(1), "graft_lsh_bucket"), lshSeed(args(2), "graft_lsh_bucket"))),
     (FunctionIdentifier("graft_lsh_projections"),
       info("graft_lsh_projections",
         "graft_lsh_projections(vec, nBits, seed) - per-plane LSH projection values"),
       (args: Seq[Expression]) => LshProjections(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].longValue())))
+        lshBits(args(1), "graft_lsh_projections"),
+        lshSeed(args(2), "graft_lsh_projections"))))
+
+  /** Analysis-time validation of the SQL surface's literal arguments —
+    * nBits outside [1, 64] would otherwise alias buckets silently
+    * (`1L << b` wraps mod 64) or crash per-row mid-job, and a NULL would
+    * NPE with no hint which argument is bad. */
+  private def lshBits(e: Expression, fn: String): Int = {
+    val v = e.eval()
+    require(v != null, s"$fn: nBits must be a non-null integer literal")
+    val n = v.asInstanceOf[Number].intValue()
+    require(n >= 1 && n <= 64, s"$fn: nBits must be in [1, 64], got $n")
+    n
+  }
+
+  private def lshSeed(e: Expression, fn: String): Long = {
+    val v = e.eval()
+    require(v != null, s"$fn: seed must be a non-null integer literal")
+    v.asInstanceOf[Number].longValue()
+  }
 
   /** Register on an already-running session (tests, shells). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =

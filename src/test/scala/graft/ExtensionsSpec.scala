@@ -23,14 +23,26 @@ class ExtensionsSpec extends SparkSpec {
         |       graft_simhash(graft_word_shingles('x y z w', 2)) AS eq""".stripMargin)
       .as[Boolean].head()
     assert(simEq)
-    // LSH pair: the bucket is the sign-pack of the projections (the
-    // directed-probe invariant, here through the SQL surface)
-    val (bucket, nProj) = spark.sql(
-      """SELECT graft_lsh_bucket(array(1.0d, -2.0d, 0.5d), 6, 42),
-        |       size(graft_lsh_projections(array(1.0d, -2.0d, 0.5d), 6, 42))""".stripMargin)
-      .as[(Long, Int)].head()
+    // LSH pair: the bucket must EQUAL the sign-pack of the projections
+    // (the directed-probe invariant, here through the SQL surface — a
+    // builder argument swap between the two functions would break this)
+    val (bucket, packed, nProj) = spark.sql(
+      """SELECT graft_lsh_bucket(array(1.0d, -2.0d, 0.5d), 6, 42) AS bucket,
+        |  aggregate(zip_with(graft_lsh_projections(array(1.0d, -2.0d, 0.5d), 6, 42),
+        |                     sequence(0, 5),
+        |                     (p, b) -> CASE WHEN p >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0L END),
+        |            0L, (acc, x) -> acc + x) AS packed,
+        |  size(graft_lsh_projections(array(1.0d, -2.0d, 0.5d), 6, 42)) AS n""".stripMargin)
+      .as[(Long, Long, Int)].head()
     assert(nProj == 6)
-    assert(bucket >= 0L && bucket < 64L)
+    assert(bucket == packed, s"bucket $bucket != sign-pack $packed")
+    // analysis-time validation of the literal args
+    intercept[Exception] {
+      spark.sql("SELECT graft_lsh_bucket(array(1.0d), 70, 42)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_lsh_bucket(array(1.0d), -1, 42)").collect()
+    }
   }
 
   test("query/oracle registries fail fast on duplicate keys") {
