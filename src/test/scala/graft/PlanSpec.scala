@@ -31,6 +31,32 @@ class PlanSpec extends SparkSpec {
       "only lineitem-orders may shuffle")
   }
 
+  test("q2: correlated scalar-min decorrelates to broadcast joins, no shuffle join") {
+    val p = plan("q2_min_balance_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the decorrelated min-aggregate and both dims must broadcast")
+  }
+
+  test("q6: all three predicates reach the scan; ungrouped two-phase aggregate") {
+    // formatted mode: the plain plan string truncates long PushedFilters
+    val p = SparkEntry.queries("q6_forecast_revenue")(spark, sf0001)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_discount"), "discount range not pushed")
+    assert(p.contains("LessThan(l_quantity"), "quantity bound not pushed")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "partial+final aggregate expected")
+  }
+
+  test("q10: customer and nation broadcast; at most one fact-fact shuffle join; TakeOrdered top-20") {
+    val p = plan("q10_returned_items")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2, p)
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      "only lineitem-orders may shuffle")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
   test("top-k plans TakeOrderedAndProject, not global sort") {
     val p = plan("q_topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
