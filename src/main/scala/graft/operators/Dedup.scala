@@ -206,6 +206,22 @@ object Dedup {
       .select(col(idCol),
         SketchExpressions.minhashSignature(col("sh"), nHashes).as("sig"))
 
+  /** Banded MinHash index rows for a document set: (id, band, bucket) —
+    * the PERSISTED artifact of incremental dedup. Build once over the
+    * corpus, store as a table (cluster/bucket it by (band, bucket)),
+    * append each ingested batch's rows. One codegen'd signature pass per
+    * row, no shuffle. */
+  def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, bands: Int = 16,
+                       rowsPerBand: Int = 4): DataFrame =
+    withShingleSets(docs, idCol, textCol, k)
+      .select(col(idCol),
+        SketchExpressions.minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
   /** MinHash + banded LSH near-dup: candidates from band-bucket collisions,
     * then EXACT Jaccard verification — the output semantics are therefore
     * identical to [[ngramJaccardPairs]] (LSH only prunes the pair space).
@@ -214,18 +230,53 @@ object Dedup {
                           k: Int = 3, threshold: Double = 0.8,
                           bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val sets = withShingleSets(docs, idCol, textCol, k)
-    val sigs = sets.select(col(idCol),
-      SketchExpressions.minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
-    val banded = sigs.select(col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = minhashBandIndex(docs, idCol, textCol, k, bands, rowsPerBand)
     val l = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
     val r = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     verifyPairs(candidates, sets, idCol, threshold)
+  }
+
+  /** INCREMENTAL near-dup: pairs involving at least one NEW document,
+    * against an already-indexed corpus — THE streaming-ingest dedup
+    * shape (dedupe the incoming crawl batch against everything already
+    * held). Corpus-internal pairs are NEVER recomputed; per batch the
+    * corpus costs are (a) the band-bucket join against its PRECOMPUTED
+    * [[minhashBandIndex]] (collisions only) and (b) ONE narrow scan to
+    * fetch candidate documents for exact verification, pruned MAP-SIDE
+    * by a broadcast of the candidate ids (with the lake clustered on the
+    * id — `Lake.writeValid(sortCols)` — the scan also row-group-skips).
+    * Output contract: [[minhashNearDupPairs]] over new ∪ corpus,
+    * restricted to pairs with a new side. */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpusDocs: DataFrame,
+                              corpusIndex: DataFrame, idCol: String,
+                              textCol: String, k: Int = 3,
+                              threshold: Double = 0.8, bands: Int = 16,
+                              rowsPerBand: Int = 4): DataFrame = {
+    // the new batch is small by construction (one ingest batch), so its
+    // index is cheap to recompute across the two join branches below —
+    // callers looping over many batches should persist it themselves
+    val newIndex = minhashBandIndex(newDocs, idCol, textCol, k, bands, rowsPerBand)
+    val l = newIndex.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val rCorpus = corpusIndex.select(col("id").as("id_b"), col("band"), col("bucket"))
+    val rNew = newIndex.select(col("id").as("id_b"), col("band"), col("bucket"))
+    val newCorpus = l.join(rCorpus, Seq("band", "bucket"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val newNew = l.join(rNew, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val candidates = newCorpus.unionAll(newNew).distinct()
+    // fetch ONLY candidate docs for verification: the broadcast semi-join
+    // filters the corpus scan map-side before any shuffle or shingling
+    val candIds = candidates.select(col("id_a").as("cand_id"))
+      .unionAll(candidates.select(col("id_b").as("cand_id"))).distinct()
+    val candDocs = newDocs.unionByName(corpusDocs)
+      .join(broadcast(candIds), col(idCol) === col("cand_id"), "left_semi")
+    verifyPairs(candidates,
+      withShingleSets(candDocs, idCol, textCol, k), idCol, threshold)
   }
 
   /** 64-bit SimHash over word shingles: per-bit majority vote, one

@@ -36,6 +36,20 @@ object Extensions {
     Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", k = 2)
       .orderBy("id_a", "id_b")
 
+  /** Incremental dedup gate: corpus = 80% of docs (doc_id % 10 < 8), new
+    * batch = the rest. The corpus is touched only through its
+    * PRECOMPUTED band index plus the broadcast-pruned candidate fetch —
+    * the streaming-ingest dedup shape. Oracle = exact Jaccard pairs with
+    * at least one new side (LSH prunes, verification is exact). */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val corpus = all.filter(col("doc_id") % 10 < 8)
+    val fresh = all.filter(col("doc_id") % 10 >= 8)
+    Dedup.incrementalNearDupPairs(fresh, corpus,
+      Dedup.minhashBandIndex(corpus, "doc_id", "text"), "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
   def dedupCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("doc_id")
@@ -198,6 +212,7 @@ object Extensions {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -275,6 +290,18 @@ object Extensions {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_incremental" -> (shingleCte +
+      """
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |    CAST(len(a.sh) + len(b.sh)
+        |         - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE jaccard >= 0.8
+        |  AND NOT (id_a % 10 < 8 AND id_b % 10 < 8)
+        |ORDER BY id_a, id_b""".stripMargin),
     "dedup_canonical" -> (shingleCte.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
       """, pairs AS (
         |  SELECT id_a, id_b FROM (

@@ -45,6 +45,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("incremental near-dup equals full pairs restricted to new-side pairs") {
+    val corpus = docs.filter($"doc_id" % 10 < 8)
+    val fresh = docs.filter($"doc_id" % 10 >= 8)
+    val idx = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(fresh, corpus, idx, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = full.filter { case (a, b) => a % 10 >= 8 || b % 10 >= 8 }
+    assert(expected.nonEmpty, "fixture must have pairs with a new side")
+    assert(inc == expected,
+      s"missed ${expected -- inc} / invented ${inc -- expected}")
+    // corpus-internal pairs must NOT be emitted
+    assert(inc.forall { case (a, b) => a % 10 >= 8 || b % 10 >= 8 })
+  }
+
   test("simhash banding is exact within the radius at the scale default (h=3)") {
     // The pigeonhole banding guarantee: banded output == brute-force
     // Hamming-radius pairs, exactly. Asserted at the scale-safe default
