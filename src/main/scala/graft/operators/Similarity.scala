@@ -162,19 +162,57 @@ object Similarity {
     cents
   }
 
-  /** IVF-flat ANN top-k with CALLER-SUPPLIED centroids (see
-    * [[ivfCentroidsRefined]] for the k-means path). */
-  def ivfTopKWith(cents: DataFrame, corpus: DataFrame, probes: DataFrame,
-                  idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
+  /** Corpus→cell assignments for a centroid set: (id, cell) — the
+    * PERSISTED artifact of the IVF index lifecycle (build once per
+    * centroid generation, store next to the embeddings — ideally
+    * cluster/partition the lake by `cell` so each probe's scan
+    * row-group-skips to its cells). Broadcast-argmin: the corpus never
+    * shuffles for assignment. */
+  def ivfAssignments(cents: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String): DataFrame =
+    assignedNormed(cents, corpus, idCol, vecCol)
+      .select(col("c_id").as("id"), col("cell"))
+
+  /** Broadcast-argmin cell assignment carrying the normed vectors:
+    * (c_id, c_e, c_nrm, cell). */
+  private def assignedNormed(cents: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String): DataFrame = {
     val assignW = Window.partitionBy(col("c_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-    val c = withNormed(corpus, idCol, vecCol, "c")
+    withNormed(corpus, idCol, vecCol, "c")
       .crossJoin(broadcast(cents))
       .withColumn("cent_cos",
         VF.cosineWithNorms(col("c_e"), col("cent_e"), col("c_nrm"), col("cent_nrm")))
       .withColumn("cent_rank", row_number().over(assignW))
       .filter(col("cent_rank") === 1)
       .select(col("c_id"), col("c_e"), col("c_nrm"), col("cent_id").as("cell"))
+  }
+
+  /** IVF top-k against a PREASSIGNED corpus: the per-query assignment
+    * pass (corpus × centroids argmin — the dominant per-query cost of
+    * [[ivfTopKWith]]) is replaced by a join with the stored
+    * [[ivfAssignments]] index. Same output, amortized build. */
+  def ivfTopKPreassigned(cents: DataFrame, assignments: DataFrame,
+                         corpus: DataFrame, probes: DataFrame, idCol: String,
+                         vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
+    val c = withNormed(corpus, idCol, vecCol, "c")
+      .join(assignments.select(col("id").as("c_id"), col("cell")), Seq("c_id"))
+    ivfSearch(cents, c, probes, idCol, vecCol, k, nProbe)
+  }
+
+  /** IVF-flat ANN top-k with CALLER-SUPPLIED centroids (see
+    * [[ivfCentroidsRefined]] for the k-means path). */
+  def ivfTopKWith(cents: DataFrame, corpus: DataFrame, probes: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int = 3): DataFrame =
+    ivfSearch(cents, assignedNormed(cents, corpus, idCol, vecCol),
+      probes, idCol, vecCol, k, nProbe)
+
+  /** Shared IVF search half: probe-side nProbe cell selection + the
+    * cell-keyed candidate join + exact rerank. `c` carries
+    * (c_id, c_e, c_nrm, cell). */
+  private def ivfSearch(cents: DataFrame, c: DataFrame, probes: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("p_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     val p = withNormed(probes, idCol, vecCol, "p")

@@ -29,6 +29,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ref >= base - 0.15, s"refined recall $ref vs seed recall $base")
   }
 
+  test("IVF with a stored assignment index equals the one-shot path") {
+    val probes = embs.filter($"vec_id" < 10)
+    val cents = Similarity.ivfCentroidsRefined(embs, "vec_id", "embedding",
+      nCells = 16, iters = 1)
+    // the persisted index round-trips through parquet like a real deployment
+    val idxPath = tmpDir("ivf_idx")
+    Similarity.ivfAssignments(cents, embs, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(idxPath)
+    val stored = spark.read.parquet(idxPath)
+    val pre = Similarity.ivfTopKPreassigned(cents, stored, embs, probes,
+      "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.ivfTopKWith(cents, embs, probes,
+      "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(pre == oneShot, s"index path diverged: ${pre.diff(oneShot)} / ${oneShot.diff(pre)}")
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val planted = docs.limit(5).union(docs.limit(2)) // 2 exact dups
     val out = Dedup.exact(planted, Seq("text"), "doc_id")
