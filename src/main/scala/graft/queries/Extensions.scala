@@ -50,6 +50,27 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+  /** The index-ACCUMULATION loop (what the streaming ingest runs): three
+    * arriving batches, each deduped against the index of everything
+    * before it, then appended to the index. The accumulated pair log
+    * must equal the one-shot full-corpus computation — the proof that
+    * per-batch incremental dedup with a persistent band index converges
+    * to the batch semantics (its oracle IS dedup_ngram_jaccard's SQL). */
+  def dedupIncrementalFold(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val batches = (0 until 3).map(i => all.filter(col("doc_id") % 3 === i))
+    val empty = all.filter(lit(false))
+    val (_, _, pairLog) = batches.foldLeft(
+      (empty, Dedup.minhashBandIndex(empty, "doc_id", "text"),
+        Seq.empty[DataFrame])) { case ((corpus, index, logs), batch) =>
+      val pairs = Dedup.incrementalNearDupPairs(batch, corpus, index, "doc_id", "text")
+      (corpus.unionByName(batch),
+        index.unionByName(Dedup.minhashBandIndex(batch, "doc_id", "text")),
+        logs :+ pairs)
+    }
+    pairLog.reduce(_ unionByName _).orderBy("id_a", "id_b")
+  }
+
   def dedupCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("doc_id")
@@ -213,6 +234,7 @@ object Extensions {
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_fold" -> (dedupIncrementalFold _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -290,6 +312,9 @@ object Extensions {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // the fold over arriving batches must reproduce the one-shot
+    // full-corpus pair set exactly — same oracle as the batch operator
+    "dedup_incremental_fold" -> ngramJaccardSql,
     "dedup_incremental" -> (shingleCte +
       """
         |SELECT id_a, id_b, jaccard FROM (
