@@ -226,6 +226,20 @@ object Extensions {
       .select(col("media_id"), col("n_bytes"), col("resized_bytes"))
       .orderBy("media_id")
 
+  /** Multimodal retrieval composition: media table → batch feature
+    * extraction (stub codec behind the real mapPartitions plumbing) →
+    * exact cosine top-k over the feature vectors. Every arithmetic step
+    * is bit-reproducible by the oracle (byte-mean → one float cast →
+    * float feature lanes → sequential double folds), so the end-to-end
+    * media-retrieval pipeline is hash-gated, not rows-only. */
+  def multimodalRetrieval(s: SparkSession, d: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(s,
+      Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))
+    Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 5),
+      "media_id", "features", k = 3)
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("Extensions.queries", Seq(
     "multimodal_resize" -> (multimodalResize _),
@@ -254,6 +268,7 @@ object Extensions {
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_retrieval" -> (multimodalRetrieval _),
     "train_corpus_prep" -> (trainCorpusPrep _)))
 
   private val tokensCte =
@@ -538,6 +553,38 @@ object Extensions {
         |       END AS FLOAT) AS f0,
         |  CAST(8 AS INT) AS feat_dim
         |FROM b ORDER BY media_id""".stripMargin,
+    // the retrieval composition reuses multimodal_features' byte-mean
+    // derivation and sim_topk_exact's fold arithmetic verbatim
+    "multimodal_retrieval" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS bytes
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id,
+        |    CAST(CASE WHEN len(bytes) = 0 THEN 0
+        |         ELSE CAST(list_sum(bytes) AS DOUBLE) / CAST(len(bytes) AS DOUBLE)
+        |         END AS FLOAT) AS m
+        |  FROM b),
+        |v AS (
+        |  SELECT media_id,
+        |    list_transform(range(8), i -> CAST(CAST(m + i AS FLOAT) AS DOUBLE)) AS e
+        |  FROM f),
+        |n AS (
+        |  SELECT media_id, e,
+        |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+        |  FROM v)
+        |SELECT probe_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |FROM (
+        |  SELECT p.media_id AS probe_id, c.media_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+        |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
+        |  FROM n p JOIN n c ON c.media_id <> p.media_id
+        |  WHERE p.media_id < 5)
+        |QUALIFY rank <= 3
+        |ORDER BY probe_id, rank""".stripMargin,
     // flagship composition — assembled verbatim from the verified pieces:
     // canonical closure (dedup_canonical), language scores (text_langid,
     // en wins ties), whitespace tokens (text_stats/tokens), split hash
