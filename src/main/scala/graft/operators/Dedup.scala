@@ -254,29 +254,53 @@ object Dedup {
                               corpusIndex: DataFrame, idCol: String,
                               textCol: String, k: Int = 3,
                               threshold: Double = 0.8, bands: Int = 16,
-                              rowsPerBand: Int = 4): DataFrame = {
-    // the new batch is small by construction (one ingest batch), so its
-    // index is cheap to recompute across the two join branches below —
-    // callers looping over many batches should persist it themselves
-    val newIndex = minhashBandIndex(newDocs, idCol, textCol, k, bands, rowsPerBand)
-    val l = newIndex.select(col("id").as("id_a"), col("band"), col("bucket"))
+                              rowsPerBand: Int = 4,
+                              newIndex: Option[DataFrame] = None): DataFrame = {
+    // Guard against a corpus index built with DIFFERENT banding: buckets
+    // hash signature slices, so mismatched (bands, rowsPerBand) makes
+    // collisions random and near-dups silently vanish. The check reads a
+    // bounded sample (any sample row with band >= bands is proof of a
+    // wider index; a narrower index betrays itself by its sample maximum
+    // — every doc contributes ALL its bands consecutively), never the
+    // full index.
+    val sampleBands = corpusIndex.select(col("band")).limit(bands * 256)
+      .agg(max(col("band"))).head()
+    if (!sampleBands.isNullAt(0)) {
+      val maxBand = sampleBands.getInt(0)
+      require(maxBand == bands - 1,
+        s"corpusIndex banding mismatch: sampled max band $maxBand, expected ${bands - 1} " +
+          s"— rebuild the index or pass the (bands, rowsPerBand) it was built with")
+    }
+    // the new batch is small by construction (one ingest batch); loops
+    // over many batches build each index once and pass it via `newIndex`
+    val newIdx = newIndex.getOrElse(
+      minhashBandIndex(newDocs, idCol, textCol, k, bands, rowsPerBand))
+    val l = newIdx.select(col("id").as("id_a"), col("band"), col("bucket"))
     val rCorpus = corpusIndex.select(col("id").as("id_b"), col("band"), col("bucket"))
-    val rNew = newIndex.select(col("id").as("id_b"), col("band"), col("bucket"))
+    val rNew = newIdx.select(col("id").as("id_b"), col("band"), col("bucket"))
     val newCorpus = l.join(rCorpus, Seq("band", "bucket"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
+      // a re-delivered doc present on BOTH sides collides with itself —
+      // a self-pair is never a near-dup PAIR (the contract is id_a < id_b)
+      .filter(col("id_a") =!= col("id_b"))
     val newNew = l.join(rNew, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     val candidates = newCorpus.unionAll(newNew).distinct()
     // fetch ONLY candidate docs for verification: the broadcast semi-join
-    // filters the corpus scan map-side before any shuffle or shingling
+    // filters the corpus scan map-side before any shuffle or shingling,
+    // and the candidate shingle sets are materialized ONCE (eager local
+    // checkpoint of a small set) so the two verification branches don't
+    // re-scan
     val candIds = candidates.select(col("id_a").as("cand_id"))
       .unionAll(candidates.select(col("id_b").as("cand_id"))).distinct()
     val candDocs = newDocs.unionByName(corpusDocs)
       .join(broadcast(candIds), col(idCol) === col("cand_id"), "left_semi")
-    verifyPairs(candidates,
-      withShingleSets(candDocs, idCol, textCol, k), idCol, threshold)
+      // re-delivery tolerance: a doc on both sides must verify as ONE row
+      .dropDuplicates(idCol)
+    val candSets = withShingleSets(candDocs, idCol, textCol, k).localCheckpoint(true)
+    verifyPairs(candidates, candSets, idCol, threshold)
   }
 
   /** 64-bit SimHash over word shingles: per-bit majority vote, one

@@ -137,16 +137,11 @@ object Similarity {
                           nCells: Int = 16, iters: Int = 2): DataFrame = {
     var cents = withNormed(
       corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol, "cent")
-    val c = withNormed(corpus, idCol, vecCol, "c")
-    val assignW = Window.partitionBy(col("c_id"))
-      .orderBy(col("cent_cos").desc, col("cent_id"))
     (1 to iters).foreach { _ =>
-      val assigned = c.crossJoin(broadcast(cents))
-        .withColumn("cent_cos",
-          VF.cosineWithNorms(col("c_e"), col("cent_e"), col("c_nrm"), col("cent_nrm")))
-        .withColumn("cent_rank", row_number().over(assignW))
-        .filter(col("cent_rank") === 1)
-        .select(col("cent_id").as("cell"), col("c_e"))
+      // the ONE assignment implementation (assignedNormed) serves k-means,
+      // search, and the stored index — the tiebreak can never drift apart
+      val assigned = assignedNormed(cents, corpus, idCol, vecCol)
+        .select(col("cell"), col("c_e"))
       val means = assigned
         .select(col("cell"), posexplode(col("c_e")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))

@@ -63,9 +63,15 @@ object Extensions {
     val (_, _, pairLog) = batches.foldLeft(
       (empty, Dedup.minhashBandIndex(empty, "doc_id", "text"),
         Seq.empty[DataFrame])) { case ((corpus, index, logs), batch) =>
-      val pairs = Dedup.incrementalNearDupPairs(batch, corpus, index, "doc_id", "text")
+      // each batch's index is built ONCE (used for this round's collision
+      // join AND appended to the accumulator); the accumulated index is
+      // checkpointed per step like a real deployment would persist it —
+      // lineage must not re-derive every prior batch's signatures per round
+      val batchIndex = Dedup.minhashBandIndex(batch, "doc_id", "text")
+      val pairs = Dedup.incrementalNearDupPairs(batch, corpus, index,
+        "doc_id", "text", newIndex = Some(batchIndex))
       (corpus.unionByName(batch),
-        index.unionByName(Dedup.minhashBandIndex(batch, "doc_id", "text")),
+        index.unionByName(batchIndex).localCheckpoint(true),
         logs :+ pairs)
     }
     pairLog.reduce(_ unionByName _).orderBy("id_a", "id_b")
@@ -330,18 +336,11 @@ object Extensions {
     // the fold over arriving batches must reproduce the one-shot
     // full-corpus pair set exactly — same oracle as the batch operator
     "dedup_incremental_fold" -> ngramJaccardSql,
-    "dedup_incremental" -> (shingleCte +
-      """
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
-        |    CAST(len(a.sh) + len(b.sh)
-        |         - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
-        |WHERE jaccard >= 0.8
-        |  AND NOT (id_a % 10 < 8 AND id_b % 10 < 8)
-        |ORDER BY id_a, id_b""".stripMargin),
+    // derived from the SHARED pair SQL (single source of truth), with the
+    // corpus/new split predicate spliced in — pairs with >= 1 new side
+    "dedup_incremental" -> ngramJaccardSql.replaceFirst(
+      "WHERE jaccard >= 0\\.8",
+      "WHERE jaccard >= 0.8\n  AND NOT (id_a % 10 < 8 AND id_b % 10 < 8)"),
     "dedup_canonical" -> (shingleCte.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
       """, pairs AS (
         |  SELECT id_a, id_b FROM (

@@ -79,6 +79,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(inc.forall { case (a, b) => a % 10 >= 8 || b % 10 >= 8 })
   }
 
+  test("incremental dedup tolerates re-delivery and rejects a mismatched index") {
+    val corpus = docs.filter($"doc_id" % 10 < 8)
+    // the batch re-delivers three docs the corpus already holds
+    val fresh = docs.filter($"doc_id" % 10 >= 8)
+      .unionByName(corpus.orderBy("doc_id").limit(3))
+    val idx = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+    val inc = Dedup.incrementalNearDupPairs(fresh, corpus, idx, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(inc.forall { case (a, b) => a < b }, "self-pairs must be filtered")
+    assert(inc.length == inc.distinct.length, "re-delivery must not duplicate rows")
+    // an index built with different banding must fail fast, not return
+    // an empty (silently wrong) result
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(fresh, corpus,
+        Dedup.minhashBandIndex(corpus, "doc_id", "text", bands = 32, rowsPerBand = 2),
+        "doc_id", "text")
+    }
+  }
+
   test("simhash banding is exact within the radius at the scale default (h=3)") {
     // The pigeonhole banding guarantee: banded output == brute-force
     // Hamming-radius pairs, exactly. Asserted at the scale-safe default
