@@ -45,6 +45,13 @@ object Bench {
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case _: Throwable => }
       spark.catalog.clearCache()
+      // free blocks that clearCache misses: eager localCheckpoint(true)
+      // RDDs left behind by the iterative dedup/similarity operators
+      // (connected-components rounds, incremental-index folds). Without
+      // this the block manager accumulates over the suite and the
+      // pressure lands on whichever query runs last (measured 6x on the
+      // alphabetically-final flagship entry).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       // absorb accumulated garbage OUTSIDE the next timing window
       System.gc()
     }
@@ -105,9 +112,16 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_records_per_s":$ingestRate,"freshness_sec":$freshness,"sf":"$sfDir"}"""
     println(json)
-    // belt-and-braces for log-prefix-mangled stdout: the same line on disk
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/target/bench_last.json"), json + "\n")
+    // belt-and-braces for log-prefix-mangled stdout: the same line on disk.
+    // Every run gets its own timestamped artifact so isolated
+    // SPARK_GRAFT_ONLY debugging runs can't clobber a full-suite record;
+    // bench_last.json (what the driver reads) is only written by full runs.
+    val stamped = java.nio.file.Paths.get(
+      s"/root/repo/target/bench_${System.currentTimeMillis()}.json")
+    java.nio.file.Files.writeString(stamped, json + "\n")
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/target/bench_last.json"), json + "\n")
     spark.stop()
   }
 }
