@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Block-manager hygiene for iterative operators.
+  *
+  * The iterative operators (connected components, the incremental dedup
+  * fold, Lloyd refinement) need per-round lineage truncation —
+  * `localCheckpoint(true)` — or the self-referencing plans double every
+  * round. But an EAGER local checkpoint materializes into executor
+  * block-manager storage, and `Dataset.unpersist` cannot free it (the
+  * blocks live on the RDD, outside the cache manager). A returned frame
+  * backed by those blocks therefore pins storage memory for as long as
+  * any caller might read it — in a long-lived session running repeated
+  * dedup passes, monotone executor storage growth.
+  *
+  * The contract here: intermediates use local checkpoints and are freed
+  * with [[release]] as soon as the next round exists; the FINAL result of
+  * an iterative operator is copied OUT of the block manager with
+  * [[copyOut]] — a reliable (disk-file) checkpoint — after which every
+  * round's blocks can be released. Operators then return frames that hold
+  * ZERO block-manager storage (`sc.getPersistentRDDs` is empty afterward
+  * — pinned by BlockRetentionSpec), and survive an external
+  * unpersist-all sweep (e.g. the bench quiesce barrier).
+  *
+  * Scale note: the copied-out artifacts are the SMALL end products of
+  * each loop (dup-cluster labels, candidate shingle sets, centroid sets,
+  * band indexes) — never the corpus. On a cluster, point
+  * `sc.setCheckpointDir` at shared storage (HDFS/S3); the tmp-dir
+  * fallback below serves single-node sessions and is removed at JVM
+  * exit.
+  */
+object Blocks {
+
+  /** Reliable checkpoint dir, configured once per session if the caller
+    * has not set one. */
+  private def ensureCheckpointDir(spark: SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(dir.toFile)
+      }))
+      spark.sparkContext.setCheckpointDir(dir.toString)
+    }
+
+  /** Copy an eagerly-computed intermediate OUT of the block manager:
+    * reliable (disk-backed) checkpoint, lineage truncated. The returned
+    * frame reads files, not block-manager blocks, so the source local
+    * checkpoint can be [[release]]d immediately and an unpersist-all
+    * sweep cannot invalidate the result. */
+  def copyOut(df: DataFrame): DataFrame = {
+    ensureCheckpointDir(df.sparkSession)
+    df.checkpoint(eager = true)
+  }
+
+  /** Free a localCheckpointed frame's blocks. `Dataset.unpersist` is a
+    * no-op for these (blocks were persisted on the RDD directly, outside
+    * the cache manager) — reach through to the underlying RDD. Falls back
+    * to a normal unpersist for cache-manager frames. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+      case _ => df.unpersist(); ()
+    }
+}

@@ -132,30 +132,29 @@ object Dedup {
         .select(col("id"), col("label"), (col("label") =!= col("old")).as("chg"))
         .localCheckpoint(true)
       changed = doubled.filter(col("chg")).count()
-      uncache(labels)
+      Blocks.release(labels)
       labels = doubled
       iter += 1
     }
-    // NOTE: the final round's checkpoint blocks stay alive — they ARE the
-    // returned data (lineage was truncated; uncaching would lose it).
     edges.unpersist()
-    if (changed > 0)
+    if (changed > 0) {
+      Blocks.release(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing) — raise maxIter")
-    labels.select(col("id"), col("label"))
-  }
-
-  /** Free a per-round label set. `Dataset.unpersist` is a no-op for a
-    * localCheckpointed frame (its blocks were persisted on the RDD
-    * directly, outside the cache manager) — without reaching through to
-    * the underlying RDD, every round's full label set would stay resident
-    * until GC, which at corpus scale is an OOM. */
-  private def uncache(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
-      case _ => df.unpersist(); ()
     }
+    // Copy the final labels OUT of the block manager (reliable disk
+    // checkpoint) and free the last round's blocks: the returned frame
+    // must pin ZERO executor storage — repeated canonicalize passes in
+    // one long-lived session would otherwise grow storage memory
+    // monotonically (no caller can free an eager localCheckpoint without
+    // destroying the result it was handed). Labels cover only the
+    // edge-touched subgraph, so the copied artifact is dup-cluster-sized,
+    // not corpus-sized. Pinned by BlockRetentionSpec.
+    val out = Blocks.copyOut(labels.select(col("id"), col("label")))
+    Blocks.release(labels)
+    out
+  }
 
   /** The actual corpus dedup: every doc labeled with the canonical
     * (minimum) id of its near-dup cluster; docs with no near-dup are
@@ -176,7 +175,7 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
     val labels = connectedComponents(pairs, touched, "id")
       .withColumnRenamed("id", idCol)
-    // CC returned a localCheckpointed (materialized, lineage-truncated)
+    // CC returned a copied-out (disk-checkpointed, lineage-truncated)
     // frame, so the pair cache is no longer referenced
     pairs.unpersist()
     docs.select(col(idCol))
@@ -206,11 +205,18 @@ object Dedup {
       .select(col(idCol),
         SketchExpressions.minhashSignature(col("sh"), nHashes).as("sig"))
 
-  /** Banded MinHash index rows for a document set: (id, band, bucket) —
-    * the PERSISTED artifact of incremental dedup. Build once over the
-    * corpus, store as a table (cluster/bucket it by (band, bucket)),
-    * append each ingested batch's rows. One codegen'd signature pass per
-    * row, no shuffle. */
+  /** Banded MinHash index rows for a document set:
+    * (id, band, bucket, bands, rows_per_band) — the PERSISTED artifact of
+    * incremental dedup. Build once over the corpus, store as a table
+    * (cluster/bucket it by (band, bucket)), append each ingested batch's
+    * rows. One codegen'd signature pass per row, no shuffle.
+    *
+    * The banding PARAMETERS ride along as constant columns (RLE/dict
+    * pages at rest — effectively free): buckets hash signature SLICES, so
+    * an index built with different (bands, rowsPerBand) produces random
+    * collisions and near-dups silently vanish. Embedding the parameters
+    * lets every consumer verify them regardless of how the index was
+    * sorted, clustered, or partitioned when persisted. */
   def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, bands: Int = 16,
                        rowsPerBand: Int = 4): DataFrame =
@@ -221,6 +227,8 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumn("bands", lit(bands))
+      .withColumn("rows_per_band", lit(rowsPerBand))
 
   /** MinHash + banded LSH near-dup: candidates from band-bucket collisions,
     * then EXACT Jaccard verification — the output semantics are therefore
@@ -258,18 +266,38 @@ object Dedup {
                               newIndex: Option[DataFrame] = None): DataFrame = {
     // Guard against a corpus index built with DIFFERENT banding: buckets
     // hash signature slices, so mismatched (bands, rowsPerBand) makes
-    // collisions random and near-dups silently vanish. The check reads a
-    // bounded sample (any sample row with band >= bands is proof of a
-    // wider index; a narrower index betrays itself by its sample maximum
-    // — every doc contributes ALL its bands consecutively), never the
-    // full index.
-    val sampleBands = corpusIndex.select(col("band")).limit(bands * 256)
-      .agg(max(col("band"))).head()
-    if (!sampleBands.isNullAt(0)) {
-      val maxBand = sampleBands.getInt(0)
-      require(maxBand == bands - 1,
-        s"corpusIndex banding mismatch: sampled max band $maxBand, expected ${bands - 1} " +
-          s"— rebuild the index or pass the (bands, rowsPerBand) it was built with")
+    // collisions random and near-dups silently vanish. Current indexes
+    // carry their build parameters as constant columns — verify BOTH
+    // against what this call expects, over every distinct combination
+    // present (a distinct over two RLE-constant columns is a
+    // metadata-cheap columnar scan, and it is order-independent: a
+    // persisted index clustered by (band, bucket) — the recommended
+    // layout — validates exactly like a fresh one; a row-order limit()
+    // sample would spuriously reject it).
+    val fields = corpusIndex.schema.fieldNames.toSet
+    if (fields.contains("bands") && fields.contains("rows_per_band")) {
+      val params = corpusIndex.select(col("bands"), col("rows_per_band"))
+        .distinct().collect()
+      params.foreach { r =>
+        require(r.getInt(0) == bands && r.getInt(1) == rowsPerBand,
+          s"corpusIndex banding mismatch: index built with (bands=${r.getInt(0)}, " +
+            s"rowsPerBand=${r.getInt(1)}), this call expects (bands=$bands, " +
+            s"rowsPerBand=$rowsPerBand) — rebuild the index or pass the " +
+            "parameters it was built with")
+      }
+    } else {
+      // legacy index without embedded parameters: only the band count is
+      // verifiable, via the FULL max(band) (one column scan answered by
+      // parquet stats — never a row-order-dependent sample). rowsPerBand
+      // cannot be checked here — that silent hole is why the parameters
+      // are embedded now.
+      val maxBandRow = corpusIndex.agg(max(col("band"))).head()
+      if (!maxBandRow.isNullAt(0)) {
+        val maxBand = maxBandRow.getInt(0)
+        require(maxBand == bands - 1,
+          s"corpusIndex banding mismatch: max band $maxBand, expected ${bands - 1} " +
+            s"— rebuild the index or pass the (bands, rowsPerBand) it was built with")
+      }
     }
     // the new batch is small by construction (one ingest batch); loops
     // over many batches build each index once and pass it via `newIndex`
@@ -290,16 +318,16 @@ object Dedup {
     val candidates = newCorpus.unionAll(newNew).distinct()
     // fetch ONLY candidate docs for verification: the broadcast semi-join
     // filters the corpus scan map-side before any shuffle or shingling,
-    // and the candidate shingle sets are materialized ONCE (eager local
-    // checkpoint of a small set) so the two verification branches don't
-    // re-scan
+    // and the candidate shingle sets are materialized ONCE (copied out of
+    // the block manager — a small set) so the two verification branches
+    // don't re-scan and the returned frame pins no executor storage
     val candIds = candidates.select(col("id_a").as("cand_id"))
       .unionAll(candidates.select(col("id_b").as("cand_id"))).distinct()
     val candDocs = newDocs.unionByName(corpusDocs)
       .join(broadcast(candIds), col(idCol) === col("cand_id"), "left_semi")
       // re-delivery tolerance: a doc on both sides must verify as ONE row
       .dropDuplicates(idCol)
-    val candSets = withShingleSets(candDocs, idCol, textCol, k).localCheckpoint(true)
+    val candSets = Blocks.copyOut(withShingleSets(candDocs, idCol, textCol, k))
     verifyPairs(candidates, candSets, idCol, threshold)
   }
 

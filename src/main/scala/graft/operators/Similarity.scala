@@ -135,8 +135,8 @@ object Similarity {
     * this also concentrates neighbors into fewer probed cells. */
   def ivfCentroidsRefined(corpus: DataFrame, idCol: String, vecCol: String,
                           nCells: Int = 16, iters: Int = 2): DataFrame = {
-    var cents = withNormed(
-      corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol, "cent")
+    var cents = seedCentroids(corpus, idCol, vecCol, nCells)
+    var held: Option[DataFrame] = None // the round's localCheckpoint to free
     (1 to iters).foreach { _ =>
       // the ONE assignment implementation (assignedNormed) serves k-means,
       // search, and the stored index — the tiebreak can never drift apart
@@ -148,14 +148,29 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("mean_e"))
-      cents = cents.join(means, col("cent_id") === col("cell"), "left")
+      val next = cents.join(means, col("cent_id") === col("cell"), "left")
         .select(col("cent_id"),
           coalesce(col("mean_e"), col("cent_e")).as("cent_e"))
         .withColumn("cent_nrm", VF.norm(col("cent_e")))
         .localCheckpoint(true) // truncate the per-iteration lineage
+      held.foreach(Blocks.release) // the PREVIOUS round is now dead
+      held = Some(next)
+      cents = next
     }
-    cents
+    // final centroids leave the block manager (tiny artifact): the
+    // returned frame pins zero executor storage (BlockRetentionSpec)
+    held.fold(cents) { last =>
+      val out = Blocks.copyOut(cents); Blocks.release(last); out
+    }
   }
+
+  /** Deterministic seed centroids: the first `nCells` corpus vectors by
+    * id, normed into (cent_id, cent_e, cent_nrm) — the caller-visible
+    * half of the IVF index lifecycle (build assignments against these,
+    * persist both, periodically regenerate via [[ivfCentroidsRefined]]). */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16): DataFrame =
+    withNormed(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol, "cent")
 
   /** Corpus→cell assignments for a centroid set: (id, cell) — the
     * PERSISTED artifact of the IVF index lifecycle (build once per
@@ -234,7 +249,6 @@ object Similarity {
     * to [[ivfTopKWith]] for the k-means-refined variant. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 3): DataFrame =
-    ivfTopKWith(
-      withNormed(corpus.orderBy(col(idCol)).limit(nCells), idCol, vecCol, "cent"),
+    ivfTopKWith(seedCentroids(corpus, idCol, vecCol, nCells),
       corpus, probes, idCol, vecCol, k, nProbe)
 }

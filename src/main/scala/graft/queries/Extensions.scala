@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Blocks, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,13 +65,15 @@ object Extensions {
         Seq.empty[DataFrame])) { case ((corpus, index, logs), batch) =>
       // each batch's index is built ONCE (used for this round's collision
       // join AND appended to the accumulator); the accumulated index is
-      // checkpointed per step like a real deployment would persist it —
-      // lineage must not re-derive every prior batch's signatures per round
+      // copied out per step like a real deployment would persist it —
+      // lineage must not re-derive every prior batch's signatures per
+      // round, and the accumulator must not pin block-manager storage
+      // across steps (Blocks.copyOut = disk-backed, zero block residency)
       val batchIndex = Dedup.minhashBandIndex(batch, "doc_id", "text")
       val pairs = Dedup.incrementalNearDupPairs(batch, corpus, index,
         "doc_id", "text", newIndex = Some(batchIndex))
       (corpus.unionByName(batch),
-        index.unionByName(batchIndex).localCheckpoint(true),
+        Blocks.copyOut(index.unionByName(batchIndex)),
         logs :+ pairs)
     }
     pairLog.reduce(_ unionByName _).orderBy("id_a", "id_b")

@@ -96,6 +96,39 @@ class DedupSimilaritySpec extends SparkSpec {
         Dedup.minhashBandIndex(corpus, "doc_id", "text", bands = 32, rowsPerBand = 2),
         "doc_id", "text")
     }
+    // SAME band count but different rowsPerBand hashes different signature
+    // slices — equally silently wrong, must also fail fast
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(fresh, corpus,
+        Dedup.minhashBandIndex(corpus, "doc_id", "text", bands = 16, rowsPerBand = 8),
+        "doc_id", "text")
+    }
+  }
+
+  test("a persisted index clustered by (band, bucket) passes the banding guard") {
+    // the docstring-recommended at-rest layout: sorted by (band, bucket),
+    // written to parquet, read back — the first rows are all band 0, which
+    // a row-order sample guard would spuriously reject
+    val corpus = docs.filter($"doc_id" % 10 < 8)
+    val fresh = docs.filter($"doc_id" % 10 >= 8)
+    val dir = tmpDir("bandidx")
+    Dedup.minhashBandIndex(corpus, "doc_id", "text")
+      .orderBy("band", "bucket").write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val viaPersisted = Dedup.incrementalNearDupPairs(fresh, corpus, persisted,
+      "doc_id", "text").select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaFresh = Dedup.incrementalNearDupPairs(fresh, corpus,
+      Dedup.minhashBandIndex(corpus, "doc_id", "text"), "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaPersisted == viaFresh)
+    // legacy index (no embedded parameters): band-count mismatch is still
+    // caught by the full max(band) fallback even when band-0 rows lead
+    val legacyNarrow = Dedup.minhashBandIndex(corpus, "doc_id", "text",
+      bands = 8, rowsPerBand = 8).drop("bands", "rows_per_band")
+      .orderBy("band", "bucket")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(fresh, corpus, legacyNarrow, "doc_id", "text")
+    }
   }
 
   test("simhash banding is exact within the radius at the scale default (h=3)") {
