@@ -274,6 +274,50 @@ object PipelineQueries {
       .orderBy("device")
   }
 
+  /** Epoch retention round-trip, driver-gated (the transactional lake's
+    * `Lake.compact` analog): commit three epochs through the exactly-once
+    * protocol, fold the two aged ones into a consolidated generation
+    * (manifest truncates, listing cost stops growing), replay a FOLDED
+    * epoch (must stay a no-op — the `_folded` marker outlives the
+    * manifest entry), fold AGAIN so the remaining epoch accumulates into
+    * a second generation. The returned frame is the post-fold committed
+    * view; hash-equality against the plain-SQL oracle proves both folds
+    * preserved every row and every partition value (epoch included). */
+  def epochFoldRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TransactionalLake
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/efold_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(
+        events(spark, dir).filter(col("user_id") % 3 === 1 && col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("tenant"), col("year"), col("month"), col("day"), col("hour"))
+    def slice(e: Int) = enriched.filter(col("event_id") % 3 === e)
+    (0 until 3).foreach(e => TransactionalLake.commitEpoch(slice(e), root, e))
+    val n1 = TransactionalLake.readCommitted(spark, root).count()
+    require(TransactionalLake.foldCommittedEpochs(spark, root, upTo = 1L) == 2,
+      "epochs 0 and 1 must fold")
+    require(TransactionalLake.readCommitted(spark, root).count() == n1,
+      "fold must preserve the committed view")
+    // replay of a folded epoch: its manifest entry is gone, but the fold
+    // marker must keep the commit a no-op — the replay window outlives
+    // retention
+    TransactionalLake.commitEpoch(slice(0), root, 0L)
+    require(TransactionalLake.readCommitted(spark, root).count() == n1,
+      "replay of a folded epoch must be a no-op")
+    require(TransactionalLake.foldCommittedEpochs(spark, root, upTo = 2L) == 1,
+      "the remaining epoch must accumulate into the next generation")
+    require(TransactionalLake.committedEpochs(spark, root).isEmpty,
+      "the manifest must be fully truncated after the second fold")
+    TransactionalLake.readCommitted(spark, root)
+      .select(col("event_id"), col("event_type"), col("value"), col("epoch"),
+        col("tenant"), col("year"), col("month"), col("day"), col("hour"))
+      .orderBy("event_id")
+  }
+
   /** Compaction round-trip, driver-gated: build a t1-only lake with THREE
     * small appends per partition (the small-file state), register, compact
     * the t1 partitions in place, then read back through the table. The
@@ -560,6 +604,15 @@ object PipelineQueries {
       """SELECT DISTINCT user_id, event_type FROM events
         |WHERE event_id <= 20000
         |ORDER BY user_id, event_type""".stripMargin,
+    "pipe_streaming_epoch_compact" ->
+      """WITH t1 AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(event_id % 3 AS VARCHAR) AS epoch,
+        |    't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |    strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+        |    strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+        |  FROM events WHERE user_id % 3 = 1 AND event_id <= 2000)
+        |SELECT * FROM t1 ORDER BY event_id""".stripMargin,
     "pipe_compact_roundtrip" ->
       """WITH t1 AS (
         |  SELECT event_id, event_type, value,
@@ -649,5 +702,6 @@ object PipelineQueries {
     "pipe_streaming_join" -> (streamingJoin _),
     "pipe_streaming_sessions" -> (streamingSessions _),
     "pipe_compact_roundtrip" -> (compactRoundtrip _),
+    "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),
     "pipe_wire_roundtrip" -> (wireRoundtrip _)))
 }

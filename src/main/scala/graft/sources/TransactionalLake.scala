@@ -32,11 +32,41 @@ import org.apache.spark.sql.functions.col
   * Scale notes: the manifest is one tiny file per epoch (one rename per
   * trigger, no data-scale work); the epoch directory keeps the normal
   * Hive partition layout UNDER it, so tenant/time pruning still reaches
-  * the file listing (`epoch` is just an extra leading partition column),
-  * and `Lake.compact`-style bin-packing can fold old epochs together
-  * once they age out of the replay window. On object stores, rename is
-  * copy+delete but still single-object — the marker either exists or
-  * does not; there is no partial-commit state.
+  * the file listing (`epoch` is just an extra leading partition column).
+  * On object stores, rename is copy+delete but still single-object — the
+  * marker either exists or does not; there is no partial-commit state.
+  *
+  * RETENTION ([[foldCommittedEpochs]]): at a 60 s trigger the manifest
+  * gains ~1,440 epoch directories per day forever — after months,
+  * per-query listing cost and manifest size grow without bound. Epochs
+  * that age out of the replay window are therefore FOLDED into a
+  * consolidated, bin-packed generation:
+  * {{{
+  *   root/data_folded/gen=<g>/epoch=<e>/tenant=.../part-*.parquet
+  *   root/_fold/gen-<g>     (pointer: the epoch ids generation g holds)
+  *   root/_folded/<id>      (replay marker for a folded epoch)
+  * }}}
+  * Fold protocol (single-writer maintenance op, atomic for readers):
+  *  1. Stage generation g+1 = previous generation ∪ newly aged epochs,
+  *     rewritten with `epoch` kept as the leading partition column (rows
+  *     keep their identity; pruning still works) and re-binned to
+  *     `targetRecordsPerFile` — the `Lake.compact` treatment.
+  *  2. Create `_folded/<id>` markers — from the instant the fold can
+  *     become visible, a replayed epoch must stay a no-op even after its
+  *     manifest entry is cleaned up ([[isCommitted]] checks both).
+  *  3. COMMIT: publish `_fold/gen-<g+1>` by atomic temp+rename of a NEW
+  *     file. Readers take the HIGHEST generation and exclude its epoch
+  *     ids from the live-manifest listing, so one file creation flips
+  *     the whole read view — no loss window, no duplicate window.
+  *  4. Cleanup (crash here is harmless, never wrong): folded epochs'
+  *     manifest entries + live dirs, the superseded generation + pointer.
+  *     The old-generation delete can race an in-flight reader that
+  *     already planned against it (same transient-listing semantics as a
+  *     crawler re-crawl) — run folds at maintenance cadence.
+  * A crash between 1 and 3 leaves an unreferenced stage the next fold
+  * attempt overwrites (same generation number is recomputed); a crash
+  * between 2 and 3 additionally leaves markers whose epochs are still
+  * manifest-listed — readers unchanged, replay still a no-op.
   */
 object TransactionalLake {
 
@@ -46,10 +76,18 @@ object TransactionalLake {
 
   private def manifestDir(root: String) = s"$root/_manifest"
   private def epochDir(root: String, epochId: Long) = s"$root/data/epoch=$epochId"
+  private def foldPointerDir(root: String) = s"$root/_fold"
+  private def foldedMarkerDir(root: String) = s"$root/_folded"
+  private def foldGenDir(root: String, gen: Long) = s"$root/data_folded/gen=$gen"
 
-  /** True iff `epochId` has been committed. */
-  def isCommitted(spark: SparkSession, root: String, epochId: Long): Boolean =
-    fs(spark, root).exists(new Path(s"${manifestDir(root)}/$epochId"))
+  /** True iff `epochId` has been committed — directly (manifest entry) or
+    * via a fold (its rows live in the consolidated generation; the
+    * `_folded` marker keeps replay a no-op forever). */
+  def isCommitted(spark: SparkSession, root: String, epochId: Long): Boolean = {
+    val f = fs(spark, root)
+    f.exists(new Path(s"${manifestDir(root)}/$epochId")) ||
+      f.exists(new Path(s"${foldedMarkerDir(root)}/$epochId"))
+  }
 
   /** Write + commit one epoch (idempotent — see the protocol above).
     * `df` must already carry the partition columns. */
@@ -81,13 +119,108 @@ object TransactionalLake {
       .filterNot(_.startsWith(".")).map(_.toLong).sorted.toSeq
   }
 
-  /** All committed rows — ONLY committed epoch dirs are listed, so a
-    * half-written epoch is invisible. `basePath` keeps every partition
-    * column (epoch included) in the schema and prunable. */
+  /** Current fold generation and the (sorted) epoch ids it holds, if any
+    * fold has ever committed. Readers take the HIGHEST generation — the
+    * pointer files are never mutated in place, so this is race-free. */
+  def foldState(spark: SparkSession, root: String): Option[(Long, Seq[Long])] = {
+    val dir = new Path(foldPointerDir(root))
+    val f = fs(spark, root)
+    if (!f.exists(dir)) return None
+    val gens = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+    if (gens.isEmpty) return None
+    val g = gens.max
+    val in = f.open(new Path(s"${foldPointerDir(root)}/gen-$g"))
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val ids = content.trim match {
+      case "" => Seq.empty[Long]
+      case s  => s.split(",").map(_.trim.toLong).toSeq.sorted
+    }
+    Some((g, ids))
+  }
+
+  /** All committed rows — the consolidated fold generation (if any) plus
+    * every live committed epoch dir NOT superseded by it. A half-written
+    * epoch or an uncommitted fold stage is invisible. `basePath` keeps
+    * every partition column (epoch included) in the schema and prunable;
+    * a fold preserves per-row epoch values, so the view is identical
+    * before and after folding. */
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
-    val epochs = committedEpochs(spark, root)
-    require(epochs.nonEmpty, s"no committed epochs under $root")
-    spark.read.option("basePath", s"$root/data")
-      .parquet(epochs.map(epochDir(root, _)): _*)
+    val fold = foldState(spark, root)
+    val folded = fold.map(_._2.toSet).getOrElse(Set.empty[Long])
+    val live = committedEpochs(spark, root).filterNot(folded)
+    val reads =
+      fold.filter(_._2.nonEmpty).map { case (g, _) =>
+        spark.read.option("basePath", foldGenDir(root, g))
+          .parquet(foldGenDir(root, g))
+      }.toSeq ++
+      (if (live.nonEmpty)
+        Seq(spark.read.option("basePath", s"$root/data")
+          .parquet(live.map(epochDir(root, _)): _*))
+      else Nil)
+    require(reads.nonEmpty, s"no committed epochs under $root")
+    reads.reduce(_ unionByName _)
+  }
+
+  /** Fold every committed epoch with id <= `upTo` (together with all
+    * previously folded epochs) into one consolidated, bin-packed
+    * generation — the retention pass that keeps manifest size and
+    * per-query listing cost bounded on a long-lived lake. Idempotent and
+    * crash-safe (see the protocol in the object scaladoc); replay of a
+    * folded epoch remains a no-op forever. Single-writer: run from the
+    * maintenance schedule, not concurrently with itself.
+    * Returns the number of NEWLY folded epochs (0 = nothing aged out). */
+  def foldCommittedEpochs(spark: SparkSession, root: String, upTo: Long,
+                          targetRecordsPerFile: Long = 5000000L): Int = {
+    val f = fs(spark, root)
+    val cur = foldState(spark, root)
+    val prevIds = cur.map(_._2).getOrElse(Seq.empty)
+    val fresh = committedEpochs(spark, root)
+      .filterNot(prevIds.toSet).filter(_ <= upTo)
+    if (fresh.isEmpty) return 0
+    val gen = cur.map(_._1).getOrElse(0L) + 1L
+    val stage = foldGenDir(root, gen)
+    // 1. stage generation g+1: previous generation ∪ newly aged epochs,
+    //    epoch kept as the leading partition column, re-binned (explicit
+    //    partition count — AQE would coalesce a cols-only repartition to
+    //    one serial writer task)
+    val freshDf = spark.read.option("basePath", s"$root/data")
+      .parquet(fresh.map(epochDir(root, _)): _*)
+    val union = (cur.filter(_._2.nonEmpty).map { case (g, _) =>
+      spark.read.option("basePath", foldGenDir(root, g))
+        .parquet(foldGenDir(root, g))
+    }.toSeq :+ freshDf).reduce(_ unionByName _)
+    val partCols = "epoch" +: Schemas.partitionCols
+    val n = spark.sessionState.conf.numShufflePartitions
+    union.repartition(n, partCols.map(col): _*)
+      .write.mode("overwrite") // an orphaned stage from a crashed attempt is rewritten
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(stage)
+    // 2. replay markers BEFORE the pointer swap
+    f.mkdirs(new Path(foldedMarkerDir(root)))
+    fresh.foreach(e =>
+      f.create(new Path(s"${foldedMarkerDir(root)}/$e"), true).close())
+    // 3. COMMIT: a NEW pointer file, temp + atomic rename
+    f.mkdirs(new Path(foldPointerDir(root)))
+    val tmp = new Path(s"${foldPointerDir(root)}/.tmp-$gen")
+    val fin = new Path(s"${foldPointerDir(root)}/gen-$gen")
+    val out = f.create(tmp, true)
+    try out.write((prevIds ++ fresh).sorted.mkString(",").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, fin) && !f.exists(fin))
+      throw new java.io.IOException(s"fold commit failed for generation $gen")
+    // 4. cleanup — crash here leaves garbage, never wrong results
+    fresh.foreach { e =>
+      f.delete(new Path(s"${manifestDir(root)}/$e"), false)
+      f.delete(new Path(epochDir(root, e)), true)
+    }
+    cur.foreach { case (g, _) =>
+      f.delete(new Path(foldGenDir(root, g)), true)
+      f.delete(new Path(s"${foldPointerDir(root)}/gen-$g"), false)
+    }
+    fresh.size
   }
 }

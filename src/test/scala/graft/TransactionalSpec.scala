@@ -82,4 +82,75 @@ class TransactionalSpec extends SparkSpec {
     TransactionalLake.commitEpoch(df.withColumn("payload", lit("now")), lake, 1L)
     assert(TransactionalLake.readCommitted(spark, lake).count() == 2)
   }
+
+  private def epochFrame(id: Long) =
+    Seq((id * 10 + 1, s"p${id}a"), (id * 10 + 2, s"p${id}b"))
+      .toDF("event_id", "payload")
+      .withColumn("tenant", lit(s"t$id")).withColumn("year", lit("2024"))
+      .withColumn("month", lit("05")).withColumn("day", lit("01"))
+      .withColumn("hour", lit("00"))
+
+  test("folding aged epochs preserves the view, truncates the manifest, keeps replay a no-op") {
+    val lake = tmpDir("tx_fold")
+    (0L to 3L).foreach(e => TransactionalLake.commitEpoch(epochFrame(e), lake, e))
+    val before = TransactionalLake.readCommitted(spark, lake)
+      .select("event_id", "payload", "epoch", "tenant", "year", "month", "day", "hour")
+      .orderBy("event_id").collect().toSeq
+    assert(before.size == 8)
+
+    assert(TransactionalLake.foldCommittedEpochs(spark, lake, upTo = 2L) == 3)
+    // the committed view is IDENTICAL — rows, partition values, epoch ids
+    assert(TransactionalLake.readCommitted(spark, lake)
+      .select("event_id", "payload", "epoch", "tenant", "year", "month", "day", "hour")
+      .orderBy("event_id").collect().toSeq == before)
+    // manifest truncated to the unfolded tail; fold state holds the rest
+    assert(TransactionalLake.committedEpochs(spark, lake) == Seq(3L))
+    assert(TransactionalLake.foldState(spark, lake).map(_._2) == Some(Seq(0L, 1L, 2L)))
+    // replay of a folded epoch (manifest entry long gone) is still a no-op
+    assert(TransactionalLake.isCommitted(spark, lake, 1L))
+    TransactionalLake.commitEpoch(
+      epochFrame(1L).withColumn("payload", lit("replayed")), lake, 1L)
+    assert(TransactionalLake.readCommitted(spark, lake)
+      .select("event_id", "payload", "epoch", "tenant", "year", "month", "day", "hour")
+      .orderBy("event_id").collect().toSeq == before)
+
+    // a SECOND fold accumulates: previous generation ∪ the aged tail
+    assert(TransactionalLake.foldCommittedEpochs(spark, lake, upTo = 10L) == 1)
+    assert(TransactionalLake.committedEpochs(spark, lake).isEmpty)
+    assert(TransactionalLake.foldState(spark, lake).map(_._2) ==
+      Some(Seq(0L, 1L, 2L, 3L)))
+    assert(TransactionalLake.readCommitted(spark, lake)
+      .select("event_id", "payload", "epoch", "tenant", "year", "month", "day", "hour")
+      .orderBy("event_id").collect().toSeq == before)
+    // nothing aged out → no-op, not an error
+    assert(TransactionalLake.foldCommittedEpochs(spark, lake, upTo = 10L) == 0)
+  }
+
+  test("an uncommitted fold stage is invisible; a crashed fold resumes correctly") {
+    val lake = tmpDir("tx_foldcrash")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    (0L to 1L).foreach(e => TransactionalLake.commitEpoch(epochFrame(e), lake, e))
+    val before = TransactionalLake.readCommitted(spark, lake)
+      .select("event_id", "payload").orderBy("event_id").collect().toSeq
+
+    // simulate a crash between staging (+ markers) and the pointer swap:
+    // stage data + markers exist, pointer does not
+    epochFrame(0L).withColumn("epoch", lit("0"))
+      .write.partitionBy("epoch", "tenant", "year", "month", "day", "hour")
+      .mode("overwrite").parquet(s"$lake/data_folded/gen=1")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$lake/_folded"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$lake/_folded/0"), true).close()
+    // readers: unchanged (the torn stage is unreferenced); replay: no-op
+    assert(TransactionalLake.readCommitted(spark, lake)
+      .select("event_id", "payload").orderBy("event_id").collect().toSeq == before)
+    assert(TransactionalLake.foldState(spark, lake).isEmpty)
+    assert(TransactionalLake.isCommitted(spark, lake, 0L))
+
+    // the next fold attempt recomputes the same generation, overwrites
+    // the orphaned stage, and completes
+    assert(TransactionalLake.foldCommittedEpochs(spark, lake, upTo = 1L) == 2)
+    assert(TransactionalLake.readCommitted(spark, lake)
+      .select("event_id", "payload").orderBy("event_id").collect().toSeq == before)
+    assert(TransactionalLake.foldState(spark, lake).map(_._2) == Some(Seq(0L, 1L)))
+  }
 }
