@@ -201,10 +201,29 @@ object Similarity {
   /** IVF top-k against a PREASSIGNED corpus: the per-query assignment
     * pass (corpus × centroids argmin — the dominant per-query cost of
     * [[ivfTopKWith]]) is replaced by a join with the stored
-    * [[ivfAssignments]] index. Same output, amortized build. */
+    * [[ivfAssignments]] index. Same output, amortized build.
+    *
+    * COMPLETENESS CONTRACT: the inner index join silently EXCLUDES any
+    * corpus row missing from `assignments` — a stale index (docs appended
+    * after the build) would shrink the search space with no error. The
+    * default guard detects the first unindexed id (an id-only anti-join
+    * probe, one cheap job) and fails fast; incremental deployments append
+    * per-batch [[ivfAssignments]] to the index instead (the
+    * `sim_topk_ivf_incremental` lifecycle). Pass `requireComplete=false`
+    * only to knowingly search the indexed subset. */
   def ivfTopKPreassigned(cents: DataFrame, assignments: DataFrame,
                          corpus: DataFrame, probes: DataFrame, idCol: String,
-                         vecCol: String, k: Int, nProbe: Int = 3): DataFrame = {
+                         vecCol: String, k: Int, nProbe: Int = 3,
+                         requireComplete: Boolean = true): DataFrame = {
+    if (requireComplete) {
+      val missing = corpus.select(col(idCol).as("c_id"))
+        .join(assignments.select(col("id").as("c_id")), Seq("c_id"), "left_anti")
+        .limit(1).count()
+      require(missing == 0L,
+        "assignment index is stale: corpus rows are missing from it and would be " +
+          "silently excluded from search — append ivfAssignments for the new rows " +
+          "(or rebuild), or pass requireComplete=false to search the indexed subset")
+    }
     val c = withNormed(corpus, idCol, vecCol, "c")
       .join(assignments.select(col("id").as("c_id"), col("cell")), Seq("c_id"))
     ivfSearch(cents, c, probes, idCol, vecCol, k, nProbe)

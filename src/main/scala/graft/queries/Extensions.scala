@@ -129,6 +129,33 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** Incremental ANN index maintenance — the similarity twin of
+    * [[dedupIncrementalFold]]: three arriving embedding batches, each
+    * assigned against the deployment's centroid generation (seeded from
+    * the FIRST batch — no future knowledge) and appended to a persistent
+    * assignment index (copied out per step like a real deployment would
+    * persist it); search then runs through [[Similarity.ivfTopKPreassigned]]
+    * over the accumulated index, completeness-guarded. Assignment is
+    * per-row, so the fold must equal a one-shot index build — and every
+    * step (centroid choice, argmin tiebreak, probe fan-out, cosines) is
+    * deterministic double math, so the whole index LIFECYCLE is
+    * oracle-checkable, not just one search. Periodic centroid
+    * regeneration (refine + full re-assign) is Spark-vs-Spark pinned in
+    * DedupSimilaritySpec. */
+  def simTopKIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val batches = (0 until 3).map(i => e.filter(col("vec_id") % 3 === i))
+    val cents = Similarity.seedCentroids(batches(0), "vec_id", "embedding", nCells = 16)
+    val empty = Similarity.ivfAssignments(cents, e.filter(lit(false)), "vec_id", "embedding")
+    val index = batches.foldLeft(empty) { (idx, b) =>
+      Blocks.copyOut(idx.unionByName(
+        Similarity.ivfAssignments(cents, b, "vec_id", "embedding")))
+    }
+    Similarity.ivfTopKPreassigned(cents, index, e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairsLsh(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
@@ -263,6 +290,7 @@ object Extensions {
     "sim_topk_exact" -> (simTopKExact _),
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
+    "sim_topk_ivf_incremental" -> (simTopKIvfIncremental _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_asof_join" -> (asofClickPurchase _),
     "dedup_source_similarity" -> (dedupSourceSimilarity _),
@@ -326,6 +354,45 @@ object Extensions {
   private def markerListSql(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
 
+  /** The full IVF lifecycle in SQL (centroid seed → cell assignment →
+    * probe fan-out → exact rerank) — shared by the one-shot and the
+    * incremental-fold oracles (the fold differs only in which rows seed
+    * the centroid generation). */
+  private val ivfSql: String = vecCte +
+    """, cents AS (
+      |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), ca0 AS (
+      |  SELECT a.vec_id AS c_id, a.e AS c_e, a.nrm AS c_nrm, b.cent_id AS cell,
+      |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+      |      (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+      |  FROM n a CROSS JOIN cents b
+      |), ca AS (
+      |  SELECT c_id, c_e, c_nrm, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_id
+      |      ORDER BY cos DESC, cell) AS rn FROM ca0)
+      |  WHERE rn = 1
+      |), pa AS (
+      |  SELECT p_id, p_e, p_nrm, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_id
+      |      ORDER BY cos DESC, cell) AS rn FROM (
+      |      SELECT a.vec_id AS p_id, a.e AS p_e, a.nrm AS p_nrm, b.cent_id AS cell,
+      |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+      |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+      |      FROM n a CROSS JOIN cents b WHERE a.vec_id < 10))
+      |  WHERE rn <= 3
+      |)
+      |SELECT probe_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |FROM (
+      |  SELECT pa.p_id AS probe_id, ca.c_id AS neighbor_id,
+      |    list_reduce(list_transform(range(1, len(pa.p_e)+1), i -> pa.p_e[i]*ca.c_e[i]),
+      |      (x,y) -> x+y) / (pa.p_nrm * ca.c_nrm) AS cosine
+      |  FROM pa JOIN ca USING (cell) WHERE pa.p_id <> ca.c_id)
+      |QUALIFY rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** Oracle SQL as an entry LIST folded into a Map through a uniqueness
     * guard: a duplicate key in a `Map(...)` literal silently keeps only the
     * last definition (it happened in round 1 — three keys were defined
@@ -380,40 +447,13 @@ object Extensions {
     // final cosines are all deterministic double math, so the full
     // operator is oracle-checkable with the same sequential-fold recipe
     // as sim_topk_exact.
-    "sim_topk_ivf" -> (vecCte +
-      """, cents AS (
-        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
-        |  FROM n ORDER BY vec_id LIMIT 16
-        |), ca0 AS (
-        |  SELECT a.vec_id AS c_id, a.e AS c_e, a.nrm AS c_nrm, b.cent_id AS cell,
-        |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
-        |      (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
-        |  FROM n a CROSS JOIN cents b
-        |), ca AS (
-        |  SELECT c_id, c_e, c_nrm, cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY c_id
-        |      ORDER BY cos DESC, cell) AS rn FROM ca0)
-        |  WHERE rn = 1
-        |), pa AS (
-        |  SELECT p_id, p_e, p_nrm, cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY p_id
-        |      ORDER BY cos DESC, cell) AS rn FROM (
-        |      SELECT a.vec_id AS p_id, a.e AS p_e, a.nrm AS p_nrm, b.cent_id AS cell,
-        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
-        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
-        |      FROM n a CROSS JOIN cents b WHERE a.vec_id < 10))
-        |  WHERE rn <= 3
-        |)
-        |SELECT probe_id, neighbor_id, cosine,
-        |  CAST(row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |FROM (
-        |  SELECT pa.p_id AS probe_id, ca.c_id AS neighbor_id,
-        |    list_reduce(list_transform(range(1, len(pa.p_e)+1), i -> pa.p_e[i]*ca.c_e[i]),
-        |      (x,y) -> x+y) / (pa.p_nrm * ca.c_nrm) AS cosine
-        |  FROM pa JOIN ca USING (cell) WHERE pa.p_id <> ca.c_id)
-        |QUALIFY rank <= 5
-        |ORDER BY probe_id, rank""".stripMargin),
+    "sim_topk_ivf" -> ivfSql,
+    // the per-batch index-accumulation fold must converge to the one-shot
+    // build — same search SQL, with the centroid generation seeded from
+    // the FIRST batch (vec_id % 3 = 0), exactly as the deployment would
+    "sim_topk_ivf_incremental" -> ivfSql.replaceFirst(
+      "FROM n ORDER BY vec_id LIMIT 16",
+      "FROM n WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 16"),
     "sim_topk_exact" -> (vecCte +
       """
         |SELECT probe_id, neighbor_id, cosine,

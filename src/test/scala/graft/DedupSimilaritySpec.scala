@@ -47,6 +47,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pre == oneShot, s"index path diverged: ${pre.diff(oneShot)} / ${oneShot.diff(pre)}")
   }
 
+  test("incremental IVF: per-batch index fold equals one-shot; staleness is detected") {
+    val probes = embs.filter($"vec_id" < 10)
+    val batches = (0 until 3).map(i => embs.filter($"vec_id" % 3 === i))
+    // centroid generation seeded from the FIRST batch — the deployment
+    // has no future knowledge of later arrivals
+    val cents = Similarity.seedCentroids(batches(0), "vec_id", "embedding", 16)
+    val folded = batches
+      .map(b => Similarity.ivfAssignments(cents, b, "vec_id", "embedding"))
+      .reduce(_ unionByName _)
+    val oneShot = Similarity.ivfAssignments(cents, embs, "vec_id", "embedding")
+    assert(folded.as[(Long, Long)].collect().toSet ==
+      oneShot.as[(Long, Long)].collect().toSet,
+      "per-row assignment must make the fold order-insensitive")
+    val viaFold = Similarity.ivfTopKPreassigned(cents, folded, embs, probes,
+      "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val viaOneShot = Similarity.ivfTopKWith(cents, embs, probes,
+      "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaFold == viaOneShot)
+    // a STALE index (batch 2 never appended) must fail fast, not shrink
+    // the search space silently
+    val stale = folded.filter($"id" % 3 =!= 2)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKPreassigned(cents, stale, embs, probes,
+        "vec_id", "embedding", 5)
+    }
+    // the opt-out knowingly searches the indexed subset only
+    val subset = Similarity.ivfTopKPreassigned(cents, stale, embs, probes,
+      "vec_id", "embedding", 5, requireComplete = false)
+    assert(subset.filter($"neighbor_id" % 3 === 2).count() == 0)
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val planted = docs.limit(5).union(docs.limit(2)) // 2 exact dups
     val out = Dedup.exact(planted, Seq("text"), "doc_id")
