@@ -109,17 +109,33 @@ object JwtVerify {
       case _ => false
     }
 
+  /** Top-level `exp` from the payload via a REAL JSON parse (Jackson, on
+    * the Spark classpath) — a regex over the raw payload text can match an
+    * "exp"-shaped substring embedded in ANOTHER claim's string value
+    * (escaped quotes still leave '"exp":"123"' in the raw text), driving
+    * expiry from the wrong field: a legitimately-signed token could be
+    * wrongly accepted as unexpired, or wrongly denied. The reference
+    * authorizer parses claims structurally; so does this. Accepts a JSON
+    * number or a numeric string; anything else fails closed. */
+  private def topLevelExp(payloadJson: String): Option[Long] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(payloadJson)
+      Option(node.get("exp")).flatMap { e =>
+        if (e.isNumber) Some(e.longValue())
+        else if (e.isTextual) e.asText().toLongOption
+        else None
+      }
+    } catch { case _: Exception => None }
+
   /** Full authorizer parity minus the network fetch: kid → key lookup,
     * RS256 signature check, expiry check. */
   def authorize(token: String, keys: Map[String, RSAPublicKey],
                 nowEpochSeconds: Long): Boolean = {
     val expOk = token.split('.') match {
       case Array(_, p, _) =>
-        try {
-          val payload = new String(b64.decode(p), "UTF-8")
-          "\"exp\"\\s*:\\s*\"?(\\d+)\"?".r.findFirstMatchIn(payload)
-            .exists(_.group(1).toLong > nowEpochSeconds)
-        } catch { case _: Exception => false }
+        try topLevelExp(new String(b64.decode(p), "UTF-8"))
+          .exists(_ > nowEpochSeconds)
+        catch { case _: Exception => false }
       case _ => false
     }
     expOk && keyId(token).flatMap(keys.get).exists(verifyRs256(token, _))

@@ -87,5 +87,22 @@ class JwtSpec extends SparkSpec {
     val noneAlg = s"${enc("""{"alg":"none","kid":"k1"}""")}.${enc(payload)}."
     assert(!JwtVerify.verifyRs256(noneAlg, pub))
     assert(!JwtVerify.authorize("not-a-jwt", keys, now))
+
+    // exp must come from the TOP-LEVEL claim, not an "exp"-shaped
+    // substring inside another claim's string value: a legitimately
+    // signed token with a decoy must be judged by its real exp only
+    val decoyUnexpired = sign(header,
+      s"""{"sub":"u","note":"ignore \\"exp\\":\\"${now + 9999}\\" here","exp":"${now - 1}"}""",
+      pair.getPrivate)
+    assert(!JwtVerify.authorize(decoyUnexpired, keys, now),
+      "an expired token must not be revived by a decoy exp in a string claim")
+    val decoyExpired = sign(header,
+      s"""{"sub":"u","note":"ignore \\"exp\\":\\"1\\" here","exp":"${now + 600}"}""",
+      pair.getPrivate)
+    assert(JwtVerify.authorize(decoyExpired, keys, now),
+      "a valid token must not be denied by a decoy exp in a string claim")
+    // numeric (unquoted) exp — the RFC shape — is accepted too
+    assert(JwtVerify.authorize(
+      sign(header, s"""{"sub":"u","exp":${now + 600}}""", pair.getPrivate), keys, now))
   }
 }
