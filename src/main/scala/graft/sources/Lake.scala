@@ -171,10 +171,13 @@ object Lake {
     * all specs) and invalidate the cached file listing so appends into
     * already-registered partitions become visible. O(batch partitions)
     * metastore work per call — a full `recoverPartitions` crawl is
-    * O(table partitions) and unusable at 100 TB micro-batch cadence. */
+    * O(table partitions) and unusable at 100 TB micro-batch cadence.
+    * Returns the number of metastore statements issued (0 or 1 — the
+    * batching contract CatalogScaleSpec pins across a 1000-partition
+    * lake; see DEPLOYMENT.md for the Hive-metastore deployment note). */
   def registerPartitions(spark: SparkSession, table: String, path: String,
                          parts: Seq[Map[String, String]],
-                         format: String = "parquet"): Unit = {
+                         format: String = "parquet"): Int = {
     // Specs containing a NULL value (rows written under a
     // __HIVE_DEFAULT_PARTITION__ dir) are skipped: registering the literal
     // default-partition STRING would diverge from recoverPartitions' null
@@ -185,7 +188,7 @@ object Lake {
     // no partitions → no-op. Creating the table here would infer the
     // schema from a possibly EMPTY path (an all-errors first micro-batch
     // writes no data files) and crash-loop the stream on AnalysisException.
-    if (registrable.isEmpty) return
+    if (registrable.isEmpty) return 0
     val fresh = !spark.catalog.tableExists(table)
     if (fresh) {
       // create WITHOUT a recoverPartitions crawl: the caller knows the
@@ -201,6 +204,7 @@ object Lake {
       .map(c => s"$c=${sqlLit(p(c))}").mkString("PARTITION (", ", ", ")"))
     spark.sql(s"ALTER TABLE $table ADD IF NOT EXISTS ${specs.mkString(" ")}")
     if (!fresh) spark.catalog.refreshTable(table)
+    1
   }
 
   /** Small-file compaction, partition-scoped and IN-PLACE:
