@@ -347,6 +347,48 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q4-style order-priority check: COUNT per priority over orders
+    * that have at least one qualifying lineitem — the aggregate-over-
+    * SEMI-JOIN shape (the reference's commit/receipt columns don't exist
+    * in the fixture; `l_returnflag='R'` stands in as the correlated
+    * predicate). The semi-join carries only the order keys (no lineitem
+    * payload ever crosses the exchange, no row multiplication to
+    * de-duplicate); at 100 TB the filter pushes to both scans and the
+    * aggregate is 5 groups of partial counts. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val qualifying = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    ord.join(qualifying, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q16-style supplier count: DISTINCT-aggregate over an
+    * ANTI-JOIN — suppliers from an exclusion set (negative balance stands
+    * in for the reference's complaints filter; the fixture has no
+    * partsupp, so lineitem is the part↔supplier association) are removed
+    * BEFORE counting distinct suppliers per (brand, size) group. The
+    * exclusion set is tiny → broadcast anti-join (no shuffle to
+    * exclude); the distinct-aggregate is the one exchange, keyed on the
+    * group columns with the supplier id de-duplicated map-side. */
+  def q16PartsSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 4, 9, 14, 23, 36, 45, 49)
+    val part = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(sizes: _*))
+    val excluded = t(spark, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
   /** Approx-quantile sketch with a testable guarantee: per-flag
     * percentile_approx median (Greenwald-Khanna style mergeable sketch,
     * constant memory — the 100 TB path for quantiles) checked against
@@ -502,6 +544,8 @@ object Analytics {
     "q_ntile_quartiles" -> (ntileQuartiles _),
     "q_approx_quantiles" -> (approxQuantilesEnvelope _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q16_parts_supplier" -> (q16PartsSupplier _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q2_min_balance_supplier" -> (q2MinBalanceSupplier _),
     "q_running_revenue" -> (runningRevenue _),
@@ -645,6 +689,21 @@ object Analytics {
         |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q16_parts_supplier" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
     "q_semi_anti_join" ->
       """SELECT c_custkey, c_name, 'has_orders' AS tag FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
