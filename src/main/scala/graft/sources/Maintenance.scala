@@ -58,16 +58,48 @@ object Maintenance {
     * on the handle and the cadence continues — crawler semantics, not a
     * crashing job. */
   def scheduleRefresh(spark: SparkSession, table: String, path: String,
-                      intervalSeconds: Long = 300L): RefreshHandle = {
+                      intervalSeconds: Long = 300L): RefreshHandle =
+    schedule(s"graft-catalog-refresh-$table") { () =>
+      refreshOnce(spark, table, path)
+    }(intervalSeconds)
+
+  /** One retention pass over a transactional lake: fold every committed
+    * epoch EXCEPT the newest `keepLast` into the consolidated generation
+    * (see `TransactionalLake.foldCommittedEpochs`). The replay window
+    * only ever re-delivers the epoch in flight, so even `keepLast = 1`
+    * is correct — keep more for operational headroom (inspection,
+    * ad-hoc per-epoch reads). Returns the number of epochs folded. */
+  def foldAged(spark: SparkSession, root: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val epochs = TransactionalLake.committedEpochs(spark, root)
+    if (epochs.size <= keepLast) 0
+    else TransactionalLake.foldCommittedEpochs(spark, root,
+      upTo = epochs(epochs.size - keepLast - 1))
+  }
+
+  /** Scheduled retention for a transactional lake — the fold twin of
+    * [[scheduleRefresh]]: at a 60 s trigger the manifest gains ~1,440
+    * epochs/day, so a daily-ish fold cadence keeps reader listing cost
+    * and manifest size flat forever. Single-writer by construction (one
+    * daemon thread per handle); do not schedule two folders over one
+    * root. */
+  def scheduleEpochFold(spark: SparkSession, root: String, keepLast: Int = 60,
+                        intervalSeconds: Long = 3600L): RefreshHandle =
+    schedule(s"graft-epoch-fold") { () =>
+      foldAged(spark, root, keepLast); ()
+    }(intervalSeconds)
+
+  private def schedule(threadName: String)(tick: () => Unit)(
+      intervalSeconds: Long): RefreshHandle = {
     val exec = Executors.newSingleThreadScheduledExecutor { r =>
-      val t = new Thread(r, s"graft-catalog-refresh-$table")
+      val t = new Thread(r, threadName)
       t.setDaemon(true)
       t
     }
     val handle = new RefreshHandle(exec)
     exec.scheduleWithFixedDelay(() => {
       try {
-        refreshOnce(spark, table, path)
+        tick()
         handle.ticks += 1
         handle.lastError = None // a healthy tick clears a stale failure
       } catch {
