@@ -389,6 +389,48 @@ object Analytics {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
 
+  /** TPC-H Q14-style promo revenue ratio: conditional-aggregate ratio
+    * over ONE broadcast dim join inside a ship-date window. Same numeric
+    * discipline as Q8 — exact decimal sums, one double division at the
+    * end. At 100 TB the date filter prunes the fact scan, part
+    * broadcasts, and the ungrouped aggregate ships two partial decimals
+    * per task. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+    val rev = dec(col("l_extendedprice")) * (one - pct(col("l_discount")))
+    li.join(broadcast(t(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+        .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(12, 4))))
+        .cast("double") / sum(rev).cast("double")).as("promo_revenue"))
+  }
+
+  /** TPC-H Q22-style global-sales-opportunity: a GLOBAL scalar-aggregate
+    * threshold + anti-join + final aggregate. Two fixture adaptations:
+    * the anti-join excludes customers with RECENT orders (every fixture
+    * customer has some order, and there is no phone column), and the
+    * above-average predicate is multiplied through to exact decimals
+    * (acctbal > total/n ⟺ acctbal·n > total) — a float `avg` threshold
+    * would be summation-order-dependent and break bit parity. The 1-row
+    * threshold aggregate broadcasts; the anti-join ships only the recent
+    * order keys. */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val threshold = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec(col("c_acctbal"))).as("total"), count(lit(1)).as("n"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(threshold))
+      .filter(dec(col("c_acctbal")) * col("n") > col("total"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Approx-quantile sketch with a testable guarantee: per-flag
     * percentile_approx median (Greenwald-Khanna style mergeable sketch,
     * constant memory — the 100 TB path for quantiles) checked against
@@ -546,6 +588,8 @@ object Analytics {
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q4_order_priority" -> (q4OrderPriority _),
     "q16_parts_supplier" -> (q16PartsSupplier _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q22_global_sales" -> (q22GlobalSales _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q2_min_balance_supplier" -> (q2MinBalanceSupplier _),
     "q_running_revenue" -> (runningRevenue _),
@@ -689,6 +733,25 @@ object Analytics {
         |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |    ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
+    "q22_global_sales" ->
+      """WITH pos AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS total, COUNT(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(10,2)) * n > total
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
