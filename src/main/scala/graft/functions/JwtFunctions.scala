@@ -127,6 +127,23 @@ object JwtVerify {
       }
     } catch { case _: Exception => None }
 
+  /** The token's top-level `custom:tenantId` claim (the reference
+    * authorizer's tenant source, lambda_authorizer/app.py:20-21,81-85) —
+    * JVM-side twin of the column-level `JwtFunctions.jwtTenantId`, for
+    * the request path. None on any malformation; callers fail closed.
+    * NOTE: parses WITHOUT verifying — use after [[authorize]]. */
+  def tenantClaim(token: String): Option[String] =
+    token.split('.') match {
+      case Array(_, p, _) =>
+        try {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new String(b64.decode(p), "UTF-8"))
+          Option(node.get("custom:tenantId")).filter(_.isTextual).map(_.asText())
+            .filter(_.nonEmpty)
+        } catch { case _: Exception => None }
+      case _ => None
+    }
+
   /** Full authorizer parity minus the network fetch: kid → key lookup,
     * RS256 signature check, expiry check. */
   def authorize(token: String, keys: Map[String, RSAPublicKey],

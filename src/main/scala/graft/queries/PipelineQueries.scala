@@ -274,6 +274,94 @@ object PipelineQueries {
       .orderBy("device")
   }
 
+  /** S1 END-TO-END, driver-gated: the reference's `POST /data` → token
+    * authorizer → stream → lake path, fully offline. An RSA keypair is
+    * generated in-process, one token per tenant is signed with
+    * `custom:tenantId`, and every fixture event in a bounded prefix is
+    * POSTed through the HTTP endpoint: the offline authorizer verifies
+    * RS256 once per token (decision cached with a TTL — C2), the tenant
+    * comes from the VERIFIED CLAIM, never the payload (C3), and each
+    * accepted record spools atomically; the streaming ingest then tails
+    * the spool through enrichment and partition derivation into the
+    * lake. The POST loop is the PRODUCER side of the simulation
+    * (bounded fixture — not a data-plane collect). Hash equality
+    * against the plain-SQL oracle proves the endpoint neither drops,
+    * duplicates, nor re-tenants a single record. */
+  def httpIngestRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/http_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    // producer side: a signed token per tenant, every record POSTed
+    val b64e = java.util.Base64.getUrlEncoder.withoutPadding()
+    def enc(s: String) = b64e.encodeToString(s.getBytes("UTF-8"))
+    val gen = java.security.KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    val pair = gen.generateKeyPair()
+    def sign(payload: String): String = {
+      val body = s"${enc("""{"alg":"RS256","kid":"k1"}""")}.${enc(payload)}"
+      val sig = java.security.Signature.getInstance("SHA256withRSA")
+      sig.initSign(pair.getPrivate)
+      sig.update(body.getBytes("UTF-8"))
+      s"$body.${b64e.encodeToString(sig.sign())}"
+    }
+    val exp = System.currentTimeMillis() / 1000L + 3600L
+    val tokens = (0 until 3).map(i => s"t$i" ->
+      sign(s"""{"sub":"u$i","custom:tenantId":"t$i","exp":"$exp"}""")).toMap
+    val keys = Map("k1" ->
+      pair.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey])
+    val records = events(spark, dir)
+      .filter(col("event_id") <= 2000 && col("event_type") =!= "error")
+      .select(to_json(struct(struct(
+        concat(lit("dev"), col("event_id").cast("string")).as("device"),
+        col("event_type").as("event"),
+        lit("US").as("region")).as("Data"))).as("value"),
+        tenantCol.as("tenant_key"))
+      .collect()
+    val server = graft.streaming.HttpIngest.start(s"$base/in", keys)
+    try {
+      // pipelined producer: async client, bounded in-flight window — the
+      // shape a real putRecord producer uses
+      val client = java.net.http.HttpClient.newHttpClient()
+      records.grouped(64).foreach { window =>
+        val inflight = window.map { r =>
+          val req = java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${server.port}/data"))
+            .header("Authorization", s"Bearer ${tokens(r.getString(1))}")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(r.getString(0)))
+            .build()
+          client.sendAsync(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+        }
+        inflight.foreach { f =>
+          val code = f.join().statusCode()
+          require(code == 200, s"ingest POST rejected: $code")
+        }
+      }
+      require(server.accepted == records.length.toLong,
+        s"endpoint accepted ${server.accepted} of ${records.length}")
+      require(server.authCacheHits >= records.length.toLong - tokens.size,
+        "authorizer cache must short-circuit repeated tokens")
+    } finally server.close()
+    // engine side: the standard streaming ingest tails the spool
+    val raw = spark.readStream
+      .schema(StructType(Seq(
+        StructField("value", StringType),
+        StructField("tenant_key", StringType))))
+      .json(s"$base/in")
+    val q = graft.streaming.StreamingIngest.start(spark, raw, "value",
+      "tenant_key", s"$base/lake", s"$base/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      ingestTs = lit(replayIngestEpoch))
+    q.awaitTermination()
+    spark.read.parquet(s"$base/lake/data")
+      .select(col("device"), col("event"), col("region"),
+        col("timestamp").as("ingest_ts"), col("tenant"),
+        col("year"), col("month"), col("day"), col("hour"))
+      .orderBy("device")
+  }
+
   /** Epoch retention round-trip, driver-gated (the transactional lake's
     * `Lake.compact` analog): commit three epochs through the exactly-once
     * protocol, fold the two aged ones into a consolidated generation
@@ -604,6 +692,14 @@ object PipelineQueries {
       """SELECT DISTINCT user_id, event_type FROM events
         |WHERE event_id <= 20000
         |ORDER BY user_id, event_type""".stripMargin,
+    "pipe_http_ingest" ->
+      """SELECT 'dev' || CAST(event_id AS VARCHAR) AS device,
+        |  event_type AS event, 'US' AS region,
+        |  CAST(1704067200 AS BIGINT) AS ingest_ts,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  '2024' AS year, '01' AS month, '01' AS day, '00' AS hour
+        |FROM events WHERE event_type <> 'error' AND event_id <= 2000
+        |ORDER BY device""".stripMargin,
     "pipe_streaming_epoch_compact" ->
       """WITH t1 AS (
         |  SELECT event_id, event_type, value,
@@ -703,5 +799,6 @@ object PipelineQueries {
     "pipe_streaming_sessions" -> (streamingSessions _),
     "pipe_compact_roundtrip" -> (compactRoundtrip _),
     "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),
+    "pipe_http_ingest" -> (httpIngestRoundtrip _),
     "pipe_wire_roundtrip" -> (wireRoundtrip _)))
 }
