@@ -79,6 +79,43 @@ object Extensions {
     pairLog.reduce(_ unionByName _).orderBy("id_a", "id_b")
   }
 
+  /** STREAMING incremental dedup gate — the deployment integration the
+    * batch fold (`dedup_incremental_fold`) models: the documents table
+    * replayed as a 3-file json stream (≈one micro-batch per file), each
+    * batch deduped against the accumulated TRANSACTIONAL corpus + band
+    * index, with a FORCED crash replay of the final epoch (stream commit
+    * deleted, restart re-delivers). The committed pair log must equal
+    * the one-shot full-corpus near-dup pairs — set equality is
+    * batching-independent (every pair has a later-arriving side), so the
+    * oracle is the same plain SQL as the batch operator, now proven
+    * through the streaming shape with exactly-once artifacts. */
+  def dedupStreamingIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/sdedup_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+    (0 until 3).foreach(i => all.filter(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").json(s"$base/in"))
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingDedup.start(
+        s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+          .option("maxFilesPerTrigger", 1).json(s"$base/in"),
+        "doc_id", "text", base, s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    run()
+    // the crash: the final epoch's STREAM commit vanishes — restart
+    // re-delivers the batch; the idempotent epoch commits must keep the
+    // corpus, index, and pair log exact (no duplicates, no loss)
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
+    run()
+    graft.streaming.StreamingDedup.pairLog(s, base).orderBy("id_a", "id_b")
+  }
+
   def dedupCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("doc_id")
@@ -284,6 +321,7 @@ object Extensions {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_fold" -> (dedupIncrementalFold _),
+    "dedup_streaming_index" -> (dedupStreamingIndex _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -405,6 +443,9 @@ object Extensions {
     // the fold over arriving batches must reproduce the one-shot
     // full-corpus pair set exactly — same oracle as the batch operator
     "dedup_incremental_fold" -> ngramJaccardSql,
+    // ... and so must the STREAMING integration, across a forced crash
+    // replay (exactly-once pair log)
+    "dedup_streaming_index" -> ngramJaccardSql,
     // derived from the SHARED pair SQL (single source of truth), with the
     // corpus/new split predicate spliced in — pairs with >= 1 new side
     "dedup_incremental" -> ngramJaccardSql.replaceFirst(

@@ -90,15 +90,21 @@ object TransactionalLake {
   }
 
   /** Write + commit one epoch (idempotent — see the protocol above).
-    * `df` must already carry the partition columns. */
-  def commitEpoch(df: DataFrame, root: String, epochId: Long): Unit = {
+    * `df` must already carry `partitionCols` (default: the standard
+    * event-lake layout; pass Nil for an unpartitioned epoch payload —
+    * e.g. a dedup index or pair log). */
+  def commitEpoch(df: DataFrame, root: String, epochId: Long,
+                  partitionCols: Seq[String] = Schemas.partitionCols): Unit = {
     val spark = df.sparkSession
     if (isCommitted(spark, root, epochId)) return // replayed post-commit epoch
     val target = epochDir(root, epochId)
     val n = spark.sessionState.conf.numShufflePartitions
-    df.repartition(n, Schemas.partitionCols.map(col): _*)
+    val distributed =
+      if (partitionCols.isEmpty) df
+      else df.repartition(n, partitionCols.map(col): _*)
+    distributed
       .write.mode("overwrite") // replayed MID-WRITE epoch rewrites, never appends
-      .partitionBy(Schemas.partitionCols: _*)
+      .partitionBy(partitionCols: _*)
       .parquet(target)
     val f = fs(spark, root)
     f.mkdirs(new Path(manifestDir(root)))
@@ -173,7 +179,8 @@ object TransactionalLake {
     * maintenance schedule, not concurrently with itself.
     * Returns the number of NEWLY folded epochs (0 = nothing aged out). */
   def foldCommittedEpochs(spark: SparkSession, root: String, upTo: Long,
-                          targetRecordsPerFile: Long = 5000000L): Int = {
+                          targetRecordsPerFile: Long = 5000000L,
+                          partitionCols: Seq[String] = Schemas.partitionCols): Int = {
     val f = fs(spark, root)
     val cur = foldState(spark, root)
     val prevIds = cur.map(_._2).getOrElse(Seq.empty)
@@ -192,7 +199,7 @@ object TransactionalLake {
       spark.read.option("basePath", foldGenDir(root, g))
         .parquet(foldGenDir(root, g))
     }.toSeq :+ freshDf).reduce(_ unionByName _)
-    val partCols = "epoch" +: Schemas.partitionCols
+    val partCols = "epoch" +: partitionCols
     val n = spark.sessionState.conf.numShufflePartitions
     union.repartition(n, partCols.map(col): _*)
       .write.mode("overwrite") // an orphaned stage from a crashed attempt is rewritten

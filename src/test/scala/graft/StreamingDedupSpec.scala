@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Dedup
+import graft.streaming.{StreamingDedup, StreamingIngest}
+import graft.sources.TransactionalLake
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The streaming dedup stage: per-batch incremental pairs against the
+  * accumulated transactional corpus/index, exactly-once across a forced
+  * replay, artifacts equal to their one-shot builds. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  test("streaming pair log equals one-shot pairs; index accumulates; replay is exactly-once") {
+    val base = tmpDir("sdedup")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // planted near-dups SPANNING batches: (1,101) land in different
+    // micro-batches, (2,102) in the same one — both must surface
+    val docsSeq = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "pack my box with five dozen liquor jugs for the long winter"),
+      (3L, "completely unrelated text about spark catalyst optimizer rules"),
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (102L, "pack my box with five dozen liquor jugs for the long winter dup"),
+      (103L, "another unrelated document mentioning parquet row groups only"))
+    val full = docsSeq.toDF("doc_id", "text")
+    // three single-file batches: ids 1..3 | 101,102 | 103
+    Seq(docsSeq.take(3), docsSeq.slice(3, 5), docsSeq.drop(5)).foreach(b =>
+      b.toDF("doc_id", "text").coalesce(1).write.mode("append").json(s"$base/in"))
+    def run(): Unit = StreamingIngest.awaitWithRestartRetry(() =>
+      StreamingDedup.start(
+        spark.readStream.schema(docSchema)
+          .option("maxFilesPerTrigger", 1).json(s"$base/in"),
+        "doc_id", "text", base, s"$base/ckpt", Trigger.AvailableNow(),
+        k = 3, threshold = 0.5))
+    run()
+    val oneShot = Dedup.ngramJaccardPairs(full, "doc_id", "text", k = 3,
+      threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(oneShot.nonEmpty, "fixture must plant cross-batch near-dups")
+    def logSet = StreamingDedup.pairLog(spark, base)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val first = logSet
+    assert(first.toSet == oneShot,
+      s"streamed pair log ${first.toSet} must equal one-shot $oneShot")
+    assert(first.size == first.distinct.size, "no duplicate pairs")
+    // accumulated index == one-shot index over the full corpus
+    val idx = TransactionalLake.readCommitted(spark, StreamingDedup.indexRoot(base))
+      .drop("epoch").as[(Long, Int, Int, Int, Int)].collect().toSet
+    val idxOneShot = Dedup.minhashBandIndex(full, "doc_id", "text")
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    assert(idx == idxOneShot)
+    // forced replay of the final epoch: stream commit deleted → restart
+    // re-delivers; idempotent epoch commits keep everything exact
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
+    run()
+    assert(logSet == first, "replay must not change the pair log")
+    assert(TransactionalLake.readCommitted(spark, StreamingDedup.corpusRoot(base))
+      .count() == full.count(), "replay must not duplicate the corpus")
+  }
+}
