@@ -270,4 +270,80 @@ object Similarity {
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 3): DataFrame =
     ivfTopKWith(seedCentroids(corpus, idCol, vecCol, nCells),
       corpus, probes, idCol, vecCol, k, nProbe)
+
+  /** Persist the corpus PARTITIONED BY IVF CELL — the vector analog of
+    * `Lake.writeValid(sortCols)` clustering: with one directory per
+    * cell, a probe's candidate fetch prunes to its nProbe cells at the
+    * FILE-LISTING level instead of scanning the whole corpus (the
+    * at-rest layout the stored-assignment index only approximates). A
+    * build-once artifact of the index lifecycle: rewrite it when the
+    * centroid generation is regenerated. nCells ≈ √n keeps the
+    * directory count in the same range as a tenant×hour event lake.
+    * One argmin pass over the corpus (broadcast centroids, the same
+    * assignment expression as [[ivfAssignments]] — the tiebreak can
+    * never drift) and one partitioned write; the corpus shuffles once,
+    * on `cell`, which ALSO bin-packs each cell's rows together. */
+  def writeCellPartitioned(cents: DataFrame, corpus: DataFrame, idCol: String,
+                           vecCol: String, path: String): Unit = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cent_cos").desc, col("cent_id"))
+    val n = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    corpus
+      .withColumn("__e", VF.toDouble(col(vecCol)))
+      .withColumn("__n", VF.norm(col("__e")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        VF.cosineWithNorms(col("__e"), col("cent_e"), col("__n"), col("cent_nrm")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .withColumn("cell", col("cent_id"))
+      .drop("__e", "__n", "__rk", "cent_id", "cent_e", "cent_nrm", "cent_cos")
+      .repartition(n, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** IVF top-k over a [[writeCellPartitioned]] lake: the probe side picks
+    * its cells first (tiny — broadcast-argmin over the probes), the
+    * DISTINCT probed-cell set (≤ nCells values, metadata-scale) becomes a
+    * static partition filter on the lake scan, and only those
+    * directories are listed/read — the candidate fetch cost is
+    * O(probed cells), not O(corpus), before any join runs. Output is
+    * identical to [[ivfTopKWith]] on the same centroids (the cell
+    * routing is the same deterministic argmin). */
+  def ivfTopKCellPartitioned(spark: org.apache.spark.sql.SparkSession,
+                             path: String, cents: DataFrame, probes: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             nProbe: Int = 3): DataFrame = {
+    val probeW = Window.partitionBy(col("p_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val p = withNormed(probes, idCol, vecCol, "p")
+      .crossJoin(broadcast(cents))
+      .withColumn("cent_cos",
+        VF.cosineWithNorms(col("p_e"), col("cent_e"), col("p_nrm"), col("cent_nrm")))
+      .withColumn("cent_rank", row_number().over(probeW))
+      .filter(col("cent_rank") <= nProbe)
+      .select(col("p_id"), col("p_e"), col("p_nrm"), col("cent_id").as("cell"))
+    // the probed-cell set: bounded by nCells (≈ √n) — metadata-scale,
+    // like the centroid rows themselves
+    val probedCells = p.select(col("cell")).distinct()
+      .collect().map(_.getLong(0).toString)
+    val corpus = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells.toSeq: _*)) // partition-pruned listing
+    // normed candidate side carrying the partition value back as the
+    // long join key (partition columns read as strings by design)
+    val cJoin = corpus
+      .withColumn("c_id", col(idCol))
+      .withColumn("c_e", VF.toDouble(col(vecCol)))
+      .withColumn("c_nrm", VF.norm(col("c_e")))
+      .select(col("c_id"), col("c_e"), col("c_nrm"), col("cell").cast("long").as("cell"))
+    val scored = cJoin.join(broadcast(p), Seq("cell"))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
 }

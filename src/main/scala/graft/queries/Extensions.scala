@@ -193,6 +193,23 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** The AT-REST half of the IVF lifecycle: the corpus rewritten
+    * partitioned by cell ([[Similarity.writeCellPartitioned]]), searched
+    * with a partition-pruned candidate fetch — each probe reads its
+    * nProbe cell DIRECTORIES, not the corpus. Same deterministic
+    * routing as `sim_topk_ivf`, so the same oracle gates byte equality;
+    * the pruning itself is metric-asserted in DedupSimilaritySpec. */
+  def simTopKIvfClustered(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val lake = s"/root/repo/target/tmp/celllake_$tag"
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 16)
+    Similarity.writeCellPartitioned(cents, e, "vec_id", "embedding", lake)
+    Similarity.ivfTopKCellPartitioned(s, lake, cents, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairsLsh(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
@@ -329,6 +346,7 @@ object Extensions {
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk_ivf_incremental" -> (simTopKIvfIncremental _),
+    "sim_topk_ivf_clustered" -> (simTopKIvfClustered _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_asof_join" -> (asofClickPurchase _),
     "dedup_source_similarity" -> (dedupSourceSimilarity _),
@@ -495,6 +513,10 @@ object Extensions {
     "sim_topk_ivf_incremental" -> ivfSql.replaceFirst(
       "FROM n ORDER BY vec_id LIMIT 16",
       "FROM n WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 16"),
+    // the cell-partitioned lake changes WHERE candidates are read from
+    // (pruned directories), never WHICH are scored — identical routing,
+    // identical SQL
+    "sim_topk_ivf_clustered" -> ivfSql,
     "sim_topk_exact" -> (vecCte +
       """
         |SELECT probe_id, neighbor_id, cosine,

@@ -80,6 +80,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(subset.filter($"neighbor_id" % 3 === 2).count() == 0)
   }
 
+  test("cell-partitioned embedding lake prunes the candidate scan to probed cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val probes = embs.filter($"vec_id" < 3) // few probes → few probed cells
+    val cents = Similarity.seedCentroids(embs, "vec_id", "embedding", 16)
+    val lake = tmpDir("cell_lake")
+    Similarity.writeCellPartitioned(cents, embs, "vec_id", "embedding", lake)
+    assert(spark.read.parquet(lake).count() == embs.count(),
+      "the clustered rewrite must preserve every row")
+    val clustered = Similarity.ivfTopKCellPartitioned(spark, lake, cents, probes,
+      "vec_id", "embedding", 5)
+    val viaLake = clustered
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val oneShot = Similarity.ivfTopKWith(cents, embs, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaLake == oneShot, "cell routing must not change the result")
+    // pruning evidence: the LAKE scan emitted only the probed cells'
+    // rows — the candidate fetch is O(probed cells), not O(corpus).
+    // AQE hides executed scans inside query stages; walk them explicitly.
+    clustered.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val lakeScans = scans(clustered.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cell_lake")))
+    assert(lakeScans.nonEmpty, "the lake scan must be visible in the executed plan")
+    val scanned = lakeScans.map(_.metrics("numOutputRows").value).sum
+    val total = embs.count()
+    assert(scanned > 0 && scanned < total,
+      s"scan must be partition-pruned: read $scanned of $total corpus rows")
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val planted = docs.limit(5).union(docs.limit(2)) // 2 exact dups
     val out = Dedup.exact(planted, Seq("text"), "doc_id")
