@@ -69,12 +69,13 @@ object Maintenance {
     * only ever re-delivers the epoch in flight, so even `keepLast = 1`
     * is correct — keep more for operational headroom (inspection,
     * ad-hoc per-epoch reads). Returns the number of epochs folded. */
-  def foldAged(spark: SparkSession, root: String, keepLast: Int): Int = {
+  def foldAged(spark: SparkSession, root: String, keepLast: Int,
+               partitionCols: Seq[String] = graft.model.Schemas.partitionCols): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val epochs = TransactionalLake.committedEpochs(spark, root)
     if (epochs.size <= keepLast) 0
     else TransactionalLake.foldCommittedEpochs(spark, root,
-      upTo = epochs(epochs.size - keepLast - 1))
+      upTo = epochs(epochs.size - keepLast - 1), partitionCols = partitionCols)
   }
 
   /** Scheduled retention for a transactional lake — the fold twin of

@@ -56,8 +56,12 @@ object StreamingDedup {
         // copy of THIS epoch (crash replay must recompute from the same
         // inputs it saw the first time)
         def priorRead(r: String): Option[DataFrame] = {
-          val prior = TransactionalLake.committedEpochs(s, r).filter(_ != epochId)
-          if (prior.isEmpty) None
+          // prior state lives in live epoch dirs AND (after retention)
+          // the consolidated fold generation — consult both
+          val live = TransactionalLake.committedEpochs(s, r).filter(_ != epochId)
+          val folded = TransactionalLake.foldState(s, r)
+            .map(_._2).getOrElse(Seq.empty).filter(_ != epochId)
+          if (live.isEmpty && folded.isEmpty) None
           else Some(TransactionalLake.readCommitted(s, r)
             .filter(col("epoch") =!= epochId.toString).drop("epoch"))
         }
@@ -84,4 +88,18 @@ object StreamingDedup {
   /** The accumulated near-dup pair log (exactly-once across replays). */
   def pairLog(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     TransactionalLake.readCommitted(spark, pairsRoot(root)).drop("epoch")
+
+  /** Retention for the stage's three artifact lakes — they gain one
+    * epoch per micro-batch forever otherwise: fold all but the newest
+    * `keepLast` epochs of corpus, index, and pair log into their
+    * consolidated generations (views unchanged, replay of a folded
+    * epoch stays a no-op — same protocol as the event lake). Returns
+    * epochs folded per artifact. Run at maintenance cadence, e.g.
+    * `Maintenance.scheduleEpochFold`-style, never concurrently with
+    * itself. */
+  def foldAged(spark: org.apache.spark.sql.SparkSession, root: String,
+               keepLast: Int): (Int, Int, Int) =
+    (graft.sources.Maintenance.foldAged(spark, corpusRoot(root), keepLast, Nil),
+      graft.sources.Maintenance.foldAged(spark, indexRoot(root), keepLast, Nil),
+      graft.sources.Maintenance.foldAged(spark, pairsRoot(root), keepLast, Nil))
 }

@@ -63,5 +63,21 @@ class StreamingDedupSpec extends SparkSpec {
     assert(logSet == first, "replay must not change the pair log")
     assert(TransactionalLake.readCommitted(spark, StreamingDedup.corpusRoot(base))
       .count() == full.count(), "replay must not duplicate the corpus")
+
+    // RETENTION: fold all but the newest epoch of every artifact; the
+    // views are unchanged, and a replay AFTER folding is still a no-op
+    // (the stream commit is deleted again — the folded epochs' markers
+    // must keep their commits skipped)
+    val folded = StreamingDedup.foldAged(spark, base, keepLast = 1)
+    assert(folded._1 >= 1 && folded._3 >= 1, s"epochs must fold: $folded")
+    assert(logSet == first, "folding must not change the pair log")
+    assert(TransactionalLake.readCommitted(spark, StreamingDedup.indexRoot(base))
+      .drop("epoch").as[(Long, Int, Int, Int, Int)].collect().toSet == idx,
+      "folding must not change the index")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
+    run()
+    assert(logSet == first, "replay after retention must stay exactly-once")
+    assert(TransactionalLake.readCommitted(spark, StreamingDedup.corpusRoot(base))
+      .count() == full.count())
   }
 }
