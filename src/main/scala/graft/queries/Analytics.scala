@@ -431,6 +431,53 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q17-style small-quantity revenue: a CORRELATED per-part
+    * average threshold, decorrelated into a join against a per-partkey
+    * aggregate. Two scale levers: the aggregate input is SEMI-JOIN
+    * PRUNED to the filtered part set before grouping (the correlation
+    * only ever needs those partkeys — at 100 TB this turns an
+    * all-lineitem aggregate into a brand-sized one), and the
+    * `qty < 0.2·avg` predicate is multiplied through to exact decimals
+    * (5·qty·n < sum) — a float avg would be summation-order-dependent.
+    * One double division at the very end. */
+  def q17SmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val pk = t(spark, dir, "part").filter(col("p_brand") === "Brand#23")
+      .select("p_partkey")
+    val perPart = li
+      .join(broadcast(pk), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("n"))
+    li.join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(lit(5) * dec(col("l_quantity")) * col("n") < col("sq"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-style large-volume orders: a join against a
+    * HAVING-filtered aggregate (orders whose total quantity crosses a
+    * threshold), then re-aggregation with the customer dims. The
+    * qualifying-order key set is small → broadcast semi-join; the only
+    * big shuffles are the two l_orderkey aggregates, both with map-side
+    * partials. Deterministic top-20 (totalprice desc, orderkey). */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val qualifying = li.groupBy(col("l_orderkey").as("qk"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > lit(java.math.BigDecimal.valueOf(300)).cast(DecimalType(10, 2)))
+      .select("qk")
+    li.join(broadcast(qualifying), col("l_orderkey") === col("qk"), "left_semi")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Approx-quantile sketch with a testable guarantee: per-flag
     * percentile_approx median (Greenwald-Khanna style mergeable sketch,
     * constant memory — the 100 TB path for quantiles) checked against
@@ -590,6 +637,8 @@ object Analytics {
     "q16_parts_supplier" -> (q16PartsSupplier _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q22_global_sales" -> (q22GlobalSales _),
+    "q17_small_qty_revenue" -> (q17SmallQuantityRevenue _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q2_min_balance_supplier" -> (q2MinBalanceSupplier _),
     "q_running_revenue" -> (runningRevenue _),
@@ -733,6 +782,30 @@ object Analytics {
         |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |agg AS (
+        |  SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sq,
+        |    COUNT(*) AS n
+        |  FROM lineitem SEMI JOIN pk ON l_partkey = p_partkey
+        |  GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM lineitem JOIN pk ON l_partkey = p_partkey JOIN agg USING (l_partkey)
+        |WHERE 5 * CAST(l_quantity AS DECIMAL(10,2)) * n < sq""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem
+        |JOIN big USING (l_orderkey)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q14_promo_revenue" ->
       """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
         |    THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
