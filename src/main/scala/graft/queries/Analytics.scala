@@ -478,6 +478,28 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q19-style discounted revenue: a DISJUNCTION of cross-table
+    * conjunct groups as the join predicate (brand/size/quantity bands —
+    * the fixture has no container/shipmode). The part side broadcasts
+    * with its brand/size disjuncts evaluated build-side; the
+    * per-disjunct quantity bands evaluate as the join's residual
+    * condition — no row ever materializes outside its band. One
+    * ungrouped exact-decimal aggregate. */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey") && cond)
+      .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
   /** Approx-quantile sketch with a testable guarantee: per-flag
     * percentile_approx median (Greenwald-Khanna style mergeable sketch,
     * constant memory — the 100 TB path for quantiles) checked against
@@ -639,6 +661,7 @@ object Analytics {
     "q22_global_sales" -> (q22GlobalSales _),
     "q17_small_qty_revenue" -> (q17SmallQuantityRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q2_min_balance_supplier" -> (q2MinBalanceSupplier _),
     "q_running_revenue" -> (runningRevenue _),
@@ -782,6 +805,14 @@ object Analytics {
         |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q19_discounted_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+        |  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand='Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q17_small_qty_revenue" ->
       """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
         |agg AS (
