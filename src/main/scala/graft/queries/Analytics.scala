@@ -634,6 +634,170 @@ object Analytics {
       .orderBy("nationkey")
   }
 
+  /** TPC-H Q9-style product-type profit: profit per supplier nation per
+    * order year for a part-name-filtered slice. The fixture has no
+    * partsupp, so unit cost is derived as 10% of p_retailprice (exact
+    * decimal — the SHAPE is the point: a 5-way join where every
+    * dimension broadcasts and lineitem⋈orders is the single fact-fact
+    * shuffle, then a small two-key aggregate). The name filter prunes
+    * part BEFORE the broadcast, which in turn prunes lineitem at the
+    * join — at 100 TB the filtered-part broadcast is the lever that
+    * keeps this from being a full-fact-table aggregate. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").filter(col("p_name").contains("gear"))
+      .select("p_partkey", "p_retailprice")
+    val cost = dec(col("p_retailprice")) *
+      lit(java.math.BigDecimal.valueOf(0.10)).cast(DecimalType(3, 2)) *
+      dec(col("l_quantity"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))) - cost)
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-style important stock: per-part value share with a HAVING
+    * against a GLOBAL scalar aggregate (parts holding > 1/500 of total
+    * value; lineitem revenue of one nation's suppliers stands in for
+    * partsupp supplycost×availqty). The share predicate is evaluated in
+    * exact integer CENTS multiplied through (v·500 > total) — a float
+    * fraction would be summation-order-dependent. Supplier set
+    * broadcasts as a semi-join; the single big shuffle is the per-part
+    * aggregate; the 1-row total broadcasts back. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val nsupp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3").select("s_suppkey")
+    val value = t(spark, dir, "lineitem")
+      .join(broadcast(nsupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("v"))
+    val total = value.agg((sum(col("v")) * 100).cast("long").as("total_cents"))
+    value.crossJoin(broadcast(total))
+      .filter((col("v") * 100).cast("long") * 500 > col("total_cents"))
+      .select(col("l_partkey"), col("v").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12-style shipping-priority bands: conditional (CASE-sum)
+    * aggregation over late lineitems — shipped > 90 days after the order
+    * date (the fixture has no shipmode/commit/receipt columns;
+    * l_returnflag stands in for the shipmode group). Lateness compares
+    * epoch SECONDS (timezone-proof, same on both engines); the only
+    * shuffle is lineitem⋈orders, and the date filter pushes to the
+    * lineitem scan. */
+  def q12LateShipments(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(unix_timestamp(col("l_shipdate")) - unix_timestamp(col("o_orderdate"))
+        > 90L * 86400L)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).cast("long").as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).cast("long").as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: LEFT OUTER join
+    * with the filter INSIDE the join condition (customers with zero
+    * qualifying orders must survive with count 0), then a second
+    * aggregate over the counts — the classic two-level distribution
+    * shape. First shuffle on custkey, second on the tiny count domain. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    t(spark, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15-style top supplier: a revenue view over a 3-month window,
+    * then suppliers whose revenue EQUALS the view's global max — the
+    * scalar-max-over-aggregate shape. The equality is on the exact
+    * DECIMAL sums (deterministic; a float max could tie-break wrongly).
+    * One shuffle for the per-supplier aggregate; the 1-row max and the
+    * 100-row supplier dim both broadcast. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - pct(col("l_discount"))))
+        .as("rev"))
+    val mx = rev.agg(max(col("rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev") === col("max_rev"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q20-style dominant suppliers: suppliers shipping more than
+    * HALF of a focus part's total 1997 volume (no partsupp availqty in
+    * the fixture, so the share-of-part threshold keeps Q20's
+    * nested-aggregate semantics). The per-part total is a WINDOW sum
+    * over the (part, supplier) aggregate — one extra exchange on
+    * l_partkey, never a self-join back; the threshold compares exact
+    * decimals multiplied through (2·supp > part). Focus parts broadcast
+    * as a semi-join before any aggregation. */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val focus = t(spark, dir, "part").filter(col("p_name").startsWith("small"))
+      .select("p_partkey")
+    val sq = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(focus), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("supp_qty"))
+    sq.withColumn("part_qty",
+        sum(col("supp_qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name")).distinct()
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-style suppliers-who-kept-orders-waiting: for finished
+    * multi-supplier orders, count per supplier the orders where it was
+    * the ONLY late supplier (shipped > 60 days after the order date —
+    * the fixture's receipt/commit stand-in). The EXISTS / NOT-EXISTS
+    * pair decorrelates into ONE per-order aggregate: distinct supplier
+    * count, distinct LATE supplier count, and (when unique) that late
+    * supplier's key — a single orderkey shuffle instead of two
+    * self-join passes over lineitem; at 100 TB that halves the fact
+    * traffic. Deterministic top-20 (numwait desc, name). */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val late = unix_timestamp(col("l_shipdate")) - unix_timestamp(col("o_orderdate")) >
+      60L * 86400L
+    val perOrder = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("is_late"), col("l_suppkey"))).as("n_late"),
+        max(when(col("is_late"), col("l_suppkey"))).as("late_supp"))
+    perOrder.filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .join(broadcast(t(spark, dir, "supplier")), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("Analytics.queries", Seq(
     "q_outer_join" -> (outerJoin _),
@@ -662,6 +826,13 @@ object Analytics {
     "q17_small_qty_revenue" -> (q17SmallQuantityRevenue _),
     "q18_large_orders" -> (q18LargeOrders _),
     "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q12_late_shipments" -> (q12LateShipments _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q20_dominant_supplier" -> (q20DominantSupplier _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q2_min_balance_supplier" -> (q2MinBalanceSupplier _),
     "q_running_revenue" -> (runningRevenue _),
@@ -856,6 +1027,92 @@ object Analytics {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |         - CAST(p_retailprice AS DECIMAL(10,2)) * CAST(0.10 AS DECIMAL(3,2)) * CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH nsupp AS (
+        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |val AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS v
+        |  FROM lineitem SEMI JOIN nsupp ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(v) * 100 AS BIGINT) AS total_cents FROM val)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+        |FROM val, tot
+        |WHERE CAST(v * 100 AS BIGINT) * 500 > total_cents
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE CAST(floor(epoch(l_shipdate)) AS BIGINT)
+        |      - CAST(floor(epoch(o_orderdate)) AS BIGINT) > 90 * 86400
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH focus AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |sq AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(10,2))) AS supp_qty
+        |  FROM lineitem SEMI JOIN focus ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |wq AS (
+        |  SELECT l_suppkey, supp_qty,
+        |    SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |  FROM sq)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM wq JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE supp_qty * 2 > part_qty
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH l AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    CAST(floor(epoch(l_shipdate)) AS BIGINT)
+        |      - CAST(floor(epoch(o_orderdate)) AS BIGINT) > 60 * 86400 AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |po AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late,
+        |    max(CASE WHEN is_late THEN l_suppkey END) AS late_supp
+        |  FROM l GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM po JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
