@@ -408,6 +408,36 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Benchmark DECONTAMINATION: flag training documents that share any
+    * word k-gram with an evaluation/benchmark document — the standard
+    * train-set hygiene pass before LLM training (published recipes use
+    * k≈8–13 word n-grams; reference semantics: any overlap → the train
+    * doc is contaminated and gets dropped or audited).
+    *
+    * Shape: distinct-shingle postings on both sides, one equi-join on
+    * the n-gram, one aggregate per train doc. The eval side is a
+    * benchmark suite — thousands of docs, not billions — so its postings
+    * BROADCAST (`broadcastEval`, default true): the 100 TB train corpus
+    * is never shuffled, each task filters its own split against the
+    * in-memory eval n-gram map. With a large eval side it degrades to a
+    * bucketed shuffle join on the n-gram — still never all-pairs.
+    *
+    * Returns one row per CONTAMINATED train doc: the distinct shared
+    * n-gram count and how many eval docs it collides with. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, k: Int = 8,
+                    broadcastEval: Boolean = true): DataFrame = {
+    def postings(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(TF.shingleSet(col(textCol), k)).as("g"))
+    val ev = postings(evalSet, "eval_id")
+    postings(train, "train_id")
+      .join(if (broadcastEval) broadcast(ev) else ev, "g")
+      .groupBy(col("train_id"))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the recall
     * baseline; the ANN paths for scale are [[embeddingNearDupPairsLsh]]
     * and Similarity.lshTopK/ivfTopK). */

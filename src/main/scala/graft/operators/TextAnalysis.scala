@@ -117,4 +117,99 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
       TF.rollingFingerprint(col(textCol)).as("fingerprint"))
+
+  /** Gopher/C4-style QUALITY-RULE FILTER: the per-document heuristic gate
+    * a training-data pipeline runs before anything expensive. Each rule
+    * is a column, so downstream can audit WHY a doc was dropped, and
+    * `keep` is their conjunction:
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [minMeanLen, maxMeanLen];
+    *  - at least one function word (stopword) — drops gibberish and
+    *    wrong-language docs that langid alone would mislabel;
+    *  - no single word dominating (> maxTopWordFrac of tokens);
+    *  - duplicate 2-gram fraction under maxDupBigramFrac (boilerplate /
+    *    generated spam).
+    * Every signal is integer counts + one double division — bit-exact
+    * against the oracle; per-row expressions only, runs at scan speed. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 20, maxWords: Int = 10000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxTopWordFrac: Double = 0.2,
+                    maxDupBigramFrac: Double = 0.1): DataFrame = {
+    val toks = TF.words(col(textCol))
+    val n = size(toks)
+    val nD = n.cast("double")
+    val topCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val sh2 = TF.shingles(toks, 2)
+    docs.select(col(idCol),
+        n.cast("long").as("n_words"),
+        (aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nD)
+          .as("mean_word_len"),
+        (TF.markerCount(toks, TF.langMarkers.flatMap(_._2)) >= 1).as("has_stopword"),
+        (topCount.cast("double") / nD).as("top_word_frac"),
+        (when(size(sh2) > 0,
+          lit(1.0) - size(array_distinct(sh2)).cast("double") / size(sh2).cast("double"))
+          .otherwise(lit(0.0))).as("dup_bigram_frac"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("has_stopword") &&
+          col("top_word_frac") <= maxTopWordFrac &&
+          col("dup_bigram_frac") <= maxDupBigramFrac)
+  }
+
+  /** TF-IDF top terms per document — the feature-selection pass on top of
+    * [[termFrequency]]. Score = tf · ln(N/df); N broadcasts as a 1-row
+    * aggregate (never collected), df is one term-keyed aggregate, and the
+    * per-doc top-k is a ranked window — three exchanges total, none
+    * carrying raw text. The score is ROUNDED to 6 dp before ranking so
+    * mathematically-equal scores from different (tf, df) pairs (e.g.
+    * 2·ln4 = 1·ln16) order identically in any engine; ties break on the
+    * term. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), explode(TF.words(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+  }
+
+  /** PII detection + redaction: emails, IPv4 addresses, and NANP-style
+    * phone numbers found by regex, counted per type, then replaced with
+    * typed placeholder tokens ([EMAIL]/[IP]/[PHONE]). The patterns are
+    * deliberately in the common subset of Java regex and RE2 (no
+    * lookaround), so the oracle applies the identical expressions.
+    * Per-row codegen'd expressions — scan speed; the redacted text is
+    * returned alongside a rolling-hash fingerprint so callers (and the
+    * oracle gate) can byte-verify the replacement without shipping the
+    * corpus anywhere. */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+1-\\d{3}-\\d{4}"
+    def count(c: org.apache.spark.sql.Column,
+              re: String): org.apache.spark.sql.Column =
+      size(regexp_extract_all(c, lit(re), lit(0))).cast("long")
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(regexp_replace(t, email, "[EMAIL]"), ip, "[IP]"),
+      phone, "[PHONE]")
+    docs.select(col(idCol),
+      count(t, email).as("n_emails"),
+      count(t, ip).as("n_ips"),
+      count(t, phone).as("n_phones"),
+      TF.rollingFingerprint(redacted).as("redacted_fingerprint"))
+  }
 }

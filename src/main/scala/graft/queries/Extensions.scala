@@ -254,6 +254,43 @@ object Extensions {
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
+  /** Benchmark decontamination gate: eval set = every 10th doc, train =
+    * the rest; train docs sharing any 8-gram with an eval doc are
+    * flagged (the standard pre-training hygiene pass). The eval postings
+    * broadcast — the train corpus is never shuffled. */
+  def textDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.decontaminate(all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0), "doc_id", "text", k = 8)
+      .orderBy("train_id")
+  }
+
+  def textQualityFilter(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFilter(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
+  def textTfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidf(docs(s, d), "doc_id", "text", topK = 3)
+      .orderBy("doc_id", "rank")
+
+  /** PII redaction gate. The fixture corpus is clean word soup, so the
+    * query first PLANTS deterministic PII derived from doc_id (an email
+    * for 2/3 of docs, an IPv4 for every even doc, a phone for all), then
+    * proves the operator finds and replaces exactly those — counts per
+    * type plus a byte-exact fingerprint of the redacted text. */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = docs(s, d).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+      lit(" call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    TextAnalysis.piiRedact(planted, "doc_id", "text").orderBy("doc_id")
+  }
+
   /** Deterministic content-hash train/val/test split + stratified
     * sample flag — reproducible in any engine that can fold the same
     * modular hash (oracle does). */
@@ -357,6 +394,10 @@ object Extensions {
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_decontaminate" -> (textDecontaminate _),
+    "text_quality_filter" -> (textQualityFilter _),
+    "text_tfidf" -> (textTfidf _),
+    "text_pii_redact" -> (textPiiRedact _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -620,6 +661,83 @@ object Extensions {
         |  FROM tf) t
         |JOIN df USING (term)
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
+    "text_decontaminate" -> (tokensCte +
+      """, s8 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_distinct(list_transform(range(1, len(toks) - 6),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |          || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
+        |    END AS sh
+        |  FROM w),
+        |tr AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM s8 WHERE doc_id % 10 <> 0),
+        |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s8 WHERE doc_id % 10 = 0)
+        |SELECT train_id,
+        |  count(DISTINCT g) AS n_shared_ngrams,
+        |  count(DISTINCT eval_id) AS n_eval_docs
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY 1 ORDER BY train_id""".stripMargin),
+    "text_quality_filter" -> (tokensCte +
+      """, m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |    len(list_filter(toks, t -> list_contains(""".stripMargin +
+      markerListSql(markers.values.flatten.toSeq) +
+      """, t))) >= 1 AS has_stopword,
+        |    CAST(list_max(list_transform(list_distinct(toks),
+        |        t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+        |      / CAST(len(toks) AS DOUBLE) AS top_word_frac,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |        i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, has_stopword, top_word_frac, dup_bigram_frac,
+        |  n_words BETWEEN 20 AND 10000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND has_stopword AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.1 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin),
+    "text_tfidf" -> (tokensCte +
+      """, toks2 AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM toks2) GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (term), nd)
+        |SELECT doc_id, term, tf, df, score, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM sc)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    "text_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 <> 0
+        |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+        |      ELSE '' END ||
+        |    ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |    CAST(len(regexp_extract_all(t, '\+1-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\+1-\d{3}-\d{4}', '[PHONE]', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id, n_emails, n_ips, n_phones,
+        |  list_reduce(list_transform(string_split(red, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS redacted_fingerprint
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

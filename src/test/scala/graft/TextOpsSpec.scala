@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-hygiene text operators: decontamination,
+  * quality-rule filtering, TF-IDF, PII redaction. The oracle gate covers
+  * the fixture corpus; these pin the operator SEMANTICS on crafted
+  * inputs where each rule/pattern is exercised on purpose. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("decontaminate flags exactly the train docs sharing a k-gram") {
+    val evalSet = docsDf(
+      100L -> "the quick brown fox jumps over the lazy dog tonight")
+    val train = docsDf(
+      1L -> "intro words the quick brown fox jumps over the lazy dog tonight and more", // contains the eval 8-grams
+      2L -> "the quick brown fox stops here",                                          // < 8-gram overlap only
+      3L -> "completely unrelated text with no shared phrases at all today")
+    val out = Dedup.decontaminate(train, evalSet, "doc_id", "text", k = 8)
+      .orderBy("train_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    // "the quick brown fox jumps over the lazy dog tonight" = 10 tokens
+    // → 3 distinct 8-grams, all present in doc 1
+    assert(out.head.getLong(1) == 3L)
+    assert(out.head.getLong(2) == 1L)
+  }
+
+  test("decontaminate: self-decontamination flags every doc with >= k tokens") {
+    val corpus = docsDf(
+      1L -> "one two three four five six seven eight nine",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "too short to have any eight gram")  // 7 tokens → no 8-gram
+    val out = Dedup.decontaminate(corpus, corpus, "doc_id", "text", k = 8)
+    // docs 1 and 2 share their own 8-grams; doc 3 is sub-k and can never
+    // be flagged (or contaminate)
+    assert(out.select("train_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("decontaminate broadcast and shuffle paths agree") {
+    val all = spark.read.parquet(s"$sf0001/documents.parquet")
+    val train = all.filter(col("doc_id") % 10 =!= 0)
+    val ev = all.filter(col("doc_id") % 10 === 0)
+    val b = Dedup.decontaminate(train, ev, "doc_id", "text", k = 8)
+    val s = Dedup.decontaminate(train, ev, "doc_id", "text", k = 8,
+      broadcastEval = false)
+    assert(b.exceptAll(s).isEmpty && s.exceptAll(b).isEmpty)
+  }
+
+  test("qualityFilter rules fire individually") {
+    val docs = docsDf(
+      1L -> ("the good doc with plenty of different words " +
+        "and a reasonable spread of the usual content here today now then".trim),
+      2L -> "the tiny doc",                                    // n_words < 20
+      3L -> Seq.fill(30)("spam").mkString(" "),                // top-word dominance + dup bigrams
+      4L -> Seq.tabulate(30)(i => s"w$i").mkString(" "))       // no stopword
+    val out = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("keep"))
+    assert(!byId(2L).getAs[Boolean]("keep") && byId(2L).getLong(1) < 20)
+    assert(!byId(3L).getAs[Boolean]("keep") &&
+      byId(3L).getAs[Double]("top_word_frac") == 1.0 &&
+      byId(3L).getAs[Double]("dup_bigram_frac") > 0.9)
+    assert(!byId(4L).getAs[Boolean]("keep") &&
+      !byId(4L).getAs[Boolean]("has_stopword"))
+  }
+
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    val docs = docsDf(
+      1L -> "shared shared shared rare1",
+      2L -> "shared shared shared rare2",
+      3L -> "shared shared shared rare3")
+    // "shared" appears in all docs → ln(3/3)=0; each rareN in one doc
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", topK = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("rare1", "rare2", "rare3"))
+    assert(out.forall(_.getInt(5) == 1))
+    // score = 1 * ln(3/1) rounded to 6 dp
+    assert(out.forall(r => math.abs(r.getDouble(4) - 1.098612) < 1e-9))
+  }
+
+  test("piiRedact finds and replaces emails, IPs, and phones") {
+    val docs = docsDf(
+      1L -> "reach me at alice.smith+tag@mail-host.org or bob@x.io thanks",
+      2L -> "server 10.0.0.1 and backup 192.168.255.254 call +1-555-0199",
+      3L -> "clean text with nothing sensitive at all")
+    val out = TextAnalysis.piiRedact(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 0 && out(0).getLong(3) == 0)
+    assert(out(1).getLong(1) == 0 && out(1).getLong(2) == 2 && out(1).getLong(3) == 1)
+    assert(out(2).getLong(1) == 0 && out(2).getLong(2) == 0 && out(2).getLong(3) == 0)
+    // the redacted fingerprint equals the fingerprint of the expected text
+    val expected = docsDf(
+      1L -> "reach me at [EMAIL] or [EMAIL] thanks",
+      2L -> "server [IP] and backup [IP] call [PHONE]",
+      3L -> "clean text with nothing sensitive at all")
+    val expFp = TextAnalysis.fingerprints(expected, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(out.map(_.getLong(4)).toSeq == expFp.toSeq)
+  }
+}
