@@ -39,33 +39,40 @@ import org.apache.spark.sql.functions.col
   * RETENTION ([[foldCommittedEpochs]]): at a 60 s trigger the manifest
   * gains ~1,440 epoch directories per day forever — after months,
   * per-query listing cost and manifest size grow without bound. Epochs
-  * that age out of the replay window are therefore FOLDED into a
-  * consolidated, bin-packed generation:
+  * that age out of the replay window are therefore FOLDED into
+  * consolidated, bin-packed generations, SIZE-TIERED (LSM-style) so a
+  * routine fold rewrites only the newly aged epochs:
   * {{{
   *   root/data_folded/gen=<g>/epoch=<e>/tenant=.../part-*.parquet
-  *   root/_fold/gen-<g>     (pointer: the epoch ids generation g holds)
+  *   root/_fold/gen-<v>     (VIEW file: one `<g>:<epochIds>` line per
+  *                           live generation; readers take the highest v)
   *   root/_folded/<id>      (replay marker for a folded epoch)
   * }}}
   * Fold protocol (single-writer maintenance op, atomic for readers):
-  *  1. Stage generation g+1 = previous generation ∪ newly aged epochs,
-  *     rewritten with `epoch` kept as the leading partition column (rows
-  *     keep their identity; pruning still works) and re-binned to
-  *     `targetRecordsPerFile` — the `Lake.compact` treatment.
+  *  1. Stage a NEW generation from the newly aged epochs, `epoch` kept
+  *     as the leading partition column (rows keep their identity;
+  *     pruning still works), re-binned to `targetRecordsPerFile` — the
+  *     `Lake.compact` treatment. Cost O(fresh). Only when the live
+  *     generation count would exceed `maxGenerations` are the existing
+  *     generations absorbed too (cost O(lake), amortized to every
+  *     `maxGenerations`-th fold).
   *  2. Create `_folded/<id>` markers — from the instant the fold can
   *     become visible, a replayed epoch must stay a no-op even after its
   *     manifest entry is cleaned up ([[isCommitted]] checks both).
-  *  3. COMMIT: publish `_fold/gen-<g+1>` by atomic temp+rename of a NEW
-  *     file. Readers take the HIGHEST generation and exclude its epoch
-  *     ids from the live-manifest listing, so one file creation flips
-  *     the whole read view — no loss window, no duplicate window.
+  *  3. COMMIT: publish the `_fold/gen-<v>` view file by atomic
+  *     temp+rename of a NEW file. Readers take the HIGHEST view and
+  *     exclude its epoch ids from the live-manifest listing, so one file
+  *     creation flips the whole read view — no loss window, no duplicate
+  *     window.
   *  4. Cleanup (crash here is harmless, never wrong): folded epochs'
-  *     manifest entries + live dirs, the superseded generation + pointer.
-  *     The old-generation delete can race an in-flight reader that
-  *     already planned against it (same transient-listing semantics as a
-  *     crawler re-crawl) — run folds at maintenance cadence.
+  *     manifest entries + live dirs, absorbed generation dirs,
+  *     superseded view files. The absorbed-generation delete can race an
+  *     in-flight reader that already planned against it (same
+  *     transient-listing semantics as a crawler re-crawl) — run folds at
+  *     maintenance cadence.
   * A crash between 1 and 3 leaves an unreferenced stage the next fold
-  * attempt overwrites (same generation number is recomputed); a crash
-  * between 2 and 3 additionally leaves markers whose epochs are still
+  * attempt overwrites (same view number is recomputed); a crash between
+  * 2 and 3 additionally leaves markers whose epochs are still
   * manifest-listed — readers unchanged, replay still a no-op.
   */
 object TransactionalLake {
@@ -125,27 +132,47 @@ object TransactionalLake {
       .filterNot(_.startsWith(".")).map(_.toLong).sorted.toSeq
   }
 
-  /** Current fold generation and the (sorted) epoch ids it holds, if any
-    * fold has ever committed. Readers take the HIGHEST generation — the
-    * pointer files are never mutated in place, so this is race-free. */
-  def foldState(spark: SparkSession, root: String): Option[(Long, Seq[Long])] = {
+  /** Current fold VIEW: the view number plus the live generations it
+    * references — each generation a (data-dir id, sorted epoch ids) pair.
+    * Readers take the HIGHEST view file — pointer files are never mutated
+    * in place, so this is race-free. View file format: one line per
+    * generation, `<genId>:<epochId,epochId,...>`; a bare id list (no ':')
+    * is the pre-tiering single-generation format, whose data dir id IS
+    * the view number. */
+  def foldView(spark: SparkSession, root: String): Option[(Long, Seq[(Long, Seq[Long])])] = {
     val dir = new Path(foldPointerDir(root))
     val f = fs(spark, root)
     if (!f.exists(dir)) return None
-    val gens = f.listStatus(dir).map(_.getPath.getName)
+    val views = f.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
-    if (gens.isEmpty) return None
-    val g = gens.max
-    val in = f.open(new Path(s"${foldPointerDir(root)}/gen-$g"))
+    if (views.isEmpty) return None
+    val v = views.max
+    val in = f.open(new Path(s"${foldPointerDir(root)}/gen-$v"))
     val content =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val ids = content.trim match {
+    def ids(s: String): Seq[Long] = s.trim match {
       case "" => Seq.empty[Long]
-      case s  => s.split(",").map(_.trim.toLong).toSeq.sorted
+      case t  => t.split(",").map(_.trim.toLong).toSeq.sorted
     }
-    Some((g, ids))
+    val gens = content.trim match {
+      case "" => Seq.empty[(Long, Seq[Long])]
+      case c if c.contains(':') =>
+        c.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+          val Array(g, rest@_*) = line.split(":", 2): @unchecked
+          (g.trim.toLong, ids(rest.headOption.getOrElse("")))
+        }.sortBy(_._1)
+      case c => Seq((v, ids(c)))
+    }
+    Some((v, gens))
   }
+
+  /** Current fold view number and ALL folded epoch ids (flattened across
+    * the live generations), if any fold has ever committed. */
+  def foldState(spark: SparkSession, root: String): Option[(Long, Seq[Long])] =
+    foldView(spark, root).map { case (v, gens) =>
+      (v, gens.flatMap(_._2).sorted)
+    }
 
   /** All committed rows — the consolidated fold generation (if any) plus
     * every live committed epoch dir NOT superseded by it. A half-written
@@ -154,14 +181,15 @@ object TransactionalLake {
     * a fold preserves per-row epoch values, so the view is identical
     * before and after folding. */
   def readCommitted(spark: SparkSession, root: String): DataFrame = {
-    val fold = foldState(spark, root)
-    val folded = fold.map(_._2.toSet).getOrElse(Set.empty[Long])
+    val gens = foldView(spark, root).map(_._2).getOrElse(Seq.empty)
+      .filter(_._2.nonEmpty)
+    val folded = gens.flatMap(_._2).toSet
     val live = committedEpochs(spark, root).filterNot(folded)
     val reads =
-      fold.filter(_._2.nonEmpty).map { case (g, _) =>
+      gens.map { case (g, _) =>
         spark.read.option("basePath", foldGenDir(root, g))
           .parquet(foldGenDir(root, g))
-      }.toSeq ++
+      } ++
       (if (live.nonEmpty)
         Seq(spark.read.option("basePath", s"$root/data")
           .parquet(live.map(epochDir(root, _)): _*))
@@ -170,38 +198,51 @@ object TransactionalLake {
     reads.reduce(_ unionByName _)
   }
 
-  /** Fold every committed epoch with id <= `upTo` (together with all
-    * previously folded epochs) into one consolidated, bin-packed
-    * generation — the retention pass that keeps manifest size and
-    * per-query listing cost bounded on a long-lived lake. Idempotent and
-    * crash-safe (see the protocol in the object scaladoc); replay of a
-    * folded epoch remains a no-op forever. Single-writer: run from the
+  /** Fold every committed epoch with id <= `upTo` into the consolidated,
+    * bin-packed fold area — the retention pass that keeps manifest size
+    * and per-query listing cost bounded on a long-lived lake. Idempotent
+    * and crash-safe (see the protocol in the object scaladoc); replay of
+    * a folded epoch remains a no-op forever. Single-writer: run from the
     * maintenance schedule, not concurrently with itself.
+    *
+    * BIN-PACKING POLICY (size-tiered, LSM-style): the aged epochs are
+    * rewritten into a NEW small generation — cost O(fresh), not O(lake).
+    * Only when the live generation count would exceed `maxGenerations`
+    * does the fold MERGE everything into one generation — so the
+    * full-lake rewrite is amortized to every `maxGenerations`-th fold,
+    * and the read view never unions more than `maxGenerations` fold
+    * directories plus the live epochs. `maxGenerations = 1` restores the
+    * rewrite-everything-per-fold behavior.
     * Returns the number of NEWLY folded epochs (0 = nothing aged out). */
   def foldCommittedEpochs(spark: SparkSession, root: String, upTo: Long,
                           targetRecordsPerFile: Long = 5000000L,
-                          partitionCols: Seq[String] = Schemas.partitionCols): Int = {
+                          partitionCols: Seq[String] = Schemas.partitionCols,
+                          maxGenerations: Int = 4): Int = {
+    require(maxGenerations >= 1, "maxGenerations must be >= 1")
     val f = fs(spark, root)
-    val cur = foldState(spark, root)
-    val prevIds = cur.map(_._2).getOrElse(Seq.empty)
+    val cur = foldView(spark, root)
+    val gens = cur.map(_._2).getOrElse(Seq.empty).filter(_._2.nonEmpty)
+    val prevIds = gens.flatMap(_._2)
     val fresh = committedEpochs(spark, root)
       .filterNot(prevIds.toSet).filter(_ <= upTo)
     if (fresh.isEmpty) return 0
-    val gen = cur.map(_._1).getOrElse(0L) + 1L
-    val stage = foldGenDir(root, gen)
-    // 1. stage generation g+1: previous generation ∪ newly aged epochs,
-    //    epoch kept as the leading partition column, re-binned (explicit
-    //    partition count — AQE would coalesce a cols-only repartition to
-    //    one serial writer task)
+    val v = cur.map(_._1).getOrElse(0L) + 1L
+    val stage = foldGenDir(root, v) // the new generation's data dir id = the view number (unique)
     val freshDf = spark.read.option("basePath", s"$root/data")
       .parquet(fresh.map(epochDir(root, _)): _*)
-    val union = (cur.filter(_._2.nonEmpty).map { case (g, _) =>
+    val merge = gens.size + 1 > maxGenerations
+    // generations the new view keeps as-is vs. folds into the staged dir
+    val (kept, absorbed) = if (merge) (Seq.empty, gens) else (gens, Seq.empty)
+    val stageDf = (absorbed.map { case (g, _) =>
       spark.read.option("basePath", foldGenDir(root, g))
         .parquet(foldGenDir(root, g))
-    }.toSeq :+ freshDf).reduce(_ unionByName _)
+    } :+ freshDf).reduce(_ unionByName _)
+    // 1. stage the new generation: epoch kept as the leading partition
+    //    column, re-binned (explicit partition count — AQE would coalesce
+    //    a cols-only repartition to one serial writer task)
     val partCols = "epoch" +: partitionCols
     val n = spark.sessionState.conf.numShufflePartitions
-    union.repartition(n, partCols.map(col): _*)
+    stageDf.repartition(n, partCols.map(col): _*)
       .write.mode("overwrite") // an orphaned stage from a crashed attempt is rewritten
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .partitionBy(partCols: _*)
@@ -210,24 +251,30 @@ object TransactionalLake {
     f.mkdirs(new Path(foldedMarkerDir(root)))
     fresh.foreach(e =>
       f.create(new Path(s"${foldedMarkerDir(root)}/$e"), true).close())
-    // 3. COMMIT: a NEW pointer file, temp + atomic rename
+    // 3. COMMIT: a NEW view file, temp + atomic rename
+    val view = kept :+ ((v, (absorbed.flatMap(_._2) ++ fresh).sorted))
     f.mkdirs(new Path(foldPointerDir(root)))
-    val tmp = new Path(s"${foldPointerDir(root)}/.tmp-$gen")
-    val fin = new Path(s"${foldPointerDir(root)}/gen-$gen")
+    val tmp = new Path(s"${foldPointerDir(root)}/.tmp-$v")
+    val fin = new Path(s"${foldPointerDir(root)}/gen-$v")
     val out = f.create(tmp, true)
-    try out.write((prevIds ++ fresh).sorted.mkString(",").getBytes("UTF-8"))
+    try out.write(view.map { case (g, ids) => s"$g:${ids.mkString(",")}" }
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, fin) && !f.exists(fin))
-      throw new java.io.IOException(s"fold commit failed for generation $gen")
+      throw new java.io.IOException(s"fold commit failed for view $v")
     // 4. cleanup — crash here leaves garbage, never wrong results
     fresh.foreach { e =>
       f.delete(new Path(s"${manifestDir(root)}/$e"), false)
       f.delete(new Path(epochDir(root, e)), true)
     }
-    cur.foreach { case (g, _) =>
-      f.delete(new Path(foldGenDir(root, g)), true)
-      f.delete(new Path(s"${foldPointerDir(root)}/gen-$g"), false)
-    }
+    absorbed.foreach { case (g, _) => f.delete(new Path(foldGenDir(root, g)), true) }
+    // superseded view files (every gen-* below the new view number that
+    // is not a kept generation's data dir — view files and data dirs
+    // live in different namespaces, so just drop all older view files)
+    f.listStatus(new Path(foldPointerDir(root))).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen-") &&
+        p.getName.stripPrefix("gen-").toLong < v)
+      .foreach(p => f.delete(p, false))
     fresh.size
   }
 }

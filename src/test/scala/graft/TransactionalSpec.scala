@@ -126,6 +126,50 @@ class TransactionalSpec extends SparkSpec {
     assert(TransactionalLake.foldCommittedEpochs(spark, lake, upTo = 10L) == 0)
   }
 
+  test("size-tiered folds rewrite only fresh epochs until the merge threshold") {
+    val lake = tmpDir("tx_tier")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    (0L to 4L).foreach(e => TransactionalLake.commitEpoch(epochFrame(e), lake, e))
+    def view() = TransactionalLake.foldView(spark, lake).get._2
+    def snapshotAll() = TransactionalLake.readCommitted(spark, lake)
+      .select("event_id", "payload", "epoch").orderBy("event_id").collect().toSeq
+    def genFiles(g: Long) = fs.listFiles(
+      new org.apache.hadoop.fs.Path(s"$lake/data_folded/gen=$g"), true)
+    val before = snapshotAll()
+
+    // routine folds: each creates a NEW small generation, existing ones untouched
+    assert(TransactionalLake.foldCommittedEpochs(spark, lake, upTo = 0L, maxGenerations = 3) == 1)
+    assert(view().map(_._2) == Seq(Seq(0L)))
+    val gen1Files = {
+      val it = genFiles(1L); val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) { val s = it.next(); b += ((s.getPath.toString, s.getLen, s.getModificationTime)) }
+      b.result()
+    }
+    assert(TransactionalLake.foldCommittedEpochs(spark, lake, upTo = 1L, maxGenerations = 3) == 1)
+    assert(view().map(_._2) == Seq(Seq(0L), Seq(1L)))
+    assert(TransactionalLake.foldCommittedEpochs(spark, lake, upTo = 2L, maxGenerations = 3) == 1)
+    assert(view().map(_._2) == Seq(Seq(0L), Seq(1L), Seq(2L)))
+    // generation 1's files were never rewritten by the later folds
+    val gen1After = {
+      val it = genFiles(1L); val b = Seq.newBuilder[(String, Long, Long)]
+      while (it.hasNext) { val s = it.next(); b += ((s.getPath.toString, s.getLen, s.getModificationTime)) }
+      b.result()
+    }
+    assert(gen1After == gen1Files, "kept generations must not be rewritten")
+    assert(snapshotAll() == before)
+
+    // the threshold-crossing fold MERGES everything into one generation
+    assert(TransactionalLake.foldCommittedEpochs(spark, lake, upTo = 4L, maxGenerations = 3) == 2)
+    assert(view().map(_._2) == Seq(Seq(0L, 1L, 2L, 3L, 4L)))
+    assert(snapshotAll() == before)
+    // absorbed generation data dirs are cleaned up; exactly one remains
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$lake/data_folded"))
+      .map(_.getPath.getName).filter(_.startsWith("gen=")).toSeq
+    assert(dirs.size == 1)
+    // replay of any folded epoch is still a no-op
+    assert((0L to 4L).forall(TransactionalLake.isCommitted(spark, lake, _)))
+  }
+
   test("an uncommitted fold stage is invisible; a crashed fold resumes correctly") {
     val lake = tmpDir("tx_foldcrash")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
