@@ -85,6 +85,43 @@ class PlanSpec extends SparkSpec {
     assert(formatted.contains("WholeStageCodegen"), formatted.take(500))
   }
 
+  test("q9: all four dimensions broadcast; only lineitem-orders shuffles") {
+    val p = plan("q9_product_profit")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1,
+      "only lineitem-orders may shuffle")
+  }
+
+  test("q21: the EXISTS/NOT-EXISTS pair is one orderkey aggregate, not self-joins") {
+    val p = plan("q21_waiting_supplier")
+    // one fact-fact shuffle join (lineitem-orders), supplier broadcast,
+    // and NO lineitem-lineitem self-join pass
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
+  test("decontaminate: the eval postings broadcast; the train corpus never shuffles") {
+    val all = Tables.load(spark, sf0001, "documents")
+    val p = graft.operators.Dedup.decontaminate(
+      all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "train postings must stream against the broadcast eval n-gram map")
+  }
+
+  test("quality filter and pii redaction run at scan speed (no exchange)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val q = graft.operators.TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!q.contains("Exchange"), q)
+    val r = graft.operators.TextAnalysis.piiRedact(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!r.contains("Exchange"), r)
+  }
+
   test("lsh bucketer runs inside whole-stage codegen (no interpreted HOF folds)") {
     val df = Tables.load(spark, sf0001, "embeddings")
       .select(graft.functions.VectorFunctions.lshBucket(
