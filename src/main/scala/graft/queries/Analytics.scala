@@ -578,6 +578,32 @@ object Analytics {
           .as("within_5pct"))
       .orderBy("l_returnflag")
 
+  /** Sketch SET OPERATIONS: per-event-type Apache DataSketches HLL
+    * sketches of the user set, then a UNION of all types performed on
+    * the SKETCHES alone (`hll_union_agg`) — the 100 TB pattern for
+    * cross-source/cross-partition distinct counts: build once per
+    * source, merge in constant memory, never re-read the data. As with
+    * q_approx_distinct, the raw estimates are engine-specific, so the
+    * oracle-checked output is the exact count plus the deterministic
+    * in-envelope flag (HLL lgK=12 → well under 3% at these
+    * cardinalities; a drifting sketch breaks the hash match). */
+  def sketchUnion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val perType = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    def flag(est: Column, exact: Column): Column =
+      (abs(est.cast("double") - exact.cast("double")) / exact.cast("double")
+        <= 0.03).as("within_3pct")
+    val typed = perType.select(col("event_type").as("scope"), col("exact_users"),
+      flag(hll_sketch_estimate(col("sk")), col("exact_users")))
+    val union = perType.agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(ev.agg(countDistinct(col("user_id")).as("exact_users"))))
+      .select(lit("union:all").as("scope"), col("exact_users"),
+        flag(hll_sketch_estimate(col("sk")), col("exact_users")))
+    typed.unionByName(union).orderBy("scope")
+  }
+
   /** Range join (non-equi): lineitems shipped within 30 days of ANY of
     * the first 20 orders' dates — no key equality. Composed as a binned
     * equi-join (RangeJoin), never a nested-loop scan. */
@@ -809,6 +835,7 @@ object Analytics {
     "q_exists_select" -> (existsSelect _),
     "q_lateral_topk" -> (lateralTopK _),
     "q_approx_distinct" -> (approxDistinct _),
+    "q_sketch_union" -> (sketchUnion _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -851,6 +878,14 @@ object Analytics {
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  CAST(1 AS BOOLEAN) AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sketch_union" ->
+      """SELECT event_type AS scope, count(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BOOLEAN) AS within_3pct
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT 'union:all', count(DISTINCT user_id), CAST(1 AS BOOLEAN)
+        |FROM events
+        |ORDER BY scope""".stripMargin,
     "q_lateral_topk" ->
       """SELECT n_name, t.c_custkey, t.c_acctbal
         |FROM nation, LATERAL (
