@@ -21,6 +21,51 @@ class SkewLakeSpec extends SparkSpec {
     assert(p == q)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (the non-manual path)") {
+    // The complementary mechanism to Skew.saltedInnerJoin: for plain
+    // shuffle joins AQE detects an oversized partition AFTER the map
+    // stage and splits it across tasks — no code change, correct
+    // results. Plant one hot key carrying wide payloads, force a
+    // sort-merge join, and assert the final adaptive plan actually
+    // took the skew-split path (the SMJ is marked skew=true).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // tiny thresholds so the fixture-scale hot partition counts as skewed
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val pad = "x" * 512
+      val big = (1 to 20000)
+        .map(i => (if (i % 100 == 0) i.toLong else 7L, s"$pad$i"))
+        .toDF("k", "payload")
+      val small = (100 to 20000 by 100).map(_.toLong).map((_, "m")).toSeq
+        .prepended((7L, "hot")).toDF("k", "name")
+      // keep the wide payload flowing through the join — column pruning
+      // would otherwise shrink the shuffled bytes below any threshold
+      val joined = big.join(small, Seq("k")).select("k", "payload", "name")
+      // execute THIS dataset (count() would build its own query execution
+      // and leave `joined`'s adaptive plan un-finalized)
+      assert(joined.collect().length == 20000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew split did not trigger:\n${finalPlan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("salted two-phase aggregation equals direct groupBy (exact decimals)") {
     val li = Tables.load(spark, sf0001, "lineitem")
     val direct = li.groupBy($"l_returnflag".as("k"))
