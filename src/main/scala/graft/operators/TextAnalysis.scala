@@ -186,6 +186,34 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Training-SEQUENCE PACKING: assign each document a position in a
+    * stream of fixed-token-budget training sequences — the step between
+    * a clean corpus and a batched pre-training run. Contiguous packing
+    * by deterministic order (docs may straddle a boundary; the
+    * downstream batcher splits at `seq_offset`), computed as an
+    * EXCLUSIVE running token sum per shard:
+    * `seq_id = cum_before div budget`, `offset = cum_before mod budget`.
+    *
+    * Scale design: packing is per-SHARD (`idCol % nShards`), so the
+    * window sort never sees more than one shard per task — a single
+    * global ordered window would serialize the corpus through one
+    * partition. Shards pack independently (each shard is its own
+    * sequence stream); at 100 TB pick nShards ≈ the write parallelism
+    * you want for the packed output. Requires a numeric `idCol`;
+    * deterministic end to end (integer counts, integer division). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    tokensPerSeq: Int = 512, nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol), (col(idCol) % nShards).as("shard"),
+        size(TF.words(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before DIV $tokensPerSeq"))
+      .withColumn("seq_offset", col("cum_before") % tokensPerSeq)
+      .drop("cum_before")
+  }
+
   /** PII detection + redaction: emails, IPv4 addresses, and NANP-style
     * phone numbers found by regex, counted per type, then replaced with
     * typed placeholder tokens ([EMAIL]/[IP]/[PHONE]). The patterns are

@@ -272,6 +272,11 @@ object Extensions {
     TextAnalysis.tfidf(docs(s, d), "doc_id", "text", topK = 3)
       .orderBy("doc_id", "rank")
 
+  def textPackSequences(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packSequences(docs(s, d), "doc_id", "text",
+      tokensPerSeq = 512, nShards = 8)
+      .orderBy("doc_id")
+
   /** PII redaction gate. The fixture corpus is clean word soup, so the
     * query first PLANTS deterministic PII derived from doc_id (an email
     * for 2/3 of docs, an IPv4 for every even doc, a phone for all), then
@@ -397,6 +402,7 @@ object Extensions {
     "text_decontaminate" -> (textDecontaminate _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_tfidf" -> (textTfidf _),
+    "text_pack_sequences" -> (textPackSequences _),
     "text_pii_redact" -> (textPiiRedact _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -713,6 +719,20 @@ object Extensions {
         |    ORDER BY score DESC, term) AS INT) AS rank
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    "text_pack_sequences" -> (tokensCte +
+      """, t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM w),
+        |c AS (
+        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS seq_id,
+        |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin),
     "text_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id, text ||

@@ -83,6 +83,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(r => math.abs(r.getDouble(4) - 1.098612) < 1e-9))
   }
 
+  test("packSequences: contiguous per-shard packing with exact boundaries") {
+    // one shard (ids ≡ 0 mod 8), 300 tokens each, budget 512:
+    // cum_before = 0, 300, 600 → seq 0@0, 0@300, 1@88
+    val docs = docsDf(
+      0L -> Seq.fill(300)("w").mkString(" "),
+      8L -> Seq.fill(300)("w").mkString(" "),
+      16L -> Seq.fill(300)("w").mkString(" "),
+      1L -> Seq.fill(600)("w").mkString(" ")) // different shard: independent stream
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text",
+        tokensPerSeq = 512, nShards = 8)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(3), r.getLong(4))).toMap // (shard, seq_id, offset)
+    assert(byId(0L) == ((0L, 0L, 0L)))
+    assert(byId(8L) == ((0L, 0L, 300L)))
+    assert(byId(16L) == ((0L, 1L, 88L)))
+    assert(byId(1L) == ((1L, 0L, 0L)), "shards pack independently")
+  }
+
   test("piiRedact finds and replaces emails, IPs, and phones") {
     val docs = docsDf(
       1L -> "reach me at alice.smith+tag@mail-host.org or bob@x.io thanks",
