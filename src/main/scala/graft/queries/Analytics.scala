@@ -578,6 +578,43 @@ object Analytics {
           .as("within_5pct"))
       .orderBy("l_returnflag")
 
+  /** BUCKETED co-located join: both fact tables written `bucketBy` the
+    * join key, then joined with ZERO join-side exchanges — the layout
+    * strategy that amortizes a recurring large-large join's shuffle
+    * into the write (at 100 TB, THE lever for a nightly
+    * lineitem⋈orders). The absence of join-side shuffles is asserted AT
+    * RUNTIME (the gate fails, not degrades, if bucket info stops
+    * propagating); correctness of the bucket-aligned read is what the
+    * oracle hash-checks. Only the final 3-group aggregate exchanges. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (lt, ot) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Seq(lt, ot).foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      // the in-memory catalog resets per JVM but warehouse dirs persist
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"${spark.sessionState.conf.warehousePath}/$tbl"), true)
+    }
+    t(spark, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(lt)
+    t(spark, dir, "orders").select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ot)
+    val joined = spark.table(lt)
+      .join(spark.table(ot).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+    val shuffles = joined.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    require(shuffles <= 1,
+      s"bucketed join must not shuffle its inputs (found $shuffles exchanges)")
+    joined
+  }
+
   /** Sketch SET OPERATIONS: per-event-type Apache DataSketches HLL
     * sketches of the user set, then a UNION of all types performed on
     * the SKETCHES alone (`hll_union_agg`) — the 100 TB pattern for
@@ -836,6 +873,7 @@ object Analytics {
     "q_lateral_topk" -> (lateralTopK _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_sketch_union" -> (sketchUnion _),
+    "q_bucketed_join" -> (bucketedJoin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -878,6 +916,12 @@ object Analytics {
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  CAST(1 AS BOOLEAN) AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sketch_union" ->
       """SELECT event_type AS scope, count(DISTINCT user_id) AS exact_users,
         |  CAST(1 AS BOOLEAN) AS within_3pct
