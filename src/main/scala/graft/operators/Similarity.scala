@@ -346,4 +346,71 @@ object Similarity {
       .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
         col("cosine"), col("rank"))
   }
+
+  /** Per-dimension quantization BOUNDS for scalar quantization: one row,
+    * two arrays (`mns`, `mxs`), each element the corpus-wide min/max of
+    * that dimension. One posexplode + one tiny aggregate; the result
+    * broadcasts (it is 2×dim doubles). Exact element picks — no float
+    * arithmetic — so the bounds are bit-identical in any engine. */
+  def scalarQuantizeBounds(embeddings: DataFrame, vecCol: String): DataFrame = {
+    val dims = embeddings
+      .select(posexplode(VF.toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        s => s.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("mxs"))
+  }
+
+  /** SCALAR QUANTIZATION (SQ8) of an embedding column: each dimension
+    * mapped to an 8-bit code `floor((x-mn)/(mx-mn)·255 + 0.5)` against
+    * the corpus-wide per-dim bounds — the embedding-lake COMPRESSION
+    * lever (4× smaller than float32; at 100 TB of vectors, the
+    * difference between fitting in cache tiers or not). Codes are kept
+    * as an int array column here (a production lake would pack them
+    * into a binary column); `dequantize` reverses the map for search.
+    * Every step is IEEE +,·,/ and floor — exact in any engine, so the
+    * whole compression pipeline is oracle-checkable bit-for-bit. */
+  def scalarQuantize(embeddings: DataFrame, idCol: String, vecCol: String,
+                     bounds: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(bounds))
+      .select(col(idCol),
+        zip_with(VF.toDouble(col(vecCol)),
+          zip_with(col("mns"), col("mxs"), (a, b) => struct(a.as("mn"), b.as("mx"))),
+          (x, mm) => when(mm.getField("mx") === mm.getField("mn"), 0)
+            .otherwise(floor((x - mm.getField("mn"))
+              / (mm.getField("mx") - mm.getField("mn")) * 255.0 + 0.5))
+            .cast("int")).as("code"))
+
+  /** Asymmetric SQ search: the corpus is DEQUANTIZED from its 8-bit
+    * codes (`mn + code/255·(mx-mn)`), probes stay full precision — the
+    * standard quality/size trade for compressed vector search. Same
+    * plan shape as [[bruteForceTopK]] (probes broadcast, corpus streams
+    * once, per-probe window rank); only the corpus representation
+    * changed. Recall vs. the uncompressed baseline is pinned in
+    * DedupSimilaritySpec. */
+  def sqTopK(codes: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, bounds: DataFrame, k: Int): DataFrame = {
+    val c = codes.crossJoin(broadcast(bounds))
+      .select(col(idCol).as("c_id"),
+        zip_with(col("code"),
+          zip_with(col("mns"), col("mxs"), (a, b) => struct(a.as("mn"), b.as("mx"))),
+          (q, mm) => mm.getField("mn")
+            + q.cast("double") / 255.0 * (mm.getField("mx") - mm.getField("mn")))
+          .as("c_e"))
+      .withColumn("c_nrm", VF.norm(col("c_e")))
+    val p = withNormed(probes, idCol, vecCol, "p")
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
 }

@@ -210,6 +210,21 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** Compressed-vector search gate: the corpus scalar-quantized to 8-bit
+    * codes against corpus-wide per-dim bounds, searched asymmetrically
+    * (full-precision probes vs dequantized corpus). Quantization is pure
+    * IEEE arithmetic + floor, so compression AND search are
+    * oracle-checked bit-for-bit; recall vs the uncompressed baseline is
+    * pinned in DedupSimilaritySpec. */
+  def simTopKSq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val bounds = Similarity.scalarQuantizeBounds(e, "embedding")
+    val codes = Similarity.scalarQuantize(e, "vec_id", "embedding", bounds)
+    Similarity.sqTopK(codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      bounds, k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairsLsh(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
@@ -389,6 +404,7 @@ object Extensions {
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk_ivf_incremental" -> (simTopKIvfIncremental _),
     "sim_topk_ivf_clustered" -> (simTopKIvfClustered _),
+    "sim_topk_sq" -> (simTopKSq _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_asof_join" -> (asofClickPurchase _),
     "dedup_source_similarity" -> (dedupSourceSimilarity _),
@@ -564,6 +580,37 @@ object Extensions {
     // (pruned directories), never WHICH are scored — identical routing,
     // identical SQL
     "sim_topk_ivf_clustered" -> ivfSql,
+    // scalar quantization is pure IEEE arithmetic + floor → the full
+    // compress/dequantize/search pipeline replicates exactly
+    "sim_topk_sq" -> (vecCte +
+      """, dims AS (
+        |  SELECT i, min(e[i]) AS mn, max(e[i]) AS mx
+        |  FROM v, range(1, 65) t(i) GROUP BY i
+        |), b AS (
+        |  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+        |), dq AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN mxs[i] = mns[i] THEN mns[i]
+        |      ELSE mns[i] + CAST(CAST(floor((e[i]-mns[i])/(mxs[i]-mns[i])*255 + 0.5) AS INT) AS DOUBLE)/255.0*(mxs[i]-mns[i])
+        |      END) AS e
+        |  FROM v, b
+        |), cq AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+        |  FROM dq
+        |)
+        |SELECT probe_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+        |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
+        |  FROM n p JOIN cq c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10)
+        |QUALIFY rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin),
     "sim_topk_exact" -> (vecCte +
       """
         |SELECT probe_id, neighbor_id, cosine,

@@ -116,6 +116,39 @@ class DedupSimilaritySpec extends SparkSpec {
       s"scan must be partition-pruned: read $scanned of $total corpus rows")
   }
 
+  test("scalar quantization: bounded per-dim error, high recall vs uncompressed") {
+    val probes = embs.filter($"vec_id" < 10)
+    val bounds = Similarity.scalarQuantizeBounds(embs, "embedding")
+    val codes = Similarity.scalarQuantize(embs, "vec_id", "embedding", bounds)
+    // every code is a valid 8-bit value
+    val codeRange = codes.select(
+      min(array_min(col("code"))).as("lo"), max(array_max(col("code"))).as("hi"))
+      .collect().head
+    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) <= 255)
+    // dequantization error per dim is bounded by half a code step:
+    // |dq - x| <= (mx-mn)/255/2 (+ float slack)
+    val b = bounds.collect().head
+    val (mns, mxs) = (b.getSeq[Double](0), b.getSeq[Double](1))
+    val orig = embs.select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val maxErrByDim = (mxs, mns).zipped.map((mx, mn) => (mx - mn) / 510.0 + 1e-12)
+    codes.as[(Long, Seq[Int])].collect().foreach { case (id, qs) =>
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val dq = mns(i) + q.toDouble / 255.0 * (mxs(i) - mns(i))
+        assert(math.abs(dq - orig(id)(i)) <= maxErrByDim(i),
+          s"dim $i of vec $id outside the half-step bound")
+      }
+    }
+    // asymmetric search over the compressed corpus keeps high recall
+    val exact = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sqTopK(codes, probes, "vec_id", "embedding", bounds, 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val planted = docs.limit(5).union(docs.limit(2)) // 2 exact dups
     val out = Dedup.exact(planted, Seq("text"), "doc_id")
