@@ -273,6 +273,18 @@ object Analytics {
       .na.fill(0L)
       .orderBy("tenant")
 
+  /** UNPIVOT (melt): the inverse reshape of [[pivotEvents]] — the wide
+    * per-tenant count columns back to (tenant, event_type, cnt) rows.
+    * Composed on the pivot output, so the pair proves the reshape
+    * round-trips; `unpivot` is a narrow projection (no shuffle beyond
+    * the pivot's own aggregate). */
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    pivotEvents(spark, dir)
+      .unpivot(Array(col("tenant")), types.map(col).toArray, "event_type", "cnt")
+      .orderBy("tenant", "event_type")
+  }
+
   /** Correlated scalar subquery (decorrelated by Catalyst into a join):
     * customers above their nation's average balance. Exact decimal sum /
     * count keeps the threshold deterministic. */
@@ -641,6 +653,37 @@ object Analytics {
     typed.unionByName(union).orderBy("scope")
   }
 
+  /** JSON-path analytics over a semi-structured column: extract a field
+    * from the events' JSON props and aggregate it per type — the
+    * schema-on-read shape (at scale, prefer promoting hot JSON fields to
+    * columns at ingest; this is the exploratory path that discovers
+    * them). `get_json_object` is codegen'd; one small aggregate. */
+  def jsonExtractAgg(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(spark, dir, "events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** ARGMAX via struct-ordering aggregate: each user's LATEST event in
+    * ONE hash aggregate — `max(struct(ts, event_id, payload...))`
+    * compares field-by-field, so the payload rides along with the max
+    * key and no ranking window / second pass is needed. The single
+    * shuffle carries one struct per (task, user): the map-side-combined
+    * plan a 100 TB "latest state per key" query wants. Tie-broken by
+    * event_id → fully deterministic. */
+  def argmaxLatest(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("last_ev"))
+      .select(col("user_id"),
+        col("last_ev.event_id").as("last_event_id"),
+        col("last_ev.event_type").as("last_event_type"))
+      .orderBy("user_id")
+
   /** Range join (non-equi): lineitems shipped within 30 days of ANY of
     * the first 20 orders' dates — no key equality. Composed as a binned
     * equi-join (RangeJoin), never a nested-loop scan. */
@@ -874,6 +917,9 @@ object Analytics {
     "q_approx_distinct" -> (approxDistinct _),
     "q_sketch_union" -> (sketchUnion _),
     "q_bucketed_join" -> (bucketedJoin _),
+    "q_json_extract" -> (jsonExtractAgg _),
+    "q_unpivot" -> (unpivotEvents _),
+    "q_argmax_latest" -> (argmaxLatest _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -916,6 +962,33 @@ object Analytics {
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,
         |  CAST(1 AS BOOLEAN) AS within_5pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_unpivot" ->
+      """WITH t AS (SELECT DISTINCT 't' || CAST(user_id % 3 AS VARCHAR) AS tenant FROM events),
+        |e AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS tenant, event_type,
+        |        count(*) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |SELECT t.tenant, e.event_type, COALESCE(c.cnt, 0) AS cnt
+        |FROM t CROSS JOIN e
+        |LEFT JOIN c ON c.tenant = t.tenant AND c.event_type = e.event_type
+        |ORDER BY t.tenant, e.event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_argmax_latest" ->
+      """SELECT user_id,
+        |  (last_ev).event_id AS last_event_id,
+        |  (last_ev).event_type AS last_event_type
+        |FROM (
+        |  SELECT user_id,
+        |    max(row(ts, event_id, event_type)
+        |      ::STRUCT(ts TIMESTAMP, event_id BIGINT, event_type VARCHAR)) AS last_ev
+        |  FROM events GROUP BY 1)
+        |ORDER BY user_id""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderstatus,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price,
