@@ -50,10 +50,21 @@ object Blocks {
     * reliable (disk-backed) checkpoint, lineage truncated. The returned
     * frame reads files, not block-manager blocks, so the source local
     * checkpoint can be [[release]]d immediately and an unpersist-all
-    * sweep cannot invalidate the result. */
+    * sweep cannot invalidate the result.
+    *
+    * The lineage is evaluated ONCE: a bare `checkpoint(eager)` runs the
+    * plan twice (the materializing action, then the checkpoint job
+    * recomputing from lineage — Spark's documented persist-before-
+    * checkpoint hazard; measured 2× on every copied-out artifact), so
+    * the plan is first local-checkpointed into blocks, the reliable
+    * files are written FROM the blocks, and the blocks are released.
+    * copyOut's contract stays "small end products only": a lost block
+    * between the two steps fails the job rather than recomputing. */
   def copyOut(df: DataFrame): DataFrame = {
     ensureCheckpointDir(df.sparkSession)
-    df.checkpoint(eager = true)
+    val local = df.localCheckpoint(eager = true)
+    try local.checkpoint(eager = true)
+    finally release(local)
   }
 
   /** Free a localCheckpointed frame's blocks. `Dataset.unpersist` is a

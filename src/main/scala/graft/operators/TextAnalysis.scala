@@ -130,19 +130,35 @@ object TextAnalysis {
     *  - duplicate 2-gram fraction under maxDupBigramFrac (boilerplate /
     *    generated spam).
     * Every signal is integer counts + one double division — bit-exact
-    * against the oracle; per-row expressions only, runs at scan speed. */
+    * against the oracle; per-row expressions only, runs at scan speed.
+    *
+    * Composition note: a downstream `.filter(col("keep"))` gets pushed
+    * through this projection BY SUBSTITUTION — the optimizer inlines
+    * every rule expression (interpreted HOFs, no common-subexpression
+    * reuse across the lambda boundary) into the predicate, multiplying
+    * the per-row cost ~50×. In long pipelines, checkpoint/materialize
+    * the metrics frame before filtering on `keep` (see
+    * `Extensions.trainCorpusPrepV2`). */
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
                     minWords: Int = 20, maxWords: Int = 10000,
                     minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
                     maxTopWordFrac: Double = 0.2,
                     maxDupBigramFrac: Double = 0.1): DataFrame = {
-    val toks = TF.words(col(textCol))
+    // materialize the token and bigram arrays as PROJECT-BOUNDARY columns:
+    // the rule expressions reference them ~12 times, and inlined aliases
+    // would re-tokenize the text per reference (higher-order functions
+    // evaluate interpreted, with no cross-lambda subexpression reuse).
+    // CollapseProject keeps the boundary: an expensive alias consumed
+    // more than once is not inlined.
+    val toks = col("__q_toks")
+    val sh2 = col("__q_sh2")
     val n = size(toks)
     val nD = n.cast("double")
     val topCount = array_max(transform(array_distinct(toks),
       t => size(filter(toks, x => x === t))))
-    val sh2 = TF.shingles(toks, 2)
-    docs.select(col(idCol),
+    docs.select(col(idCol), TF.words(col(textCol)).as("__q_toks"))
+      .select(col(idCol), toks, TF.shingles(toks, 2).as("__q_sh2"))
+      .select(col(idCol),
         n.cast("long").as("n_words"),
         (aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nD)
           .as("mean_word_len"),

@@ -347,6 +347,56 @@ object Extensions {
       .orderBy("split")
   }
 
+  /** FLAGSHIP v2 — the full modern pre-training data pipeline, every
+    * stage an already-oracle-verified operator:
+    * near-dup canonicalize → drop the eval split (doc_id % 10 == 0)
+    * → benchmark DECONTAMINATION against it (8-gram overlap)
+    * → Gopher/C4 QUALITY-RULE gate → language filter (en)
+    * → content-hash split → per-split SEQUENCE PACKING
+    * → per-split corpus stats (docs, tokens, packed sequences).
+    * One composed plan: the dedup candidate join + CC rounds feed a
+    * small representative set; decontamination joins it against
+    * broadcast eval postings; quality/langid/split are per-row
+    * expressions; packing is one window per (split, shard); the final
+    * rollup is three rows. Nothing collects, nothing is all-pairs. */
+  def trainCorpusPrepV2(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val all = docs(s, d)
+    val evalSet = all.filter(col("doc_id") % 10 === 0)
+    val reps = Dedup.canonicalize(all, "doc_id", "text")
+      .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+      .join(all, "doc_id")
+      .filter(col("doc_id") % 10 =!= 0) // eval docs never train
+    val contaminated = Dedup.decontaminate(reps, evalSet, "doc_id", "text", k = 8)
+      .select(col("train_id").as("doc_id"))
+    // clean survives into two consumers (metrics + the text join) and the
+    // packers — materialize it once (small: surviving ids + text)
+    val clean = Blocks.copyOut(
+      reps.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+    // checkpoint the metrics BEFORE filtering on `keep`: a filter on a
+    // projected flag is pushed through the projection by SUBSTITUTION,
+    // re-deriving every quality expression (interpreted HOFs, no CSE)
+    // inside the predicate — measured 16.9 s vs 0.3 s for the one-pass
+    // metrics themselves at sf0.1
+    val metrics = Blocks.copyOut(
+      TextAnalysis.qualityFilter(clean, "doc_id", "text"))
+    val kept = Blocks.copyOut(metrics
+      .filter(col("keep")).select("doc_id")
+      .join(clean, "doc_id")
+      .filter(TF.langId(col("text")) === "en")
+      .select(col("doc_id"), col("text"),
+        graft.operators.Sampling.contentSplit(col("text")).as("split")))
+    val packed = Seq("train", "val", "test").map { sp =>
+      TextAnalysis.packSequences(kept.filter(col("split") === sp), "doc_id", "text")
+        .withColumn("split", lit(sp))
+    }.reduce(_ unionByName _)
+    packed.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("shard"), col("seq_id")).as("n_sequences"))
+      .orderBy("split")
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -424,7 +474,8 @@ object Extensions {
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_retrieval" -> (multimodalRetrieval _),
-    "train_corpus_prep" -> (trainCorpusPrep _)))
+    "train_corpus_prep" -> (trainCorpusPrep _),
+    "train_corpus_prep_v2" -> (trainCorpusPrepV2 _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -924,6 +975,93 @@ object Extensions {
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens
          |FROM f GROUP BY 1 ORDER BY split""".stripMargin),
+    // flagship v2 — canonical closure + 8-gram decontamination + quality
+    // rules + langid + split + per-(split,shard) packing, each fragment
+    // lifted verbatim from its stand-alone verified oracle
+    "train_corpus_prep_v2" -> (shingleCte.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
+      s""", pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |      CAST(len(a.sh) + len(b.sh)
+         |           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+         |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+         |  WHERE jaccard >= 0.8
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst
+         |), canon AS (
+         |  SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+         |), reps AS (
+         |  SELECT d.doc_id, d.text, ww.toks
+         |  FROM documents d
+         |  JOIN canon c ON d.doc_id = c.doc_id
+         |  JOIN w ww ON ww.doc_id = d.doc_id
+         |  WHERE c.doc_id = c.canonical_id AND d.doc_id % 10 <> 0
+         |), s8 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE
+         |      list_distinct(list_transform(range(1, len(toks) - 6),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         |          || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
+         |    END AS sh
+         |  FROM w
+         |), ev8 AS (SELECT doc_id AS eid, unnest(sh) AS g FROM s8 WHERE doc_id % 10 = 0),
+         |tr8 AS (SELECT doc_id, unnest(sh) AS g FROM s8 WHERE doc_id % 10 <> 0),
+         |contaminated AS (SELECT DISTINCT tr8.doc_id FROM tr8 JOIN ev8 USING (g)),
+         |clean AS (
+         |  SELECT * FROM reps
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |), q AS (
+         |  SELECT doc_id, text, toks FROM clean
+         |  WHERE len(toks) BETWEEN 20 AND 10000
+         |    AND CAST(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+         |    AND len(list_filter(toks, t -> list_contains(${markerListSql(markers.values.flatten.toSeq)}, t))) >= 1
+         |    AND CAST(list_max(list_transform(list_distinct(toks),
+         |          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE) <= 0.2
+         |    AND (CASE WHEN len(toks) >= 2 THEN
+         |          CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+         |            i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE)
+         |        ELSE CAST(0 AS DOUBLE) END) <= 0.1
+         |), lang AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("en"))}, t))) AS s_en,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("de"))}, t))) AS s_de,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("fr"))}, t))) AS s_fr,
+         |    len(list_filter(toks, t -> list_contains(${markerListSql(markers("es"))}, t))) AS s_es
+         |  FROM q
+         |), en AS (
+         |  SELECT q.doc_id, q.text, len(q.toks) AS n_tokens
+         |  FROM q JOIN lang l ON q.doc_id = l.doc_id
+         |  WHERE greatest(s_en, s_de, s_fr, s_es) > 0
+         |    AND s_en = greatest(s_en, s_de, s_fr, s_es)
+         |), f AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN list_reduce(
+         |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80 THEN 'train'
+         |      WHEN list_reduce(
+         |        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+         |        (a, b) -> (a * 31 + b) % 1000000007) % 100 < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM en
+         |), packed AS (
+         |  SELECT split, doc_id % 8 AS shard, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split, doc_id % 8
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) // 512 AS seq_id
+         |  FROM f)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  count(DISTINCT (shard, seq_id)) AS n_sequences
+         |FROM packed GROUP BY 1 ORDER BY split""".stripMargin),
     "multimodal_meta" ->
       """SELECT doc_id AS media_id, 'image/fake' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
