@@ -52,19 +52,28 @@ object Blocks {
     * checkpoint can be [[release]]d immediately and an unpersist-all
     * sweep cannot invalidate the result.
     *
-    * The lineage is evaluated ONCE: a bare `checkpoint(eager)` runs the
-    * plan twice (the materializing action, then the checkpoint job
-    * recomputing from lineage — Spark's documented persist-before-
-    * checkpoint hazard; measured 2× on every copied-out artifact), so
-    * the plan is first local-checkpointed into blocks, the reliable
-    * files are written FROM the blocks, and the blocks are released.
-    * copyOut's contract stays "small end products only": a lost block
-    * between the two steps fails the job rather than recomputing. */
-  def copyOut(df: DataFrame): DataFrame = {
+    * `checkpoint(eager)` evaluates the plan TWICE (the materializing
+    * action, then the checkpoint job recomputing from lineage — Spark's
+    * documented persist-before-checkpoint hazard). Whether that matters
+    * depends on the caller:
+    *  - the iterative operators copy out of loop state that is already
+    *    localCheckpoint-backed, so the "recompute" just re-reads blocks
+    *    — the default plain checkpoint is CHEAPER there (an extra
+    *    persist pass measurably slowed every dedup loop ~15%);
+    *  - a FRESH expensive lineage (e.g. the flagship pipeline's
+    *    filtered-corpus stage) genuinely runs twice — `singleEval=true`
+    *    local-checkpoints into blocks first, writes the reliable files
+    *    from the blocks, and releases them (measured 2.3× on the
+    *    flagship v2 stage). Lost-block risk between the two steps fails
+    *    the job rather than recomputing — small end products only. */
+  def copyOut(df: DataFrame, singleEval: Boolean = false): DataFrame = {
     ensureCheckpointDir(df.sparkSession)
-    val local = df.localCheckpoint(eager = true)
-    try local.checkpoint(eager = true)
-    finally release(local)
+    if (!singleEval) df.checkpoint(eager = true)
+    else {
+      val local = df.localCheckpoint(eager = true)
+      try local.checkpoint(eager = true)
+      finally release(local)
+    }
   }
 
   /** Free a localCheckpointed frame's blocks. `Dataset.unpersist` is a

@@ -372,20 +372,22 @@ object Extensions {
     // clean survives into two consumers (metrics + the text join) and the
     // packers — materialize it once (small: surviving ids + text)
     val clean = Blocks.copyOut(
-      reps.join(broadcast(contaminated), Seq("doc_id"), "left_anti"))
+      reps.join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
+      singleEval = true)
     // checkpoint the metrics BEFORE filtering on `keep`: a filter on a
     // projected flag is pushed through the projection by SUBSTITUTION,
     // re-deriving every quality expression (interpreted HOFs, no CSE)
     // inside the predicate — measured 16.9 s vs 0.3 s for the one-pass
     // metrics themselves at sf0.1
     val metrics = Blocks.copyOut(
-      TextAnalysis.qualityFilter(clean, "doc_id", "text"))
+      TextAnalysis.qualityFilter(clean, "doc_id", "text"), singleEval = true)
     val kept = Blocks.copyOut(metrics
       .filter(col("keep")).select("doc_id")
       .join(clean, "doc_id")
       .filter(TF.langId(col("text")) === "en")
       .select(col("doc_id"), col("text"),
-        graft.operators.Sampling.contentSplit(col("text")).as("split")))
+        graft.operators.Sampling.contentSplit(col("text")).as("split")),
+      singleEval = true)
     val packed = Seq("train", "val", "test").map { sp =>
       TextAnalysis.packSequences(kept.filter(col("split") === sp), "doc_id", "text")
         .withColumn("split", lit(sp))
