@@ -597,6 +597,51 @@ object PipelineQueries {
     spark.table(qn).orderBy("click_id", "purchase_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join driver-gated: same shape as
+    * [[streamingJoin]], but unmatched clicks must emit a null-purchase
+    * row — and ONLY once the global watermark (min of both sides' max
+    * event time, minus the 10 min delay) has passed the end of their
+    * one-hour match window; later unmatched clicks stay withheld at
+    * end-of-stream. The oracle reproduces exactly that emission rule
+    * over the batch join (same style as the sessionizer's timeout rule).
+    * Timestamps are second-truncated so the watermark boundary is exact
+    * rather than fixture-luck. */
+  def streamingOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/sojoin_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val ev = events(spark, dir).filter(col("event_id") <= 20000)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .write.mode("overwrite").json(s"$base/clicks")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"))
+      .write.mode("overwrite").json(s"$base/purchases")
+    def stream(path: String, id: String, user: String, ts: String) =
+      spark.readStream.schema(StructType(Seq(
+        StructField(id, LongType), StructField(user, LongType),
+        StructField(ts, TimestampType)))).json(path)
+    val joined = graft.streaming.StreamingAggregates.clickToPurchaseJoin(
+      stream(s"$base/clicks", "click_id", "click_user", "click_ts"),
+      stream(s"$base/purchases", "purchase_id", "purchase_user", "purchase_ts"),
+      joinType = "left_outer")
+      .select(col("click_id"), col("purchase_id"))
+    val qn = s"sojoin_$tag"
+    withShufflePartitions(spark, 8) {
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(qn).orderBy("click_id", "purchase_id")
+  }
+
   /** Custom keyed state (flatMapGroupsWithState) driver-gated: the
     * per-(tenant,user) sessionizer over a replayed event stream. Emission
     * under AvailableNow is deterministic and two-fold: sessions CLOSED
@@ -676,6 +721,27 @@ object PipelineQueries {
         | AND p.user_id = c.user_id
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 3600 SECONDS
         |WHERE c.event_id <= 20000 AND p.event_id <= 20000
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "pipe_streaming_outer_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id AS u,
+        |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS cts
+        |  FROM events WHERE event_type = 'click' AND event_id <= 20000),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS u,
+        |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS pts
+        |  FROM events WHERE event_type = 'purchase' AND event_id <= 20000),
+        |wm AS (
+        |  SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+        |    - 600 AS w)
+        |SELECT c.click_id, p.purchase_id
+        |FROM c JOIN p ON p.u = c.u AND p.pts >= c.cts AND p.pts <= c.cts + 3600
+        |UNION ALL
+        |SELECT click_id, CAST(NULL AS BIGINT) AS purchase_id
+        |FROM c, wm
+        |WHERE NOT EXISTS (SELECT 1 FROM p
+        |    WHERE p.u = c.u AND p.pts >= c.cts AND p.pts <= c.cts + 3600)
+        |  AND c.cts + 3600 < w
         |ORDER BY click_id, purchase_id""".stripMargin,
     "pipe_streaming_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
@@ -796,6 +862,7 @@ object PipelineQueries {
     "pipe_streaming_dedup" -> (streamingDedup _),
     "pipe_streaming_static_enrich" -> (streamingStaticEnrich _),
     "pipe_streaming_join" -> (streamingJoin _),
+    "pipe_streaming_outer_join" -> (streamingOuterJoin _),
     "pipe_streaming_sessions" -> (streamingSessions _),
     "pipe_compact_roundtrip" -> (compactRoundtrip _),
     "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),

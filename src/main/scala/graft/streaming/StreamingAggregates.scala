@@ -40,13 +40,19 @@ object StreamingAggregates {
     * dropped once the purchase-side watermark passes click.ts+window. */
   def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                           lateness: String = "10 minutes",
-                          windowSec: Long = 3600L): DataFrame = {
+                          windowSec: Long = 3600L,
+                          joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("click_ts", lateness)
     val p = purchases.withWatermark("purchase_ts", lateness)
+    // LEFT OUTER is watermark-driven: an unmatched click emits its null
+    // row only once the GLOBAL watermark (min of both sides) passes the
+    // end of its match window — bounded state, deterministic emission;
+    // clicks whose window is still open at end-of-stream stay withheld.
     c.join(p,
       col("click_user") === col("purchase_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      joinType)
   }
 
   case class SessionEvent(tenant: String, userId: Long, ts: java.sql.Timestamp, value: Double)

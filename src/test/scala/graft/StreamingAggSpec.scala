@@ -92,4 +92,47 @@ class StreamingAggSpec extends SparkSpec {
       assert(out.head.nEvents == 2 && out.head.sumValue == 3.0)
     } finally q.stop()
   }
+
+  test("left-outer interval join emission boundary: strictly-past windows only") {
+    // Pins the emission rule the pipe_streaming_outer_join oracle encodes
+    // (cts + window < watermark, STRICT) on crafted boundary timestamps —
+    // the fixture has no click whose window end equals the final
+    // watermark, so without this the < vs <= choice would be untested.
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingAggregates.clickToPurchaseJoin(
+      clicks.toDF().toDF("click_id", "click_user", "click_ts"),
+      purchases.toDF().toDF("purchase_id", "purchase_user", "purchase_ts"),
+      lateness = "10 minutes", windowSec = 3600L, joinType = "left_outer")
+      .select(col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("oj_boundary").start()
+    try {
+      def t(sec: Long): java.sql.Timestamp =
+        new java.sql.Timestamp(1704067200000L + sec * 1000L)
+      // final watermark will be min(maxClick, maxPurchase) - 600 = 4200.
+      // click 1 @ 599: window end 4199 < 4200  → null row EMITTED
+      // click 2 @ 600: window end 4200 == 4200 → boundary (strict rule: withheld)
+      // click 3 @ 1000: window end 4600 > 4200 → withheld
+      // click 4 @ 100 matched by a purchase     → pair emitted
+      clicks.addData((1L, 1L, t(599)), (2L, 2L, t(600)), (3L, 3L, t(1000)),
+        (4L, 4L, t(100)), (99L, 99L, t(4800)))
+      purchases.addData((40L, 4L, t(200)), (98L, 98L, t(4800)))
+      q.processAllAvailable()
+      // advance both sides' watermarks past the boundary
+      clicks.addData((100L, 100L, t(4800)))
+      purchases.addData((101L, 101L, t(4800)))
+      q.processAllAvailable()
+      val out = spark.table("oj_boundary")
+        .select($"click_id", $"purchase_id").as[(Long, Option[Long])]
+        .collect().toSet
+      assert(out.contains((4L, Some(40L))), s"matched pair missing: $out")
+      assert(out.contains((1L, None)), s"strictly-past unmatched click not emitted: $out")
+      assert(!out.exists(r => r._1 == 2L && r._2.isEmpty),
+        s"boundary click (window end == watermark) must stay withheld: $out")
+      assert(!out.exists(r => r._1 == 3L && r._2.isEmpty),
+        s"open-window click must stay withheld: $out")
+    } finally q.stop()
+  }
 }
