@@ -149,6 +149,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
   }
 
+  test("SQ8 codes store substantially smaller than the float vectors") {
+    val dir = tmpDir("sq_size")
+    val bounds = Similarity.scalarQuantizeBounds(embs, "embedding")
+    embs.select("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/full")
+    Similarity.scalarQuantize(embs, "vec_id", "embedding", bounds)
+      // int codes 0..255: a production lake packs them to a binary
+      // column; cast to byte-equivalent here so the parquet byte width
+      // reflects the 8-bit payload, not the int32 logical type
+      .select(col("vec_id"),
+        transform(col("code"), c => (c - 128).cast("tinyint")).as("code"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codes")
+    def bytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    val (full, codes) = (bytes(s"$dir/full"), bytes(s"$dir/codes"))
+    assert(codes.toDouble / full <= 0.5,
+      s"SQ8 codes $codes B vs float vectors $full B — expected <= 0.5x")
+  }
+
   test("exact dedup collapses planted exact duplicates") {
     val planted = docs.limit(5).union(docs.limit(2)) // 2 exact dups
     val out = Dedup.exact(planted, Seq("text"), "doc_id")

@@ -122,6 +122,15 @@ class PlanSpec extends SparkSpec {
     assert(!r.contains("Exchange"), r)
   }
 
+  test("argmax-latest is one aggregate pair, no ranking window") {
+    val p = plan("q_argmax_latest")
+    assert(!p.contains("Window"), "latest-per-key must not rank")
+    // max over a struct is not hash-aggregable — Sort/ObjectHashAggregate
+    // is fine; the point is partial+final aggregation and no window pass
+    assert(p.linesIterator.count(_.contains("Aggregate")) >= 2,
+      "partial+final aggregate expected")
+  }
+
   test("lsh bucketer runs inside whole-stage codegen (no interpreted HOF folds)") {
     val df = Tables.load(spark, sf0001, "embeddings")
       .select(graft.functions.VectorFunctions.lshBucket(
