@@ -116,6 +116,40 @@ object Extensions {
     graft.streaming.StreamingDedup.pairLog(s, base).orderBy("id_a", "id_b")
   }
 
+  /** STREAMING decontamination gate: the train docs (doc_id % 10 != 0)
+    * replayed as a 3-file json stream, each micro-batch flagged against
+    * the static eval set, with a FORCED crash replay of the final epoch.
+    * The committed quarantine log must equal the one-shot batch
+    * decontamination — same oracle as `text_decontaminate`. */
+  def dedupStreamingDecon(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/sdecon_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+    val train = all.filter(col("doc_id") % 10 =!= 0)
+    val evalSet = all.filter(col("doc_id") % 10 === 0)
+    (0 until 3).foreach(i => train.filter(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").json(s"$base/in"))
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingDedup.startDecontaminate(
+        s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+          .option("maxFilesPerTrigger", 1).json(s"$base/in"),
+        evalSet, "doc_id", "text", base, s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    run()
+    // the crash: the final epoch's STREAM commit vanishes — restart
+    // re-delivers the batch; the idempotent epoch commit must keep the
+    // quarantine log exact (no duplicates, no loss)
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
+    run()
+    graft.streaming.StreamingDedup.quarantineLog(s, base).orderBy("train_id")
+  }
+
   def dedupCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("doc_id")
@@ -448,6 +482,7 @@ object Extensions {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_fold" -> (dedupIncrementalFold _),
     "dedup_streaming_index" -> (dedupStreamingIndex _),
+    "dedup_streaming_decon" -> (dedupStreamingDecon _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -522,6 +557,25 @@ object Extensions {
 
   private val markers: Map[String, Seq[String]] =
     graft.functions.TextFunctions.langMarkers.toMap
+
+  /** Benchmark decontamination (8-gram train/eval overlap) — shared by
+    * the batch operator gate and the streaming quarantine-log gate. */
+  private val decontaminateSql: String = tokensCte +
+    """, s8 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE
+      |      list_distinct(list_transform(range(1, len(toks) - 6),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+      |          || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
+      |    END AS sh
+      |  FROM w),
+      |tr AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM s8 WHERE doc_id % 10 <> 0),
+      |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s8 WHERE doc_id % 10 = 0)
+      |SELECT train_id,
+      |  count(DISTINCT g) AS n_shared_ngrams,
+      |  count(DISTINCT eval_id) AS n_eval_docs
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY 1 ORDER BY train_id""".stripMargin
 
   private def markerListSql(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -767,22 +821,11 @@ object Extensions {
         |  FROM tf) t
         |JOIN df USING (term)
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
-    "text_decontaminate" -> (tokensCte +
-      """, s8 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE
-        |      list_distinct(list_transform(range(1, len(toks) - 6),
-        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-        |          || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
-        |    END AS sh
-        |  FROM w),
-        |tr AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM s8 WHERE doc_id % 10 <> 0),
-        |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s8 WHERE doc_id % 10 = 0)
-        |SELECT train_id,
-        |  count(DISTINCT g) AS n_shared_ngrams,
-        |  count(DISTINCT eval_id) AS n_eval_docs
-        |FROM tr JOIN ev USING (g)
-        |GROUP BY 1 ORDER BY train_id""".stripMargin),
+    "text_decontaminate" -> decontaminateSql,
+    // the streaming quarantine log accumulates exactly the same flags —
+    // per-doc against a static eval set, batching-independent, so the
+    // batch operator's SQL is the oracle (proven across a crash replay)
+    "dedup_streaming_decon" -> decontaminateSql,
     "text_quality_filter" -> (tokensCte +
       """, m AS (
         |  SELECT doc_id,

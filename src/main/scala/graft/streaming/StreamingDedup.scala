@@ -89,6 +89,37 @@ object StreamingDedup {
   def pairLog(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     TransactionalLake.readCommitted(spark, pairsRoot(root)).drop("epoch")
 
+  def quarantineRoot(root: String): String = s"$root/quarantine"
+
+  /** STREAMING DECONTAMINATION — the ingest-time twin of
+    * `Dedup.decontaminate`: every arriving micro-batch is checked for
+    * word-k-gram overlap against a STATIC benchmark/eval set, and the
+    * flagged doc ids accumulate in a transactionally-committed
+    * quarantine log (training jobs anti-join against it). Flagging is
+    * per-doc against fixed eval postings — no cross-epoch state — so a
+    * crash-replayed epoch recomputes identical rows and the idempotent
+    * epoch commit keeps the log exactly-once; the committed union
+    * equals the one-shot batch decontamination of everything ingested
+    * (the driver gate's oracle). The eval postings broadcast per batch:
+    * per-batch cost scales with the batch, never the corpus. */
+  def startDecontaminate(docs: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, root: String, checkpoint: String,
+                         trigger: Trigger, k: Int = 8): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val flagged = Dedup.decontaminate(batch, evalSet, idCol, textCol, k)
+        TransactionalLake.commitEpoch(flagged, quarantineRoot(root), epochId, Nil)
+        ()
+      }
+      .start()
+
+  /** The accumulated quarantine log (exactly-once across replays). */
+  def quarantineLog(spark: org.apache.spark.sql.SparkSession,
+                    root: String): DataFrame =
+    TransactionalLake.readCommitted(spark, quarantineRoot(root)).drop("epoch")
+
   /** Retention for the stage's three artifact lakes — they gain one
     * epoch per micro-batch forever otherwise: fold all but the newest
     * `keepLast` epochs of corpus, index, and pair log into their
