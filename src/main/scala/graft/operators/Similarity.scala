@@ -347,6 +347,93 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** PRODUCT-QUANTIZATION codebooks: the vector space split into `nSub`
+    * contiguous sub-vectors, each with its own `nCodes`-entry codebook —
+    * here seeded deterministically from the lowest-id corpus vectors
+    * (the same build-once seed discipline as [[seedCentroids]]; Lloyd
+    * refinement per sub-space composes the same way as IVF's). One row:
+    * `cb` = the nSub·nCodes code vectors ordered by (sub, code), plus
+    * the geometry, broadcastable to every encoder/searcher. */
+  def pqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+                  nSub: Int = 8, nCodes: Int = 16): DataFrame = {
+    val seeds = embeddings
+      .select(col(idCol).as("sid"), VF.toDouble(col(vecCol)).as("e"))
+      .orderBy("sid").limit(nCodes)
+      .withColumn("rank", row_number().over(Window.orderBy(col("sid"))) - 1)
+    val dSub = size(col("e")) / nSub // uniform dims assumed, checked by encode
+    seeds
+      .select(explode(sequence(lit(0), lit(nSub - 1))).as("sub"),
+        col("rank"), col("e"), dSub.as("ds"))
+      .select(col("sub"), col("rank"),
+        slice(col("e"), col("sub") * col("ds") + 1, col("ds")).as("cv"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("rank"), col("cv")))),
+        s => s.getField("cv")).as("cb"))
+      .select(col("cb"), lit(nSub).as("n_sub"), lit(nCodes).as("n_codes"))
+  }
+
+  /** Squared-L2 between two equal-length double arrays as ONE sequential
+    * fold — deterministic bit-for-bit in any engine. */
+  private def l2sq(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** PQ-ENCODE the corpus: each vector becomes `nSub` code ids (its
+    * nearest codebook entry per sub-space, ties to the lowest code via
+    * first-minimum). 64 floats → 8 small ints here (a production lake
+    * packs them into nSub bytes — 32× smaller than float32). Encoding
+    * is a per-row expression against the broadcast codebooks: the
+    * corpus streams once, nothing shuffles. */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(codebooks))
+      .select(col(idCol), VF.toDouble(col(vecCol)).as("e"),
+        col("cb"), col("n_sub"), col("n_codes"))
+      .withColumn("ds", size(col("e")) / col("n_sub"))
+      .select(col(idCol),
+        transform(sequence(lit(0), col("n_sub") - 1), s => {
+          val sv = slice(col("e"), s * col("ds") + 1, col("ds"))
+          val dists = transform(sequence(lit(0), col("n_codes") - 1),
+            c => l2sq(sv, element_at(col("cb"), s * col("n_codes") + c + 1)))
+          (array_position(dists, array_min(dists)) - 1).cast("int")
+        }).as("codes"))
+
+  /** Asymmetric PQ top-k (ADC): per probe, a LOOKUP TABLE of
+    * probe-subvector↔code squared distances is computed once
+    * (nSub·nCodes doubles); each corpus row's approximate distance is
+    * then ONE sequential fold over its codes into that table — no
+    * vector arithmetic on the corpus side at query time. Probes (and
+    * their tables) broadcast; the encoded corpus streams once; per-probe
+    * top-k via window rank (distance asc, id tiebreak). The 100 TB
+    * composition is IVF→PQ: prune cells first, ADC-scan the survivors. */
+  def pqTopK(codes: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, codebooks: DataFrame, k: Int): DataFrame = {
+    val ptab = probes.crossJoin(broadcast(codebooks))
+      .select(col(idCol).as("p_id"), VF.toDouble(col(vecCol)).as("p_e"),
+        col("cb"), col("n_sub"), col("n_codes"))
+      .withColumn("ds", size(col("p_e")) / col("n_sub"))
+      .select(col("p_id"), col("n_codes"),
+        // (sub, code) table flattened sub-major — same layout as `cb`
+        flatten(transform(sequence(lit(0), col("n_sub") - 1), s =>
+          transform(sequence(lit(0), col("n_codes") - 1), c =>
+            l2sq(slice(col("p_e"), s * col("ds") + 1, col("ds")),
+              element_at(col("cb"), s * col("n_codes") + c + 1))))).as("ptab"))
+    val scored = codes.select(col(idCol).as("c_id"), col("codes"))
+      .crossJoin(broadcast(ptab))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("adc_dist",
+        aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0),
+          (acc, s) => acc + element_at(col("ptab"),
+            s * col("n_codes") + element_at(col("codes"), s + 1) + 1)))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("adc_dist").asc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
+        col("adc_dist"), col("rank"))
+  }
+
   /** Per-dimension quantization BOUNDS for scalar quantization: one row,
     * two arrays (`mns`, `mxs`), each element the corpus-wide min/max of
     * that dimension. One posexplode + one tiny aggregate; the result

@@ -259,6 +259,21 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** Product-quantization search gate: deterministic codebooks (seeded
+    * from the lowest-id vectors, [[Similarity.pqCodebooks]]), per-row
+    * encoding, asymmetric ADC search — 64 float dims become 8 code ids,
+    * the second compression tier after SQ8. Every step is sequential
+    * double folds + first-minimum argmins, so codebook build, encode,
+    * AND search replicate bit-for-bit in the oracle. */
+  def simTopKPq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    Similarity.pqTopK(codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      cb, k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairsLsh(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
@@ -492,6 +507,7 @@ object Extensions {
     "sim_topk_ivf_incremental" -> (simTopKIvfIncremental _),
     "sim_topk_ivf_clustered" -> (simTopKIvfClustered _),
     "sim_topk_sq" -> (simTopKSq _),
+    "sim_topk_pq" -> (simTopKPq _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_asof_join" -> (asofClickPurchase _),
     "dedup_source_similarity" -> (dedupSourceSimilarity _),
@@ -687,6 +703,51 @@ object Extensions {
     // (pruned directories), never WHICH are scored — identical routing,
     // identical SQL
     "sim_topk_ivf_clustered" -> ivfSql,
+    // product quantization: seeded codebooks + first-minimum argmin
+    // encode + sequential ADC folds — the whole compress/search pipeline
+    // is deterministic double math, oracle-checked end to end
+    "sim_topk_pq" -> (vecCte +
+      """, seeds AS (
+        |  SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM v ORDER BY vec_id LIMIT 16
+        |), cbs AS (
+        |  SELECT s.s AS sub, r.rnk AS code,
+        |    list_slice(r.e, s.s*8 + 1, s.s*8 + 8) AS cv
+        |  FROM seeds r, (SELECT unnest(range(0, 8)) AS s) s
+        |), cbflat AS (
+        |  SELECT list(cv ORDER BY sub, code) AS cb FROM cbs
+        |), enc AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), s ->
+        |      CAST(list_position(
+        |        list_transform(range(0, 16), c ->
+        |          list_reduce(list_transform(range(1, 9),
+        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
+        |            (x,y) -> x+y)),
+        |        list_min(list_transform(range(0, 16), c ->
+        |          list_reduce(list_transform(range(1, 9),
+        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
+        |            (x,y) -> x+y)))) - 1 AS INT)) AS codes
+        |  FROM v, cbflat
+        |), pt AS (
+        |  SELECT p.vec_id AS p_id,
+        |    flatten(list_transform(range(0, 8), s ->
+        |      list_transform(range(0, 16), c ->
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (p.e[s*8+i] - cb[s*16+c+1][i]) * (p.e[s*8+i] - cb[s*16+c+1][i])),
+        |          (x,y) -> x+y)))) AS ptab
+        |  FROM v p, cbflat WHERE p.vec_id < 10
+        |)
+        |SELECT probe_id, neighbor_id, adc_dist,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY adc_dist ASC, neighbor_id) AS INT) AS rank
+        |FROM (
+        |  SELECT pt.p_id AS probe_id, enc.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(0, 8),
+        |      s -> ptab[s*16 + codes[s+1] + 1]), (x,y) -> x+y) AS adc_dist
+        |  FROM pt, enc WHERE enc.vec_id <> pt.p_id)
+        |QUALIFY rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin),
     // scalar quantization is pure IEEE arithmetic + floor → the full
     // compress/dequantize/search pipeline replicates exactly
     "sim_topk_sq" -> (vecCte +

@@ -149,6 +149,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
   }
 
+  test("PQ: valid codes, deterministic encode, ADC beats random ranking") {
+    val probes = embs.filter($"vec_id" < 10)
+    val cb = Similarity.pqCodebooks(embs, "vec_id", "embedding", nSub = 8, nCodes = 16)
+    val codes = Similarity.pqEncode(embs, "vec_id", "embedding", cb)
+    // every code addresses a real codebook entry
+    val r = codes.select(min(array_min(col("codes"))).as("lo"),
+      max(array_max(col("codes"))).as("hi"), count(lit(1)).as("n")).collect().head
+    assert(r.getInt(0) >= 0 && r.getInt(1) < 16 && r.getLong(2) == embs.count())
+    // encode is deterministic (re-run equals itself)
+    val again = Similarity.pqEncode(embs, "vec_id", "embedding", cb)
+    assert(codes.exceptAll(again).isEmpty && again.exceptAll(codes).isEmpty)
+    // ADC ranking carries real signal: recall@10 of the exact-L2 top-5
+    // far above the random-baseline ~10/500 per probe
+    val exact = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(codes, probes, "vec_id", "embedding", cb, 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"PQ ADC recall@10 of exact top-5 = $recall")
+  }
+
   test("SQ8 codes store substantially smaller than the float vectors") {
     val dir = tmpDir("sq_size")
     val bounds = Similarity.scalarQuantizeBounds(embs, "embedding")
