@@ -239,18 +239,25 @@ object Similarity {
   /** Shared IVF search half: probe-side nProbe cell selection + the
     * cell-keyed candidate join + exact rerank. `c` carries
     * (c_id, c_e, c_nrm, cell). */
-  private def ivfSearch(cents: DataFrame, c: DataFrame, probes: DataFrame,
-                        idCol: String, vecCol: String, k: Int,
-                        nProbe: Int): DataFrame = {
+  /** Probe-side cell routing: each probe's nProbe nearest centroids
+    * (cosine desc, centroid-id tiebreak) → (p_id, p_e, p_nrm, cell). */
+  private def probeCells(cents: DataFrame, probes: DataFrame, idCol: String,
+                         vecCol: String, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("p_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
-    val p = withNormed(probes, idCol, vecCol, "p")
+    withNormed(probes, idCol, vecCol, "p")
       .crossJoin(broadcast(cents))
       .withColumn("cent_cos",
         VF.cosineWithNorms(col("p_e"), col("cent_e"), col("p_nrm"), col("cent_nrm")))
       .withColumn("cent_rank", row_number().over(probeW))
       .filter(col("cent_rank") <= nProbe)
       .select(col("p_id"), col("p_e"), col("p_nrm"), col("cent_id").as("cell"))
+  }
+
+  private def ivfSearch(cents: DataFrame, c: DataFrame, probes: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nProbe: Int): DataFrame = {
+    val p = probeCells(cents, probes, idCol, vecCol, nProbe)
     val scored = c.join(broadcast(p), Seq("cell"))
       .filter(col("p_id") =!= col("c_id"))
       .withColumn("cosine",
@@ -407,31 +414,62 @@ object Similarity {
     * their tables) broadcast; the encoded corpus streams once; per-probe
     * top-k via window rank (distance asc, id tiebreak). The 100 TB
     * composition is IVF→PQ: prune cells first, ADC-scan the survivors. */
-  def pqTopK(codes: DataFrame, probes: DataFrame, idCol: String,
-             vecCol: String, codebooks: DataFrame, k: Int): DataFrame = {
-    val ptab = probes.crossJoin(broadcast(codebooks))
+  /** Per-probe ADC lookup table: (sub, code) squared distances flattened
+    * sub-major (same layout as `cb`) → (p_id, n_codes, ptab). */
+  private def pqProbeTable(probes: DataFrame, idCol: String, vecCol: String,
+                           codebooks: DataFrame): DataFrame =
+    probes.crossJoin(broadcast(codebooks))
       .select(col(idCol).as("p_id"), VF.toDouble(col(vecCol)).as("p_e"),
         col("cb"), col("n_sub"), col("n_codes"))
       .withColumn("ds", size(col("p_e")) / col("n_sub"))
       .select(col("p_id"), col("n_codes"),
-        // (sub, code) table flattened sub-major — same layout as `cb`
         flatten(transform(sequence(lit(0), col("n_sub") - 1), s =>
           transform(sequence(lit(0), col("n_codes") - 1), c =>
             l2sq(slice(col("p_e"), s * col("ds") + 1, col("ds")),
               element_at(col("cb"), s * col("n_codes") + c + 1))))).as("ptab"))
-    val scored = codes.select(col(idCol).as("c_id"), col("codes"))
-      .crossJoin(broadcast(ptab))
-      .filter(col("p_id") =!= col("c_id"))
-      .withColumn("adc_dist",
-        aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0),
-          (acc, s) => acc + element_at(col("ptab"),
-            s * col("n_codes") + element_at(col("codes"), s + 1) + 1)))
+
+  /** ADC fold: the corpus row's approximate squared distance to a probe
+    * — one sequential lookup-sum over its codes. */
+  private def adcDist: org.apache.spark.sql.Column =
+    aggregate(sequence(lit(0), size(col("codes")) - 1), lit(0.0),
+      (acc, s) => acc + element_at(col("ptab"),
+        s * col("n_codes") + element_at(col("codes"), s + 1) + 1))
+
+  private def adcRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("p_id"))
       .orderBy(col("adc_dist").asc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
         col("adc_dist"), col("rank"))
+  }
+
+  def pqTopK(codes: DataFrame, probes: DataFrame, idCol: String,
+             vecCol: String, codebooks: DataFrame, k: Int): DataFrame =
+    adcRank(codes.select(col(idCol).as("c_id"), col("codes"))
+      .crossJoin(broadcast(pqProbeTable(probes, idCol, vecCol, codebooks)))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("adc_dist", adcDist), k)
+
+  /** IVF→PQ — the canonical billion-scale ANN composition: the IVF
+    * assignment index PRUNES the corpus to each probe's nProbe cells,
+    * and PQ's ADC fold RANKS the survivors — at query time the corpus
+    * side touches only (cell, codes) pairs: no vectors, no exact
+    * arithmetic, O(corpus/nCells · nProbe) lookups per probe. Both
+    * halves are the already-verified operators; this composes their
+    * routing and scoring unchanged, so the whole path stays
+    * deterministic and oracle-checkable. */
+  def ivfPqTopK(cents: DataFrame, assignments: DataFrame, codes: DataFrame,
+                probes: DataFrame, idCol: String, vecCol: String,
+                codebooks: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+    val p = probeCells(cents, probes, idCol, vecCol, nProbe)
+      .select(col("p_id"), col("cell"))
+      .join(pqProbeTable(probes, idCol, vecCol, codebooks), Seq("p_id"))
+    adcRank(codes.select(col(idCol).as("c_id"), col("codes"))
+      .join(assignments.select(col("id").as("c_id"), col("cell")), Seq("c_id"))
+      .join(broadcast(p), Seq("cell"))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("adc_dist", adcDist), k)
   }
 
   /** Per-dimension quantization BOUNDS for scalar quantization: one row,

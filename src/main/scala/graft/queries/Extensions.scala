@@ -274,6 +274,22 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** IVF→PQ composition gate — the billion-scale ANN shape: the IVF
+    * index prunes to each probe's 3 cells, PQ's ADC fold ranks the
+    * survivors; at query time the corpus side is (cell, 8 codes) per
+    * row. Routing and scoring are the two already-verified operators
+    * unchanged, so the composition is hash-gated end to end. */
+  def simTopKIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", nCells = 16)
+    val assigns = Similarity.ivfAssignments(cents, e, "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    Similarity.ivfPqTopK(cents, assigns, codes, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", cb, k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairsLsh(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
@@ -508,6 +524,7 @@ object Extensions {
     "sim_topk_ivf_clustered" -> (simTopKIvfClustered _),
     "sim_topk_sq" -> (simTopKSq _),
     "sim_topk_pq" -> (simTopKPq _),
+    "sim_topk_ivfpq" -> (simTopKIvfPq _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_asof_join" -> (asofClickPurchase _),
     "dedup_source_similarity" -> (dedupSourceSimilarity _),
@@ -746,6 +763,76 @@ object Extensions {
         |    list_reduce(list_transform(range(0, 8),
         |      s -> ptab[s*16 + codes[s+1] + 1]), (x,y) -> x+y) AS adc_dist
         |  FROM pt, enc WHERE enc.vec_id <> pt.p_id)
+        |QUALIFY rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin),
+    // IVF→PQ composition: ivfSql's cell routing (cents/ca0/ca/pa CTEs,
+    // verbatim) prunes the candidates; sim_topk_pq's codebook/encode/ADC
+    // CTEs (verbatim) rank them — the two verified halves composed
+    "sim_topk_ivfpq" -> (vecCte +
+      """, cents AS (
+        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+        |  FROM n ORDER BY vec_id LIMIT 16
+        |), ca0 AS (
+        |  SELECT a.vec_id AS c_id, b.cent_id AS cell,
+        |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |      (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+        |  FROM n a CROSS JOIN cents b
+        |), ca AS (
+        |  SELECT c_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_id
+        |      ORDER BY cos DESC, cell) AS rn FROM ca0)
+        |  WHERE rn = 1
+        |), pa AS (
+        |  SELECT p_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY p_id
+        |      ORDER BY cos DESC, cell) AS rn FROM (
+        |      SELECT a.vec_id AS p_id, b.cent_id AS cell,
+        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+        |      FROM n a CROSS JOIN cents b WHERE a.vec_id < 10))
+        |  WHERE rn <= 3
+        |), seeds AS (
+        |  SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM v ORDER BY vec_id LIMIT 16
+        |), cbs AS (
+        |  SELECT s.s AS sub, r.rnk AS code,
+        |    list_slice(r.e, s.s*8 + 1, s.s*8 + 8) AS cv
+        |  FROM seeds r, (SELECT unnest(range(0, 8)) AS s) s
+        |), cbflat AS (
+        |  SELECT list(cv ORDER BY sub, code) AS cb FROM cbs
+        |), enc AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), s ->
+        |      CAST(list_position(
+        |        list_transform(range(0, 16), c ->
+        |          list_reduce(list_transform(range(1, 9),
+        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
+        |            (x,y) -> x+y)),
+        |        list_min(list_transform(range(0, 16), c ->
+        |          list_reduce(list_transform(range(1, 9),
+        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
+        |            (x,y) -> x+y)))) - 1 AS INT)) AS codes
+        |  FROM v, cbflat
+        |), pt AS (
+        |  SELECT p.vec_id AS p_id,
+        |    flatten(list_transform(range(0, 8), s ->
+        |      list_transform(range(0, 16), c ->
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (p.e[s*8+i] - cb[s*16+c+1][i]) * (p.e[s*8+i] - cb[s*16+c+1][i])),
+        |          (x,y) -> x+y)))) AS ptab
+        |  FROM v p, cbflat WHERE p.vec_id < 10
+        |)
+        |SELECT probe_id, neighbor_id, adc_dist,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY adc_dist ASC, neighbor_id) AS INT) AS rank
+        |FROM (
+        |  SELECT pa.p_id AS probe_id, ca.c_id AS neighbor_id,
+        |    list_reduce(list_transform(range(0, 8),
+        |      s -> ptab[s*16 + codes[s+1] + 1]), (x,y) -> x+y) AS adc_dist
+        |  FROM pa JOIN ca USING (cell)
+        |  JOIN enc ON enc.vec_id = ca.c_id
+        |  JOIN pt ON pt.p_id = pa.p_id
+        |  WHERE ca.c_id <> pa.p_id)
         |QUALIFY rank <= 5
         |ORDER BY probe_id, rank""".stripMargin),
     // scalar quantization is pure IEEE arithmetic + floor → the full
