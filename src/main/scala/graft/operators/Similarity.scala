@@ -414,6 +414,68 @@ object Similarity {
     * their tables) broadcast; the encoded corpus streams once; per-probe
     * top-k via window rank (distance asc, id tiebreak). The 100 TB
     * composition is IVF→PQ: prune cells first, ADC-scan the survivors. */
+  /** Lloyd-refined PQ codebooks: per sub-space k-means over the encode
+    * assignments — each iteration re-encodes against the current books
+    * and replaces every code with the MEAN of its assigned sub-vectors
+    * (codes with no members keep their previous entry). Same discipline
+    * as [[ivfCentroidsRefined]]: the ONE encode implementation serves
+    * refinement and search (tiebreaks can never drift apart), per-round
+    * lineage truncates via local checkpoints, and the final small
+    * artifact leaves the block manager. Float means are summation-order
+    * dependent, so refinement (like IVF's) is spec-pinned Spark-vs-Spark
+    * rather than oracle-gated; total distortion is non-increasing by
+    * Lloyd's argument. */
+  def pqCodebooksRefined(embeddings: DataFrame, idCol: String, vecCol: String,
+                         nSub: Int = 8, nCodes: Int = 16,
+                         iters: Int = 2): DataFrame = {
+    var cb = pqCodebooks(embeddings, idCol, vecCol, nSub, nCodes)
+    var held: Option[DataFrame] = None
+    (1 to iters).foreach { _ =>
+      val enc = pqEncode(embeddings, idCol, vecCol, cb)
+      val sv = embeddings
+        .select(col(idCol), VF.toDouble(col(vecCol)).as("e"))
+        .join(enc, idCol)
+        .withColumn("ds", size(col("e")) / nSub)
+        .select(posexplode(col("codes")).as(Seq("sub", "code")),
+          col("e"), col("ds"))
+        .select(col("sub"), col("code"),
+          slice(col("e"), col("sub") * col("ds") + 1, col("ds")).as("sv"))
+      val means = sv
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      val next = cb
+        .select(posexplode(col("cb")).as(Seq("idx", "cv_prev")))
+        .withColumn("sub", (col("idx") / nCodes).cast("int"))
+        .withColumn("code", col("idx") % nCodes)
+        .join(means, Seq("sub", "code"), "left")
+        .select(col("idx"), coalesce(col("cv"), col("cv_prev")).as("cv"))
+        .agg(transform(array_sort(collect_list(struct(col("idx"), col("cv")))),
+          s => s.getField("cv")).as("cb"))
+        .select(col("cb"), lit(nSub).as("n_sub"), lit(nCodes).as("n_codes"))
+        .localCheckpoint(true)
+      held.foreach(graft.operators.Blocks.release)
+      held = Some(next)
+      cb = next
+    }
+    held.fold(cb) { last =>
+      val out = graft.operators.Blocks.copyOut(cb)
+      graft.operators.Blocks.release(last); out
+    }
+  }
+
+  /** Reconstruct (decode) PQ-encoded vectors: each row's codes replaced
+    * by their codebook entries, concatenated — the lossy inverse of
+    * [[pqEncode]], used to measure distortion. */
+  def pqDecode(codes: DataFrame, idCol: String, codebooks: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(codebooks))
+      .select(col(idCol),
+        flatten(transform(sequence(lit(0), size(col("codes")) - 1),
+          s => element_at(col("cb"),
+            s * col("n_codes") + element_at(col("codes"), s + 1) + 1))).as("decoded"))
+
   /** Per-probe ADC lookup table: (sub, code) squared distances flattened
     * sub-major (same layout as `cb`) → (p_id, n_codes, ptab). */
   private def pqProbeTable(probes: DataFrame, idCol: String, vecCol: String,

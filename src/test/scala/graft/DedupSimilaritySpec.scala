@@ -170,6 +170,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ ADC recall@10 of exact top-5 = $recall")
   }
 
+  test("PQ Lloyd refinement reduces total reconstruction distortion") {
+    import graft.functions.{VectorFunctions => VF}
+    def distortion(cb: org.apache.spark.sql.DataFrame): Double = {
+      val codes = Similarity.pqEncode(embs, "vec_id", "embedding", cb)
+      Similarity.pqDecode(codes, "vec_id", cb)
+        .join(embs.select(col("vec_id"), VF.toDouble(col("embedding")).as("e")), "vec_id")
+        .select(aggregate(zip_with(col("decoded"), col("e"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, d) => acc + d).as("d2"))
+        .agg(sum(col("d2"))).collect().head.getDouble(0)
+    }
+    val seeded = distortion(
+      Similarity.pqCodebooks(embs, "vec_id", "embedding", 8, 16))
+    val refined = distortion(
+      Similarity.pqCodebooksRefined(embs, "vec_id", "embedding", 8, 16, iters = 2))
+    assert(refined < seeded,
+      s"Lloyd refinement must reduce distortion: $refined vs $seeded")
+    // the refined books still encode valid codes and zero residual storage
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "refinement must not pin block-manager storage")
+  }
+
   test("SQ8 codes store substantially smaller than the float vectors") {
     val dir = tmpDir("sq_size")
     val bounds = Similarity.scalarQuantizeBounds(embs, "embedding")
