@@ -367,7 +367,19 @@ object Similarity {
       .select(col(idCol).as("sid"), VF.toDouble(col(vecCol)).as("e"))
       .orderBy("sid").limit(nCodes)
       .withColumn("rank", row_number().over(Window.orderBy(col("sid"))) - 1)
-    val dSub = size(col("e")) / nSub // uniform dims assumed, checked by encode
+    // geometry guard (one metadata-scale action at build time — codebooks
+    // are built once per corpus): a dim count not divisible by nSub would
+    // silently misalign every sub-vector slice, and fewer than nCodes
+    // seed rows would leave `cb` short while n_codes still claims nCodes,
+    // indexing past the end at encode
+    val probe = seeds.agg(count(lit(1)).as("n"),
+      min(size(col("e"))).as("dlo"), max(size(col("e"))).as("dhi")).head()
+    require(probe.getLong(0) == nCodes.toLong,
+      s"PQ needs >= $nCodes corpus vectors to seed codebooks, found ${probe.getLong(0)}")
+    require(probe.getInt(1) == probe.getInt(2) && probe.getInt(1) % nSub == 0,
+      s"embedding dims ${probe.getInt(1)}..${probe.getInt(2)} must be uniform " +
+        s"and divisible by nSub=$nSub")
+    val dSub = size(col("e")) / nSub
     seeds
       .select(explode(sequence(lit(0), lit(nSub - 1))).as("sub"),
         col("rank"), col("e"), dSub.as("ds"))
@@ -406,14 +418,6 @@ object Similarity {
           (array_position(dists, array_min(dists)) - 1).cast("int")
         }).as("codes"))
 
-  /** Asymmetric PQ top-k (ADC): per probe, a LOOKUP TABLE of
-    * probe-subvector↔code squared distances is computed once
-    * (nSub·nCodes doubles); each corpus row's approximate distance is
-    * then ONE sequential fold over its codes into that table — no
-    * vector arithmetic on the corpus side at query time. Probes (and
-    * their tables) broadcast; the encoded corpus streams once; per-probe
-    * top-k via window rank (distance asc, id tiebreak). The 100 TB
-    * composition is IVF→PQ: prune cells first, ADC-scan the survivors. */
   /** Lloyd-refined PQ codebooks: per sub-space k-means over the encode
     * assignments — each iteration re-encodes against the current books
     * and replaces every code with the MEAN of its assigned sub-vectors
@@ -506,6 +510,15 @@ object Similarity {
         col("adc_dist"), col("rank"))
   }
 
+  /** Asymmetric PQ top-k (ADC): per probe, a LOOKUP TABLE of
+    * probe-subvector↔code squared distances is computed once
+    * (nSub·nCodes doubles); each corpus row's approximate distance is
+    * then ONE sequential fold over its codes into that table — no
+    * vector arithmetic on the corpus side at query time. Probes (and
+    * their tables) broadcast; the encoded corpus streams once; per-probe
+    * top-k via window rank (distance asc, id tiebreak). The 100 TB
+    * composition is [[ivfPqTopK]]: prune cells first, ADC-scan the
+    * survivors. */
   def pqTopK(codes: DataFrame, probes: DataFrame, idCol: String,
              vecCol: String, codebooks: DataFrame, k: Int): DataFrame =
     adcRank(codes.select(col(idCol).as("c_id"), col("codes"))
@@ -580,24 +593,16 @@ object Similarity {
     * DedupSimilaritySpec. */
   def sqTopK(codes: DataFrame, probes: DataFrame, idCol: String,
              vecCol: String, bounds: DataFrame, k: Int): DataFrame = {
-    val c = codes.crossJoin(broadcast(bounds))
-      .select(col(idCol).as("c_id"),
+    // dequantize, then delegate: only the corpus REPRESENTATION differs
+    // from the uncompressed exact search — one scoring implementation,
+    // one tiebreak, forever in sync
+    val dequantized = codes.crossJoin(broadcast(bounds))
+      .select(col(idCol),
         zip_with(col("code"),
           zip_with(col("mns"), col("mxs"), (a, b) => struct(a.as("mn"), b.as("mx"))),
           (q, mm) => mm.getField("mn")
             + q.cast("double") / 255.0 * (mm.getField("mx") - mm.getField("mn")))
-          .as("c_e"))
-      .withColumn("c_nrm", VF.norm(col("c_e")))
-    val p = withNormed(probes, idCol, vecCol, "p")
-    val scored = c.crossJoin(broadcast(p))
-      .filter(col("p_id") =!= col("c_id"))
-      .withColumn("cosine",
-        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
-    val w = Window.partitionBy(col("p_id"))
-      .orderBy(col("cosine").desc, col("c_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
-        col("cosine"), col("rank"))
+          .as(vecCol))
+    bruteForceTopK(dequantized, probes, idCol, vecCol, k)
   }
 }

@@ -262,13 +262,17 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** The fixture's closed event-type domain — shared by the pivot and
+    * its unpivot inverse so the two column lists can never drift. */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
   /** PIVOT: per-tenant event counts spread across event-type columns.
     * Planned as one aggregate with filtered counts — single shuffle. */
   def pivotEvents(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .withColumn("tenant", concat(lit("t"), (col("user_id") % 3).cast("string")))
       .groupBy(col("tenant"))
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", eventTypes)
       .agg(count(lit(1)))
       .na.fill(0L)
       .orderBy("tenant")
@@ -278,12 +282,10 @@ object Analytics {
     * Composed on the pivot output, so the pair proves the reshape
     * round-trips; `unpivot` is a narrow projection (no shuffle beyond
     * the pivot's own aggregate). */
-  def unpivotEvents(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+  def unpivotEvents(spark: SparkSession, dir: String): DataFrame =
     pivotEvents(spark, dir)
-      .unpivot(Array(col("tenant")), types.map(col).toArray, "event_type", "cnt")
+      .unpivot(Array(col("tenant")), eventTypes.map(col).toArray, "event_type", "cnt")
       .orderBy("tenant", "event_type")
-  }
 
   /** Correlated scalar subquery (decorrelated by Catalyst into a join):
     * customers above their nation's average balance. Exact decimal sum /

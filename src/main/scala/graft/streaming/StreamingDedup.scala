@@ -120,17 +120,20 @@ object StreamingDedup {
                     root: String): DataFrame =
     TransactionalLake.readCommitted(spark, quarantineRoot(root)).drop("epoch")
 
-  /** Retention for the stage's three artifact lakes — they gain one
-    * epoch per micro-batch forever otherwise: fold all but the newest
-    * `keepLast` epochs of corpus, index, and pair log into their
-    * consolidated generations (views unchanged, replay of a folded
-    * epoch stays a no-op — same protocol as the event lake). Returns
-    * epochs folded per artifact. Run at maintenance cadence, e.g.
+  /** Retention for the stage's artifact lakes — they gain one epoch per
+    * micro-batch forever otherwise: fold all but the newest `keepLast`
+    * epochs of corpus, index, pair log, and (when the decontamination
+    * stage ran) the quarantine log into their consolidated generations
+    * (views unchanged, replay of a folded epoch stays a no-op — same
+    * protocol as the event lake). Returns epochs folded per artifact
+    * (corpus, index, pairs, quarantine); an artifact that never existed
+    * folds 0. Run at maintenance cadence, e.g.
     * `Maintenance.scheduleEpochFold`-style, never concurrently with
     * itself. */
   def foldAged(spark: org.apache.spark.sql.SparkSession, root: String,
-               keepLast: Int): (Int, Int, Int) =
+               keepLast: Int): (Int, Int, Int, Int) =
     (graft.sources.Maintenance.foldAged(spark, corpusRoot(root), keepLast, Nil),
       graft.sources.Maintenance.foldAged(spark, indexRoot(root), keepLast, Nil),
-      graft.sources.Maintenance.foldAged(spark, pairsRoot(root), keepLast, Nil))
+      graft.sources.Maintenance.foldAged(spark, pairsRoot(root), keepLast, Nil),
+      graft.sources.Maintenance.foldAged(spark, quarantineRoot(root), keepLast, Nil))
 }
