@@ -52,34 +52,69 @@ object Bench {
       // pressure lands on whichever query runs last (measured 6x on the
       // alphabetically-final flagship entry).
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      // absorb accumulated garbage OUTSIDE the next timing window
+      // absorb accumulated garbage OUTSIDE the next timing window; the GC
+      // also fires the ContextCleaner's weak references so shuffle files
+      // from the previous entry are reclaimed before the next window opens
       System.gc()
+      // bounded wait for the async cleaner to drain — block-manager blocks
+      // left behind were measured landing +6 s on a follower query
+      var waited = 0
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty && waited < 20) {
+        Thread.sleep(50); waited += 1
+      }
     }
     // SPARK_GRAFT_ONLY=a,b,c — time just those queries (isolated-number
     // debugging; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // Each entry runs twice and the SECOND time is reported: the first
-    // run absorbs per-query first-touch costs (Janino compilation of the
-    // query's generated code, fixture-dir setup, listing caches) that
-    // otherwise land on whichever query runs first and made per-query
-    // numbers swing up to 1.5x between runs. The reported number is the
-    // steady-state cost — what the round-over-round gate should compare.
-    val results = ordered.map { case (name, fn) =>
-      def once(): Double = {
-        quiesce()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      once()
-      name -> once()
+    // Each entry is timed THREE times and the MEDIAN is reported: the
+    // first run absorbs per-query first-touch costs (Janino compilation
+    // of the query's generated code, fixture-dir setup, listing caches)
+    // and typically lands as the max, so the median is the steady-state
+    // cost — what the round-over-round gate should compare. The full
+    // [min, median, max] spread is published alongside so a
+    // non-reproducible number (max >> median) is visible in the artifact
+    // instead of silently becoming the round's grade. A query that throws
+    // is recorded under "errors" and EXCLUDED from the total — a crashing
+    // query must never make the suite look faster.
+    val results: Seq[(String, Either[String, Seq[Double]])] = ordered.map {
+      case (name, fn) =>
+        def once(): Either[String, Double] = {
+          quiesce()
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              Left(e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200))
+          }
+        }
+        val runs = Seq(once(), once(), once())
+        val firstErr = runs.collectFirst { case Left(msg) => msg }
+        name -> firstErr.toLeft(runs.collect { case Right(s) => s }.sorted)
+    }
+    def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val medians: Map[String, Double] = results.collect {
+      case (k, Right(ts)) => k -> ts(ts.size / 2)
     }.toMap
-    val qs = ordered.map { case (k, _) => s"\"" + k + "\":" + results(k) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val ingestRate = results.get("pipe_streaming_roundtrip")
+    val qs = results.collect { case (k, Right(_)) =>
+      jsonStr(k) + ":" + medians(k)
+    }.mkString("{", ",", "}")
+    val spreads = results.collect { case (k, Right(ts)) =>
+      jsonStr(k) + ":[" + ts.head + "," + ts(ts.size / 2) + "," + ts.last + "]"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(msg)) =>
+      jsonStr(k) + ":" + jsonStr(msg)
+    }.mkString("{", ",", "}")
+    results.collect { case (k, Left(msg)) =>
+      System.err.println(s"BENCH ERROR $k: $msg")
+    }
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    val ingestRate = medians.get("pipe_streaming_roundtrip")
       .filter(_ > 0)
       .map { sec =>
         val n = Tables.load(spark, sfDir, "events").count()
@@ -110,7 +145,7 @@ object Bench {
       require(n == 1000L, s"freshness probe saw $n of 1000 rows")
       (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => -1.0 }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_records_per_s":$ingestRate,"freshness_sec":$freshness,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"ingest_records_per_s":$ingestRate,"freshness_sec":$freshness,"sf":"$sfDir"}"""
     println(json)
     // belt-and-braces for log-prefix-mangled stdout: the same line on disk.
     // Every run gets its own timestamped artifact so isolated

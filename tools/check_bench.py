@@ -58,6 +58,15 @@ def main():
             print(f"{mark} {q}: {old_t:.2f}s -> {new_t:.2f}s ({ratio:.2f}x)")
         if flag:
             bad.append(q)
+    for q, msg in sorted(new.get("errors", {}).items()):
+        print(f"ERR  {q}: {msg}")
+        bad.append(q)
+    # reproducibility: a median whose max is far above it means the entry
+    # still has a variance source the quiesce misses (round-4 flagship bug)
+    for q, tsp in sorted(new.get("spread", {}).items()):
+        lo, med, hi = tsp
+        if med >= noise_floor and hi > 1.5 * med:
+            print(f"VAR  {q}: spread [{lo:.2f}, {med:.2f}, {hi:.2f}]s (max {hi/med:.2f}x median)")
     tot_ratio = new["value"] / prev["value"] if prev.get("value") else 1.0
     print(f"total: {prev.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s ({tot_ratio:.2f}x)")
     if "freshness_sec" in new:
