@@ -417,22 +417,31 @@ object Dedup {
     * Shape: distinct-shingle postings on both sides, one equi-join on
     * the n-gram, one aggregate per train doc. The eval side is a
     * benchmark suite — thousands of docs, not billions — so its postings
-    * BROADCAST (`broadcastEval`, default true): the 100 TB train corpus
-    * is never shuffled, each task filters its own split against the
+    * BROADCAST (`broadcastEval = Some(true)`): the 100 TB train corpus is
+    * never shuffled, each task filters its own split against the
     * in-memory eval n-gram map. With a large eval side it degrades to a
     * bucketed shuffle join on the n-gram — still never all-pairs.
+    * By default (`None`) the path is AUTO-SELECTED from one cheap count
+    * over the eval postings (the train corpus is untouched): above
+    * ~20 M postings a forced broadcast would court the driver-OOM /
+    * 8 GB-broadcast cliff, so it falls back to the shuffle join instead
+    * of failing.
     *
     * Returns one row per CONTAMINATED train doc: the distinct shared
     * n-gram count and how many eval docs it collides with. */
   def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, k: Int = 8,
-                    broadcastEval: Boolean = true): DataFrame = {
+                    broadcastEval: Option[Boolean] = None): DataFrame = {
     def postings(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
         explode(TF.shingleSet(col(textCol), k)).as("g"))
     val ev = postings(evalSet, "eval_id")
+    // ~20M rows of (long id, ~8-word string) ≈ low-single-GB in the hash
+    // relation — comfortably inside the broadcast cap with headroom
+    val useBroadcast = broadcastEval.getOrElse(
+      ev.agg(count(lit(1))).head().getLong(0) <= 20L * 1000 * 1000)
     postings(train, "train_id")
-      .join(if (broadcastEval) broadcast(ev) else ev, "g")
+      .join(if (useBroadcast) broadcast(ev) else ev, "g")
       .groupBy(col("train_id"))
       .agg(countDistinct(col("g")).as("n_shared_ngrams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))

@@ -403,7 +403,12 @@ object Similarity {
     * first-minimum). 64 floats → 8 small ints here (a production lake
     * packs them into nSub bytes — 32× smaller than float32). Encoding
     * is a per-row expression against the broadcast codebooks: the
-    * corpus streams once, nothing shuffles. */
+    * corpus streams once, nothing shuffles. The argmin materializes each
+    * (distance, code) pair ONCE in a transform and takes `array_min` over
+    * the struct array (lexicographic: min distance, tie → lowest code) —
+    * interpreted HOFs get no common-subexpression reuse, so the earlier
+    * array_position(dists, array_min(dists)) form paid the nCodes
+    * distance scan twice per sub-vector. */
   def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
                codebooks: DataFrame): DataFrame =
     embeddings.crossJoin(broadcast(codebooks))
@@ -413,9 +418,11 @@ object Similarity {
       .select(col(idCol),
         transform(sequence(lit(0), col("n_sub") - 1), s => {
           val sv = slice(col("e"), s * col("ds") + 1, col("ds"))
-          val dists = transform(sequence(lit(0), col("n_codes") - 1),
-            c => l2sq(sv, element_at(col("cb"), s * col("n_codes") + c + 1)))
-          (array_position(dists, array_min(dists)) - 1).cast("int")
+          val dc = transform(sequence(lit(0), col("n_codes") - 1),
+            c => struct(
+              l2sq(sv, element_at(col("cb"), s * col("n_codes") + c + 1)).as("d"),
+              c.cast("int").as("c")))
+          array_min(dc).getField("c")
         }).as("codes"))
 
   /** Lloyd-refined PQ codebooks: per sub-space k-means over the encode

@@ -160,15 +160,21 @@ object TextAnalysis {
       .select(col(idCol), toks, TF.shingles(toks, 2).as("__q_sh2"))
       .select(col(idCol),
         n.cast("long").as("n_words"),
-        (aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nD)
-          .as("mean_word_len"),
+        // zero-token guard: 0/0 and array_max(empty) are null in Spark and
+        // an error in DuckDB's list_reduce — pin empty docs to 0-metrics so
+        // `keep` is deterministically false (never null) in both engines
+        when(n > 0,
+          aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / nD)
+          .otherwise(lit(0.0)).as("mean_word_len"),
         (TF.markerCount(toks, TF.langMarkers.flatMap(_._2)) >= 1).as("has_stopword"),
-        (topCount.cast("double") / nD).as("top_word_frac"),
+        when(n > 0, topCount.cast("double") / nD).otherwise(lit(0.0))
+          .as("top_word_frac"),
         (when(size(sh2) > 0,
           lit(1.0) - size(array_distinct(sh2)).cast("double") / size(sh2).cast("double"))
           .otherwise(lit(0.0))).as("dup_bigram_frac"))
       .withColumn("keep",
-        col("n_words").between(minWords, maxWords) &&
+        col("n_words") > 0 &&
+          col("n_words").between(minWords, maxWords) &&
           col("mean_word_len").between(minMeanLen, maxMeanLen) &&
           col("has_stopword") &&
           col("top_word_frac") <= maxTopWordFrac &&

@@ -978,21 +978,25 @@ object Extensions {
       """, m AS (
         |  SELECT doc_id,
         |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CAST(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
         |    len(list_filter(toks, t -> list_contains(""".stripMargin +
       markerListSql(markers.values.flatten.toSeq) +
       """, t))) >= 1 AS has_stopword,
-        |    CAST(list_max(list_transform(list_distinct(toks),
-        |        t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
-        |      / CAST(len(toks) AS DOUBLE) AS top_word_frac,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_max(list_transform(list_distinct(toks),
+        |          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS top_word_frac,
         |    CASE WHEN len(toks) >= 2 THEN
         |      CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(range(1, len(toks)),
         |        i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE)
         |    ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac
         |  FROM w)
         |SELECT doc_id, n_words, mean_word_len, has_stopword, top_word_frac, dup_bigram_frac,
-        |  n_words BETWEEN 20 AND 10000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |  n_words > 0 AND n_words BETWEEN 20 AND 10000 AND mean_word_len BETWEEN 3.0 AND 10.0
         |    AND has_stopword AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.1 AS keep
         |FROM m ORDER BY doc_id""".stripMargin),
     "text_tfidf" -> (tokensCte +

@@ -109,7 +109,11 @@ object StreamingDedup {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        val flagged = Dedup.decontaminate(batch, evalSet, idCol, textCol, k)
+        // eval suite is static and broadcast-sized by construction here;
+        // pinning the path skips decontaminate's auto-select count job
+        // that would otherwise run once per micro-batch
+        val flagged = Dedup.decontaminate(batch, evalSet, idCol, textCol, k,
+          broadcastEval = Some(true))
         TransactionalLake.commitEpoch(flagged, quarantineRoot(root), epochId, Nil)
         ()
       }
@@ -129,11 +133,18 @@ object StreamingDedup {
     * (corpus, index, pairs, quarantine); an artifact that never existed
     * folds 0. Run at maintenance cadence, e.g.
     * `Maintenance.scheduleEpochFold`-style, never concurrently with
-    * itself. */
+    * itself. Returns a named [[FoldedEpochs]] so adding a future
+    * artifact lake extends the result instead of breaking every caller
+    * destructuring a tuple shape. */
   def foldAged(spark: org.apache.spark.sql.SparkSession, root: String,
-               keepLast: Int): (Int, Int, Int, Int) =
-    (graft.sources.Maintenance.foldAged(spark, corpusRoot(root), keepLast, Nil),
+               keepLast: Int): FoldedEpochs =
+    FoldedEpochs(
+      graft.sources.Maintenance.foldAged(spark, corpusRoot(root), keepLast, Nil),
       graft.sources.Maintenance.foldAged(spark, indexRoot(root), keepLast, Nil),
       graft.sources.Maintenance.foldAged(spark, pairsRoot(root), keepLast, Nil),
       graft.sources.Maintenance.foldAged(spark, quarantineRoot(root), keepLast, Nil))
 }
+
+/** Epochs folded per streaming-dedup artifact lake by
+  * [[StreamingDedup.foldAged]]. */
+case class FoldedEpochs(corpus: Int, index: Int, pairs: Int, quarantine: Int)

@@ -69,7 +69,7 @@ class StreamingDedupSpec extends SparkSpec {
     // (the stream commit is deleted again — the folded epochs' markers
     // must keep their commits skipped)
     val folded = StreamingDedup.foldAged(spark, base, keepLast = 1)
-    assert(folded._1 >= 1 && folded._3 >= 1, s"epochs must fold: $folded")
+    assert(folded.corpus >= 1 && folded.pairs >= 1, s"epochs must fold: $folded")
     assert(logSet == first, "folding must not change the pair log")
     assert(TransactionalLake.readCommitted(spark, StreamingDedup.indexRoot(base))
       .drop("epoch").as[(Long, Int, Int, Int, Int)].collect().toSet == idx,

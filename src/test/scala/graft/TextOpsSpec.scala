@@ -46,7 +46,7 @@ class TextOpsSpec extends SparkSpec {
     val ev = all.filter(col("doc_id") % 10 === 0)
     val b = Dedup.decontaminate(train, ev, "doc_id", "text", k = 8)
     val s = Dedup.decontaminate(train, ev, "doc_id", "text", k = 8,
-      broadcastEval = false)
+      broadcastEval = Some(false))
     assert(b.exceptAll(s).isEmpty && s.exceptAll(b).isEmpty)
   }
 
@@ -67,6 +67,20 @@ class TextOpsSpec extends SparkSpec {
       byId(3L).getAs[Double]("dup_bigram_frac") > 0.9)
     assert(!byId(4L).getAs[Boolean]("keep") &&
       !byId(4L).getAs[Boolean]("has_stopword"))
+  }
+
+  test("qualityFilter rejects zero-token docs deterministically (never null)") {
+    // minWords = 0 used to make `keep` = true && null = null for empty docs
+    val docs = docsDf(1L -> "", 2L -> "   ")
+    val out = TextAnalysis.qualityFilter(docs, "doc_id", "text", minWords = 0)
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("keep")), s"null keep for $r")
+      assert(!r.getAs[Boolean]("keep"))
+      assert(r.getAs[Double]("mean_word_len") == 0.0)
+      assert(r.getAs[Double]("top_word_frac") == 0.0)
+    }
   }
 
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
