@@ -356,14 +356,24 @@ object Dedup {
     * apart. Long documents (real training corpora) put near-dups within
     * 1–3 bits, which is what the default serves. */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int = 2, maxHamming: Int = 3): DataFrame = {
+                          k: Int = 2, maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(docs, idCol, textCol, k),
+      idCol, maxHamming)
+
+  /** The half of [[simhashNearDupPairs]] DOWNSTREAM of the hash family:
+    * banded candidate generation + exact Hamming filter over an existing
+    * (id, simhash) frame. Split out so the signatures can be persisted
+    * and the pair set verified EXACTLY over the persisted codes by an
+    * external engine (the banding is pigeonhole-exact within the radius,
+    * so the result equals the brute-force Hamming-radius pair set). */
+  def simhashPairsFromSigs(sigs: DataFrame, idCol: String,
+                           maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val base = 64 / chunks
     val extra = 64 % chunks
     // chunk c covers [offset, offset+width): first `extra` chunks one wider
     val widths = (0 until chunks).map(c => if (c < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val sigs = simhashSignatures(docs, idCol, textCol, k)
     val banded = sigs.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("simhash"), offsets(c))
@@ -383,11 +393,20 @@ object Dedup {
     * bucket both sides with random-hyperplane LSH (multi-probe on one bit
     * flip), compare only within buckets, verify with the exact cosine.
     * Same output contract as [[embeddingNearDupPairs]] minus LSH misses
-    * (recall measured in DedupSimilaritySpec). */
+    * (recall measured in DedupSimilaritySpec).
+    *
+    * `candidateSink`: verification mode — the hash-dependent HALF of the
+    * operator (the distinct LSH candidate id pairs) is persisted to the
+    * given parquet path and the exact half (cosine + threshold) is
+    * recomputed from the READ-BACK artifact, so an external engine can
+    * verify the scoring over precisely the pairs the buckets produced.
+    * The production path (`None`) carries vectors through the bucket
+    * join and never re-joins the corpus. */
   def embeddingNearDupPairsLsh(embeddings: DataFrame, idCol: String,
                                vecCol: String, threshold: Double,
                                nBits: Int = 6, probeHamming: Int = 2,
-                               seed: Long = 42L): DataFrame = {
+                               seed: Long = 42L,
+                               candidateSink: Option[String] = None): DataFrame = {
     val withNorm = embeddings.select(col(idCol),
       VF.toDouble(col(vecCol)).as("e"))
       .withColumn("nrm", VF.norm(col("e")))
@@ -400,12 +419,31 @@ object Dedup {
       explode(array(masks.map(m => col("bucket0").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val b = withNorm.select(col(idCol).as("id_b"), col("e").as("e_b"),
       col("nrm").as("n_b"), col("bucket0").as("bucket"))
-    a.join(b, Seq("bucket"))
+    val joined = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        VF.cosineWithNorms(col("e_a"), col("e_b"), col("n_a"), col("n_b")).as("cosine"))
-      .distinct()
-      .filter(col("cosine") >= threshold)
+    candidateSink match {
+      case None =>
+        joined
+          .select(col("id_a"), col("id_b"),
+            VF.cosineWithNorms(col("e_a"), col("e_b"), col("n_a"), col("n_b")).as("cosine"))
+          .distinct()
+          .filter(col("cosine") >= threshold)
+      case Some(path) =>
+        joined.select(col("id_a"), col("id_b")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        val cands = embeddings.sparkSession.read.parquet(path)
+        val n = embeddings.select(col(idCol).as("nid"),
+          VF.toDouble(col(vecCol)).as("ne"))
+          .withColumn("nnrm", VF.norm(col("ne")))
+        cands
+          .join(n.select(col("nid").as("id_a"), col("ne").as("e_a"),
+            col("nnrm").as("n_a")), "id_a")
+          .join(n.select(col("nid").as("id_b"), col("ne").as("e_b"),
+            col("nnrm").as("n_b")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            VF.cosineWithNorms(col("e_a"), col("e_b"), col("n_a"), col("n_b")).as("cosine"))
+          .filter(col("cosine") >= threshold)
+    }
   }
 
   /** Benchmark DECONTAMINATION: flag training documents that share any

@@ -60,10 +60,20 @@ object Similarity {
     * drops from Σ C(nBits,i)/2^nBits to nProbes/2^nBits at near-equal
     * recall, and the margin ranking runs on the PROBE side only (few
     * rows; the corpus is never touched). `nProbes <= 0` probes every
-    * mask within the radius (the exhaustive-enumeration form). */
+    * mask within the radius (the exhaustive-enumeration form).
+    *
+    * `candidateSink`: verification mode — the distinct (probe, candidate)
+    * id pairs the probed buckets produced (the hash-dependent half) are
+    * persisted to the given parquet path, and the exact half (cosine
+    * scoring + ranking) recomputed from the READ-BACK artifact so an
+    * external engine can verify it over precisely those pairs. The
+    * re-join against the corpus broadcasts the candidate ids (they are
+    * probe-bounded: ≤ probes × probed-bucket occupancy); the production
+    * path (`None`) carries vectors through the bucket join instead. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
               vecCol: String, k: Int, nBits: Int = 6, probeHamming: Int = 2,
-              nTables: Int = 1, seed: Long = 42L, nProbes: Int = 0): DataFrame = {
+              nTables: Int = 1, seed: Long = 42L, nProbes: Int = 0,
+              candidateSink: Option[String] = None): DataFrame = {
     // OR-amplification: nTables independent hash tables; a neighbor is a
     // candidate if it collides (within probeHamming flips) in ANY table.
     // Miss probability decays as miss_one^nTables at ~linear cost.
@@ -109,13 +119,26 @@ object Similarity {
           .drop("proj", "sel")
       }
     }.reduce(_ unionAll _)
-    val scored = cTables.join(broadcast(pTables), Seq("table", "bucket"))
+    val collided = cTables.join(broadcast(pTables), Seq("table", "bucket"))
       .filter(col("p_id") =!= col("c_id"))
-      .select(col("p_id"), col("c_id"), col("p_e"), col("c_e"),
-        col("p_nrm"), col("c_nrm"))
-      .distinct() // a pair may collide in several tables — score once
-      .withColumn("cosine",
-        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+    val scored = candidateSink match {
+      case None =>
+        collided
+          .select(col("p_id"), col("c_id"), col("p_e"), col("c_e"),
+            col("p_nrm"), col("c_nrm"))
+          .distinct() // a pair may collide in several tables — score once
+          .withColumn("cosine",
+            VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+      case Some(path) =>
+        collided.select(col("p_id"), col("c_id")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        val cands = corpus.sparkSession.read.parquet(path)
+        broadcast(cands)
+          .join(withNormed(probes, idCol, vecCol, "p"), "p_id")
+          .join(withNormed(corpus, idCol, vecCol, "c"), "c_id")
+          .withColumn("cosine",
+            VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+    }
     val w = Window.partitionBy(col("p_id"))
       .orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -17,6 +17,22 @@ object Extensions {
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
   private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
+  /** SPLIT-PHASE ORACLE support: the four queries whose candidate
+    * generation rides the engine's xxhash sketch family (DuckDB cannot
+    * replicate the hashes) persist that hash-dependent half — simhash
+    * codes, LSH candidate pairs, minhash signatures — to this fixed
+    * per-scale-factor path during the query run; their oracle SQL
+    * `read_parquet`s the SAME artifact and exactly verifies everything
+    * downstream of the hash family (Hamming-radius pair sets, cosine
+    * scoring/ranking, Jaccard-estimate arithmetic). */
+  private def splitDir(d: String): String =
+    s"/root/repo/target/split_phase/${new java.io.File(d).getName}"
+
+  /** The gate always runs at sf0.01 (TESTDATA.md contract), so the static
+    * oracle SQL pins that artifact path; Bench runs at other SFs write
+    * sibling dirs and never clobber the gated artifact. */
+  private val oracleSplitDir = "/root/repo/target/split_phase/sf0.01"
+
   // ---- dedup ----
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -32,9 +48,17 @@ object Extensions {
     Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
-  def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text", k = 2)
+  /** Split-phase gated: codes persist, then the banded pair extraction
+    * runs over the READ-BACK codes; the oracle brute-forces the
+    * Hamming-radius pair set over the same artifact — since banding is
+    * pigeonhole-exact within the radius, this gates the banding too. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val path = s"${splitDir(d)}/simhash_codes"
+    Dedup.simhashSignatures(docs(s, d), "doc_id", "text", k = 2)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    Dedup.simhashPairsFromSigs(s.read.parquet(path), "doc_id")
       .orderBy("id_a", "id_b")
+  }
 
   /** Incremental dedup gate: corpus = 80% of docs (doc_id % 10 < 8), new
     * batch = the rest. The corpus is touched only through its
@@ -165,10 +189,17 @@ object Extensions {
     * deterministic (rows-only check: hash-family dependent). */
   def dedupSourceSimilarity(s: SparkSession, d: String): DataFrame = {
     import graft.plans.MinHashAgg
-    val sigs = docs(s, d)
+    // split-phase gated: the mergeable per-source sketches (the
+    // TypedImperativeAggregate's output — the xxhash-dependent half)
+    // persist, and the pairwise Jaccard-estimate arithmetic runs over the
+    // read-back signatures; the oracle recomputes it from the same file
+    val path = s"${splitDir(d)}/source_sigs"
+    docs(s, d)
       .select(col("source"), graft.functions.TextFunctions.shingleSet(col("text"), 3).as("sh"))
       .groupBy(col("source"))
       .agg(MinHashAgg.minhashAgg(col("sh"), 64).as("sig"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    val sigs = s.read.parquet(path)
     val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
     a.join(b, col("source_a") < col("source_b"))
@@ -188,9 +219,12 @@ object Extensions {
   def simTopKLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     // query-directed multi-probe: 12 margin-ranked buckets of the 22
-    // within the Hamming-2 radius — the scale path (see Similarity.lshTopK)
+    // within the Hamming-2 radius — the scale path (see Similarity.lshTopK).
+    // Split-phase gated: the probed-bucket candidate pairs persist and the
+    // cosine ranking reruns over the read-back artifact for the oracle.
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, nProbes = 12)
+      k = 5, nProbes = 12,
+      candidateSink = Some(s"${splitDir(d)}/lsh_topk_cands"))
       .orderBy("probe_id", "rank")
   }
 
@@ -290,8 +324,11 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** Split-phase gated: the LSH-blocked candidate pairs persist and the
+    * cosine + threshold half reruns over the read-back artifact. */
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDupPairsLsh(embs(s, d), "vec_id", "embedding", threshold = 0.4)
+    Dedup.embeddingNearDupPairsLsh(embs(s, d), "vec_id", "embedding", threshold = 0.4,
+      candidateSink = Some(s"${splitDir(d)}/emb_lsh_cands"))
       .orderBy("id_a", "id_b")
 
   /** As-of join: each click matched to the user's most recent purchase
@@ -695,6 +732,55 @@ object Extensions {
     // minhash+LSH verifies candidates exactly, so its output semantics
     // equal the exact n-gram pairs — same oracle.
     "dedup_minhash" -> ngramJaccardSql,
+    // ---- split-phase oracles: the four hash-family-dependent queries.
+    // The Spark query persists the hash half (codes / candidate pairs /
+    // signatures) under target/split_phase during the Verify run; the SQL
+    // reads the SAME artifact and exactly recomputes the downstream half.
+    // dedup_simhash: banding is pigeonhole-exact within the radius, so
+    // the banded pair set must equal brute-force Hamming over the codes.
+    "dedup_simhash" ->
+      s"""WITH s AS (SELECT doc_id, simhash
+         |  FROM read_parquet('$oracleSplitDir/simhash_codes/*.parquet'))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding_lsh" -> (vecCte +
+      s"""
+         |, cand AS (SELECT id_a, id_b
+         |    FROM read_parquet('$oracleSplitDir/emb_lsh_cands/*.parquet'))
+         |SELECT id_a, id_b, cosine FROM (
+         |  SELECT cand.id_a, cand.id_b,
+         |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]),
+         |      (x,y) -> x+y) / (a.nrm * b.nrm) AS cosine
+         |  FROM cand JOIN n a ON a.vec_id = cand.id_a
+         |            JOIN n b ON b.vec_id = cand.id_b)
+         |WHERE cosine >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin),
+    "sim_topk_lsh" -> (vecCte +
+      s"""
+         |, cand AS (SELECT p_id, c_id
+         |    FROM read_parquet('$oracleSplitDir/lsh_topk_cands/*.parquet'))
+         |SELECT probe_id, neighbor_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+         |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
+         |  FROM cand JOIN n p ON p.vec_id = cand.p_id
+         |            JOIN n c ON c.vec_id = cand.c_id)
+         |QUALIFY rank <= 5
+         |ORDER BY probe_id, rank""".stripMargin),
+    "dedup_source_similarity" ->
+      s"""WITH s AS (SELECT source, sig
+         |  FROM read_parquet('$oracleSplitDir/source_sigs/*.parquet'))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(len(list_filter(range(1, len(a.sig)+1), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+         |    / CAST(len(a.sig) AS DOUBLE) AS est_jaccard
+         |FROM s a JOIN s b ON a.source < b.source
+         |ORDER BY source_a, source_b""".stripMargin,
     "dedup_embedding" -> (vecCte +
       """
         |SELECT id_a, id_b, cosine FROM (
