@@ -5,19 +5,25 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `BinaryType`
-  * columns with typed metadata, plus batch decode / feature-extraction
-  * operators.
+  * columns with typed metadata, plus batch decode / feature-extraction /
+  * resize operators.
   *
-  * The decode step itself is a STUB (this container has no image/audio
-  * codecs): `decodeImageStub` produces deterministic fake pixels derived
-  * from the bytes. Everything AROUND it is the real Spark plumbing that
-  * a production pipeline needs at 100 TB:
-  *  - schema: binary payload + `media_meta` struct (mime/width/height/...)
-  *  - partition-local batch processing via `mapPartitions` (the Scala
-  *    analog of arrow-batched pandas UDFs): the codec is initialized once
-  *    per partition, rows stream through it, nothing is collected;
-  *  - feature extraction returning fixed-width arrays suitable for the
-  *    Similarity operators.
+  * The image path is REAL: `javax.imageio` (JDK-only, offline) decodes
+  * PNG payloads inside `mapPartitions` (per-partition codec init — the
+  * Scala analog of arrow-batched pandas UDFs: rows stream through the
+  * codec, nothing is collected), channel statistics come from the decoded
+  * pixel grid, and resize is a deterministic nearest-neighbor resampler
+  * over those pixels (pure integer index arithmetic — no AWT rendering
+  * pipeline whose output could vary by platform). Payloads the codec
+  * cannot decode (e.g. the text-derived fake media of [[asMediaTable]])
+  * fall back to byte-level features/downsampling so the plumbing still
+  * runs on arbitrary binary columns.
+  *
+  * Correctness gating: [[ensurePngFixture]] generates deterministic PNGs
+  * and records each image's channel stats computed from the RAW pixel
+  * arrays at ENCODE time. The queries decode the PNG bytes and must
+  * reproduce those stats exactly (PNG is lossless), so the oracle gate
+  * covers the codec round-trip end-to-end, not just the plumbing.
   */
 object Multimodal {
 
@@ -40,59 +46,191 @@ object Multimodal {
         (pmod(xxhash64(lit(7), col(textCol)), lit(512)) + 16).cast("int").as("height"),
         length(col(textCol).cast("binary")).cast("long").as("n_bytes")).as("media_meta"))
 
-  /** STUB decoder: a real implementation would hand `payload` to an image
-    * codec here. Deterministic fake: "pixel mean" = mean byte value,
-    * computed as ONE double division then a float cast — both IEEE
-    * round-to-nearest steps any engine reproduces bit-for-bit (the DuckDB
-    * oracle does), unlike a float-accumulating mean. */
-  private def decodeImageStub(payload: Array[Byte], w: Int, h: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake keeps tests runnable
+  // ---- codec core (shared by fixture generation and decode paths) ----
+
+  /** Per-channel means over a row-major (A)RGB int pixel grid. One long
+    * accumulation per channel → one double division → one float cast —
+    * IEEE round-to-nearest steps any engine reproduces bit-for-bit. Used
+    * by the fixture generator pre-encode AND the decode path post-decode:
+    * their equality through the PNG round-trip is the codec gate. */
+  private[graft] def channelMeans(pix: Array[Int]): (Float, Float, Float) = {
+    var r = 0L; var g = 0L; var b = 0L
+    var i = 0
+    while (i < pix.length) {
+      val p = pix(i)
+      r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+      i += 1
+    }
+    val n = math.max(pix.length, 1).toDouble
+    ((r / n).toFloat, (g / n).toFloat, (b / n).toFloat)
+  }
+
+  /** Nearest-neighbor resample: a real, fully deterministic resampler
+    * (src index = dst index scaled by integer division). */
+  private[graft] def resampleNearest(pix: Array[Int], w: Int, h: Int,
+                                     dw: Int, dh: Int): Array[Int] = {
+    val out = new Array[Int](dw * dh)
+    var y = 0
+    while (y < dh) {
+      val sy = y * h / dh
+      var x = 0
+      while (x < dw) { out(y * dw + x) = pix(sy * w + x * w / dw); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** ImageIO decode: Some((w, h, pixels)) for decodable image bytes,
+    * None otherwise (ImageIO returns null when no reader matches). */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      .map { img =>
+        val w = img.getWidth; val h = img.getHeight
+        (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+      }
+    catch { case _: java.io.IOException => None }
+
+  /** No-codec FALLBACK features for undecodable payloads: "pixel mean" =
+    * mean byte value (one double division, one float cast), 8 lanes. */
+  private[graft] def byteMeanFeatures(payload: Array[Byte]): Array[Float] = {
     val mean =
       if (payload.isEmpty) 0f
       else (payload.map(_ & 0xff).sum.toDouble / payload.length).toFloat
     Array.tabulate(8)(i => mean + i)
   }
 
+  // ---- deterministic PNG fixture ----
+
+  /** Generate `n` deterministic RGB-gradient PNGs under `dir/png/` plus
+    * `dir/expected/` parquet holding each image's ground truth computed
+    * from the raw pixel arrays BEFORE encoding: dimensions, encoded
+    * size, channel means, and the nearest-neighbor half-resolution
+    * resample's dimensions and channel means. Idempotent (marker file);
+    * pixel values are a pure function of (image index, x, y). */
+  def ensurePngFixture(spark: SparkSession, dir: String, n: Int = 200): String =
+    this.synchronized {
+      val done = new java.io.File(dir, "_FIXTURE_OK")
+      if (!done.exists) {
+        val imgDir = new java.io.File(dir, "png")
+        imgDir.mkdirs()
+        val rows = (0 until n).map { i =>
+          val w = 16 + (i * 7) % 48
+          val h = 16 + (i * 11) % 48
+          val pix = Array.tabulate(w * h) { p =>
+            val x = p % w; val y = p / w
+            val r = (i * 31 + x * 3 + y * 5) & 0xff
+            val g = (i * 17 + x * 7 + y * 2) & 0xff
+            val b = (i * 13 + x * 2 + y * 11) & 0xff
+            (r << 16) | (g << 8) | b
+          }
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, w, h, pix, 0, w)
+          val f = new java.io.File(imgDir, f"img_$i%04d.png")
+          require(javax.imageio.ImageIO.write(img, "png", f), s"no PNG writer for $f")
+          val (rm, gm, bm) = channelMeans(pix)
+          val dw = math.max(1, w / 2); val dh = math.max(1, h / 2)
+          val (rrm, rgm, rbm) = channelMeans(resampleNearest(pix, w, h, dw, dh))
+          (i.toLong, w, h, f.length, rm, gm, bm, dw, dh, rrm, rgm, rbm)
+        }
+        import spark.implicits._
+        rows.toDF("media_id", "width", "height", "n_bytes",
+          "r_mean", "g_mean", "b_mean",
+          "res_width", "res_height", "res_r_mean", "res_g_mean", "res_b_mean")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/expected")
+        done.createNewFile()
+      }
+      dir
+    }
+
+  /** The fixture PNGs as a media table (Spark's binaryFile source: at
+    * scale this is the "parquet of blobs" scan — here, the file-per-blob
+    * variant). Width/height are -1: unknown until decode. */
+  def pngMediaTable(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile").load(s"$dir/png/*.png")
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long").as("media_id"),
+        col("content").as("payload"),
+        struct(
+          lit("image/png").as("mime"),
+          lit(-1).as("width"),
+          lit(-1).as("height"),
+          col("length").as("n_bytes")).as("media_meta"))
+
+  // ---- batch operators ----
+
   /** Batch feature extraction: partition-local iterator processing — the
-    * codec state (here: none) is set up once per partition; at scale this
-    * is where an ONNX session / JNI codec handle would live. Output:
-    * (media_id, features array<float>). */
+    * codec is configured once per partition (in-memory ImageIO, no disk
+    * cache); at scale this is where an ONNX session / JNI codec handle
+    * would live. Decoded images yield (width, height, [w, h, r̄, ḡ, b̄]);
+    * undecodable payloads keep the declared meta dims and fall back to
+    * [[byteMeanFeatures]]. */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
       StructField("features", ArrayType(FloatType))))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     media.select(col("media_id").cast("long"), col("payload"),
       col("media_meta.width"), col("media_meta.height"))
       .mapPartitions { rows =>
-        // per-partition init of the (stub) codec happens here, once
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
         rows.map { r =>
-          val feats = decodeImageStub(r.getAs[Array[Byte]]("payload"),
-            r.getAs[Int]("width"), r.getAs[Int]("height"))
-          Row(r.getAs[Long]("media_id"), feats)
+          val payload = r.getAs[Array[Byte]]("payload")
+          decodeImage(payload) match {
+            case Some((w, h, pix)) =>
+              val (rm, gm, bm) = channelMeans(pix)
+              Row(r.getAs[Long]("media_id"), w, h,
+                Array(w.toFloat, h.toFloat, rm, gm, bm))
+            case None =>
+              Row(r.getAs[Long]("media_id"), r.getAs[Int]("width"),
+                r.getAs[Int]("height"), byteMeanFeatures(payload))
+          }
         }
       }(enc)
   }
 
-  /** Resize plumbing: payload → strided payload (every `stride`-th byte —
-    * the deterministic stand-in for an image resampler) with metadata
-    * updated to match. Same mapPartitions batch shape as the decoder:
-    * per-partition codec init, streaming rows, binary in/binary out. */
-  def resizeStub(spark: SparkSession, media: DataFrame, stride: Int = 4): DataFrame = {
+  /** Batch resize: decode → nearest-neighbor half-resolution resample →
+    * re-encode PNG, with the resized grid's channel means alongside
+    * (the oracle checks them against encode-time ground truth). Payloads
+    * without a codec fall back to byte striding (every `strideFallback`-th
+    * byte) with -1 dims — the plumbing (binary in/binary out, streaming
+    * mapPartitions) is identical either way. */
+  def resizeMedia(spark: SparkSession, media: DataFrame,
+                  strideFallback: Int = 4): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("n_bytes", LongType),
-      StructField("resized_bytes", LongType),
+      StructField("res_width", IntegerType),
+      StructField("res_height", IntegerType),
+      StructField("res_r_mean", FloatType),
+      StructField("res_g_mean", FloatType),
+      StructField("res_b_mean", FloatType),
       StructField("resized_payload", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     media.select(col("media_id").cast("long"), col("payload"))
       .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          // ??? <- real resampler goes here; stride keeps it deterministic
-          val resized = Array.range(0, payload.length, stride).map(payload(_))
-          Row(r.getAs[Long]("media_id"), payload.length.toLong,
-            resized.length.toLong, resized)
+          val id = r.getAs[Long]("media_id")
+          decodeImage(payload) match {
+            case Some((w, h, pix)) =>
+              val dw = math.max(1, w / 2); val dh = math.max(1, h / 2)
+              val rp = resampleNearest(pix, w, h, dw, dh)
+              val (rm, gm, bm) = channelMeans(rp)
+              val img = new java.awt.image.BufferedImage(
+                dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              img.setRGB(0, 0, dw, dh, rp, 0, dw)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              Row(id, payload.length.toLong, dw, dh, rm, gm, bm, bos.toByteArray)
+            case None =>
+              val resized =
+                Array.range(0, payload.length, strideFallback).map(payload(_))
+              Row(id, payload.length.toLong, -1, -1, 0f, 0f, 0f, resized)
+          }
         }
       }(enc)
   }

@@ -514,27 +514,41 @@ object Extensions {
       .select(col("media_id"), col("frame_offset"), col("frame_id"))
       .orderBy("media_id", "frame_offset")
 
-  def multimodalFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.extractFeatures(s,
-      Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))
-      .select(col("media_id"), element_at(col("features"), 1).as("f0"),
-        size(col("features")).as("feat_dim"))
-      .orderBy("media_id")
+  /** Real-codec gate: deterministic PNGs generated with encode-time
+    * ground truth (Multimodal.ensurePngFixture); the query must DECODE
+    * the PNG bytes with javax.imageio and reproduce the channel means
+    * computed from the raw pixel arrays before encoding — a lossless
+    * round-trip, so any codec defect breaks the hash match. */
+  private val mmFixture = "/root/repo/target/multimodal_fixture"
 
-  def multimodalResize(s: SparkSession, d: String): DataFrame =
-    Multimodal.resizeStub(s, Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))
-      .select(col("media_id"), col("n_bytes"), col("resized_bytes"))
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    Multimodal.ensurePngFixture(s, mmFixture)
+    Multimodal.extractFeatures(s, Multimodal.pngMediaTable(s, mmFixture))
+      .select(col("media_id"), col("width"), col("height"),
+        element_at(col("features"), 3).as("r_mean"),
+        element_at(col("features"), 4).as("g_mean"),
+        element_at(col("features"), 5).as("b_mean"))
       .orderBy("media_id")
+  }
 
-  /** Multimodal retrieval composition: media table → batch feature
-    * extraction (stub codec behind the real mapPartitions plumbing) →
-    * exact cosine top-k over the feature vectors. Every arithmetic step
-    * is bit-reproducible by the oracle (byte-mean → one float cast →
-    * float feature lanes → sequential double folds), so the end-to-end
-    * media-retrieval pipeline is hash-gated, not rows-only. */
+  def multimodalResize(s: SparkSession, d: String): DataFrame = {
+    Multimodal.ensurePngFixture(s, mmFixture)
+    Multimodal.resizeMedia(s, Multimodal.pngMediaTable(s, mmFixture))
+      .select(col("media_id"), col("res_width"), col("res_height"),
+        col("res_r_mean"), col("res_g_mean"), col("res_b_mean"))
+      .orderBy("media_id")
+  }
+
+  /** Multimodal retrieval composition: PNG media table → batch decode +
+    * feature extraction (real javax.imageio codec inside the
+    * mapPartitions plumbing) → exact cosine top-k over the feature
+    * vectors. Every arithmetic step is bit-reproducible by the oracle
+    * (decoded channel means → float lanes → sequential double folds), so
+    * the end-to-end media-retrieval pipeline is hash-gated over real
+    * decoded pixels. */
   def multimodalRetrieval(s: SparkSession, d: String): DataFrame = {
-    val feats = Multimodal.extractFeatures(s,
-      Multimodal.asMediaTable(docs(s, d), "doc_id", "text"))
+    Multimodal.ensurePngFixture(s, mmFixture)
+    val feats = Multimodal.extractFeatures(s, Multimodal.pngMediaTable(s, mmFixture))
     Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 5),
       "media_id", "features", k = 3)
       .orderBy("probe_id", "rank")
@@ -1156,58 +1170,45 @@ object Extensions {
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
         |  b < 20 AS in_20pct_sample
         |FROM f ORDER BY doc_id""".stripMargin,
+    // encode-time ground truth vs decoded pixels: the PNG round-trip is
+    // lossless, so the decoded nearest-neighbor resample's channel means
+    // must equal the generator's pre-encode values exactly.
     "multimodal_resize" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
-    // f0 = the stub decoder's "pixel mean": exact integer byte sum →
-    // one double division → one float cast, reproducible bit-for-bit
-    // (texts are ASCII, so ascii(char) == payload byte — same assumption
-    // the green text_fingerprint oracle already relies on).
+      s"""SELECT media_id, res_width, res_height,
+         |  res_r_mean, res_g_mean, res_b_mean
+         |FROM read_parquet('$mmFixture/expected/*.parquet')
+         |ORDER BY media_id""".stripMargin,
     "multimodal_features" ->
-      """WITH b AS (
-        |  SELECT doc_id AS media_id,
-        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS bytes
-        |  FROM documents)
-        |SELECT media_id,
-        |  CAST(CASE WHEN len(bytes) = 0 THEN 0
-        |       ELSE CAST(list_sum(bytes) AS DOUBLE) / CAST(len(bytes) AS DOUBLE)
-        |       END AS FLOAT) AS f0,
-        |  CAST(8 AS INT) AS feat_dim
-        |FROM b ORDER BY media_id""".stripMargin,
+      s"""SELECT media_id, width, height, r_mean, g_mean, b_mean
+         |FROM read_parquet('$mmFixture/expected/*.parquet')
+         |ORDER BY media_id""".stripMargin,
     // the retrieval composition reuses multimodal_features' byte-mean
     // derivation and sim_topk_exact's fold arithmetic verbatim
+    // decoded-feature retrieval: the oracle builds each image's feature
+    // vector from the ENCODE-TIME ground truth (dims + channel means) —
+    // Spark must reproduce it from the decoded pixels, then both engines
+    // run the same sequential-fold cosine/rank arithmetic.
     "multimodal_retrieval" ->
-      """WITH b AS (
-        |  SELECT doc_id AS media_id,
-        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)) AS bytes
-        |  FROM documents),
-        |f AS (
-        |  SELECT media_id,
-        |    CAST(CASE WHEN len(bytes) = 0 THEN 0
-        |         ELSE CAST(list_sum(bytes) AS DOUBLE) / CAST(len(bytes) AS DOUBLE)
-        |         END AS FLOAT) AS m
-        |  FROM b),
-        |v AS (
-        |  SELECT media_id,
-        |    list_transform(range(8), i -> CAST(CAST(m + i AS FLOAT) AS DOUBLE)) AS e
-        |  FROM f),
-        |n AS (
-        |  SELECT media_id, e,
-        |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
-        |  FROM v)
-        |SELECT probe_id, neighbor_id, cosine,
-        |  CAST(row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |FROM (
-        |  SELECT p.media_id AS probe_id, c.media_id AS neighbor_id,
-        |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
-        |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
-        |  FROM n p JOIN n c ON c.media_id <> p.media_id
-        |  WHERE p.media_id < 5)
-        |QUALIFY rank <= 3
-        |ORDER BY probe_id, rank""".stripMargin,
+      s"""WITH v AS (
+         |  SELECT media_id,
+         |    [CAST(CAST(width AS FLOAT) AS DOUBLE), CAST(CAST(height AS FLOAT) AS DOUBLE),
+         |     CAST(r_mean AS DOUBLE), CAST(g_mean AS DOUBLE), CAST(b_mean AS DOUBLE)] AS e
+         |  FROM read_parquet('$mmFixture/expected/*.parquet')),
+         |n AS (
+         |  SELECT media_id, e,
+         |    sqrt(list_reduce(list_transform(e, x -> x*x), (a,b) -> a+b)) AS nrm
+         |  FROM v)
+         |SELECT probe_id, neighbor_id, cosine,
+         |  CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+         |FROM (
+         |  SELECT p.media_id AS probe_id, c.media_id AS neighbor_id,
+         |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+         |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
+         |  FROM n p JOIN n c ON c.media_id <> p.media_id
+         |  WHERE p.media_id < 5)
+         |QUALIFY rank <= 3
+         |ORDER BY probe_id, rank""".stripMargin,
     // flagship composition — assembled verbatim from the verified pieces:
     // canonical closure (dedup_canonical), language scores (text_langid,
     // en wins ties), whitespace tokens (text_stats/tokens), split hash
