@@ -435,6 +435,68 @@ object PipelineQueries {
       .orderBy("event_id", "year", "month", "day", "hour")
   }
 
+  /** Tenant OFFBOARDING, driver-gated end-to-end: build a multi-tenant
+    * lake WITH the doomed tenant everywhere it can live — plain
+    * partitioned lake, error prefix (tenant-keyed dead letters), catalog
+    * partitions, and three transactional epochs — then purge it and
+    * return every surviving row from BOTH lakes. The oracle derives the
+    * same rows from `events` as if the tenant never existed, so the gate
+    * is "post-purge lake ≡ a lake that never had the tenant". Engine-side
+    * asserts pin what the SQL cannot see: catalog partitions dropped,
+    * tombstone present, other tenants' error rows byte-intact, and a
+    * REPLAYED epoch commit after the purge staying a no-op (the purged
+    * tenant must not resurrect from crash replay). */
+  def tenantPurge(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/purge_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = s"purge_events_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val cols = Seq("event_id", "event_type", "value",
+      "tenant", "year", "month", "day", "hour")
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(events(spark, dir).filter(col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
+      .select(cols.map(col): _*)
+    Lake.writeValid(enriched, root)
+    val errs = events(spark, dir)
+      .filter(col("event_type") === "error" && col("event_id") <= 2000)
+      .select(col("event_id"), tenantCol.as("tenant_key"),
+        lit("event-error").as("error_type"))
+    Lake.writeErrors(errs, root)
+    Lake.registerExternal(spark, tbl, s"$root/data")
+    val troot = s"$root/tx"
+    (0 until 3).foreach(i => graft.sources.TransactionalLake.commitEpoch(
+      enriched.filter(col("event_id") % 3 === i), troot, i.toLong))
+    val keptErrs = errs.filter(col("tenant_key") =!= "t2").count()
+
+    Lake.purgeTenant(spark, tbl, root, "t2")
+    graft.sources.TransactionalLake.purgeTenant(spark, troot, "t2")
+    // crash-replay after the purge: the epoch is committed, so this must
+    // stay a no-op — t2 must NOT resurrect from the replayed source rows
+    graft.sources.TransactionalLake.commitEpoch(
+      enriched.filter(col("event_id") % 3 === 0), troot, 0L)
+
+    require(spark.sessionState.catalog.listPartitions(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl),
+      Some(Map("tenant" -> "t2"))).isEmpty,
+      "purged tenant's catalog partitions must be gone")
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_purged/t2")),
+      "purge tombstone must exist")
+    val errsAfter = spark.read.parquet(s"$root/error")
+    require(errsAfter.filter(col("tenant_key") === "t2").isEmpty,
+      "purged tenant's error rows must be gone")
+    require(errsAfter.count() == keptErrs,
+      "other tenants' error rows must survive the purge intact")
+
+    spark.table(tbl).select(cols.map(col): _*)
+      .unionAll(graft.sources.TransactionalLake.readCommitted(spark, troot)
+        .select(cols.map(col): _*))
+      .orderBy("event_id", "tenant")
+  }
+
   /** Stream-static enrichment, driver-gated (the lookup-table pattern,
     * previously spec-only): the replayed events stream joins per
     * micro-batch against the STATIC customer dimension — broadcast, and
@@ -845,7 +907,19 @@ object PipelineQueries {
         |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
         |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
         |FROM events WHERE user_id % 3 = 1 AND event_id <= 2000
-        |ORDER BY event_id""".stripMargin))
+        |ORDER BY event_id""".stripMargin,
+    // post-purge lake ≡ a lake that never had tenant t2; every event row
+    // appears twice (plain lake + transactional epochs read)
+    "pipe_tenant_purge" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value,
+        |    't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |    strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+        |    strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+        |  FROM events WHERE event_id <= 2000)
+        |SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM base)
+        |WHERE tenant <> 't2'
+        |ORDER BY event_id, tenant""".stripMargin))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("PipelineQueries.queries", Seq(
@@ -865,6 +939,7 @@ object PipelineQueries {
     "pipe_streaming_outer_join" -> (streamingOuterJoin _),
     "pipe_streaming_sessions" -> (streamingSessions _),
     "pipe_compact_roundtrip" -> (compactRoundtrip _),
+    "pipe_tenant_purge" -> (tenantPurge _),
     "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),
     "pipe_http_ingest" -> (httpIngestRoundtrip _),
     "pipe_wire_roundtrip" -> (wireRoundtrip _)))

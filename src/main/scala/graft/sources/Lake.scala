@@ -207,6 +207,67 @@ object Lake {
     1
   }
 
+  /** Tenant OFFBOARDING (beyond-reference; the GDPR-style "delete tenant
+    * X" a real multi-tenant operator needs): partition-scoped metadata +
+    * directory work on the data lake — never a row-level rewrite there.
+    *
+    *  1. Resolve the tenant's partitions from the CATALOG (their
+    *     locations come from the metastore, so Hive path escaping is
+    *     handled for us) and drop them — metastore first, so a query
+    *     racing the purge plans either the full tenant or none of it,
+    *     never a half-deleted listing.
+    *  2. Delete the partition directories + the tenant's subtree root.
+    *  3. The error prefix is partitioned by `error_type`, not tenant, so
+    *     THAT one (small, bounded dead-letter area) is a row-level
+    *     rewrite: stage `error_type` partitions without the tenant's
+    *     rows, swap, refresh `<table>_errors`. Records whose tenant key
+    *     was missing/null are kept (they belong to no tenant).
+    *  4. Tombstone under `root/_purged/` — audit trail + idempotence
+    *     marker.
+    *
+    * At 100 TB the cost is O(tenant's partitions) metastore calls + one
+    * recursive delete per partition + O(error prefix) for the rewrite —
+    * nothing touches other tenants' files (gated byte-identical in
+    * LakePurgeSpec). Run at maintenance cadence; like [[compact]], not
+    * concurrently with writes into the same tenant. */
+  def purgeTenant(spark: SparkSession, table: String, root: String,
+                  tenant: String, errorTenantCol: String = "tenant_key"): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    // 1+2: catalog partitions → their locations → dirs
+    if (spark.catalog.tableExists(table)) {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+      val cat = spark.sessionState.catalog
+      val parts = cat.listPartitions(ident, Some(Map("tenant" -> tenant)))
+      if (parts.nonEmpty) {
+        cat.dropPartitions(ident, parts.map(_.spec), ignoreIfNotExists = true,
+          purge = false, retainData = true) // data deleted explicitly below
+        parts.foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p.location), true))
+        spark.catalog.refreshTable(table)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/data/tenant=$tenant"), true)
+    // 3: error-prefix rewrite (row-level, bounded area)
+    val errPath = new org.apache.hadoop.fs.Path(s"$root/error")
+    if (fs.exists(errPath)) {
+      val errs = spark.read.parquet(errPath.toString)
+      if (errs.columns.contains(errorTenantCol)) {
+        val stage = new org.apache.hadoop.fs.Path(s"$root/__error_purge_stage")
+        errs.filter(!(col(errorTenantCol) <=> lit(tenant)))
+          .write.mode("overwrite").partitionBy("error_type")
+          .parquet(stage.toString)
+        fs.delete(errPath, true)
+        require(fs.rename(stage, errPath), s"error-prefix swap failed for $root")
+        if (spark.catalog.tableExists(s"${table}_errors"))
+          spark.catalog.refreshTable(s"${table}_errors")
+      }
+    }
+    // 4: tombstone
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/_purged"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_purged/$tenant"), true).close()
+  }
+
   /** Small-file compaction, partition-scoped and IN-PLACE:
     *  1. read only the partitions matching `predicate` through the table
     *     (partition-pruned scan — never the whole lake);

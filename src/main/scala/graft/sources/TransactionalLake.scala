@@ -198,6 +198,37 @@ object TransactionalLake {
     reads.reduce(_ unionByName _)
   }
 
+  /** Tenant OFFBOARDING across the transactional lake — the epoch-aware
+    * twin of [[Lake.purgeTenant]]: deletes the tenant's partition subtree
+    * from EVERY live committed epoch directory and EVERY fold
+    * generation, so the tenant is gone from the entire committed history,
+    * not just the newest view. Commit/fold markers are untouched, which
+    * is what makes the purge replay-stable:
+    *  - a crash-replayed COMMITTED epoch stays a no-op ([[isCommitted]]
+    *    still true) — the purged tenant cannot resurrect from replay;
+    *  - a later [[foldCommittedEpochs]] stages from the purged live dirs,
+    *    carrying the purge into the consolidated generation.
+    * Requires the tenant-partitioned layout (`tenant` in partitionCols);
+    * single-writer maintenance — never run concurrently with a fold of
+    * the same root. Returns the number of epoch/generation subtrees
+    * removed. */
+  def purgeTenant(spark: SparkSession, root: String, tenant: String): Int = {
+    val f = fs(spark, root)
+    var removed = 0
+    def drop(p: Path): Unit = if (f.exists(p)) { f.delete(p, true); removed += 1 }
+    committedEpochs(spark, root).foreach { e =>
+      drop(new Path(s"${epochDir(root, e)}/tenant=$tenant"))
+    }
+    foldView(spark, root).map(_._2).getOrElse(Seq.empty).foreach { case (g, _) =>
+      val gd = new Path(foldGenDir(root, g))
+      if (f.exists(gd))
+        f.listStatus(gd).filter(_.isDirectory).foreach { ep =>
+          drop(new Path(ep.getPath, s"tenant=$tenant"))
+        }
+    }
+    removed
+  }
+
   /** Fold every committed epoch with id <= `upTo` into the consolidated,
     * bin-packed fold area — the retention pass that keeps manifest size
     * and per-query listing cost bounded on a long-lived lake. Idempotent
