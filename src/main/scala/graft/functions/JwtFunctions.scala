@@ -157,4 +157,71 @@ object JwtVerify {
     }
     expOk && keyId(token).flatMap(keys.get).exists(verifyRs256(token, _))
   }
+
+  /** Serialize a key map as a standard JWKS document
+    * (`{"keys":[{"kty":"RSA","kid":...,"n":...,"e":...}]}`) — the
+    * rotation tooling's writer half of [[JwksFileSource]]. */
+  def toJwksJson(keys: Map[String, RSAPublicKey]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("keys")
+    val enc = java.util.Base64.getUrlEncoder.withoutPadding()
+    def unsigned(b: java.math.BigInteger): Array[Byte] = {
+      val raw = b.toByteArray
+      if (raw.length > 1 && raw(0) == 0) raw.drop(1) else raw
+    }
+    keys.toSeq.sortBy(_._1).foreach { case (kid, k) =>
+      val n = arr.addObject()
+      n.put("kty", "RSA")
+      n.put("kid", kid)
+      n.put("n", enc.encodeToString(unsigned(k.getModulus)))
+      n.put("e", enc.encodeToString(unsigned(k.getPublicExponent)))
+    }
+    mapper.writeValueAsString(root)
+  }
+}
+
+/** File-based JWKS source with mtime-triggered RELOAD — closes the last
+  * sliver of the reference authorizer's C1 without a network: where
+  * `lambda_authorizer/app.py:24-36` fetches the JWKS document over HTTPS
+  * and matches `kid` per token, this watches a local JWKS file (in a real
+  * deployment: a secrets-manager mount or config-map projection) and
+  * re-parses it when its mtime changes. Key ROTATION therefore needs no
+  * server restart: tokens under a retired kid start missing the lookup
+  * (deny — fail closed), tokens under the new kid verify as soon as the
+  * file lands. A missing or malformed file yields an EMPTY key set —
+  * every token denied, never an exception on the request path. */
+final class JwksFileSource(path: String)
+    extends (() => Map[String, java.security.interfaces.RSAPublicKey]) {
+  import java.security.interfaces.RSAPublicKey
+
+  @volatile private var state: (Long, Map[String, RSAPublicKey]) =
+    (Long.MinValue, Map.empty)
+
+  def apply(): Map[String, RSAPublicKey] = {
+    val f = new java.io.File(path)
+    val mtime = f.lastModified() // 0 when missing — also a state change
+    if (mtime != state._1) synchronized {
+      if (mtime != state._1) state = (mtime, parse(f))
+    }
+    state._2
+  }
+
+  private def parse(f: java.io.File): Map[String, RSAPublicKey] =
+    if (!f.isFile) Map.empty
+    else try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val keys = Option(node.get("keys")).toSeq.flatMap { arr =>
+        (0 until arr.size()).flatMap { i =>
+          val k = arr.get(i)
+          for {
+            kid <- Option(k.get("kid")).filter(_.isTextual).map(_.asText())
+            n <- Option(k.get("n")).filter(_.isTextual).map(_.asText())
+            e <- Option(k.get("e")).filter(_.isTextual).map(_.asText())
+            if Option(k.get("kty")).forall(_.asText() == "RSA")
+          } yield kid -> JwtVerify.rsaKeyFromJwk(n, e)
+        }
+      }
+      keys.toMap
+    } catch { case _: Exception => Map.empty } // malformed → deny-all
 }

@@ -69,6 +69,19 @@ object HttpIngest {
     * deterministic tests. */
   def start(spoolDir: String, keys: Map[String, RSAPublicKey], port: Int = 0,
             authTtlSeconds: Long = 300L, maxCacheEntries: Int = 100000,
+            now: () => Long = () => System.currentTimeMillis() / 1000L): Server =
+    startWithProvider(spoolDir, () => keys, port, authTtlSeconds,
+      maxCacheEntries, now)
+
+  /** [[start]] with a key PROVIDER instead of a fixed map — pass a
+    * `graft.functions.JwksFileSource` for mtime-triggered key rotation
+    * without a restart (the provider is consulted on each cache-miss
+    * verification, so a rotated key set takes effect at the next
+    * uncached token; already-cached decisions live out their TTL, the
+    * same window API Gateway's authorizer cache allows). */
+  def startWithProvider(spoolDir: String,
+            keyProvider: () => Map[String, RSAPublicKey], port: Int = 0,
+            authTtlSeconds: Long = 300L, maxCacheEntries: Int = 100000,
             now: () => Long = () => System.currentTimeMillis() / 1000L): Server = {
     Files.createDirectories(Paths.get(spoolDir))
     // small-exchange latency: without TCP_NODELAY the per-request cost is
@@ -100,7 +113,7 @@ object HttpIngest {
           server.authHitsN.incrementAndGet()
           cached
         } else {
-          val allow = JwtVerify.authorize(token, keys, t)
+          val allow = JwtVerify.authorize(token, keyProvider(), t)
           val tenant = if (allow) JwtVerify.tenantClaim(token).getOrElse("") else ""
           AuthEntry(allow && tenant.nonEmpty, tenant, t + authTtlSeconds)
         })
