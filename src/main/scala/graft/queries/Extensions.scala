@@ -261,6 +261,54 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** STREAMING ANN-ingest gate — the similarity twin of
+    * [[dedupStreamingIndex]]: the embeddings replayed as a 3-file stream,
+    * each micro-batch assigned against the first batch's centroid
+    * generation and committed into the transactional IVF index, with a
+    * FORCED crash replay of the final epoch. Searching the committed
+    * index must equal the one-shot build — same deterministic lifecycle
+    * as `sim_topk_ivf_incremental`, so the SAME oracle SQL gates it
+    * (centroids seeded from vec_id % 3 = 0, the first batch). */
+  def simStreamingIndex(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/ssim_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val e = embs(s, d).select(col("vec_id"), col("embedding"))
+    // one parquet file per batch, mtimes pinned: the file source orders
+    // by modification time and the centroid seed comes from the FIRST
+    // delivered batch, so delivery order must be deterministic
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/in"))
+    (0 until 3).foreach { i =>
+      val stage = s"$base/stage$i"
+      e.filter(col("vec_id") % 3 === i).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .map(_.getPath).find(_.getName.startsWith("part-")).get
+      val dst = new org.apache.hadoop.fs.Path(s"$base/in/batch-$i.parquet")
+      require(fs.rename(part, dst), s"stage move failed for batch $i")
+      fs.setTimes(dst, 1700000000000L + i * 60000L, -1L)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingSimilarity.start(
+        s.readStream.schema(e.schema).option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/in"),
+        "vec_id", "embedding", base, s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    run()
+    // the crash: the final epoch's STREAM commit vanishes — restart
+    // re-delivers the batch; the idempotent epoch commits must keep
+    // corpus, centroid generation, and index exact
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
+    run()
+    graft.streaming.StreamingSimilarity.searchCommitted(
+      s, base, embs(s, d).filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   /** The AT-REST half of the IVF lifecycle: the corpus rewritten
     * partitioned by cell ([[Similarity.writeCellPartitioned]]), searched
     * with a partition-pruned candidate fetch — each probe reads its
@@ -572,6 +620,7 @@ object Extensions {
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk_ivf_incremental" -> (simTopKIvfIncremental _),
+    "sim_streaming_index" -> (simStreamingIndex _),
     "sim_topk_ivf_clustered" -> (simTopKIvfClustered _),
     "sim_topk_sq" -> (simTopKSq _),
     "sim_topk_pq" -> (simTopKPq _),
@@ -814,6 +863,12 @@ object Extensions {
     // build — same search SQL, with the centroid generation seeded from
     // the FIRST batch (vec_id % 3 = 0), exactly as the deployment would
     "sim_topk_ivf_incremental" -> ivfSql.replaceFirst(
+      "FROM n ORDER BY vec_id LIMIT 16",
+      "FROM n WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 16"),
+    // the streaming ingest accumulates the same per-batch assignments the
+    // incremental fold models, through transactional epochs + a forced
+    // crash replay — identical deterministic lifecycle, identical oracle
+    "sim_streaming_index" -> ivfSql.replaceFirst(
       "FROM n ORDER BY vec_id LIMIT 16",
       "FROM n WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 16"),
     // the cell-partitioned lake changes WHERE candidates are read from
