@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN recall/cost instrumentation: recall@k vs MEASURED scanned-fraction
+  * curves for every approximate tier (LSH query-directed multi-probe, IVF
+  * nProbe, PQ codebook size, IVF→PQ) against the exact brute-force ground
+  * truth on the same corpus — the artifact (`target/ann_recall.json`)
+  * that shows which knob buys what. The operators' correctness is
+  * oracle-gated elsewhere; this harness makes the cost/recall trade
+  * continuously measurable (and AnnRecallSpec pins the headline claim:
+  * query-directed probing beats a proportional random scan at equal
+  * budget).
+  *
+  * Scanned fraction is MEASURED, not analytic: LSH counts the distinct
+  * candidate pairs its probed buckets actually produced (via the
+  * candidate-sink verification path); IVF sums the probed cells'
+  * occupancies. PQ scans everything but compresses — its cost axis is
+  * bytes touched per corpus row (nSub bytes vs 4·dim).
+  */
+object AnnRecall {
+
+  private case class Point(knob: String, value: Int, scanned: Double,
+                           recall: Double)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val outPath = if (args.length > 1) args(1) else "/root/repo/target/ann_recall.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json = run(spark, sfDir, nProbesProbe = 50, k = 10)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    println(json)
+    spark.stop()
+  }
+
+  /** Compute all curves; returns the artifact JSON. Factored out so the
+    * spec can run it at a small scale factor. */
+  def run(spark: SparkSession, sfDir: String, nProbesProbe: Int,
+          k: Int): String = {
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val probes = e.filter(col("vec_id") < nProbesProbe)
+    val nCorpus = e.count()
+    val nProbes = probes.count()
+    // denominator of every scanned fraction: the brute-force pair count
+    val allPairs = (nProbes * (nCorpus - 1)).toDouble
+
+    // ground truth: exact top-k per probe
+    val exact = topKSets(Similarity.bruteForceTopK(e, probes, "vec_id", "embedding", k))
+    def recallOf(approx: DataFrame): Double = {
+      val got = topKSets(approx)
+      val per = exact.map { case (p, truth) =>
+        got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      if (per.isEmpty) 0.0 else per.sum / per.size
+    }
+
+    val tmp = s"/root/repo/target/tmp/ann_recall_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+    // ---- LSH: query-directed multi-probe sweep (nBits=6, radius 2) ----
+    val lsh = Seq(1, 2, 4, 8, 12, 16, 22).map { p =>
+      val sink = s"$tmp/lsh_$p"
+      val r = recallOf(Similarity.lshTopK(e, probes, "vec_id", "embedding",
+        k, nProbes = p, candidateSink = Some(sink)))
+      val scanned = spark.read.parquet(sink).count() / allPairs
+      Point("nProbes", p, scanned, r)
+    }
+
+    // ---- IVF: nProbe sweep (nCells=16) ----
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 16)
+    val cellSizes = Similarity.ivfAssignments(cents, e, "vec_id", "embedding")
+      .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    val ivf = Seq(1, 2, 3, 4, 6, 8, 12).map { p =>
+      val r = recallOf(Similarity.ivfTopKWith(cents, e, probes,
+        "vec_id", "embedding", k, nProbe = p))
+      val scanned = Similarity.probeCells(cents, probes, "vec_id", "embedding", p)
+        .select(col("p_id"), col("cell")).join(cellSizes, "cell")
+        .agg(sum(col("cell_n"))).head().getLong(0) / allPairs
+      Point("nProbe", p, scanned, r)
+    }
+
+    // ---- PQ: codebook-size sweep (full scan over compressed codes;
+    //      cost axis = bytes touched per corpus row vs 4·dim floats) ----
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val pq = Seq(8, 16, 32).map { nc =>
+      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = nc)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+      val r = recallOf(Similarity.pqTopK(codes, probes, "vec_id", "embedding", cb, k))
+      Point("nCodes", nc, 8.0 / (4.0 * dim), r) // nSub byte-ish codes vs float32 vector
+    }
+
+    // ---- IVF→PQ: nProbe sweep at nCodes=16 ----
+    val cb16 = Similarity.pqCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = 16)
+    val codes16 = Similarity.pqEncode(e, "vec_id", "embedding", cb16)
+    val assigns = Similarity.ivfAssignments(cents, e, "vec_id", "embedding")
+    val ivfpq = Seq(1, 2, 3, 4, 6, 8).map { p =>
+      val r = recallOf(Similarity.ivfPqTopK(cents, assigns, codes16, probes,
+        "vec_id", "embedding", cb16, k, nProbe = p))
+      val scanned = Similarity.probeCells(cents, probes, "vec_id", "embedding", p)
+        .select(col("p_id"), col("cell")).join(cellSizes, "cell")
+        .agg(sum(col("cell_n"))).head().getLong(0) / allPairs
+      Point("nProbe", p, scanned, r)
+    }
+
+    def curve(ps: Seq[Point]): String = ps.map(p =>
+      s"""{"${p.knob}":${p.value},"scanned":${f(p.scanned)},"recall":${f(p.recall)}}""")
+      .mkString("[", ",", "]")
+    s"""{"sf":"$sfDir","corpus":$nCorpus,"probes":$nProbes,"k":$k,""" +
+      s""""curves":{"lsh":${curve(lsh)},"ivf":${curve(ivf)},""" +
+      s""""pq":${curve(pq)},"ivfpq":${curve(ivfpq)}}}"""
+  }
+
+  private def f(d: Double): String = "%.6f".format(d)
+
+  private def topKSets(df: DataFrame): Map[Long, Set[Long]] =
+    // probes × k rows — metadata-scale by construction
+    df.select(col("probe_id").cast("long"), col("neighbor_id").cast("long"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)).toSet }
+}

@@ -264,8 +264,8 @@ object Similarity {
     * (c_id, c_e, c_nrm, cell). */
   /** Probe-side cell routing: each probe's nProbe nearest centroids
     * (cosine desc, centroid-id tiebreak) → (p_id, p_e, p_nrm, cell). */
-  private def probeCells(cents: DataFrame, probes: DataFrame, idCol: String,
-                         vecCol: String, nProbe: Int): DataFrame = {
+  private[graft] def probeCells(cents: DataFrame, probes: DataFrame, idCol: String,
+                                vecCol: String, nProbe: Int): DataFrame = {
     val probeW = Window.partitionBy(col("p_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     withNormed(probes, idCol, vecCol, "p")
