@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor SCALING evidence: per-query empirical growth exponents —
+  * the plan property the single-SF bench number cannot see. A query whose
+  * time grows super-linearly in input rows has a plan bug (an accidental
+  * all-pairs, a broadcast that became a shuffle, a skewed bucket) no
+  * matter how fast its sf0.1 number looks.
+  *
+  * Two measurements per query:
+  *  - `alpha_small`: exponent between sf0.01 and sf0.1 (10× rows);
+  *  - `alpha_large` (dedup/ANN subset): exponent between sf0.1 and a
+  *    SYNTHETIC ×8 corpus built by replicating sf0.1 with DECORRELATED
+  *    replicas — texts carry a replica tag (no cross-replica exact or
+  *    near dups) and embeddings are circularly shifted per replica
+  *    (norms and within-replica neighbor structure preserved, replicas
+  *    mutually near-orthogonal) — so the WORKLOAD scales linearly by
+  *    construction and any super-linear time is the plan's fault, not
+  *    the data's.
+  *
+  * Exponent = ln(t_big/t_small) / ln(rows_big/rows_small), median-of-3
+  * timings. O(n) → 1.0; O(n log n) at these sizes → ≈1.08; the gate in
+  * tools/check_bench.py flags > 1.35 (noise margin) for queries whose
+  * large-scale time is big enough to measure. Artifact:
+  * `target/scaling.json`.
+  */
+object Scaling {
+
+  /** Queries with a two-point sf0.01→sf0.1 exponent. */
+  private val smallSubset = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
+    "q18_large_orders", "q_window_topk", "q_range_join",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dedup_embedding_lsh", "dedup_canonical",
+    "sim_topk_exact", "sim_topk_ivf", "sim_topk_pq",
+    "text_quality_filter", "text_tfidf", "train_corpus_prep_v2")
+
+  /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
+    * (documents+embeddings only — the tables this subset reads). */
+  private val synthSubset = Seq(
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+    "dedup_embedding_lsh", "sim_topk_ivf", "sim_topk_pq",
+    "text_quality_filter", "train_corpus_prep_v2")
+
+  private val SynthReplicas = 8
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(100000).selectExpr("sum(id)").collect() // JVM warm
+
+    val sfSmall = "/root/testdata/sf0.01"
+    val sfBig = "/root/testdata/sf0.1"
+    val synthDir = "/root/repo/target/sf_synth"
+    ensureSynth(spark, sfBig, synthDir)
+
+    def quiesce(): Unit = {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => })
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    // The LSH blocker's bucket count is ITS scale knob (nBits ~ log2 n:
+    // fixed buckets make within-bucket pairing quadratic by design, which
+    // the operator's scaladoc documents). The synthetic ×8 point therefore
+    // measures it at nBits+3 — the same discipline a deployment follows —
+    // while every other query runs its gated form unchanged.
+    def fnFor(name: String, dir: String): (SparkSession, String) => DataFrame =
+      if (name == "dedup_embedding_lsh" && dir.endsWith("sf_synth"))
+        (s, d) => graft.operators.Dedup.embeddingNearDupPairsLsh(
+          Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nBits = 9)
+      else SparkEntry.queries(name)
+    def time(name: String, dir: String): Double = {
+      val fn = fnFor(name, dir)
+      val ts = (1 to 3).map { _ =>
+        quiesce()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1) // median of 3
+    }
+
+    val entries = smallSubset.map { q =>
+      val t1 = time(q, sfSmall)
+      val t2 = time(q, sfBig)
+      val aSmall = math.log(t2 / t1) / math.log(10.0)
+      val (tS, aLarge) =
+        if (synthSubset.contains(q)) {
+          val t3 = time(q, synthDir)
+          (Some(t3), Some(math.log(t3 / t2) / math.log(SynthReplicas.toDouble)))
+        } else (None, None)
+      System.err.println(f"[scaling] $q%-24s t01=$t1%6.2f t1=$t2%6.2f " +
+        f"a_small=$aSmall%5.2f" + tS.map(t => f" t_synth=$t%7.2f " +
+        f"a_large=${aLarge.get}%5.2f").getOrElse(""))
+      val extra = tS.map(t =>
+        s""","t_synth":${fmt(t)},"alpha_large":${fmt(aLarge.get)}""").getOrElse("")
+      s""""$q":{"t_sf001":${fmt(t1)},"t_sf01":${fmt(t2)},"alpha_small":${fmt(aSmall)}$extra}"""
+    }
+    val json = s"""{"rows_ratio_small":10,"rows_ratio_large":$SynthReplicas,""" +
+      s""""queries":{${entries.mkString(",")}}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/scaling.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+
+  private def fmt(d: Double): String = "%.4f".format(d)
+
+  /** Build the decorrelated ×N replica corpus (documents + embeddings)
+    * once; replicas are deterministic functions of (replica, row). */
+  private def ensureSynth(spark: SparkSession, sfBig: String, dir: String): Unit = {
+    val done = new java.io.File(s"$dir/_SYNTH_OK")
+    if (done.exists) return
+    val docs = Tables.load(spark, sfBig, "documents")
+    val embs = Tables.load(spark, sfBig, "embeddings")
+    val idOffset = 100000000L
+    val reps = spark.range(SynthReplicas).select(col("id").cast("int").as("rep"))
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * idOffset)
+      // the tag lands in every shingle window's tail, not mid-text:
+      // within-replica dup/near-dup structure is preserved verbatim,
+      // cross-replica shingles never collide
+      .withColumn("text", concat(col("text"), lit(" zrep"), col("rep")))
+      .drop("rep")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    embs.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * idOffset)
+      // circular shift by rep·(dim/SynthReplicas): norm and within-replica
+      // geometry exactly preserved; distinct shifts of the same vectors
+      // are mutually decorrelated
+      .withColumn("embedding",
+        concat(
+          slice(col("embedding"), col("rep") * (dim / SynthReplicas) + 1,
+            lit(dim) - col("rep") * (dim / SynthReplicas)),
+          slice(col("embedding"), lit(1), col("rep") * (dim / SynthReplicas))))
+      .drop("rep")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
+  }
+}

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
-"""Round-over-round bench regression gate.
+"""Round-over-round bench regression gate + scaling gate.
 
 Usage: check_bench.py <new_bench.json> <prev_BENCH_rNN.json> [threshold]
+       check_bench.py --scaling <scaling.json> [alpha_threshold]
 
 <new_bench.json>: the bench's own JSON line (e.g. target/bench_last.json)
   or a driver BENCH_r{N}.json wrapper.
@@ -10,11 +11,39 @@ threshold: per-query slowdown alarm factor (default 2.0). Queries faster
   than 1 s in the baseline are exempt — sub-second queries at local[32]
   show ~2x run-to-run jitter, so gating them only produces false alarms.
 
-Exit 1 if any query regressed past the threshold or total regressed >1.5x.
+--scaling mode reads graft.Scaling's target/scaling.json and flags any
+query whose empirical growth exponent exceeds the threshold (default
+1.35 — O(n log n) at these sizes is ~1.08, so the margin is noise
+headroom). Exponents measured from sub-2s large-scale times are reported
+but exempt: constant overheads dominate them.
+
+Exit 1 if any query regressed past the threshold or total regressed >1.5x
+(bench mode), or any measurable query grew super-linearly (scaling mode).
 """
 import json
 import re
 import sys
+
+
+def check_scaling(path, alpha_max=1.35):
+    d = json.load(open(path))
+    bad = []
+    for q, m in sorted(d["queries"].items()):
+        for alpha_key, t_key in (("alpha_small", "t_sf01"), ("alpha_large", "t_synth")):
+            if alpha_key not in m:
+                continue
+            a, t = m[alpha_key], m[t_key]
+            measurable = t >= 2.0
+            flag = measurable and a > alpha_max
+            mark = "SUPR" if flag else ("ok  " if measurable else "tiny")
+            print(f"{mark} {q} {alpha_key}={a:.2f} ({t_key}={t:.2f}s)")
+            if flag:
+                bad.append(f"{q}:{alpha_key}={a:.2f}")
+    if bad:
+        print(f"SUPER-LINEAR GROWTH: {bad}")
+        return 1
+    print("SCALING OK")
+    return 0
 
 
 def load_bench(path):
@@ -40,6 +69,9 @@ def load_bench(path):
 
 
 def main():
+    if sys.argv[1] == "--scaling":
+        alpha = float(sys.argv[3]) if len(sys.argv) > 3 else 1.35
+        return check_scaling(sys.argv[2], alpha)
     new = load_bench(sys.argv[1])
     prev = load_bench(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
