@@ -435,6 +435,34 @@ object PipelineQueries {
       .orderBy("event_id", "year", "month", "day", "hour")
   }
 
+  /** TIME TRAVEL, driver-gated: three committed epochs, the older two
+    * FOLDED into a consolidated generation (retention ran), then an
+    * as-of-epoch-1 read — the snapshot must contain exactly epochs 0+1's
+    * rows even though they now live inside the fold generation (folds
+    * preserve per-row epoch values, so time travel survives retention).
+    * The oracle derives the same rows from `events` by the batch
+    * predicate. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/ttravel_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val cols = Seq("event_id", "event_type", "value",
+      "tenant", "year", "month", "day", "hour")
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(events(spark, dir).filter(col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
+      .select(cols.map(col): _*)
+    (0 until 3).foreach(i => graft.sources.TransactionalLake.commitEpoch(
+      enriched.filter(col("event_id") % 3 === i), root, i.toLong))
+    // retention folds the aged epochs — the as-of read must see through it
+    require(graft.sources.TransactionalLake
+      .foldCommittedEpochs(spark, root, upTo = 1L) == 2)
+    graft.sources.TransactionalLake.readCommittedAsOf(spark, root, 1L)
+      .select(cols.map(col): _*)
+      .orderBy("event_id")
+  }
+
   /** Tenant OFFBOARDING, driver-gated end-to-end: build a multi-tenant
     * lake WITH the doomed tenant everywhere it can live — plain
     * partitioned lake, error prefix (tenant-keyed dead letters), catalog
@@ -908,6 +936,15 @@ object PipelineQueries {
         |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
         |FROM events WHERE user_id % 3 = 1 AND event_id <= 2000
         |ORDER BY event_id""".stripMargin,
+    // as-of epoch 1 == batches 0 and 1 (event_id % 3 ∈ {0, 1}), read
+    // through the folded generation
+    "pipe_time_travel" ->
+      """SELECT event_id, event_type, value,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+        |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+        |FROM events WHERE event_id <= 2000 AND event_id % 3 <> 2
+        |ORDER BY event_id""".stripMargin,
     // post-purge lake ≡ a lake that never had tenant t2; every event row
     // appears twice (plain lake + transactional epochs read)
     "pipe_tenant_purge" ->
@@ -940,6 +977,7 @@ object PipelineQueries {
     "pipe_streaming_sessions" -> (streamingSessions _),
     "pipe_compact_roundtrip" -> (compactRoundtrip _),
     "pipe_tenant_purge" -> (tenantPurge _),
+    "pipe_time_travel" -> (timeTravel _),
     "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),
     "pipe_http_ingest" -> (httpIngestRoundtrip _),
     "pipe_wire_roundtrip" -> (wireRoundtrip _)))

@@ -198,6 +198,19 @@ object TransactionalLake {
     reads.reduce(_ unionByName _)
   }
 
+  /** TIME TRAVEL: the committed view AS OF `epoch` — rows from every
+    * committed epoch with id <= the given one. Falls out of the layout
+    * for free: `epoch` is a partition column in both the live dirs and
+    * the folded generations (a fold preserves per-row epoch values), so
+    * an as-of read keeps working after retention folds and prunes at
+    * the file-listing level. Epochs committed after `epoch` are simply
+    * not listed/filtered — a reproducible snapshot for audits, replays,
+    * and training-run provenance ("exactly the corpus as of epoch N"). */
+  def readCommittedAsOf(spark: SparkSession, root: String,
+                        epoch: Long): DataFrame =
+    readCommitted(spark, root)
+      .filter(col("epoch").cast("long") <= epoch)
+
   /** Tenant OFFBOARDING across the transactional lake — the epoch-aware
     * twin of [[Lake.purgeTenant]]: deletes the tenant's partition subtree
     * from EVERY live committed epoch directory and EVERY fold
