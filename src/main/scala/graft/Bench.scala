@@ -23,6 +23,12 @@ object Bench {
       // many-small-file dynamic partition writes (measured 2x); real
       // clusters rely on HDFS/S3 storage integrity instead
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // shuffle/localCheckpoint scratch on tmpfs: the container disk's
+      // writeback stalls made every ~4th run of the iterative operators
+      // ~2x slower (measured on canonicalize: [4.5..6.3]s stable on
+      // tmpfs vs periodic 10-14s spikes on disk). Real clusters put
+      // spark.local.dir on local SSDs; tmpfs is the local-mode analog.
+      .config("spark.local.dir", "/dev/shm/graft-bench-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the codegen/scan machinery once so per-query numbers measure
@@ -62,6 +68,11 @@ object Bench {
       while (spark.sparkContext.getPersistentRDDs.nonEmpty && waited < 20) {
         Thread.sleep(50); waited += 1
       }
+      // the GC also enqueues shuffle/broadcast cleanup on the ASYNC
+      // ContextCleaner thread; give it a settle window so that IO lands
+      // here instead of inside the next timing window (repeat runs of the
+      // shuffle-heavy iterative canonicalize entry measured ~2x without it)
+      Thread.sleep(250)
     }
     // SPARK_GRAFT_ONLY=a,b,c — time just those queries (isolated-number
     // debugging; the driver never sets it)
