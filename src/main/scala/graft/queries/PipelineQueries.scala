@@ -435,6 +435,32 @@ object PipelineQueries {
       .orderBy("event_id", "year", "month", "day", "hour")
   }
 
+  /** Per-tenant usage METERING, driver-gated: build the partitioned lake,
+    * then account rows + partitions per tenant through the catalog-backed
+    * operator. The oracle recomputes both from the raw events; the
+    * storage half (files/bytes — not SQL-derivable by the oracle) is
+    * require-guarded here and spec-checked in LakePurgeSpec. */
+  def tenantUsage(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/usage_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val tbl = s"usage_events_$tag"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(events(spark, dir).filter(col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("tenant"), col("year"), col("month"), col("day"), col("hour"))
+    Lake.writeValid(enriched, root)
+    Lake.registerExternal(spark, tbl, s"$root/data")
+    val usage = Lake.usageByTenant(spark, tbl)
+    require(usage.filter(col("n_files") <= 0 || col("n_bytes") <= 0).isEmpty,
+      "storage accounting must see every tenant's files")
+    usage.select(col("tenant"), col("n_rows"), col("n_partitions"))
+      .orderBy("tenant")
+  }
+
   /** TIME TRAVEL, driver-gated: three committed epochs, the older two
     * FOLDED into a consolidated generation (retention ran), then an
     * as-of-epoch-1 read — the snapshot must contain exactly epochs 0+1's
@@ -936,6 +962,16 @@ object PipelineQueries {
         |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
         |FROM events WHERE user_id % 3 = 1 AND event_id <= 2000
         |ORDER BY event_id""".stripMargin,
+    // metering: rows + distinct partition tuples per tenant
+    "pipe_tenant_usage" ->
+      """WITH base AS (
+        |  SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |    strftime(ts, '%Y') || strftime(ts, '%m')
+        |      || strftime(ts, '%d') || strftime(ts, '%H') AS part
+        |  FROM events WHERE event_id <= 2000)
+        |SELECT tenant, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT part) AS BIGINT) AS n_partitions
+        |FROM base GROUP BY tenant ORDER BY tenant""".stripMargin,
     // as-of epoch 1 == batches 0 and 1 (event_id % 3 ∈ {0, 1}), read
     // through the folded generation
     "pipe_time_travel" ->
@@ -978,6 +1014,7 @@ object PipelineQueries {
     "pipe_compact_roundtrip" -> (compactRoundtrip _),
     "pipe_tenant_purge" -> (tenantPurge _),
     "pipe_time_travel" -> (timeTravel _),
+    "pipe_tenant_usage" -> (tenantUsage _),
     "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),
     "pipe_http_ingest" -> (httpIngestRoundtrip _),
     "pipe_wire_roundtrip" -> (wireRoundtrip _)))

@@ -207,6 +207,41 @@ object Lake {
     1
   }
 
+  /** Per-tenant USAGE ACCOUNTING (beyond-reference; the metering every
+    * multi-tenant operator needs for chargeback/quotas): rows +
+    * partition count from one partition-grouped aggregate over the
+    * table, file count + bytes from the catalog's partition locations.
+    * The storage half is driver-side metadata work — one listing per
+    * tenant partition, the same O(table partitions) cost a crawler
+    * re-crawl pays, run at metering cadence (at 100 TB the listing is
+    * the metastore/object-inventory's job; rows stay a distributed
+    * aggregate). Output: (tenant, n_rows, n_partitions, n_files,
+    * n_bytes). */
+  def usageByTenant(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val parts = spark.sessionState.catalog.listPartitions(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // metadata-scale driver loop: |partitions| listings, no data read
+    val storage = parts.groupBy(_.spec("tenant")).map { case (tenant, ps) =>
+      val sums = ps.map(p =>
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p.location)))
+      Row(tenant, ps.size.toLong,
+        sums.map(_.getFileCount).sum, sums.map(_.getLength).sum)
+    }.toSeq
+    val storageDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(storage, 1),
+      StructType(Seq(StructField("tenant", StringType),
+        StructField("n_partitions", LongType),
+        StructField("n_files", LongType),
+        StructField("n_bytes", LongType))))
+    spark.table(table).groupBy(col("tenant"))
+      .agg(count(lit(1)).as("n_rows"))
+      .join(storageDf, Seq("tenant"), "left")
+  }
+
   /** Tenant OFFBOARDING (beyond-reference; the GDPR-style "delete tenant
     * X" a real multi-tenant operator needs): partition-scoped metadata +
     * directory work on the data lake — never a row-level rewrite there.

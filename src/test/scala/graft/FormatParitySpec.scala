@@ -37,4 +37,29 @@ class FormatParitySpec extends SparkSpec {
     val q = TenantQueries.queryByTenant(spark, "json_events")
     assert(q.count() == 1 && TenantQueries.prunesOnTenant(q))
   }
+
+  test("ORC lake round-trips with the same rows and pruning as parquet") {
+    val rows = Seq(
+      ("""{"Data":{"event":"e1","region":"US","device":"TV"}}""", "acme"),
+      ("""{"Data":{"event":"e2","region":"EU","device":"web"}}""", "globex"))
+      .toDF("raw", "tenant_key")
+    val (valid, _) = Ingest.validateAndSplit(rows, "raw")
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(valid, col("tenant_key"), lit(1704067199L)))
+      .drop("raw", "tenant_key")
+    val orcRoot = tmpDir("lake_orc")
+    val parqRoot = tmpDir("lake_parq_o")
+    Lake.writeValid(enriched, orcRoot, format = "orc")
+    Lake.writeValid(enriched, parqRoot, format = "parquet")
+    val o = spark.read.orc(s"$orcRoot/data")
+    val p = spark.read.parquet(s"$parqRoot/data")
+    val cols = Seq("device", "event", "region", "TenantId", "timestamp",
+      "tenant", "year", "month", "day", "hour")
+    assert(o.select(cols.map(col): _*).collect().toSet ==
+      p.select(cols.map(col): _*).collect().toSet)
+    Lake.registerExternal(spark, "orc_events", s"$orcRoot/data", format = "orc")
+    implicit val ctx: TenantContext = TenantContext("globex")
+    val q = TenantQueries.queryByTenant(spark, "orc_events")
+    assert(q.count() == 1 && TenantQueries.prunesOnTenant(q))
+  }
 }

@@ -64,6 +64,34 @@ class LakePurgeSpec extends SparkSpec {
     assert(spark.table(tbl).filter(col("tenant") === "t2").isEmpty)
   }
 
+  test("usage accounting reflects the lake and drops a purged tenant") {
+    val root = tmpDir("usage_lake")
+    val tbl = "usage_spec_events"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val df = enriched(500)
+    Lake.writeValid(df, root)
+    Lake.registerExternal(spark, tbl, s"$root/data")
+    val usage = Lake.usageByTenant(spark, tbl).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val expected = df.groupBy("tenant").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(usage.keySet == expected.keySet)
+    expected.foreach { case (t, n) =>
+      val u = usage(t)
+      assert(u.getAs[Long]("n_rows") == n)
+      assert(u.getAs[Long]("n_partitions") > 0)
+      assert(u.getAs[Long]("n_files") > 0 && u.getAs[Long]("n_bytes") > 0)
+    }
+    val before = Lake.usageByTenant(spark, tbl)
+      .filter(col("tenant") =!= "t1").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_bytes"))).toSet
+    Lake.purgeTenant(spark, tbl, root, "t1")
+    val after = Lake.usageByTenant(spark, tbl).collect()
+    assert(!after.exists(_.getString(0) == "t1"), "purged tenant leaves metering")
+    assert(after.map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("n_bytes"))).toSet
+      == before, "survivors' accounting unchanged by the purge")
+  }
+
   test("transactional purge spans live epochs + folded generations; replay and fold stay clean") {
     val root = tmpDir("purge_tx")
     val df = enriched(500)
