@@ -55,6 +55,88 @@ class ClusteringSpec extends SparkSpec {
     assert(spark.read.parquet(s"$clustered/data").count() == 20000)
   }
 
+  test("bucketing + in-bucket sort: shuffle-free join AND row-group skipping on ONE layout") {
+    // the two write-time layout levers compose on one table: bucketBy
+    // (join key) kills the recurring join's exchanges AND prunes
+    // equality scans to one bucket; sortBy inside each bucket file keeps
+    // row-group min/max narrow so the scan also skips WITHIN the
+    // surviving bucket — measured against an unsorted-bucketed twin
+    // where every row group of the bucket covers the probed key
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 32 * 1024)
+    try {
+      Seq("bs_fact", "bs_fact_nosort", "bs_dim").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.hadoop.fs.FileSystem.get(hconf).delete(
+          new org.apache.hadoop.fs.Path(
+            s"${spark.sessionState.conf.warehousePath}/$t"), true)
+      }
+      // repartition by the bucket key first: ONE file per bucket (a
+      // writer task per bucket) instead of files × tasks — the layout
+      // discipline that keeps both file counts and row-group runs tight
+      val fact = spark.range(200000)
+        .select((col("id") % 64).as("k"),
+          abs(xxhash64(col("id"))).as("event_id"))
+        .repartition(8, col("k"))
+      fact.write.bucketBy(8, "k").sortBy("k", "event_id").saveAsTable("bs_fact")
+      fact.write.bucketBy(8, "k").saveAsTable("bs_fact_nosort")
+      spark.range(64).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+        .write.bucketBy(8, "k").saveAsTable("bs_dim")
+
+      // 1) the co-located join plans with no join-side exchange (count on
+      // the pre-execution plan — the AQE-finalized string repeats the
+      // aggregate's one exchange in both its final and initial sections)
+      val joined = spark.table("bs_fact")
+        .join(spark.table("bs_dim").hint("merge"), "k")
+        .groupBy("name").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(exchanges <= 1,
+        s"bucketed join must not shuffle its inputs (found $exchanges)")
+      assert(joined.count() == 64)
+
+      // 2) RANGE predicate on (k, event_id): both tables bucket-prune to
+      // 1 of 8 buckets, but only the sorted layout's row groups have
+      // narrow event_id ranges inside the bucket file, so min/max stats
+      // skip groups. (A POINT predicate would not separate the layouts —
+      // parquet dictionary filtering already rejects row groups whose
+      // dictionary lacks the exact value, sorted or not.)
+      val bounds = spark.table("bs_fact").filter(col("k") === 7)
+        .agg(min(col("event_id")), max(col("event_id"))).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val width = (hi - lo) / 50 // a ~2% slice of k=7's value range
+      // autoBucketedScan turns the bucketed scan OFF for join-less
+      // queries (it only helps joins/aggs) — which also forfeits bucket
+      // PRUNING; pin it on for the range-scan comparison
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      def scanned(table: String): Long = {
+        val q = spark.table(table)
+          .filter(col("k") === 7 && col("event_id").between(lo, lo + width))
+        assert(q.collect().length >= 1) // executes THIS plan (count() would plan anew)
+        val scans = q.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec =>
+            assert(s.toString.contains("SelectedBucketsCount: 1 out of 8"),
+              s"equality on the bucket column must prune buckets: $s")
+            s.metrics("numOutputRows").value
+        }
+        scans.sum
+      }
+      val sorted = scanned("bs_fact")
+      val unsorted = scanned("bs_fact_nosort")
+      info(s"scanned rows: sorted=$sorted unsorted=$unsorted of 200000")
+      assert(sorted < unsorted / 4,
+        s"in-bucket sort must add row-group skipping beyond bucket pruning: " +
+          s"$sorted vs $unsorted")
+    } finally {
+      if (prevBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prevBlock)
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    }
+  }
+
   test("compact(sortCols) clusters the rewritten partitions") {
     val root = tmpDir("compact_cluster")
     spark.sql("DROP TABLE IF EXISTS compact_cluster_tbl")
