@@ -208,6 +208,40 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Unigram NEGATIVE-LOG-PROBABILITY quality score — the
+    * perplexity-proxy filter of the CCNet/Gopher-family pipelines: score
+    * each document by the mean surprisal of its tokens under the
+    * corpus's OWN unigram distribution (a doc of globally-rare tokens
+    * scores high = gibberish/boilerplate candidate; function-wordy
+    * running text scores low). A full LM is a model artifact; the
+    * unigram distribution is derivable from the corpus itself, so this
+    * stays an engine operator with an exact oracle.
+    *
+    * Shape: one term-keyed aggregate (the TF-IDF shape), a 1-row total
+    * broadcast, one term-keyed join back to the token stream, one per-doc
+    * aggregate — nothing collects, the vocabulary join shuffles on term.
+    * Determinism discipline: per-term surprisal is rounded to 6 dp and
+    * cast to DECIMAL(18,6) BEFORE the per-doc sum — decimal addition is
+    * exact and order-independent, so the cross-partition sum cannot
+    * drift between engines (a double sum would be summation-order
+    * dependent). */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TF.words(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(sum(col("cnt")).as("total"))
+    val scored = tf.crossJoin(broadcast(tot))
+      .withColumn("nlp",
+        round(-log(col("cnt").cast("double") / col("total").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .select(col("term"), col("nlp"))
+    toks.join(scored, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nlp")).as("__sum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__sum").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mean_neg_logprob"))
+  }
+
   /** Training-SEQUENCE PACKING: assign each document a position in a
     * stream of fixed-token-budget training sequences — the step between
     * a clean corpus and a batched pre-training run. Contiguous packing

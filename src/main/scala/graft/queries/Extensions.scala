@@ -433,6 +433,9 @@ object Extensions {
   def textQualityFilter(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityFilter(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
+  def textUnigramLogProb(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogProb(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
   def textTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidf(docs(s, d), "doc_id", "text", topK = 3)
       .orderBy("doc_id", "rank")
@@ -638,6 +641,7 @@ object Extensions {
     "text_decontaminate" -> (textDecontaminate _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_tfidf" -> (textTfidf _),
+    "text_unigram_logprob" -> (textUnigramLogProb _),
     "text_pack_sequences" -> (textPackSequences _),
     "text_pii_redact" -> (textPiiRedact _),
     "multimodal_meta" -> (multimodalMeta _),
@@ -1169,6 +1173,22 @@ object Extensions {
         |    ORDER BY score DESC, term) AS INT) AS rank
         |  FROM sc)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+    // per-term surprisal rounded to 6 dp then DECIMAL(18,6): the per-doc
+    // sum is exact in both engines regardless of summation order
+    "text_unigram_logprob" -> (tokensCte +
+      """, t AS (SELECT doc_id, unnest(toks) AS term FROM w),
+        |tf AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM tf),
+        |sc AS (
+        |  SELECT term,
+        |    CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS nlp
+        |  FROM tf, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(nlp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_neg_logprob
+        |FROM t JOIN sc USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "text_pack_sequences" -> (tokensCte +
       """, t AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

@@ -83,6 +83,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("unigramLogProb: rare-token docs score higher surprisal than common-token docs") {
+    val docs = docsDf(
+      1L -> Seq.fill(20)("the").mkString(" "),          // all high-frequency tokens
+      2L -> "zxqv wvut qpon mlkj ihgf",                 // singletons only
+      3L -> ("the " * 10 + "zxqv").trim)                // mixed
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val common = out(1L).getAs[Double]("mean_neg_logprob")
+    val rare = out(2L).getAs[Double]("mean_neg_logprob")
+    val mixed = out(3L).getAs[Double]("mean_neg_logprob")
+    assert(out(1L).getAs[Long]("n_tokens") == 20)
+    assert(common < mixed && mixed < rare,
+      s"surprisal must order common < mixed < rare: $common, $mixed, $rare")
+    // the corpus-wide distribution normalizes: total mass = 1 means the
+    // most frequent token's surprisal is still positive
+    assert(common > 0.0)
+  }
+
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
     val docs = docsDf(
       1L -> "shared shared shared rare1",
