@@ -488,6 +488,87 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the recall
     * baseline; the ANN paths for scale are [[embeddingNearDupPairsLsh]]
     * and Similarity.lshTopK/ivfTopK). */
+  /** Repeated-span MASKING — word-granularity ExactSubstr dedup (the
+    * Lee et al. 2022 "Deduplicating Training Data" operator, which the
+    * reference has no analog for): every token position covered by a
+    * word k-gram occurring >= `minOccurrences` times ACROSS THE CORPUS
+    * (within-doc repeats count) is removed, and the survivors reassemble
+    * in order. Unlike document-level dedup this de-boilerplates — shared
+    * headers/footers/license blocks vanish while unique prose stays.
+    *
+    * Scale shape: k-gram occurrence counting is ONE hash-aggregate
+    * shuffle keyed on an 8-byte xxhash64 of the gram (map-side partial
+    * collapse; the string itself never shuffles — at 2^40 grams the
+    * expected count-merging collisions are a ~2^-25 fraction, each worth
+    * one spuriously-masked span); cover expansion and reassembly shuffle
+    * on (doc, pos) and doc — all O(corpus tokens), never O(n²). The
+    * sf-scale oracle groups by the gram STRING (no collisions at test
+    * scale), so the gate also certifies the hash keying loses nothing. */
+  def maskRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("ws"))
+    // one row per k-gram occurrence: (doc_id, start pos, 64-bit gram key)
+    val kgrams = base.select(col("doc_id"), col("ws"),
+        explode(when(size(col("ws")) >= k, sequence(lit(0), size(col("ws")) - k))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(array_join(slice(col("ws"), col("p") + 1, lit(k)), " ")).as("gkey"))
+    val dup = kgrams.groupBy("gkey").count()
+      .filter(col("count") >= minOccurrences).select("gkey")
+    // positions covered by any duplicated gram (distinct per doc)
+    val covered = kgrams.join(dup, Seq("gkey"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val tokens = base.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "word")))
+    val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup by CLUSTER-BLOCKED
+    * cosine — assign every embedding to its nearest centroid
+    * (broadcast-argmin, the IVF assignment pass), then WITHIN each cell
+    * drop every item that has a lower-id neighbor at cosine >= `tau`.
+    * Returns the DROP LIST (vec_id, cell, max_cos_prior).
+    *
+    * Scale shape: the all-pairs O(n²) collapses to Σ_cells O(|cell|²) —
+    * the SemDeDup contract. Pick nCells ≈ n / target-cell-size at 100 TB
+    * (the paper uses ~100k clusters for billions of rows) and feed
+    * refined centroids ([[Similarity.ivfCentroidsRefined]]) for tighter,
+    * more balanced cells; pairs co-shuffle once on the cell key and the
+    * per-cell join is a local sort-merge within the partition. A pair
+    * above tau that straddles two cells is missed — the documented
+    * approximation the paper accepts (raise nProbe-style recall by
+    * lowering nCells or re-running on cell borders if it matters). */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, tau: Double = 0.4,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      Similarity.seedCentroids(embeddings, idCol, vecCol, nCells))
+    val assigned = Similarity.assignedNormed(cents, embeddings, idCol, vecCol)
+    val a = assigned.select(col("cell"), col("c_id").as("id_a"),
+      col("c_e").as("e_a"), col("c_nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("c_id").as("id_b"),
+      col("c_e").as("e_b"), col("c_nrm").as("nrm_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        VF.cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b")))
+      .groupBy(col("id_b").as("vec_id"), col("cell"))
+      .agg(max(col("cos")).as("max_cos_prior"))
+      .filter(col("max_cos_prior") >= tau)
+  }
+
   def embeddingNearDupPairs(embeddings: DataFrame, idCol: String,
                             vecCol: String, threshold: Double): DataFrame = {
     val withNorm = embeddings.select(col(idCol),

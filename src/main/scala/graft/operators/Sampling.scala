@@ -32,4 +32,38 @@ object Sampling {
     * shuffle or a sort (stratified sampling as a filter). */
   def stratifiedSample(df: DataFrame, textCol: String, pct: Int): DataFrame =
     df.filter(contentBucket(col(textCol), 100) < pct)
+
+  /** Domain-MIXTURE sampling: down-sample each stratum (source/domain)
+    * so the output approaches the target mixture `weights` (relative,
+    * un-normalized) by DELETION ONLY — no stratum is up-sampled, so the
+    * binding stratum (smallest n_s/w_s) keeps everything and every other
+    * stratum keeps the per-mille prefix of its content-hash buckets.
+    * This is the training-mixture rebalance step (e.g. The Pile / Dolma
+    * style domain weights) made reproducible: selection is a pure
+    * function of (content, stratum counts), stable across runs, engines
+    * and re-sharding, and duplicates can never land on different sides.
+    *
+    * Cost model: one tiny count aggregate (|strata| rows, broadcast
+    * back) + a scan-speed filter — the data itself never shuffles. At
+    * 100 TB the counts come from the same pass or partition metadata.
+    * Keeps per-stratum rate = floor(1000·w_s·K/n_s)/1000 with
+    * K = min_s(n_s/w_s); per-mille granularity bounds the mixture error
+    * at 0.1% of each stratum. Output carries the applied per-mille so
+    * the decision is auditable. */
+  def mixtureSample(df: DataFrame, strataCol: String, textCol: String,
+                    weights: Map[String, Double],
+                    defaultWeight: Double = 1.0): DataFrame = {
+    val wt = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
+      when(col(strataCol) === s, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .withColumn("wt", wt)
+    val kk = counts.agg(min(col("n").cast("double") / col("wt")).as("kk"))
+    val permille = counts.crossJoin(broadcast(kk))
+      .select(col(strataCol),
+        least(floor(col("wt") * col("kk") * lit(1000.0) / col("n").cast("double"))
+          .cast("long"), lit(1000L)).as("keep_permille"))
+    df.join(broadcast(permille), Seq(strataCol))
+      .filter(contentBucket(col(textCol), 1000) < col("keep_permille"))
+  }
 }

@@ -208,8 +208,8 @@ object Similarity {
 
   /** Broadcast-argmin cell assignment carrying the normed vectors:
     * (c_id, c_e, c_nrm, cell). */
-  private def assignedNormed(cents: DataFrame, corpus: DataFrame,
-                             idCol: String, vecCol: String): DataFrame = {
+  private[operators] def assignedNormed(cents: DataFrame, corpus: DataFrame,
+                                        idCol: String, vecCol: String): DataFrame = {
     val assignW = Window.partitionBy(col("c_id"))
       .orderBy(col("cent_cos").desc, col("cent_id"))
     withNormed(corpus, idCol, vecCol, "c")
@@ -555,6 +555,34 @@ object Similarity {
       .crossJoin(broadcast(pqProbeTable(probes, idCol, vecCol, codebooks)))
       .filter(col("p_id") =!= col("c_id"))
       .withColumn("adc_dist", adcDist), k)
+
+  /** PQ shortlist → EXACT re-rank — the standard production recall fix
+    * for quantized search: ADC ranks a `shortlist`-deep candidate set per
+    * probe entirely in the compressed domain (no corpus vectors touched),
+    * then ONLY those probes×shortlist survivors fetch their exact vectors
+    * for a true-cosine re-rank to top-k. Exact arithmetic cost is
+    * O(probes · shortlist · dim) instead of O(corpus · dim); the fetch is
+    * an id-equi-join against the corpus (at 100 TB: a broadcast of the
+    * shortlist ids against the vector lake, reading only the vec column).
+    * Recall(k) equals exact search whenever the true top-k survive the
+    * ADC shortlist — the shortlist depth is the recall/cost knob. */
+  def pqTopKReranked(codes: DataFrame, corpus: DataFrame, probes: DataFrame,
+                     idCol: String, vecCol: String, codebooks: DataFrame,
+                     k: Int, shortlist: Int = 50): DataFrame = {
+    val short = pqTopK(codes, probes, idCol, vecCol, codebooks, shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val c = withNormed(corpus, idCol, vecCol, "c")
+    val p = withNormed(probes, idCol, vecCol, "p")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(c, short("neighbor_id") === c("c_id"))
+      .join(broadcast(p), short("probe_id") === p("p_id"))
+      .withColumn("cosine",
+        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 
   /** IVF→PQ — the canonical billion-scale ANN composition: the IVF
     * assignment index PRUNES the corpus to each probe's nProbe cells,

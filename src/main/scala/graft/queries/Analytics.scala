@@ -204,6 +204,44 @@ object Analytics {
       .orderBy(col("gid"), col("event_type").asc_nulls_first,
         col("tenant").asc_nulls_first)
 
+  /** Explicit GROUPING SETS over orders — the general form behind
+    * rollup/cube: an arbitrary list of grouping-column sets computed in
+    * ONE pass (Catalyst expands to a single hash aggregate over the
+    * grouping-id-tagged union, not one scan per set). Same one-shuffle
+    * cost model as a plain groupBy at any scale. */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** RANGE-frame window (value-based, not row-based): per-supplier
+    * 30-day trailing quantity sum keyed on ship time. RANGE frames
+    * include ALL peers of the boundary values, so the result is
+    * order-tiebreak-independent — deterministic without a full tiebreak
+    * column. Same one-shuffle-per-partition-key plan as any window. */
+  def rangeFrameRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_epoch"))
+      .rangeBetween(-30L * 86400L, 0L)
+    t(spark, dir, "lineitem")
+      .filter(col("l_suppkey") <= 3)
+      // tz-free epoch seconds (ship timestamps are midnight-aligned NTZ;
+      // day-count × 86400 ≡ DuckDB epoch() without a session-tz dependency)
+      .withColumn("ship_epoch",
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long") * 86400L)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast("double").as("trailing_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
   /** Set ops: nations appearing as customer vs supplier nations —
     * INTERSECT / EXCEPT / UNION distinct, tagged into one result. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
@@ -959,6 +997,8 @@ object Analytics {
     "q_running_revenue" -> (runningRevenue _),
     "q_rollup" -> (rollupQuantity _),
     "q_cube_events" -> (cubeEvents _),
+    "q_grouping_sets" -> (groupingSetsOrders _),
+    "q_range_frame" -> (rangeFrameRevenue _),
     "q_set_ops" -> (setOps _),
     "q_topk" -> (topKExpensive _),
     "q_distinct_agg" -> (distinctAgg _),
@@ -1355,6 +1395,21 @@ object Analytics {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+        |ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q_range_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q_cube_events" ->
       """SELECT event_type, 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
         |  COUNT(*) AS cnt,

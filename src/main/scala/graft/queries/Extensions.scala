@@ -473,6 +473,42 @@ object Extensions {
       (graft.operators.Sampling.contentBucket(col("text")) < 20).as("in_20pct_sample"))
       .orderBy("doc_id")
 
+  /** Repeated-span masking gate (word-8-gram ExactSubstr dedup): the
+    * engine keys the occurrence count on xxhash64(gram), the oracle on
+    * the gram string — hash-equality of the outputs certifies the
+    * 8-byte shuffle key loses nothing at test scale. */
+  def textDedupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.maskRepeatedSpans(docs(s, d), "doc_id", "text", k = 8, minOccurrences = 2)
+      .orderBy("doc_id")
+
+  /** SemDeDup gate: seeded centroids (same generation rule as the IVF
+    * oracle), cell-blocked pairwise cosine, tau = the fixture's planted
+    * near-dup band (matches dedup_embedding). */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(embs(s, d), "vec_id", "embedding", nCells = 16, tau = 0.4)
+      .orderBy("vec_id")
+
+  /** PQ→exact-rerank gate: ADC shortlist of 50 per probe, exact cosine
+    * re-rank to top-5 — both halves of the composition are the verified
+    * sim_topk_pq / sim_topk_exact arithmetic. */
+  def simTopKPqRerank(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    Similarity.pqTopKReranked(codes, e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", cb, k = 5, shortlist = 50)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Domain-mixture sampling gate: upweight src0/src1 3×, src2 2× —
+    * the binding strata keep everything, the rest keep the per-mille
+    * prefix of their content-hash buckets. */
+  def sampleMixture(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.mixtureSample(docs(s, d), "source", "text",
+      Map("src0" -> 3.0, "src1" -> 3.0, "src2" -> 2.0))
+      .select(col("doc_id"), col("source"), col("keep_permille"))
+      .orderBy("doc_id")
+
   /** The FLAGSHIP COMPOSITION: a training-corpus preparation pipeline —
     * near-dup canonicalization (keep one representative per cluster) →
     * language filter (en) → deterministic content-hash split → per-split
@@ -649,7 +685,11 @@ object Extensions {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_retrieval" -> (multimodalRetrieval _),
     "train_corpus_prep" -> (trainCorpusPrep _),
-    "train_corpus_prep_v2" -> (trainCorpusPrepV2 _)))
+    "train_corpus_prep_v2" -> (trainCorpusPrepV2 _),
+    "text_dedup_spans" -> (textDedupSpans _),
+    "dedup_semantic" -> (dedupSemantic _),
+    "sim_topk_pq_rerank" -> (simTopKPqRerank _),
+    "sample_mixture" -> (sampleMixture _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -1431,7 +1471,135 @@ object Extensions {
         |FROM (
         |  SELECT doc_id, unnest(range(0, CAST(octet_length(encode(text)) AS BIGINT), 64)) AS frame_offset
         |  FROM documents)
-        |ORDER BY media_id, frame_offset""".stripMargin)
+        |ORDER BY media_id, frame_offset""".stripMargin,
+    // repeated-span masking: the oracle counts k-gram occurrences on the
+    // gram STRING (the engine shuffles an xxhash64 of it — hash-equality
+    // of the masked output certifies the 8-byte key loses nothing here)
+    "text_dedup_spans" -> (tokensCte +
+      """, kg AS (
+        |  SELECT doc_id, r.p, array_to_string(toks[r.p:r.p+7], ' ') AS g
+        |  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 6, 1))) AS p) r
+        |), dup AS (
+        |  SELECT g FROM kg GROUP BY g HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT kg.doc_id, c.p2
+        |  FROM kg JOIN dup USING (g),
+        |    LATERAL (SELECT unnest(range(kg.p, kg.p + 8)) AS p2) c
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos FROM w
+        |)
+        |SELECT t.doc_id,
+        |  count(*) AS n_words,
+        |  count(*) FILTER (WHERE c.p2 IS NOT NULL) AS n_removed,
+        |  coalesce(string_agg(t.word, ' ' ORDER BY t.pos) FILTER (WHERE c.p2 IS NULL), '')
+        |    AS clean_text
+        |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p2
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
+    // SemDeDup: seeded centroids + argmin cell assignment (the verified
+    // IVF CTEs), then within-cell max cosine to any LOWER id — drop list
+    "dedup_semantic" -> (vecCte +
+      """, cents AS (
+        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+        |  FROM n ORDER BY vec_id LIMIT 16
+        |), ca AS (
+        |  SELECT c_id, cell FROM (
+        |    SELECT a.vec_id AS c_id, b.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) DESC, b.cent_id) AS rn
+        |    FROM n a CROSS JOIN cents b)
+        |  WHERE rn = 1
+        |)
+        |SELECT vec_id, cell, max_cos_prior FROM (
+        |  SELECT cb.c_id AS vec_id, cb.cell,
+        |    max(list_reduce(list_transform(range(1, len(na.e)+1), i -> na.e[i]*nb.e[i]),
+        |      (x,y) -> x+y) / (na.nrm * nb.nrm)) AS max_cos_prior
+        |  FROM ca cb JOIN ca aa ON aa.cell = cb.cell AND aa.c_id < cb.c_id
+        |  JOIN n na ON na.vec_id = aa.c_id
+        |  JOIN n nb ON nb.vec_id = cb.c_id
+        |  GROUP BY cb.c_id, cb.cell)
+        |WHERE max_cos_prior >= 0.4
+        |ORDER BY vec_id""".stripMargin),
+    // PQ shortlist (the verified sim_topk_pq CTEs at depth 50) → exact
+    // cosine re-rank over only the shortlist survivors
+    "sim_topk_pq_rerank" -> (vecCte +
+      """, seeds AS (
+        |  SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM v ORDER BY vec_id LIMIT 16
+        |), cbs AS (
+        |  SELECT s.s AS sub, r.rnk AS code,
+        |    list_slice(r.e, s.s*8 + 1, s.s*8 + 8) AS cv
+        |  FROM seeds r, (SELECT unnest(range(0, 8)) AS s) s
+        |), cbflat AS (
+        |  SELECT list(cv ORDER BY sub, code) AS cb FROM cbs
+        |), enc AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), s ->
+        |      CAST(list_position(
+        |        list_transform(range(0, 16), c ->
+        |          list_reduce(list_transform(range(1, 9),
+        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
+        |            (x,y) -> x+y)),
+        |        list_min(list_transform(range(0, 16), c ->
+        |          list_reduce(list_transform(range(1, 9),
+        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
+        |            (x,y) -> x+y)))) - 1 AS INT)) AS codes
+        |  FROM v, cbflat
+        |), pt AS (
+        |  SELECT p.vec_id AS p_id,
+        |    flatten(list_transform(range(0, 8), s ->
+        |      list_transform(range(0, 16), c ->
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (p.e[s*8+i] - cb[s*16+c+1][i]) * (p.e[s*8+i] - cb[s*16+c+1][i])),
+        |          (x,y) -> x+y)))) AS ptab
+        |  FROM v p, cbflat WHERE p.vec_id < 10
+        |), sl AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT pt.p_id AS probe_id, enc.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY pt.p_id ORDER BY
+        |        list_reduce(list_transform(range(0, 8),
+        |          s -> ptab[s*16 + codes[s+1] + 1]), (x,y) -> x+y) ASC,
+        |        enc.vec_id) AS rnk
+        |    FROM pt, enc WHERE enc.vec_id <> pt.p_id)
+        |  WHERE rnk <= 50
+        |)
+        |SELECT probe_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |FROM (
+        |  SELECT sl.probe_id, sl.neighbor_id,
+        |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]),
+        |      (x,y) -> x+y) / (a.nrm * b.nrm) AS cosine
+        |  FROM sl JOIN n a ON a.vec_id = sl.probe_id
+        |  JOIN n b ON b.vec_id = sl.neighbor_id)
+        |QUALIFY rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin),
+    // domain-mixture sampling: per-stratum keep-rates from counts and
+    // weights (same double arithmetic order), selection by the modular
+    // content-hash per-mille bucket
+    "sample_mixture" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 1000 AS bkt
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, count(*) AS n,
+        |    CASE WHEN source IN ('src0', 'src1') THEN 3.0
+        |         WHEN source = 'src2' THEN 2.0 ELSE 1.0 END AS wt
+        |  FROM documents GROUP BY source),
+        |k AS (SELECT min(CAST(n AS DOUBLE) / wt) AS kk FROM c),
+        |r AS (
+        |  SELECT source,
+        |    least(CAST(floor(wt * kk * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT), 1000)
+        |      AS keep_permille
+        |  FROM c, k)
+        |SELECT b.doc_id, b.source, r.keep_permille
+        |FROM b JOIN r USING (source)
+        |WHERE b.bkt < r.keep_permille
+        |ORDER BY doc_id""".stripMargin)
 
   val oracles: Map[String, String] = Entries.toMapUnique("Extensions.oracles", oracleEntries)
 }

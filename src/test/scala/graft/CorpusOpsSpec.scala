@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.{Dedup, Sampling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-6 corpus operators: repeated-span masking (ExactSubstr dedup),
+  * SemDeDup semantic dedup, PQ exact re-rank, domain-mixture sampling. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- repeated-span masking ----
+
+  test("maskRepeatedSpans removes a shared span and keeps unique prose") {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"epsilon zeta $shared eta theta"),
+      (3L, "totally unique words nowhere else repeated at all ever")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 12L, 8L, "alpha beta gamma delta")))
+    assert(out(1) == ((2L, 12L, 8L, "epsilon zeta eta theta")))
+    assert(out(2)._3 == 0L && out(2)._4.startsWith("totally unique"))
+  }
+
+  test("maskRepeatedSpans counts within-doc repeats and masks both sites") {
+    val span = "a b c d e f g h"
+    val docs = Seq((1L, s"$span x y z $span")).toDF("doc_id", "text")
+    val Array((id, n, removed, clean)) =
+      Dedup.maskRepeatedSpans(docs, "doc_id", "text", k = 8)
+        .as[(Long, Long, Long, String)].collect()
+    assert(n == 19L && removed == 16L && clean == "x y z")
+  }
+
+  test("maskRepeatedSpans: overlapping duplicated grams mask the union of covers") {
+    // doc 1 and 2 share a 9-word run -> two overlapping 8-grams; the
+    // union cover is 9 positions, not 16
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    val docs = Seq((1L, s"$run tail1"), (2L, s"$run tail2")).toDF("doc_id", "text")
+    val out = Dedup.maskRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 10L, 9L, "tail1")))
+    assert(out(1) == ((2L, 10L, 9L, "tail2")))
+  }
+
+  test("maskRepeatedSpans leaves docs shorter than k untouched") {
+    val docs = Seq((1L, "short doc"), (2L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.maskRepeatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out.forall(r => r._3 == 0L && r._4 == "short doc"))
+  }
+
+  // ---- SemDeDup ----
+
+  test("semanticDedup drops the higher id of a planted near-dup pair") {
+    val dim = 8
+    // per-seed PRNG, NOT cos(seed*31+i): that form spans only the 2-D
+    // {cos(i), sin(i)} subspace, where seeds 15 apart are accidental
+    // near-dups (phase diff ~0.04 rad -> cosine ~0.999)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2f - 1f)
+    }
+    // 40 base vectors; vector 35 is a tiny perturbation of vector 20
+    val rows = (0 until 40).map(i => (i.toLong, vec(i))) :+
+      (35L, vec(20).zipWithIndex.map { case (x, i) => x + (if (i == 0) 1e-4f else 0f) })
+    val embs = rows.filterNot(_._1 == 35L).toDF("vec_id", "embedding")
+      .unionAll(Seq(rows.last).toDF("vec_id", "embedding"))
+    val dropped = Dedup.semanticDedup(embs, "vec_id", "embedding",
+      nCells = 4, tau = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dropped == Set(35L),
+      s"expected only the planted twin 35 above tau=0.99, got $dropped")
+  }
+
+  test("semanticDedup drop set grows monotonically as tau falls") {
+    val embs = Tables.load(spark, sf0001, "embeddings")
+    val hi = Dedup.semanticDedup(embs, "vec_id", "embedding", tau = 0.6)
+      .select("vec_id").as[Long].collect().toSet
+    val lo = Dedup.semanticDedup(embs, "vec_id", "embedding", tau = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hi.subsetOf(lo), "lower tau must only add drops")
+  }
+
+  test("semanticDedup only pairs within a cell (cross-cell near-dups survive)") {
+    // two identical vectors forced into different cells via centroids:
+    // centroid 0 = v, centroid 1 = -v; a=v lands in cell 0, b=-v in cell 1
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val neg = v.map(x => -x)
+    val embs = Seq((10L, v), (11L, v), (20L, neg)).toDF("vec_id", "embedding")
+    val cents = Seq((0L, v), (1L, neg)).toDF("vec_id", "embedding")
+    val dropped = Dedup.semanticDedup(embs, "vec_id", "embedding", tau = 0.99,
+      centroids = Some(Similarity.seedCentroids(cents, "vec_id", "embedding", 2)))
+      .select("vec_id").as[Long].collect().toSet
+    // 10/11 share cell 0 -> 11 dropped; 20 is alone in its cell -> kept
+    assert(dropped == Set(11L))
+  }
+
+  // ---- PQ exact re-rank ----
+
+  test("pqTopKReranked at full-corpus shortlist equals exact brute force") {
+    val embs = Tables.load(spark, sf0001, "embeddings")
+    val n = embs.count().toInt
+    val cb = Similarity.pqCodebooks(embs, "vec_id", "embedding", nSub = 8, nCodes = 16)
+    val codes = Similarity.pqEncode(embs, "vec_id", "embedding", cb)
+    val probes = embs.filter(col("vec_id") < 5)
+    val reranked = Similarity.pqTopKReranked(codes, embs, probes,
+      "vec_id", "embedding", cb, k = 5, shortlist = n)
+      .select("probe_id", "neighbor_id", "rank")
+    val exact = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id", "rank")
+    assert(reranked.exceptAll(exact).isEmpty && exact.exceptAll(reranked).isEmpty,
+      "full shortlist re-rank must reproduce exact top-k")
+  }
+
+  test("pqTopKReranked recall at moderate shortlist >= raw ADC recall") {
+    val embs = Tables.load(spark, sf0001, "embeddings")
+    val cb = Similarity.pqCodebooks(embs, "vec_id", "embedding", nSub = 8, nCodes = 16)
+    val codes = Similarity.pqEncode(embs, "vec_id", "embedding", cb)
+    val probes = embs.filter(col("vec_id") < 5)
+    val truth = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val raw = recall(Similarity.pqTopK(codes, probes, "vec_id", "embedding", cb, k = 5))
+    val rr = recall(Similarity.pqTopKReranked(codes, embs, probes,
+      "vec_id", "embedding", cb, k = 5, shortlist = 25))
+    assert(rr >= raw, s"re-rank recall $rr must not trail raw ADC recall $raw")
+  }
+
+  // ---- domain-mixture sampling ----
+
+  test("mixtureSample: binding stratum keeps everything, others downsample toward weights") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val weights = Map("src0" -> 3.0, "src1" -> 1.0)
+    val before = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val after = Sampling.mixtureSample(docs, "source", "text", weights)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    // src0 has the max n/w deficit -> it binds and keeps every row
+    assert(after("src0") == before("src0"))
+    // every stratum's permille target: n_kept <= floor-rate bound and
+    // no stratum is ever upsampled
+    assert(after.forall { case (s, n) => n <= before(s) })
+    // the weighted mixture moved toward 3:1 for src0:src1 (it starts 1:1)
+    val ratio = after("src0").toDouble / after("src1").toDouble
+    assert(ratio > 2.0, s"post-sample src0:src1 ratio $ratio should approach 3")
+  }
+
+  test("mixtureSample is deterministic and content-keyed (rerun-identical)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val w = Map("src0" -> 2.0)
+    val a = Sampling.mixtureSample(docs, "source", "text", w)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.mixtureSample(docs, "source", "text", w)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+}
