@@ -28,6 +28,21 @@ object TextFunctions {
   def shingleSet(text: Column, k: Int): Column =
     graft.plans.ShingleExpressions.wordShingleSet(text, k)
 
+  /** Corpus text normalization — the canonical pre-hash cleanup pass:
+    * Unicode NFC composition (codegen'd [[graft.plans.NfcNormalize]];
+    * identical-looking decomposed text must not dedup apart), removal of
+    * control/format characters (Cc except tab/LF/CR, all Cf — soft
+    * hyphens, zero-width joiners, BOMs), whitespace-run collapse to one
+    * space, and trim. Pure per-row expression; the character-class
+    * regex is valid in both Java regex and RE2, so the DuckDB oracle
+    * runs the literally-same pattern. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.plans.NormalizeExpressions.nfcNormalize(text),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F\\p{Cf}]", ""),
+      "\\s+", " "))
+
   /** Exact Jaccard similarity of two string arrays that are already
     * DISTINCT (sets): |A∩B| via the one-pass codegen'd count, |A∪B| by
     * inclusion-exclusion — same integers, same double division as the

@@ -535,6 +535,49 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** LINE-level exact dedup — the C4/RefinedWeb curation pass between
+    * whole-document dedup and span masking: a line (delimiter-separated
+    * unit) duplicated ANYWHERE in the corpus survives only at its first
+    * occurrence (lowest (doc_id, position)); every later copy is removed
+    * and the survivors reassemble in order. This is what strips repeated
+    * boilerplate lines (nav bars, cookie banners, license headers) while
+    * whole-document hashes miss them. Blank lines (trim-empty) are
+    * exempt — they are structure, not content, and dedup'ing them would
+    * mangle every multi-paragraph doc after the first.
+    *
+    * Scale shape: first-occurrence election is ONE min-aggregate keyed
+    * on xxhash64(line) (map-side partial min; the 8-byte key shuffles,
+    * the line string does not) + one equi-join back on the same key, and
+    * reassembly shuffles on doc — all O(corpus lines), never O(n²). A
+    * key collision (~2^-25 fraction at 2^40 lines) merges two line
+    * groups and can drop one innocent line; the sf-scale oracle keys on
+    * the line STRING, so the gate also certifies the compact key. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 delim: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(delim)
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), quoted).as("ls"))
+    val lines = base.select(col("doc_id"),
+        posexplode(col("ls")).as(Seq("pos", "line")))
+      .withColumn("blank", trim(col("line")) === "")
+      .withColumn("lkey", xxhash64(col("line")))
+    val winners = lines.filter(!col("blank")).groupBy("lkey")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+    val kept = lines.join(winners, Seq("lkey"), "left")
+      .filter(col("blank") ||
+        (col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), delim).as("clean_text"))
+    base.select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup by CLUSTER-BLOCKED
     * cosine — assign every embedding to its nearest centroid
     * (broadcast-argmin, the IVF assignment pass), then WITHIN each cell

@@ -56,8 +56,32 @@ object Sampling {
     val wt = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
       when(col(strataCol) === s, lit(w)).otherwise(acc)
     }
+    downsampleToWeights(df, strataCol, textCol, wt)
+  }
+
+  /** TEMPERATURE sampling: rebalance strata toward relative weight
+    * n_s^alpha (alpha in (0,1) flattens the natural distribution, the
+    * multilingual/multi-domain "temperature" trick — alpha=1 is identity,
+    * alpha=0 is uniform). Same deletion-only machinery as
+    * [[mixtureSample]]: with alpha<1 the SMALLEST stratum binds and
+    * keeps everything; a stratum m× larger keeps ~m^(alpha-1) of itself.
+    * The weight is derived from the stratum's own observed count —
+    * round(n^alpha, 6dp) so the oracle's pow reproduces it bit-stable. */
+  def temperatureSample(df: DataFrame, strataCol: String, textCol: String,
+                        alpha: Double): DataFrame =
+    downsampleToWeights(df, strataCol, textCol,
+      round(pow(col("n").cast("double"), lit(alpha)), 6))
+
+  /** Shared deletion-only rebalance core: `wtExpr` (evaluated over the
+    * per-stratum count frame, `n` = stratum size) sets each stratum's
+    * relative target; keep rate_s = floor(1000·w_s·K/n_s)/1000 with
+    * K = min_s(n_s/w_s), applied as a content-hash per-mille prefix
+    * filter — one |strata|-row aggregate broadcast back, zero data
+    * shuffle. */
+  private def downsampleToWeights(df: DataFrame, strataCol: String,
+                                  textCol: String, wtExpr: Column): DataFrame = {
     val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
-      .withColumn("wt", wt)
+      .withColumn("wt", wtExpr)
     val kk = counts.agg(min(col("n").cast("double") / col("wt")).as("kk"))
     val permille = counts.crossJoin(broadcast(kk))
       .select(col(strataCol),

@@ -509,6 +509,43 @@ object Extensions {
       .select(col("doc_id"), col("source"), col("keep_permille"))
       .orderBy("doc_id")
 
+  /** Unicode normalization gate: the fixture text is pure ASCII (NFC
+    * no-op), so the query PLANTS the dirt it must clean — a soft hyphen
+    * (Cf), a decomposed e+U+0301 (NFC composes to é), doubled spaces, a
+    * BEL control, a zero-width joiner and a tab — identically in both
+    * engines, then both normalize independently. */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(lit("\u00ADe\u0301  "), col("text"), lit(" \u0007\u200D\t"))
+    docs(s, d).select(col("doc_id"),
+      length(dirty).cast("long").as("n_before"),
+      graft.functions.TextFunctions.normalizeText(dirty).as("clean_text"))
+      .withColumn("n_after", length(col("clean_text")).cast("long"))
+      .select("doc_id", "n_before", "n_after", "clean_text")
+      .orderBy("doc_id")
+  }
+
+  /** Line-dedup gate: the fixture docs are single-line, so the query
+    * derives the multi-line structure — a corpus-wide header line, a
+    * per-source section line, a blank line, the (unique) body, a
+    * corpus-wide footer — identically in both engines. First occurrence
+    * survives: doc 0 keeps header+footer, the lowest doc_id per source
+    * keeps its section line, blanks are exempt everywhere. */
+  def textLineDedup(s: SparkSession, d: String): DataFrame = {
+    val structured = docs(s, d).select(col("doc_id"),
+      concat(lit("begin shared corpus header\n"),
+        lit("section "), col("source"), lit("\n\n"),
+        col("text"), lit("\nend shared corpus footer")).as("text2"))
+    Dedup.dedupLines(structured, "doc_id", "text2").orderBy("doc_id")
+  }
+
+  /** Temperature-sampling gate over the SKEWED stratum (lang: en 218 →
+    * fr 64 at sf0.01): alpha=0.5 flattens toward uniform, the smallest
+    * language binds and keeps everything, en keeps ~sqrt ratio. */
+  def sampleTemperature(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.temperatureSample(docs(s, d), "lang", "text", alpha = 0.5)
+      .select(col("doc_id"), col("lang"), col("keep_permille"))
+      .orderBy("doc_id")
+
   /** The FLAGSHIP COMPOSITION: a training-corpus preparation pipeline —
     * near-dup canonicalization (keep one representative per cluster) →
     * language filter (en) → deterministic content-hash split → per-split
@@ -689,7 +726,10 @@ object Extensions {
     "text_dedup_spans" -> (textDedupSpans _),
     "dedup_semantic" -> (dedupSemantic _),
     "sim_topk_pq_rerank" -> (simTopKPqRerank _),
-    "sample_mixture" -> (sampleMixture _)))
+    "sample_mixture" -> (sampleMixture _),
+    "text_normalize" -> (textNormalize _),
+    "text_line_dedup" -> (textLineDedup _),
+    "sample_temperature" -> (sampleTemperature _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -1598,6 +1638,66 @@ object Extensions {
         |  FROM c, k)
         |SELECT b.doc_id, b.source, r.keep_permille
         |FROM b JOIN r USING (source)
+        |WHERE b.bkt < r.keep_permille
+        |ORDER BY doc_id""".stripMargin,
+    // normalization: both engines plant the same dirt, clean independently;
+    // the char-class regex is valid in Java regex AND RE2 verbatim
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    chr(173) || 'e' || chr(769) || '  ' || text || ' ' || chr(7) || chr(8205) || chr(9) AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(dirty) AS BIGINT) AS n_before,
+        |  CAST(length(clean_text) AS BIGINT) AS n_after,
+        |  clean_text
+        |FROM (
+        |  SELECT doc_id, dirty,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F\p{Cf}]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM d)
+        |ORDER BY doc_id""".stripMargin,
+    // line dedup: oracle elects first occurrence on the line STRING (the
+    // engine shuffles xxhash64 of it); blanks exempt both sides
+    "text_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'begin shared corpus header' || chr(10) || 'section ' || source || chr(10) || chr(10) || text || chr(10) || 'end shared corpus footer' AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+        |    generate_subscripts(string_split(t, chr(10)), 1) AS pos
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, pos, line, trim(line) = '' AS blank,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |  FROM l)
+        |SELECT doc_id,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE NOT (blank OR rn = 1)) AS n_removed,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE blank OR rn = 1), '') AS clean_text
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // temperature sampling over the skewed lang stratum: wt = round(n^0.5, 6)
+    // both sides (6dp rounding absorbs any libm-vs-JVM pow ulp)
+    "sample_temperature" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 1000 AS bkt
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, count(*) AS n, round(pow(count(*), 0.5), 6) AS wt
+        |  FROM documents GROUP BY lang),
+        |k AS (SELECT min(CAST(n AS DOUBLE) / wt) AS kk FROM c),
+        |r AS (
+        |  SELECT lang,
+        |    least(CAST(floor(wt * kk * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT), 1000)
+        |      AS keep_permille
+        |  FROM c, k)
+        |SELECT b.doc_id, b.lang, r.keep_permille
+        |FROM b JOIN r USING (lang)
         |WHERE b.bkt < r.keep_permille
         |ORDER BY doc_id""".stripMargin)
 

@@ -150,6 +150,73 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ratio > 2.0, s"post-sample src0:src1 ratio $ratio should approach 3")
   }
 
+  // ---- line-level dedup ----
+
+  test("dedupLines keeps the first occurrence and exempts blank lines") {
+    val docs = Seq(
+      (1L, "shared header\nunique alpha\n\nshared footer"),
+      (2L, "shared header\nunique beta\n\nshared footer")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 4L, 0L, "shared header\nunique alpha\n\nshared footer")))
+    assert(out(1) == ((2L, 4L, 2L, "unique beta\n")))
+  }
+
+  test("dedupLines removes within-doc repeated lines, keeping the first") {
+    val docs = Seq((1L, "same line\nmiddle\nsame line")).toDF("doc_id", "text")
+    val Array((_, n, removed, clean)) = Dedup.dedupLines(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(n == 3L && removed == 1L && clean == "same line\nmiddle")
+  }
+
+  test("dedupLines: a doc whose every line is removed yields empty text") {
+    val docs = Seq((1L, "only line"), (2L, "only line")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 1L, 0L, "only line")))
+    assert(out(1) == ((2L, 1L, 1L, "")))
+  }
+
+  // ---- unicode normalization ----
+
+  test("normalizeText composes NFC, strips control/format chars, collapses whitespace") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, "­é  double  space tail\t "), // Cf + decomposed + ctrl
+      (2L, "already clean ascii")
+    ).toDF("id", "t")
+    val out = rows.select(col("id"), TextFunctions.normalizeText(col("t")).as("c"))
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out(0)._2 == "é double space tail", s"got ${out(0)._2}")
+    assert(out(1)._2 == "already clean ascii")
+  }
+
+  test("normalizeText preserves tab/newline as collapsible whitespace, not stripped chars") {
+    import graft.functions.TextFunctions
+    val Array(c) = Seq(Tuple1("a\tb\nc")).toDF("t")
+      .select(TextFunctions.normalizeText(col("t"))).as[String].collect()
+    assert(c == "a b c")
+  }
+
+  // ---- temperature sampling ----
+
+  test("temperatureSample: alpha=1 is the identity, alpha=0.5 downsamples only larger strata") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val n = docs.count()
+    assert(Sampling.temperatureSample(docs, "lang", "text", alpha = 1.0).count() == n)
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val smallest = before.minBy(_._2)._1
+    val after = Sampling.temperatureSample(docs, "lang", "text", alpha = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(after(smallest) == before(smallest), "binding (smallest) stratum keeps all")
+    assert(after.forall { case (s, c) => c <= before(s) }, "deletion-only")
+    // flattening: the largest stratum's share must shrink
+    val largest = before.maxBy(_._2)._1
+    assert(after(largest).toDouble / after.values.sum <
+      before(largest).toDouble / before.values.sum)
+  }
+
   test("mixtureSample is deterministic and content-keyed (rerun-identical)") {
     val docs = Tables.load(spark, sf0001, "documents")
     val w = Map("src0" -> 2.0)
