@@ -625,6 +625,63 @@ object Extensions {
       .orderBy("split")
   }
 
+  /** FLAGSHIP v3 — the full modern LLM-corpus pipeline, adding the
+    * round-6 operators to v2's chain: near-dup canonicalization →
+    * repeated-span MASKING (de-boilerplate; spans counted over the
+    * post-canonical train candidates) → benchmark decontamination
+    * (masked train 8-grams vs raw eval 8-grams) → quality rules over
+    * the masked text → language ID → TEMPERATURE sampling over the
+    * detected-language strata (alpha=0.5; replaces v2's en-only filter
+    * — the multilingual mixture rebalance) → content-hash split →
+    * per-(split, shard) sequence packing → per-split rollup.
+    *
+    * Masking runs BEFORE decontamination and quality on purpose:
+    * repeated boilerplate is exactly what quality heuristics mis-score
+    * and what spuriously matches eval 8-grams. Every stage is the
+    * already-gated operator; nothing collects, nothing is all-pairs
+    * (canonicalize is banded, masking/decon are hash-keyed aggregates,
+    * sampling is a metadata-broadcast filter). */
+  def trainCorpusPrepV3(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val all = docs(s, d)
+    val evalSet = all.filter(col("doc_id") % 10 === 0)
+    val reps = Dedup.canonicalize(all, "doc_id", "text")
+      .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+      .join(all, "doc_id")
+      .filter(col("doc_id") % 10 =!= 0) // eval docs never train
+    val masked = Blocks.copyOut(
+      Dedup.maskRepeatedSpans(reps, "doc_id", "text", k = 8, minOccurrences = 2)
+        .select(col("doc_id"), col("clean_text").as("text")),
+      singleEval = true)
+    val contaminated = Dedup.decontaminate(masked, evalSet, "doc_id", "text", k = 8)
+      .select(col("train_id").as("doc_id"))
+    val clean = Blocks.copyOut(
+      masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
+      singleEval = true)
+    // checkpoint metrics BEFORE the keep-filter (see v2's note: predicate
+    // pushdown by substitution re-derives the HOF quality expressions)
+    val metrics = Blocks.copyOut(
+      TextAnalysis.qualityFilter(clean, "doc_id", "text"), singleEval = true)
+    val kept = Blocks.copyOut(metrics
+      .filter(col("keep")).select("doc_id")
+      .join(clean, "doc_id")
+      .withColumn("lang", TF.langId(col("text"))),
+      singleEval = true)
+    val sampled = graft.operators.Sampling
+      .temperatureSample(kept, "lang", "text", alpha = 0.5)
+      .select(col("doc_id"), col("text"),
+        graft.operators.Sampling.contentSplit(col("text")).as("split"))
+    val packed = Seq("train", "val", "test").map { sp =>
+      TextAnalysis.packSequences(sampled.filter(col("split") === sp), "doc_id", "text")
+        .withColumn("split", lit(sp))
+    }.reduce(_ unionByName _)
+    packed.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("shard"), col("seq_id")).as("n_sequences"))
+      .orderBy("split")
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -723,6 +780,7 @@ object Extensions {
     "multimodal_retrieval" -> (multimodalRetrieval _),
     "train_corpus_prep" -> (trainCorpusPrep _),
     "train_corpus_prep_v2" -> (trainCorpusPrepV2 _),
+    "train_corpus_prep_v3" -> (trainCorpusPrepV3 _),
     "text_dedup_spans" -> (textDedupSpans _),
     "dedup_semantic" -> (dedupSemantic _),
     "sim_topk_pq_rerank" -> (simTopKPqRerank _),
@@ -1640,6 +1698,149 @@ object Extensions {
         |FROM b JOIN r USING (source)
         |WHERE b.bkt < r.keep_permille
         |ORDER BY doc_id""".stripMargin,
+    // FLAGSHIP v3: v2 chain + span masking (kg/dup/cov over reps) +
+    // temperature sampling over detected lang (c/k/rr/samp CTEs)
+    "train_corpus_prep_v3" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_distinct(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    END AS sh
+        |  FROM w
+        |), pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |      CAST(len(a.sh) + len(b.sh)
+        |           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |  WHERE jaccard >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst
+        |), canon AS (
+        |  SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+        |), reps AS (
+        |  SELECT d.doc_id, ww.toks
+        |  FROM documents d
+        |  JOIN canon c ON d.doc_id = c.doc_id
+        |  JOIN w ww ON ww.doc_id = d.doc_id
+        |  WHERE c.doc_id = c.canonical_id AND d.doc_id % 10 <> 0
+        |), kg AS (
+        |  SELECT doc_id, r.p, array_to_string(toks[r.p:r.p+7], ' ') AS g
+        |  FROM reps, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 6, 1))) AS p) r
+        |), dup AS (
+        |  SELECT g FROM kg GROUP BY g HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT kg.doc_id, c.p2
+        |  FROM kg JOIN dup USING (g),
+        |    LATERAL (SELECT unnest(range(kg.p, kg.p + 8)) AS p2) c
+        |), rtok AS (
+        |  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos FROM reps
+        |), m AS (
+        |  SELECT t.doc_id,
+        |    coalesce(string_agg(t.word, ' ' ORDER BY t.pos) FILTER (WHERE c.p2 IS NULL), '')
+        |      AS text
+        |  FROM rtok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p2
+        |  GROUP BY t.doc_id
+        |), mt AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |  FROM m
+        |), s8e AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_distinct(list_transform(range(1, len(toks) - 6),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |          || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
+        |    END AS sh
+        |  FROM w WHERE doc_id % 10 = 0
+        |), ev8 AS (SELECT DISTINCT unnest(sh) AS g FROM s8e),
+        |tr8 AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_distinct(list_transform(range(1, len(toks) - 6),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |          || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
+        |    END) AS g
+        |  FROM mt
+        |), contaminated AS (SELECT DISTINCT tr8.doc_id FROM tr8 JOIN ev8 USING (g)),
+        |clean AS (
+        |  SELECT * FROM mt
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |), q AS (
+        |  SELECT doc_id, text, toks FROM clean
+        |  WHERE len(toks) BETWEEN 20 AND 10000
+        |    AND CAST(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0
+        |    AND len(list_filter(toks, t -> list_contains(['the', 'a', 'is', 'of', 'and', 'to', 'der', 'die', 'und', 'das', 'ist', 'ein', 'le', 'la', 'et', 'les', 'des', 'est', 'el', 'de', 'que', 'los', 'es', 'una'], t))) >= 1
+        |    AND CAST(list_max(list_transform(list_distinct(toks),
+        |          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+        |        / CAST(len(toks) AS DOUBLE) <= 0.2
+        |    AND (CASE WHEN len(toks) >= 2 THEN
+        |          CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |            i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE)
+        |        ELSE CAST(0 AS DOUBLE) END) <= 0.1
+        |), lscore AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> list_contains(['the', 'a', 'is', 'of', 'and', 'to'], t))) AS s_en,
+        |    len(list_filter(toks, t -> list_contains(['der', 'die', 'und', 'das', 'ist', 'ein'], t))) AS s_de,
+        |    len(list_filter(toks, t -> list_contains(['le', 'la', 'et', 'les', 'des', 'est'], t))) AS s_fr,
+        |    len(list_filter(toks, t -> list_contains(['el', 'de', 'que', 'los', 'es', 'una'], t))) AS s_es
+        |  FROM q
+        |), langed AS (
+        |  SELECT q.doc_id, q.text, len(q.toks) AS n_tokens,
+        |    CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+        |      WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |      WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |      ELSE 'es' END AS lang
+        |  FROM q JOIN lscore l ON q.doc_id = l.doc_id
+        |), c AS (
+        |  SELECT lang, count(*) AS n, round(pow(count(*), 0.5), 6) AS wt
+        |  FROM langed GROUP BY lang
+        |), k AS (SELECT min(CAST(n AS DOUBLE) / wt) AS kk FROM c),
+        |rr AS (
+        |  SELECT lang,
+        |    least(CAST(floor(wt * kk * 1000.0 / CAST(n AS DOUBLE)) AS BIGINT), 1000)
+        |      AS keep_permille
+        |  FROM c, k
+        |), samp AS (
+        |  SELECT langed.doc_id, langed.text, langed.n_tokens
+        |  FROM langed JOIN rr USING (lang)
+        |  WHERE list_reduce(
+        |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 1000 < keep_permille
+        |), f AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN list_reduce(
+        |        list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+        |        (a, b) -> (a * 31 + b) % 1000000007) % 100 < 80 THEN 'train'
+        |      WHEN list_reduce(
+        |        list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)),
+        |        (a, b) -> (a * 31 + b) % 1000000007) % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM samp
+        |), packed AS (
+        |  SELECT split, doc_id % 8 AS shard, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY split, doc_id % 8
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) // 512 AS seq_id
+        |  FROM f)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT (shard, seq_id)) AS n_sequences
+        |FROM packed GROUP BY 1 ORDER BY split""".stripMargin,
     // normalization: both engines plant the same dirt, clean independently;
     // the char-class regex is valid in Java regex AND RE2 verbatim
     "text_normalize" ->
