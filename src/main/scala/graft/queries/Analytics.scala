@@ -242,6 +242,18 @@ object Analytics {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** Z-order key gate: the Morton-curve clustering key ([[graft.operators.ZOrder]])
+    * computed over (l_partkey, l_suppkey) with exact integer min-max
+    * scaling — the oracle rebuilds the interleave bit-by-bit, so a
+    * hash-match certifies the entire key arithmetic (the layout win
+    * itself is measured in ZOrderSpec via row-group skipping). */
+  def zOrderKeyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem").filter(col("l_orderkey") <= 200)
+    graft.operators.ZOrder.zOrdered(li, "l_partkey", "l_suppkey", bits = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("z_key"))
+      .orderBy("z_key", "l_orderkey", "l_linenumber")
+  }
+
   /** Set ops: nations appearing as customer vs supplier nations —
     * INTERSECT / EXCEPT / UNION distinct, tagged into one result. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
@@ -999,6 +1011,7 @@ object Analytics {
     "q_cube_events" -> (cubeEvents _),
     "q_grouping_sets" -> (groupingSetsOrders _),
     "q_range_frame" -> (rangeFrameRevenue _),
+    "q_zorder_key" -> (zOrderKeyQuery _),
     "q_set_ops" -> (setOps _),
     "q_topk" -> (topKExpensive _),
     "q_distinct_agg" -> (distinctAgg _),
@@ -1410,6 +1423,21 @@ object Analytics {
         |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_qty
         |FROM lineitem WHERE l_suppkey <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    // Morton key rebuilt bit-by-bit: scale both dims with integer DIV,
+    // then sum interleaved bit terms — certifies ZOrder.zKey exactly
+    "q_zorder_key" ->
+      """WITH li AS (SELECT * FROM lineitem WHERE l_orderkey <= 200),
+        |r AS (SELECT min(l_partkey) AS xlo, max(l_partkey) AS xhi,
+        |             min(l_suppkey) AS ylo, max(l_suppkey) AS yhi FROM li),
+        |sc AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN xhi = xlo THEN 0 ELSE (CAST(l_partkey - xlo AS BIGINT) * 255) // (xhi - xlo) END AS xs,
+        |    CASE WHEN yhi = ylo THEN 0 ELSE (CAST(l_suppkey - ylo AS BIGINT) * 255) // (yhi - ylo) END AS ys
+        |  FROM li, r)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(0, 8), b ->
+        |    (((xs >> b) & 1) << (2*b+1)) + (((ys >> b) & 1) << (2*b)))) AS BIGINT) AS z_key
+        |FROM sc ORDER BY z_key, l_orderkey, l_linenumber""".stripMargin,
     "q_cube_events" ->
       """SELECT event_type, 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
         |  COUNT(*) AS cnt,
