@@ -242,6 +242,32 @@ object Analytics {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** lag/lead analytic windows: per-customer order sequence with
+    * previous/next keys and the exact DECIMAL price delta vs the prior
+    * order. One shuffle on the partition key, like any window. */
+  def lagLeadOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    t(spark, dir, "orders").filter(col("o_custkey") <= 20)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+        lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+        (dec(col("o_totalprice")) - lag(dec(col("o_totalprice")), 1).over(w))
+          .cast("double").as("price_delta"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Exact interpolated percentiles (the continuous/C=1 convention both
+    * engines implement) per group — distribution summary of the classic
+    * monitoring kind. Catalyst's Percentile is a one-shuffle partial
+    * aggregate (per-group value buffers merge map-side). */
+  def percentileQuantity(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_quantity").cast("double"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity").cast("double"), lit(0.95)), 6).as("p95"),
+        round(percentile(col("l_quantity").cast("double"), lit(0.99)), 6).as("p99"))
+      .orderBy("l_returnflag")
+
   /** Z-order key gate: the Morton-curve clustering key ([[graft.operators.ZOrder]])
     * computed over (l_partkey, l_suppkey) with exact integer min-max
     * scaling — the oracle rebuilds the interleave bit-by-bit, so a
@@ -1012,6 +1038,8 @@ object Analytics {
     "q_grouping_sets" -> (groupingSetsOrders _),
     "q_range_frame" -> (rangeFrameRevenue _),
     "q_zorder_key" -> (zOrderKeyQuery _),
+    "q_lag_lead" -> (lagLeadOrders _),
+    "q_percentile" -> (percentileQuantity _),
     "q_set_ops" -> (setOps _),
     "q_topk" -> (topKExpensive _),
     "q_distinct_agg" -> (distinctAgg _),
@@ -1438,6 +1466,22 @@ object Analytics {
         |  CAST(list_sum(list_transform(range(0, 8), b ->
         |    (((xs >> b) & 1) << (2*b+1)) + (((ys >> b) & 1) << (2*b)))) AS BIGINT) AS z_key
         |FROM sc ORDER BY z_key, l_orderkey, l_linenumber""".stripMargin,
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_ok,
+        |  lead(o_orderkey) OVER w AS next_ok,
+        |  CAST(CAST(o_totalprice AS DECIMAL(10,2))
+        |    - lag(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DOUBLE) AS price_delta
+        |FROM orders WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 6) AS p95,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_cube_events" ->
       """SELECT event_type, 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
         |  COUNT(*) AS cnt,
