@@ -256,18 +256,6 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** Exact interpolated percentiles (the continuous/C=1 convention both
-    * engines implement) per group — distribution summary of the classic
-    * monitoring kind. Catalyst's Percentile is a one-shuffle partial
-    * aggregate (per-group value buffers merge map-side). */
-  def percentileQuantity(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem").groupBy("l_returnflag")
-      .agg(
-        round(percentile(col("l_quantity").cast("double"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("l_quantity").cast("double"), lit(0.95)), 6).as("p95"),
-        round(percentile(col("l_quantity").cast("double"), lit(0.99)), 6).as("p99"))
-      .orderBy("l_returnflag")
-
   /** Z-order key gate: the Morton-curve clustering key ([[graft.operators.ZOrder]])
     * computed over (l_partkey, l_suppkey) with exact integer min-max
     * scaling — the oracle rebuilds the interleave bit-by-bit, so a
@@ -1039,7 +1027,6 @@ object Analytics {
     "q_range_frame" -> (rangeFrameRevenue _),
     "q_zorder_key" -> (zOrderKeyQuery _),
     "q_lag_lead" -> (lagLeadOrders _),
-    "q_percentile" -> (percentileQuantity _),
     "q_set_ops" -> (setOps _),
     "q_topk" -> (topKExpensive _),
     "q_distinct_agg" -> (distinctAgg _),
@@ -1475,13 +1462,6 @@ object Analytics {
         |FROM orders WHERE o_custkey <= 20
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
-    "q_percentile" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
-        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.95), 6) AS p95,
-        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS p99
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
     "q_cube_events" ->
       """SELECT event_type, 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
         |  COUNT(*) AS cnt,

@@ -140,4 +140,64 @@ class PlanSpec extends SparkSpec {
     assert(formatted.contains("WholeStageCodegen"), formatted.take(500))
     assert(formatted.contains("lsh_bucket"), formatted.take(500))
   }
+
+  // every shuffle exchange in the plan, with its output schema — the
+  // "what actually rides the wire" view for payload contracts
+  private def shuffleOutputs(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case n => Seq(n)
+      }
+    walk(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(",")
+    }
+  }
+
+  test("mixture/temperature sampling: the document text never rides a shuffle") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    for (df <- Seq(
+        graft.operators.Sampling.mixtureSample(docs, "source", "text", Map("src0" -> 2.0)),
+        graft.operators.Sampling.temperatureSample(docs, "lang", "text", 0.5))) {
+      df.collect() // materialize so AQE finalizes the stages
+      val leaks = shuffleOutputs(df).filter(_.contains("text:"))
+      assert(leaks.isEmpty,
+        s"only the |strata|-row count aggregate may shuffle, got: $leaks")
+    }
+  }
+
+  test("repeated-span masking: the gram string never rides a shuffle (8-byte key only)") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val df = graft.operators.Dedup.maskRepeatedSpans(docs, "doc_id", "text", k = 8)
+    df.collect()
+    // shuffles may carry the 8-byte gkey, (doc,pos) pairs, and the final
+    // per-doc reassembly structs — never a gram-sized string column
+    val leaks = shuffleOutputs(df).filter(s => s.contains("gkey:string") || s.contains("gram"))
+    assert(leaks.isEmpty, s"gram strings must stay map-side, got: $leaks")
+    assert(shuffleOutputs(df).exists(_.contains("gkey:bigint")),
+      "the occurrence count must key on the 8-byte hash")
+  }
+
+  test("line dedup: election shuffles the 8-byte line key, not the line") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val df = graft.operators.Dedup.dedupLines(docs, "doc_id", "text")
+    df.collect()
+    val electionExchanges = shuffleOutputs(df).filter(_.contains("lkey:bigint"))
+    assert(electionExchanges.nonEmpty, "winner election must key on xxhash64(line)")
+    assert(!electionExchanges.exists(_.contains("line:string")),
+      s"the election aggregate must not carry the line string: $electionExchanges")
+  }
+
+  test("z-ordered layout: exactly one data exchange (the range repartition)") {
+    val li = Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    val df = graft.operators.ZOrder.zOrdered(li, "l_partkey", "l_suppkey")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p.take(800))
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      "one range exchange only — the clustered-write cost")
+  }
 }
