@@ -556,6 +556,53 @@ object Similarity {
       .filter(col("p_id") =!= col("c_id"))
       .withColumn("adc_dist", adcDist), k)
 
+  /** k-NN GRAPH via IVF cell blocking — every vector's top-k neighbors
+    * within its own centroid cell, the building block for graph-based
+    * curation (dedup clustering, connectivity analysis, label
+    * propagation). Same blocking contract as [[graft.operators.Dedup.semanticDedup]]:
+    * the all-pairs O(n²) collapses to Σ_cells O(|cell|²); a true
+    * neighbor in another cell is missed (raise recall by lowering
+    * nCells or passing refined centroids). Pairs co-shuffle once on the
+    * cell key; per-id top-k is a WindowGroupLimit (partial per
+    * partition, no global sort). */
+  def knnGraphIvf(embeddings: DataFrame, idCol: String, vecCol: String,
+                  k: Int, nCells: Int = 16,
+                  centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(seedCentroids(embeddings, idCol, vecCol, nCells))
+    val assigned = assignedNormed(cents, embeddings, idCol, vecCol)
+    val a = assigned.select(col("cell"), col("c_id").as("vec_id"),
+      col("c_e").as("e_a"), col("c_nrm").as("nrm_a"))
+    val b = assigned.select(col("cell"), col("c_id").as("neighbor_id"),
+      col("c_e").as("e_b"), col("c_nrm").as("nrm_b"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VF.cosineWithNorms(col("e_a"), col("e_b"), col("nrm_a"), col("nrm_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("cell"), col("cosine"), col("rank"))
+  }
+
+  /** DIVERSITY sampling — per-semantic-cell quota: assign every vector
+    * to its nearest centroid, keep at most `cap` per cell (deterministic
+    * id order; pass a precomputed ordering column via the id if quality-
+    * ranked selection is wanted). Flattens semantic redundancy the way
+    * temperature sampling flattens source redundancy — the cluster-quota
+    * step of SemDeDup-style curation pipelines. One broadcast-argmin
+    * assignment + one WindowGroupLimit; nothing all-pairs. */
+  def diversitySample(embeddings: DataFrame, idCol: String, vecCol: String,
+                      cap: Int, nCells: Int = 16,
+                      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(seedCentroids(embeddings, idCol, vecCol, nCells))
+    val w = Window.partitionBy(col("cell")).orderBy(col("c_id"))
+    assignedNormed(cents, embeddings, idCol, vecCol)
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= cap)
+      .select(col("c_id").as(idCol), col("cell"), col("cell_rank"))
+  }
+
   /** PQ shortlist → EXACT re-rank — the standard production recall fix
     * for quantized search: ADC ranks a `shortlist`-deep candidate set per
     * probe entirely in the compressed domain (no corpus vectors touched),

@@ -538,6 +538,17 @@ object Extensions {
     Dedup.dedupLines(structured, "doc_id", "text2").orderBy("doc_id")
   }
 
+  /** k-NN graph gate: every vector's top-3 within its IVF cell — the
+    * verified assignment + cosine arithmetic, ranked per id. */
+  def simKnnGraph(s: SparkSession, d: String): DataFrame =
+    Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding", k = 3, nCells = 16)
+      .orderBy("vec_id", "rank")
+
+  /** Diversity-sampling gate: at most 10 per semantic cell, id order. */
+  def sampleDiverse(s: SparkSession, d: String): DataFrame =
+    Similarity.diversitySample(embs(s, d), "vec_id", "embedding", cap = 10, nCells = 16)
+      .orderBy("cell", "cell_rank")
+
   /** Temperature-sampling gate over the SKEWED stratum (lang: en 218 →
     * fr 64 at sf0.01): alpha=0.5 flattens toward uniform, the smallest
     * language binds and keeps everything, en keeps ~sqrt ratio. */
@@ -787,7 +798,9 @@ object Extensions {
     "sample_mixture" -> (sampleMixture _),
     "text_normalize" -> (textNormalize _),
     "text_line_dedup" -> (textLineDedup _),
-    "sample_temperature" -> (sampleTemperature _)))
+    "sample_temperature" -> (sampleTemperature _),
+    "sim_knn_graph" -> (simKnnGraph _),
+    "sample_diverse" -> (sampleDiverse _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -1900,7 +1913,51 @@ object Extensions {
         |SELECT b.doc_id, b.lang, r.keep_permille
         |FROM b JOIN r USING (lang)
         |WHERE b.bkt < r.keep_permille
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // k-NN graph: the dedup_semantic cents/ca CTEs + per-id ranked cosine
+    "sim_knn_graph" -> (vecCte +
+      """, cents AS (
+        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+        |  FROM n ORDER BY vec_id LIMIT 16
+        |), ca AS (
+        |  SELECT c_id, cell FROM (
+        |    SELECT a.vec_id AS c_id, b.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) DESC, b.cent_id) AS rn
+        |    FROM n a CROSS JOIN cents b)
+        |  WHERE rn = 1
+        |)
+        |SELECT vec_id, neighbor_id, cell, cosine, CAST(rank AS INT) AS rank FROM (
+        |  SELECT vec_id, neighbor_id, cell, cosine,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT aa.c_id AS vec_id, bb.c_id AS neighbor_id, aa.cell AS cell,
+        |      list_reduce(list_transform(range(1, len(na.e)+1), i -> na.e[i]*nb.e[i]),
+        |        (x,y) -> x+y) / (na.nrm * nb.nrm) AS cosine
+        |    FROM ca aa JOIN ca bb ON aa.cell = bb.cell AND aa.c_id <> bb.c_id
+        |    JOIN n na ON na.vec_id = aa.c_id
+        |    JOIN n nb ON nb.vec_id = bb.c_id))
+        |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin),
+    // diversity sampling: per-cell quota over the same assignment
+    "sample_diverse" -> (vecCte +
+      """, cents AS (
+        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+        |  FROM n ORDER BY vec_id LIMIT 16
+        |), ca AS (
+        |  SELECT c_id, cell FROM (
+        |    SELECT a.vec_id AS c_id, b.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) DESC, b.cent_id) AS rn
+        |    FROM n a CROSS JOIN cents b)
+        |  WHERE rn = 1
+        |)
+        |SELECT vec_id, cell, cell_rank FROM (
+        |  SELECT c_id AS vec_id, cell,
+        |    CAST(row_number() OVER (PARTITION BY cell ORDER BY c_id) AS INT) AS cell_rank
+        |  FROM ca)
+        |WHERE cell_rank <= 10 ORDER BY cell, cell_rank""".stripMargin))
 
   val oracles: Map[String, String] = Entries.toMapUnique("Extensions.oracles", oracleEntries)
 }
