@@ -296,4 +296,64 @@ object TextAnalysis {
       count(t, phone).as("n_phones"),
       TF.rollingFingerprint(redacted).as("redacted_fingerprint"))
   }
+
+  /** BM25 top-k retrieval — the inverted-index query shape over the
+    * corpus (Robertson/Okapi, Lucene's +1 idf form). The plan is the one
+    * a 100 TB retrieval pass needs:
+    *  - the postings shuffle carries ONLY tokens matching the query terms
+    *    (the filter sits inside the generator input, so the exploded
+    *    stream is O(matched tokens), not O(corpus tokens));
+    *  - corpus stats (N, Σdl) are one 1-row aggregate broadcast back;
+    *  - per-term document frequency is |queryTerms| rows, broadcast;
+    *  - the final top-k is TakeOrderedAndProject — no global sort.
+    * Determinism: each per-(doc,term) contribution is rounded to 6 dp and
+    * cast DECIMAL(18,6) before the per-doc sum, so the sum is exact in
+    * any order and the ranking is bit-stable cross-engine. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], topK: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: queryTerms must be non-empty")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = docs.select(col(idCol),
+      TF.words(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+    // 1-row corpus stats; joined back via broadcast (metadata-scale)
+    val stats = toks.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    // postings: explode only the matching tokens, then map-side-combined
+    // count per (doc, term) — the only corpus-wide shuffle in the plan
+    val posting = toks
+      .select(col(idCol), col("dl"),
+        explode(filter(col("__toks"), t => t.isInCollection(terms))).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val dfreq = posting.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val scored = posting
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        round(col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))), 6)
+          .cast("decimal(18,6)"))
+    scored.groupBy(col(idCol), col("dl"))
+      .agg(sum(col("contrib")).as("__score_x"),
+        count(lit(1)).cast("long").as("n_terms_matched"))
+      .orderBy(col("__score_x").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("dl").as("doc_len"), col("n_terms_matched"),
+        col("__score_x").cast("double").as("score"))
+      // re-assert the output order over the projected columns (the 6-dp
+      // double collides only if two distinct decimal sums round together;
+      // the id tie-break keeps the order total either way)
+      .orderBy(col("score").desc, col(idCol))
+  }
 }

@@ -440,6 +440,15 @@ object Extensions {
     TextAnalysis.tfidf(docs(s, d), "doc_id", "text", topK = 3)
       .orderBy("doc_id", "rank")
 
+  /** BM25 top-k retrieval over the corpus. The query terms span the
+    * frequency range of the fixture vocabulary so idf actually
+    * discriminates; k1/b are the Robertson defaults. */
+  def textBm25(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25(docs(s, d), "doc_id", "text",
+      queryTerms = bm25Terms, topK = 15)
+
+  private[queries] val bm25Terms = Seq("join", "vector", "stream", "window")
+
   def textPackSequences(s: SparkSession, d: String): DataFrame =
     TextAnalysis.packSequences(docs(s, d), "doc_id", "text",
       tokensPerSeq = 512, nShards = 8)
@@ -800,7 +809,8 @@ object Extensions {
     "text_line_dedup" -> (textLineDedup _),
     "sample_temperature" -> (sampleTemperature _),
     "sim_knn_graph" -> (simKnnGraph _),
-    "sample_diverse" -> (sampleDiverse _)))
+    "sample_diverse" -> (sampleDiverse _),
+    "text_bm25" -> (textBm25 _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -1957,7 +1967,44 @@ object Extensions {
         |  SELECT c_id AS vec_id, cell,
         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY c_id) AS INT) AS cell_rank
         |  FROM ca)
-        |WHERE cell_rank <= 10 ORDER BY cell, cell_rank""".stripMargin))
+        |WHERE cell_rank <= 10 ORDER BY cell, cell_rank""".stripMargin),
+    "text_bm25" -> bm25Sql)
+
+  /** BM25 oracle — constants are interpolated from the SAME Scala doubles
+    * the operator uses (Double.toString round-trips, so DuckDB parses the
+    * identical IEEE value) and the arithmetic is written in the operator's
+    * exact association order; contributions round to DECIMAL(18,6) before
+    * the per-doc sum, so the ranking is bit-stable cross-engine. */
+  private def bm25Sql: String = {
+    val k1 = 1.2; val b = 0.75
+    val termList = bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    tokensCte + s"""
+      |, t AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |    unnest(list_filter(toks, x -> list_contains($termList, x))) AS term
+      |  FROM w),
+      |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+      |      FROM t GROUP BY 1, 2, 3),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM w),
+      |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, dl,
+      |    CAST(round(
+      |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |         / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf AS DOUBLE) * ${k1 + 1.0})
+      |      / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE)
+      |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
+      |      AS DECIMAL(18,6)) AS contrib
+      |  FROM p JOIN dfq USING (term), st)
+      |SELECT doc_id, doc_len, n_terms_matched, score FROM (
+      |  SELECT doc_id, dl AS doc_len,
+      |    CAST(count(*) AS BIGINT) AS n_terms_matched,
+      |    CAST(sum(contrib) AS DOUBLE) AS score, sum(contrib) AS sx
+      |  FROM sc GROUP BY 1, 2)
+      |ORDER BY sx DESC, doc_id LIMIT 15""".stripMargin
+  }
 
   val oracles: Map[String, String] = Entries.toMapUnique("Extensions.oracles", oracleEntries)
 }

@@ -40,6 +40,46 @@ class TextOpsSpec extends SparkSpec {
     assert(out.select("train_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("bm25: hand-computed tiny corpus ranks and scores") {
+    // 3 docs, query = {cat}; df(cat)=2, N=3, dl = 4/4/4, avgdl = 4
+    // idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6)
+    // doc 1: tf=2 → contrib = idf*2*2.2/(2+1.2*(0.25+0.75*1)) = idf*4.4/3.2
+    // doc 2: tf=1 → contrib = idf*2.2/(1+1.2*1.0) = idf*2.2/2.2 = idf
+    val corpus = docsDf(
+      1L -> "cat cat dog bird",
+      2L -> "cat dog bird fish",
+      3L -> "dog bird fish worm")
+    val out = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("cat"), topK = 10)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3: no match
+    val idf = math.log(1.6)
+    val c1 = BigDecimal(idf * (2.0 * 2.2) / (2.0 + 1.2 * (1.0 - 0.75 + 0.75 * 4.0 / 4.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c2 = BigDecimal(idf * (1.0 * 2.2) / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 4.0 / 4.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(3) == c1 && out(1).getDouble(3) == c2)
+    assert(out.forall(_.getLong(1) == 4L)) // doc_len
+  }
+
+  test("bm25: rarer term outweighs common term at equal tf; topK bounds output") {
+    // "rare" appears in 1 of 12 docs, "common" in all 12 → idf(rare) >> idf(common)
+    val corpus = docsDf((1L to 12L).map { i =>
+      i -> (if (i == 1) "rare common filler pad" else "common filler pad word")
+    }: _*)
+    val both = TextAnalysis.bm25(corpus, "doc_id", "text",
+      Seq("rare", "common"), topK = 3).collect()
+    assert(both.length == 3 && both.head.getLong(0) == 1L)
+    assert(both.head.getLong(2) == 2L) // doc 1 matched both terms
+    // longer doc with same tf scores lower (length normalization)
+    val ln = docsDf(
+      1L -> "cat dog",
+      2L -> "cat dog bird fish worm mouse horse cow")
+    val out = TextAnalysis.bm25(ln, "doc_id", "text", Seq("cat"), topK = 10)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(3) > out(1).getDouble(3))
+  }
+
   test("decontaminate broadcast and shuffle paths agree") {
     val all = spark.read.parquet(s"$sf0001/documents.parquet")
     val train = all.filter(col("doc_id") % 10 =!= 0)
