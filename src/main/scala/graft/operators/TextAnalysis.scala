@@ -297,6 +297,46 @@ object TextAnalysis {
       TF.rollingFingerprint(redacted).as("redacted_fingerprint"))
   }
 
+  /** Windowed PMI co-occurrence — the word-association statistic behind
+    * embedding-prep pipelines (GloVe/word2vec co-occurrence matrices).
+    * Pairs are generated PER ROW from the token array (a higher-order
+    * `transform` over a forward window of `window` tokens, symmetrized by
+    * lexicographic least/greatest) — there is NO positional self-join, so
+    * the corpus never joins against itself; the exploded pair stream is
+    * O(tokens × window) and both count aggregates are map-side combined.
+    * The unigram join keys on term (AQE broadcasts it when the vocab is
+    * small; at web-corpus vocab sizes it is a plain shuffle join on the
+    * vocab, not the corpus). PMI = ln((p(a,b)) / (p(a)·p(b))), computed
+    * in a fixed association order and rounded to 6 dp for cross-engine
+    * determinism. */
+  def pmiCooccurrence(docs: DataFrame, idCol: String, textCol: String,
+                      window: Int = 4, minCount: Long = 5): DataFrame = {
+    val toks = docs.select(TF.words(col(textCol)).as("toks"))
+    // per-row pair structs: token i × tokens (i+1 .. i+window)
+    val pairs = toks.select(explode(flatten(transform(col("toks"), (t, i) =>
+      transform(slice(col("toks"), i + lit(2), lit(window)), u =>
+        struct(least(t, u).as("a"), greatest(t, u).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairCounts = pairs.groupBy("a", "b")
+      .agg(count(lit(1)).cast("long").as("n_pair"))
+    val uni = toks.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("n_term"))
+    // 1-row totals, broadcast back (metadata-scale)
+    val totals = pairCounts.agg(sum(col("n_pair")).cast("long").as("t_pairs"))
+      .crossJoin(uni.agg(sum(col("n_term")).cast("long").as("t_uni")))
+    val ua = uni.select(col("term").as("a"), col("n_term").as("n_a"))
+    val ub = uni.select(col("term").as("b"), col("n_term").as("n_b"))
+    pairCounts.filter(col("n_pair") >= minCount)
+      .join(ua, "a").join(ub, "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_pair"), col("n_a"), col("n_b"),
+        round(log((col("n_pair").cast("double") / col("t_pairs").cast("double")) /
+          ((col("n_a").cast("double") / col("t_uni").cast("double")) *
+            (col("n_b").cast("double") / col("t_uni").cast("double")))), 6)
+          .as("pmi"))
+      .orderBy("a", "b")
+  }
+
   /** BM25 top-k retrieval — the inverted-index query shape over the
     * corpus (Robertson/Okapi, Lucene's +1 idf form). The plan is the one
     * a 100 TB retrieval pass needs:

@@ -449,6 +449,12 @@ object Extensions {
 
   private[queries] val bm25Terms = Seq("join", "vector", "stream", "window")
 
+  /** Windowed PMI co-occurrence profile of the corpus (window 4; pairs
+    * seen >= 25 times at sf0.01 keep the output vocab²-bounded). */
+  def textPmi(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiCooccurrence(docs(s, d), "doc_id", "text",
+      window = 4, minCount = 25)
+
   def textPackSequences(s: SparkSession, d: String): DataFrame =
     TextAnalysis.packSequences(docs(s, d), "doc_id", "text",
       tokensPerSeq = 512, nShards = 8)
@@ -810,7 +816,8 @@ object Extensions {
     "sample_temperature" -> (sampleTemperature _),
     "sim_knn_graph" -> (simKnnGraph _),
     "sample_diverse" -> (sampleDiverse _),
-    "text_bm25" -> (textBm25 _)))
+    "text_bm25" -> (textBm25 _),
+    "text_pmi" -> (textPmi _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -1968,7 +1975,29 @@ object Extensions {
         |    CAST(row_number() OVER (PARTITION BY cell ORDER BY c_id) AS INT) AS cell_rank
         |  FROM ca)
         |WHERE cell_rank <= 10 ORDER BY cell, cell_rank""".stripMargin),
-    "text_bm25" -> bm25Sql)
+    "text_bm25" -> bm25Sql,
+    "text_pmi" -> (tokensCte +
+      """
+        |, pr AS (
+        |  SELECT unnest(flatten(list_transform(range(1, len(toks)+1), i ->
+        |    list_transform(range(i+1, least(i+4, len(toks))+1), j ->
+        |      CASE WHEN toks[i] <= toks[j] THEN {'a': toks[i], 'b': toks[j]}
+        |           ELSE {'a': toks[j], 'b': toks[i]} END)))) AS p
+        |  FROM w),
+        |pc AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM pr GROUP BY 1, 2),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n_term
+        |        FROM (SELECT unnest(toks) AS term FROM w) GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(n_pair) AS BIGINT) FROM pc) AS t_pairs,
+        |               (SELECT CAST(sum(n_term) AS BIGINT) FROM uni) AS t_uni)
+        |SELECT a, b, n_pair, ua.n_term AS n_a, ub.n_term AS n_b,
+        |  round(ln((CAST(n_pair AS DOUBLE) / CAST(t_pairs AS DOUBLE)) /
+        |    ((CAST(ua.n_term AS DOUBLE) / CAST(t_uni AS DOUBLE)) *
+        |     (CAST(ub.n_term AS DOUBLE) / CAST(t_uni AS DOUBLE)))), 6) AS pmi
+        |FROM pc JOIN uni ua ON pc.a = ua.term
+        |        JOIN uni ub ON pc.b = ub.term, tot
+        |WHERE n_pair >= 25
+        |ORDER BY a, b""".stripMargin))
 
   /** BM25 oracle — constants are interpolated from the SAME Scala doubles
     * the operator uses (Double.toString round-trips, so DuckDB parses the

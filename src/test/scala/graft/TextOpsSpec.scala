@@ -80,6 +80,38 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getDouble(3) > out(1).getDouble(3))
   }
 
+  test("pmi: window bounds, symmetrization, and hand-computed value") {
+    // "a b c d e": window 2 pairs = (a,b)(a,c)(b,c)(b,d)(c,d)(c,e)(d,e) = 7
+    val corpus = docsDf(1L -> "a b c d e")
+    val out = TextAnalysis.pmiCooccurrence(corpus, "doc_id", "text",
+      window = 2, minCount = 1).collect()
+    assert(out.length == 7)
+    // (a,d) is at distance 3 > window — absent
+    assert(!out.exists(r => r.getString(0) == "a" && r.getString(1) == "d"))
+    // every pair is lexicographically ordered
+    assert(out.forall(r => r.getString(0) <= r.getString(1)))
+    // hand-check (a,b): n_pair=1, n_a=n_b=1, T_pairs=7, T_uni=5
+    // pmi = ln((1/7) / ((1/5)*(1/5))) = ln(25/7)
+    val ab = out.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    val exp = BigDecimal(math.log((1.0 / 7.0) / ((1.0 / 5.0) * (1.0 / 5.0))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ab.getLong(2) == 1L && ab.getDouble(5) == exp)
+  }
+
+  test("pmi: repeated co-occurrence scores above chance, minCount prunes") {
+    // "x y" always together; "p"/"q" never adjacent across docs
+    val corpus = docsDf(
+      1L -> "x y p", 2L -> "x y q", 3L -> "x y p", 4L -> "x y q")
+    val out = TextAnalysis.pmiCooccurrence(corpus, "doc_id", "text",
+      window = 1, minCount = 1)
+    val xy = out.filter(col("a") === "x" && col("b") === "y").collect()
+    assert(xy.length == 1 && xy.head.getDouble(5) > 0.0) // above independence
+    // minCount=4 keeps only the (x,y) pair (4 occurrences)
+    val pruned = TextAnalysis.pmiCooccurrence(corpus, "doc_id", "text",
+      window = 1, minCount = 4).collect()
+    assert(pruned.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "y")))
+  }
+
   test("decontaminate broadcast and shuffle paths agree") {
     val all = spark.read.parquet(s"$sf0001/documents.parquet")
     val train = all.filter(col("doc_id") % 10 =!= 0)
