@@ -489,6 +489,62 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Row-level MERGE, driver-gated end-to-end: three merge epochs over an
+    * events-keyed table — base load, then an epoch of value-upserts plus
+    * delete tombstones, then a second upsert epoch that both overrides
+    * the first and RE-INSERTS previously deleted keys — resolved through
+    * a retention fold (the fold must not change merge resolution). The
+    * oracle recomputes the final state directly from `events` with CASE
+    * logic, so the gate is "merge-on-read view ≡ the state a row-store
+    * would hold after the same MERGE statements". */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = mergeFixture(spark, dir, "merge")
+    graft.sources.TransactionalLake.readMerged(spark, root, Seq("event_id"))
+      .orderBy("event_id")
+  }
+
+  /** CDC FEED over the same merge fixture: every change row in epochs
+    * (0, 2] with its operation and epoch — consumed AFTER a retention
+    * fold of epoch <= 1, proving an incremental consumer whose cursor
+    * predates the fold still receives exactly its missing changes. */
+  def epochChanges(spark: SparkSession, dir: String): DataFrame = {
+    val root = mergeFixture(spark, dir, "cdc")
+    graft.sources.TransactionalLake.changesBetween(spark, root, 0L, 2L)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col(graft.sources.TransactionalLake.OpCol).as("op"),
+        col("epoch").cast("long").as("epoch_id"))
+      .orderBy("epoch_id", "event_id")
+  }
+
+  /** Shared merge-lake fixture: epoch 0 = base (event_id <= 3000),
+    * epoch 1 = +1000 value upserts (id%5=0, id%7<>0) + tombstones
+    * (id%7=0), epoch 2 = +2000 upserts (id%3=0, overriding epoch 1 and
+    * re-inserting deleted keys). Epochs <= 1 are then FOLDED. */
+  private def mergeFixture(spark: SparkSession, dir: String,
+                           kind: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/${kind}_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val T = graft.sources.TransactionalLake
+    val base = events(spark, dir).filter(col("event_id") <= 3000)
+      .select("event_id", "event_type", "value")
+    val none = base.filter(lit(false)).select("event_id")
+    T.mergeCommit(base, none, root, 0L, Seq("event_id"))
+    T.mergeCommit(
+      base.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+        .withColumn("value", col("value") + 1000.0),
+      base.filter(col("event_id") % 7 === 0).select("event_id"),
+      root, 1L, Seq("event_id"))
+    T.mergeCommit(
+      base.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") + 2000.0),
+      none, root, 2L, Seq("event_id"))
+    require(T.foldCommittedEpochs(spark, root, upTo = 1L,
+      partitionCols = Nil) == 2, s"merge fixture fold: expected 2 epochs")
+    root
+  }
+
   /** Tenant OFFBOARDING, driver-gated end-to-end: build a multi-tenant
     * lake WITH the doomed tenant everywhere it can live — plain
     * partitioned lake, error prefix (tenant-keyed dead letters), catalog
@@ -992,7 +1048,35 @@ object PipelineQueries {
         |  FROM events WHERE event_id <= 2000)
         |SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM base)
         |WHERE tenant <> 't2'
-        |ORDER BY event_id, tenant""".stripMargin))
+        |ORDER BY event_id, tenant""".stripMargin,
+    // merge-on-read final state ≡ the row-store state after the same
+    // MERGE statements: epoch 2 (+2000, id%3=0) overrides epoch 1
+    // (+1000 upserts / %7 tombstones) overrides the base load
+    "pipe_merge_upsert" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_id % 3 = 0 THEN value + 2000.0
+        |       WHEN event_id % 5 = 0 THEN value + 1000.0
+        |       ELSE value END AS value
+        |FROM events
+        |WHERE event_id <= 3000
+        |  AND NOT (event_id % 7 = 0 AND event_id % 3 <> 0)
+        |ORDER BY event_id""".stripMargin,
+    "pipe_epoch_changes" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id <= 3000)
+        |SELECT event_id, event_type, value + 1000.0 AS value,
+        |  'u' AS op, CAST(1 AS BIGINT) AS epoch_id
+        |FROM b WHERE event_id % 5 = 0 AND event_id % 7 <> 0
+        |UNION ALL
+        |SELECT event_id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+        |  'd', CAST(1 AS BIGINT)
+        |FROM b WHERE event_id % 7 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, value + 2000.0,
+        |  'u', CAST(2 AS BIGINT)
+        |FROM b WHERE event_id % 3 = 0
+        |ORDER BY epoch_id, event_id""".stripMargin))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("PipelineQueries.queries", Seq(
@@ -1014,6 +1098,8 @@ object PipelineQueries {
     "pipe_compact_roundtrip" -> (compactRoundtrip _),
     "pipe_tenant_purge" -> (tenantPurge _),
     "pipe_time_travel" -> (timeTravel _),
+    "pipe_merge_upsert" -> (mergeUpsert _),
+    "pipe_epoch_changes" -> (epochChanges _),
     "pipe_tenant_usage" -> (tenantUsage _),
     "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),
     "pipe_http_ingest" -> (httpIngestRoundtrip _),

@@ -321,4 +321,86 @@ object TransactionalLake {
       .foreach(p => f.delete(p, false))
     fresh.size
   }
+
+  // ------------------------------------------------------------------
+  // Row-level MERGE (upsert / delete) — merge-on-read over the epoch log
+  // ------------------------------------------------------------------
+
+  /** Change-operation column carried inside merge epochs: `"u"` = upsert
+    * (insert-or-replace by key), `"d"` = delete tombstone. */
+  val OpCol = "_op"
+
+  /** Commit one MERGE epoch: `upserts` (full payload rows) replace any
+    * earlier version of their key; `deletes` (key-only rows) tombstone
+    * theirs. This is the lakehouse merge-on-read pattern (Hudi MOR /
+    * Delta CDF shape): a merge is an O(changes) APPEND of a change epoch
+    * — the base data is never rewritten — and key resolution happens at
+    * read time ([[readMerged]]). Inherits [[commitEpoch]]'s idempotent
+    * crash-replay contract, so upserts/deletes are exactly-once under
+    * replay.
+    *
+    * Within one epoch a key must be claimed by at most ONE change row —
+    * a key in both `upserts` and `deletes` (or twice in `upserts`) has no
+    * defined winner, so `validate = true` (default) fails fast; the check
+    * is one O(changes) aggregate, disable it only for pre-deduplicated
+    * change feeds. */
+  def mergeCommit(upserts: DataFrame, deletes: DataFrame, root: String,
+                  epochId: Long, keyCols: Seq[String],
+                  validate: Boolean = true): Unit = {
+    require(keyCols.nonEmpty, "mergeCommit: keyCols must be non-empty")
+    val changes = upserts.withColumn(OpCol, org.apache.spark.sql.functions.lit("u"))
+      .unionByName(
+        deletes.select(keyCols.map(col): _*)
+          .withColumn(OpCol, org.apache.spark.sql.functions.lit("d")),
+        allowMissingColumns = true)
+    if (validate) {
+      val dup = changes.groupBy(keyCols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect() // fail-fast probe: at most 1 row to the driver
+      require(dup.isEmpty,
+        s"mergeCommit: epoch $epochId claims a key more than once " +
+          s"(first offender: ${dup.headOption.map(_.toString).getOrElse("")})")
+    }
+    commitEpoch(changes, root, epochId, partitionCols = Nil)
+  }
+
+  /** The RESOLVED view of a merge lake: for every key, the change row
+    * from the highest committed epoch wins; tombstoned keys disappear.
+    * One shuffle on the key columns + a rank-1 window (planned as
+    * `WindowGroupLimit`, so per-key work is the running-max of a single
+    * row, not a sort of the full history) — the standard merge-on-read
+    * cost. Retention folds preserve per-row `epoch` values, so the
+    * resolution survives [[foldCommittedEpochs]] unchanged. */
+  def readMerged(spark: SparkSession, root: String,
+                 keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    require(keyCols.nonEmpty, "readMerged: keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("epoch").cast("long").desc)
+    readCommitted(spark, root)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(OpCol) === "u")
+      .drop("__rn", OpCol, "epoch")
+  }
+
+  /** CDC FEED: every change row committed in epochs
+    * `(fromExclusive, toInclusive]`, with its epoch and operation — the
+    * incremental-consumption contract ("give me what changed since my
+    * last checkpoint") that downstream incremental jobs (index
+    * maintenance, dedup folds, replication) read instead of diffing
+    * snapshots. Purely partition-pruned on the `epoch` column — cost is
+    * O(changes in range), never O(lake) — and, because folds keep
+    * per-row epochs, a consumer whose cursor predates a retention fold
+    * still gets exactly its missing changes. Append-only (non-merge)
+    * epochs surface as `_op = "u"`. */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromExclusive: Long, toInclusive: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val all = readCommitted(spark, root)
+    val withOp =
+      if (all.columns.contains(OpCol)) all
+      else all.withColumn(OpCol, lit("u"))
+    withOp.filter(col("epoch").cast("long") > fromExclusive &&
+      col("epoch").cast("long") <= toInclusive)
+  }
 }
