@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over operator-produced edge sets (k-NN graphs,
+  * dedup-pair graphs): centrality for corpus curation — rank documents
+  * by how "central" they are in the similarity graph and sample/weight
+  * by importance (the graph-based quality signal used alongside
+  * temperature/diversity sampling).
+  */
+object Graph {
+
+  /** Distributed PageRank over an edge list — the classic iterative
+    * join-aggregate: per round, every edge ships `rank(src)/outDeg(src)`
+    * to its destination, destinations sum, and teleport mass tops up.
+    * Cost is O(E) shuffle per iteration (the standard cluster PageRank
+    * shape — no adjacency collection, no driver-side state beyond the
+    * node count); lineage is truncated per round (localCheckpoint) and
+    * every intermediate block is released, so repeated runs hold zero
+    * residual storage (same hygiene contract as
+    * [[Dedup.connectedComponents]]).
+    *
+    * DETERMINISM: per-edge contributions are rounded to 12 dp and summed
+    * as DECIMAL(26,12) — exact in any aggregation order — and each new
+    * rank is re-rounded to 12 dp, so every iteration's rank vector is
+    * bit-identical across partitionings, retries, and engines (the
+    * DuckDB oracle replays the identical arithmetic). Nodes with no
+    * in-links keep exactly the teleport mass; dangling mass (nodes with
+    * no out-edges) is dropped, the common simplification — out-degrees
+    * are positive for every src by construction of an edge list. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(damping > 0.0 && damping < 1.0, "pageRank: damping must be in (0,1)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("long").as("out_deg"))
+    // edges ⋈ out-degree is reused every round — materialize once
+    val withDeg = Blocks.copyOut(e.join(outDeg, "src"), singleEval = true)
+    val nodes = Blocks.copyOut(
+      e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+        .distinct(), singleEval = true)
+    // node count to the driver: ONE scalar (metadata-scale, justified —
+    // it parameterizes the teleport term of every iteration)
+    val n = nodes.count().toDouble
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes
+      .select(col("id"), round(lit(1.0) / lit(n), 12).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"),
+          round(col("rank") / col("out_deg").cast("double"), 12)
+            .cast("decimal(26,12)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_mass"))
+      val next = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          round(lit(teleport) +
+            lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0)), 12)
+            .as("rank"))
+        .localCheckpoint(true)
+      Blocks.release(ranks)
+      ranks = next
+    }
+    val out = Blocks.copyOut(ranks)
+    Blocks.release(ranks); Blocks.release(withDeg); Blocks.release(nodes)
+    out
+  }
+}

@@ -559,6 +559,20 @@ object Extensions {
     Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding", k = 3, nCells = 16)
       .orderBy("vec_id", "rank")
 
+  /** PageRank centrality over the document k-NN similarity graph — the
+    * graph-importance signal for corpus curation. Edges are the gated
+    * `sim_knn_graph` operator's output; 5 decimal-deterministic
+    * iterations at damping 0.85 (the oracle replays the identical
+    * arithmetic through unrolled CTEs). */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
+      k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id"))
+    graft.operators.Graph.pageRank(edges, "vec_id", "neighbor_id",
+      iterations = 5, damping = 0.85)
+      .select(col("id").as("vec_id"), col("rank").as("pagerank"))
+      .orderBy("vec_id")
+  }
+
   /** Diversity-sampling gate: at most 10 per semantic cell, id order. */
   def sampleDiverse(s: SparkSession, d: String): DataFrame =
     Similarity.diversitySample(embs(s, d), "vec_id", "embedding", cap = 10, nCells = 16)
@@ -817,7 +831,8 @@ object Extensions {
     "sim_knn_graph" -> (simKnnGraph _),
     "sample_diverse" -> (sampleDiverse _),
     "text_bm25" -> (textBm25 _),
-    "text_pmi" -> (textPmi _)))
+    "text_pmi" -> (textPmi _),
+    "graph_pagerank" -> (graphPagerank _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -1976,6 +1991,7 @@ object Extensions {
         |  FROM ca)
         |WHERE cell_rank <= 10 ORDER BY cell, cell_rank""".stripMargin),
     "text_bm25" -> bm25Sql,
+    "graph_pagerank" -> pageRankSql,
     "text_pmi" -> (tokensCte +
       """
         |, pr AS (
@@ -1998,6 +2014,62 @@ object Extensions {
         |        JOIN uni ub ON pc.b = ub.term, tot
         |WHERE n_pair >= 25
         |ORDER BY a, b""".stripMargin))
+
+  /** PageRank oracle — the sim_knn_graph edge derivation (already
+    * oracle-matched) feeding 5 UNROLLED power-iteration CTEs generated by
+    * the same Scala loop shape the operator runs. Per-edge contributions
+    * round to DECIMAL(26,12) before the per-destination sum (exact in any
+    * order) and each rank re-rounds to 12 dp — the identical arithmetic,
+    * association order, and interpolated IEEE constants as the engine. */
+  private def pageRankSql: String = {
+    val damping = 0.85; val iters = 5
+    val oneMinusD = 1.0 - damping // interpolated: Double.toString round-trips
+    val base = vecCte +
+      """, cents AS (
+        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+        |  FROM n ORDER BY vec_id LIMIT 16
+        |), ca AS (
+        |  SELECT c_id, cell FROM (
+        |    SELECT a.vec_id AS c_id, b.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) DESC, b.cent_id) AS rn
+        |    FROM n a CROSS JOIN cents b)
+        |  WHERE rn = 1
+        |), eg AS (
+        |  SELECT src, dst FROM (
+        |    SELECT vec_id AS src, neighbor_id AS dst,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM (
+        |      SELECT aa.c_id AS vec_id, bb.c_id AS neighbor_id,
+        |        list_reduce(list_transform(range(1, len(na.e)+1), i -> na.e[i]*nb.e[i]),
+        |          (x,y) -> x+y) / (na.nrm * nb.nrm) AS cosine
+        |      FROM ca aa JOIN ca bb ON aa.cell = bb.cell AND aa.c_id <> bb.c_id
+        |      JOIN n na ON na.vec_id = aa.c_id
+        |      JOIN n nb ON nb.vec_id = bb.c_id))
+        |  WHERE rank <= 3
+        |), gn AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM eg UNION ALL SELECT dst AS id FROM eg)
+        |), od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM eg GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |""".stripMargin +
+      s"              $oneMinusD / CAST(count(*) AS DOUBLE) AS tele FROM gn),\n" +
+      "r0 AS (SELECT id, round(1.0 / n, 12) AS rank FROM gn, nn)"
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |c$i AS (
+         |  SELECT dst, sum(CAST(round(r.rank / CAST(out_deg AS DOUBLE), 12)
+         |    AS DECIMAL(26,12))) AS m
+         |  FROM eg JOIN od USING (src) JOIN r${i - 1} r ON r.id = eg.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT id, round(tele + $damping * coalesce(CAST(m AS DOUBLE), 0.0), 12) AS rank
+         |  FROM gn LEFT JOIN c$i ON c$i.dst = gn.id, nn)""".stripMargin
+    }.mkString
+    base + iterCtes +
+      s"\nSELECT id AS vec_id, rank AS pagerank FROM r$iters ORDER BY vec_id"
+  }
 
   /** BM25 oracle — constants are interpolated from the SAME Scala doubles
     * the operator uses (Double.toString round-trips, so DuckDB parses the
