@@ -489,6 +489,49 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** INCREMENTAL MATERIALIZED VIEW, driver-gated end-to-end: a per-
+    * (tenant, event_type) count/sum view maintained across three epoch
+    * commits by two cursor refreshes — with a retention fold of the
+    * already-applied epochs in between (the cursor must keep meaning
+    * "applied" through the fold). The oracle recomputes the aggregate
+    * directly from `events`, so the gate is "incrementally maintained
+    * state ≡ full recompute". */
+  def incrementalView(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/ivmlake_$tag"
+    val view = s"/root/repo/target/tmp/ivmview_$tag"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    f.delete(new org.apache.hadoop.fs.Path(view), true)
+    val T = graft.sources.TransactionalLake
+    val V = graft.sources.MaterializedView
+    val cols = Seq("event_id", "event_type", "value",
+      "tenant", "year", "month", "day", "hour")
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(events(spark, dir).filter(col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
+      .select(cols.map(col): _*)
+    def commit(i: Int): Unit = T.commitEpoch(
+      enriched.filter(col("event_id") % 3 === i), root, i.toLong)
+    def refresh(): Long =
+      V.refresh(spark, root, view, Seq("tenant", "event_type"), "value")
+    // interleaved: refresh at cursor 0, then a retention fold that folds
+    // BOTH the applied epoch 0 and the NOT-yet-applied epoch 1 — the
+    // second refresh must pick epoch 1's rows out of the fold generation
+    // (per-row epochs survive folds) plus live epoch 2
+    commit(0)
+    require(refresh() == 0L)
+    commit(1); commit(2)
+    require(T.foldCommittedEpochs(spark, root, upTo = 1L) == 2)
+    require(refresh() == 2L)
+    require(refresh() == 2L) // head unchanged — refresh is a no-op
+    V.read(spark, view)
+      .select(col("tenant"), col("event_type"), col("cnt"),
+        col("total").cast("double").as("total_value"))
+      .orderBy("tenant", "event_type")
+  }
+
   /** Row-level MERGE, driver-gated end-to-end: three merge epochs over an
     * events-keyed table — base load, then an epoch of value-upserts plus
     * delete tombstones, then a second upsert epoch that both overrides
@@ -1076,7 +1119,15 @@ object PipelineQueries {
         |SELECT event_id, event_type, value + 2000.0,
         |  'u', CAST(2 AS BIGINT)
         |FROM b WHERE event_id % 3 = 0
-        |ORDER BY epoch_id, event_id""".stripMargin))
+        |ORDER BY epoch_id, event_id""".stripMargin,
+    // incrementally maintained view ≡ full recompute over the same rows
+    "pipe_incremental_view" ->
+      """SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS tenant, event_type,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id <= 2000
+        |GROUP BY 1, 2
+        |ORDER BY tenant, event_type""".stripMargin))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("PipelineQueries.queries", Seq(
@@ -1100,6 +1151,7 @@ object PipelineQueries {
     "pipe_time_travel" -> (timeTravel _),
     "pipe_merge_upsert" -> (mergeUpsert _),
     "pipe_epoch_changes" -> (epochChanges _),
+    "pipe_incremental_view" -> (incrementalView _),
     "pipe_tenant_usage" -> (tenantUsage _),
     "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),
     "pipe_http_ingest" -> (httpIngestRoundtrip _),
