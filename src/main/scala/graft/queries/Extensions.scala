@@ -449,6 +449,24 @@ object Extensions {
 
   private[queries] val bm25Terms = Seq("join", "vector", "stream", "window")
 
+  /** Incremental inverted-index lifecycle gate: the index accumulates
+    * over three disjoint document batches, survives a retention fold of
+    * the aged epochs, and serves the SAME BM25 query — the oracle is
+    * literally `text_bm25`'s SQL, so the gate is "index-served ≡
+    * corpus-scan ≡ DuckDB", with document text never read at query
+    * time. */
+  def textBm25Incremental(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/textidx_$tag"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val all = docs(s, d)
+    (0 until 3).foreach(i => graft.operators.TextIndex.commitPostings(
+      all.filter(col("doc_id") % 3 === i), "doc_id", "text", root, i.toLong))
+    require(graft.operators.TextIndex.foldIndex(s, root, upTo = 1L) == ((2, 2)))
+    graft.operators.TextIndex.bm25FromIndex(s, root, bm25Terms, topK = 15)
+  }
+
   /** Windowed PMI co-occurrence profile of the corpus (window 4; pairs
     * seen >= 25 times at sf0.01 keep the output vocab²-bounded). */
   def textPmi(s: SparkSession, d: String): DataFrame =
@@ -832,7 +850,8 @@ object Extensions {
     "sample_diverse" -> (sampleDiverse _),
     "text_bm25" -> (textBm25 _),
     "text_pmi" -> (textPmi _),
-    "graph_pagerank" -> (graphPagerank _)))
+    "graph_pagerank" -> (graphPagerank _),
+    "text_bm25_incremental" -> (textBm25Incremental _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -1991,6 +2010,8 @@ object Extensions {
         |  FROM ca)
         |WHERE cell_rank <= 10 ORDER BY cell, cell_rank""".stripMargin),
     "text_bm25" -> bm25Sql,
+    // index-served BM25 must equal the corpus-scan form exactly
+    "text_bm25_incremental" -> bm25Sql,
     "graph_pagerank" -> pageRankSql,
     "text_pmi" -> (tokensCte +
       """
