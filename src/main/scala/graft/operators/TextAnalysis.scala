@@ -242,6 +242,62 @@ object TextAnalysis {
           .as("mean_neg_logprob"))
   }
 
+  /** VOCABULARY COVERAGE curve: the top-k corpus vocabulary with each
+    * term's rank and the cumulative fraction of the token stream the
+    * vocabulary covers up to that rank — the truncation/OOV-rate curve a
+    * tokenizer-vocabulary decision reads off ("a 32k vocab covers 99.2%
+    * of tokens"). Term counts are one map-side-combined aggregate; the
+    * top-k is TakeOrdered; the cumulative window runs over the k
+    * SURVIVING rows only (bounded, single task) — never over the full
+    * vocabulary. */
+  def vocabulary(docs: DataFrame, textCol: String, topK: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(TF.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("n"))
+    val tot = counts.agg(sum(col("n")).cast("long").as("total"))
+    val ord = Seq(col("n").desc, col("term"))
+    val w = Window.orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(ord: _*).limit(topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      .withColumn("cum_coverage",
+        round(sum(col("n")).over(w).cast("double") /
+          col("total").cast("double"), 6))
+      .select(col("term"), col("n"), col("rank"), col("cum_coverage"))
+      .orderBy("rank")
+  }
+
+  /** BIGRAM surprisal — the 2-gram twin of [[unigramLogProb]]: per-doc
+    * mean −ln P(w₂|w₁) under the corpus bigram MLE (P = c(w₁w₂)/c(w₁•),
+    * prefix-conditional). Catches locally-incoherent text (shuffled or
+    * templated word salad) that unigram frequency scoring cannot see.
+    * Per-bigram surprisal rounds to DECIMAL(18,6) before the per-doc
+    * sum — order-independent, cross-engine exact. Docs with < 2 tokens
+    * have no bigrams and drop out (same contract as the oracle). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(TF.shingles(TF.words(col(textCol)), 2)).as("bg"))
+    val bc = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    // prefix counts: c(w1 •) = Σ over bigrams sharing the first token —
+    // derived FROM the bigram counts (vocab-scale, not corpus-scale)
+    val prefix = bc
+      .withColumn("p1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("p1")).agg(sum(col("cnt")).as("pcnt"))
+    val scored = bc.withColumn("p1", substring_index(col("bg"), " ", 1))
+      .join(prefix, "p1")
+      .withColumn("nlp",
+        round(-log(col("cnt").cast("double") / col("pcnt").cast("double")), 6)
+          .cast("decimal(18,6)"))
+      .select(col("bg"), col("nlp"))
+    grams.join(scored, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nlp")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__sum").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("mean_bigram_surprisal"))
+  }
+
   /** Training-SEQUENCE PACKING: assign each document a position in a
     * stream of fixed-token-budget training sequences — the step between
     * a clean corpus and a batched pre-training run. Contiguous packing

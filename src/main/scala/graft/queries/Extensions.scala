@@ -473,6 +473,12 @@ object Extensions {
     TextAnalysis.pmiCooccurrence(docs(s, d), "doc_id", "text",
       window = 4, minCount = 25)
 
+  def textVocab(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabulary(docs(s, d), "text", topK = 30)
+
+  def textBigramLogProb(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLogProb(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
   def textPackSequences(s: SparkSession, d: String): DataFrame =
     TextAnalysis.packSequences(docs(s, d), "doc_id", "text",
       tokensPerSeq = 512, nShards = 8)
@@ -851,7 +857,9 @@ object Extensions {
     "text_bm25" -> (textBm25 _),
     "text_pmi" -> (textPmi _),
     "graph_pagerank" -> (graphPagerank _),
-    "text_bm25_incremental" -> (textBm25Incremental _)))
+    "text_bm25_incremental" -> (textBm25Incremental _),
+    "text_vocab" -> (textVocab _),
+    "text_bigram_logprob" -> (textBigramLogProb _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2012,6 +2020,38 @@ object Extensions {
     "text_bm25" -> bm25Sql,
     // index-served BM25 must equal the corpus-scan form exactly
     "text_bm25_incremental" -> bm25Sql,
+    "text_vocab" -> (tokensCte +
+      """, t AS (SELECT unnest(toks) AS term FROM w),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 30)
+        |SELECT term, n, rank, cum_coverage FROM (
+        |  SELECT term, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rank,
+        |    round(CAST(sum(n) OVER (ORDER BY n DESC, term
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(total AS DOUBLE), 6) AS cum_coverage
+        |  FROM top, tot)
+        |ORDER BY rank""".stripMargin),
+    "text_bigram_logprob" -> (tokensCte +
+      """, g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    END) AS bg
+        |  FROM w),
+        |bc AS (SELECT bg, count(*) AS cnt FROM g GROUP BY 1),
+        |pc AS (SELECT string_split(bg, ' ')[1] AS p1, sum(cnt) AS pcnt
+        |       FROM bc GROUP BY 1),
+        |sc AS (
+        |  SELECT bg, CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(pcnt AS DOUBLE)), 6)
+        |    AS DECIMAL(18,6)) AS nlp
+        |  FROM bc JOIN pc ON string_split(bc.bg, ' ')[1] = pc.p1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(nlp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_bigram_surprisal
+        |FROM g JOIN sc USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "graph_pagerank" -> pageRankSql,
     "text_pmi" -> (tokensCte +
       """

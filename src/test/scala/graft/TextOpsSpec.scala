@@ -112,6 +112,33 @@ class TextOpsSpec extends SparkSpec {
     assert(pruned.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("x", "y")))
   }
 
+  test("vocabulary: rank order, cumulative coverage reaches 1 at full vocab") {
+    val corpus = docsDf(1L -> "a a a b b c")
+    val v = TextAnalysis.vocabulary(corpus, "text", topK = 10).collect()
+    assert(v.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    assert(v.map(_.getLong(1)).toSeq == Seq(3L, 2L, 1L))
+    assert(v.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    assert(v.map(_.getDouble(3)).toSeq == Seq(0.5, 5.0 / 6.0, 1.0)
+      .map(x => BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // truncation: topK=1 keeps only the head of the curve
+    assert(TextAnalysis.vocabulary(corpus, "text", topK = 1).count() == 1)
+  }
+
+  test("bigram surprisal: deterministic continuations score 0, rare ones high") {
+    // "x" is always followed by "y" → P(y|x)=1 → surprisal 0;
+    // "p q" vs "p r": P(q|p)=P(r|p)=0.5 → ln 2
+    val corpus = docsDf(1L -> "x y", 2L -> "x y", 3L -> "p q", 4L -> "p r")
+    val out = TextAnalysis.bigramLogProb(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L) == ln2 && out(4L) == ln2)
+    // single-token docs have no bigrams and drop out
+    assert(!TextAnalysis.bigramLogProb(docsDf(9L -> "solo"), "doc_id", "text")
+      .collect().map(_.getLong(0)).contains(9L))
+  }
+
   test("decontaminate broadcast and shuffle paths agree") {
     val all = spark.read.parquet(s"$sf0001/documents.parquet")
     val train = all.filter(col("doc_id") % 10 =!= 0)
