@@ -326,6 +326,72 @@ object Analytics {
       .orderBy("user_id", "event_id")
   }
 
+  /** TIME-SERIES GAP FILL: hourly per-type event counts on a DENSE hour
+    * spine — missing hours materialize as zero rows plus a forward-fill
+    * of the last observed count (the telemetry/dashboard shape Spark has
+    * no native ASOF/spine operator for). The spine is GENERATED, not
+    * scanned: one 1-row min/max aggregate broadcast into a `sequence()`
+    * explode — spine size is the time range × |types|, independent of
+    * data volume; the fill is a per-type window (ignoreNulls last). */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hourIdx = floor(unix_timestamp(col("ts")) / 3600).cast("long")
+    val ev = t(spark, dir, "events")
+    val hourly = ev.groupBy(col("event_type"), hourIdx.as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(min(hourIdx).as("h_min"), max(hourIdx).as("h_max"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h_min"), col("h_max"))).as("hour_idx"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour_idx"), "left")
+      .select(col("event_type"), col("hour_idx"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("n"), ignoreNulls = true).over(byType).as("n_ffill"))
+      .orderBy("event_type", "hour_idx")
+  }
+
+  /** COHORT RETENTION: users grouped by first-seen week, distinct actives
+    * per (cohort, week offset) — the classic retention triangle. Two
+    * shuffles (per-user min, then per-cell distinct count). */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekIdx = floor(unix_timestamp(col("ts")) / 604800).cast("long")
+    val ev = t(spark, dir, "events").select(col("user_id"), weekIdx.as("wk"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  /** FUNNEL: view → click → purchase, each stage's first timestamp
+    * strictly ordered after the previous stage's; per-stage distinct-user
+    * counts. Per-user conditional min aggregates — the whole funnel is
+    * three shuffles on user_id, no self-join explosion. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("t_view").isNotNull && col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    val spark2 = spark; import spark2.implicits._
+    val stages = Seq((1, "view"), (2, "click"), (3, "purchase"))
+      .toDF("stage", "stage_name")
+    val counts = v.filter(col("t_view").isNotNull)
+      .agg(count(lit(1)).as("n")).withColumn("stage", lit(1))
+      .unionByName(c.agg(count(lit(1)).as("n")).withColumn("stage", lit(2)))
+      .unionByName(p.agg(count(lit(1)).as("n")).withColumn("stage", lit(3)))
+    stages.join(counts, "stage")
+      .select(col("stage"), col("stage_name"), col("n").as("n_users"))
+      .orderBy("stage")
+  }
+
   /** The fixture's closed event-type domain — shared by the pivot and
     * its unpivot inverse so the two column lists can never drift. */
   private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
@@ -1031,7 +1097,10 @@ object Analytics {
     "q_topk" -> (topKExpensive _),
     "q_distinct_agg" -> (distinctAgg _),
     "q_hourly_events" -> (hourlyEventStats _),
-    "q_sessionize" -> (sessionize _)))
+    "q_sessionize" -> (sessionize _),
+    "q_gap_fill" -> (gapFillHourly _),
+    "q_cohort_retention" -> (cohortRetention _),
+    "q_funnel" -> (funnel _)))
 
   val oracles: Map[String, String] =
     Entries.toMapUnique("Analytics.oracles", Seq(
@@ -1505,5 +1574,57 @@ object Analytics {
         |      OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
         |      THEN 1 ELSE 0 END AS is_new
         |  FROM events)
-        |ORDER BY user_id, event_id""".stripMargin))
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx
+        |  FROM events),
+        |hourly AS (
+        |  SELECT event_type, hour_idx, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT min(hour_idx) AS h_min, max(hour_idx) AS h_max FROM ev),
+        |spine AS (
+        |  SELECT t.event_type,
+        |    CAST(unnest(generate_series(h_min, h_max)) AS BIGINT) AS hour_idx
+        |  FROM (SELECT DISTINCT event_type FROM ev) t, bounds),
+        |j AS (
+        |  SELECT s.event_type, s.hour_idx, coalesce(n, CAST(0 AS BIGINT)) AS n,
+        |    hourly.n AS raw_n
+        |  FROM spine s LEFT JOIN hourly USING (event_type, hour_idx))
+        |SELECT event_type, hour_idx, n,
+        |  last_value(raw_n IGNORE NULLS) OVER (PARTITION BY event_type
+        |    ORDER BY hour_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS n_ffill
+        |FROM j ORDER BY event_type, hour_idx""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND v.t_view IS NOT NULL AND e.ts >= v.t_view
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        |  GROUP BY 1)
+        |SELECT stage, stage_name, n_users FROM (
+        |  SELECT 1 AS stage, 'view' AS stage_name,
+        |    CAST(count(*) AS BIGINT) AS n_users FROM v WHERE t_view IS NOT NULL
+        |  UNION ALL
+        |  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
+        |ORDER BY stage""".stripMargin))
 }

@@ -473,6 +473,31 @@ object Extensions {
     TextAnalysis.pmiCooccurrence(docs(s, d), "doc_id", "text",
       window = 4, minCount = 25)
 
+  /** HYBRID RETRIEVAL via reciprocal-rank fusion — the standard modern
+    * search composition: a sparse arm (BM25 top-20 over the corpus) and
+    * a dense arm (exact cosine top-20 for probe vector 0) fused by
+    * RRF(d) = Σ_arms 1/(60 + rank_arm(d)), top-10. Both arms are
+    * already-gated operators; the fusion is rank arithmetic only —
+    * rational constants, deterministic in both engines. */
+  def simHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(s, d)
+    val dense = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+    val sparse = TextAnalysis.bm25(docs(s, d), "doc_id", "text",
+        bm25Terms, topK = 20)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).as("sparse_rank"))
+    def arm(r: org.apache.spark.sql.Column) =
+      coalesce(lit(1.0) / (lit(60.0) + r.cast("double")), lit(0.0))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
+        round(arm(col("sparse_rank")) + arm(col("dense_rank")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   def textVocab(s: SparkSession, d: String): DataFrame =
     TextAnalysis.vocabulary(docs(s, d), "text", topK = 30)
 
@@ -859,7 +884,8 @@ object Extensions {
     "graph_pagerank" -> (graphPagerank _),
     "text_bm25_incremental" -> (textBm25Incremental _),
     "text_vocab" -> (textVocab _),
-    "text_bigram_logprob" -> (textBigramLogProb _)))
+    "text_bigram_logprob" -> (textBigramLogProb _),
+    "sim_hybrid_rrf" -> (simHybridRrf _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2053,6 +2079,7 @@ object Extensions {
         |FROM g JOIN sc USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "graph_pagerank" -> pageRankSql,
+    "sim_hybrid_rrf" -> hybridRrfSql,
     "text_pmi" -> (tokensCte +
       """
         |, pr AS (
@@ -2132,12 +2159,15 @@ object Extensions {
       s"\nSELECT id AS vec_id, rank AS pagerank FROM r$iters ORDER BY vec_id"
   }
 
-  /** BM25 oracle — constants are interpolated from the SAME Scala doubles
+  /** BM25 scoring CTE chain (w → … → bm25agg), shared by the retrieval
+    * oracles — constants are interpolated from the SAME Scala doubles
     * the operator uses (Double.toString round-trips, so DuckDB parses the
     * identical IEEE value) and the arithmetic is written in the operator's
     * exact association order; contributions round to DECIMAL(18,6) before
-    * the per-doc sum, so the ranking is bit-stable cross-engine. */
-  private def bm25Sql: String = {
+    * the per-doc sum, so the ranking is bit-stable cross-engine.
+    * `bm25agg` columns: doc_id, doc_len, n_terms_matched, score, and the
+    * exact decimal sum `sx` for ordering. */
+  private def bm25Cte: String = {
     val k1 = 1.2; val b = 0.75
     val termList = bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
     tokensCte + s"""
@@ -2159,14 +2189,41 @@ object Extensions {
       |      / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE)
       |          / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6)
       |      AS DECIMAL(18,6)) AS contrib
-      |  FROM p JOIN dfq USING (term), st)
-      |SELECT doc_id, doc_len, n_terms_matched, score FROM (
+      |  FROM p JOIN dfq USING (term), st),
+      |bm25agg AS (
       |  SELECT doc_id, dl AS doc_len,
       |    CAST(count(*) AS BIGINT) AS n_terms_matched,
       |    CAST(sum(contrib) AS DOUBLE) AS score, sum(contrib) AS sx
-      |  FROM sc GROUP BY 1, 2)
-      |ORDER BY sx DESC, doc_id LIMIT 15""".stripMargin
+      |  FROM sc GROUP BY 1, 2)""".stripMargin
   }
+
+  private def bm25Sql: String = bm25Cte +
+    """
+      |SELECT doc_id, doc_len, n_terms_matched, score FROM bm25agg
+      |ORDER BY sx DESC, doc_id LIMIT 15""".stripMargin
+
+  /** Hybrid RRF oracle: the BM25 CTE chain + the embedding CTE chain
+    * (vecCte spliced in as continuation CTEs) + rank fusion. */
+  private def hybridRrfSql: String = bm25Cte +
+    ", " + vecCte.stripPrefix("WITH ") +
+    """, sparse AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY sx DESC, doc_id) AS INT)
+      |    AS sparse_rank
+      |  FROM (SELECT * FROM bm25agg ORDER BY sx DESC, doc_id LIMIT 20)),
+      |dense AS (
+      |  SELECT doc_id, CAST(rank AS INT) AS dense_rank FROM (
+      |    SELECT c.vec_id AS doc_id,
+      |      row_number() OVER (ORDER BY
+      |        list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+      |          (x,y) -> x+y) / (p.nrm * c.nrm) DESC, c.vec_id) AS rank
+      |    FROM n p JOIN n c ON c.vec_id <> p.vec_id
+      |    WHERE p.vec_id = 0)
+      |  WHERE rank <= 20)
+      |SELECT doc_id, sparse_rank, dense_rank,
+      |  round(coalesce(1.0 / (60.0 + CAST(sparse_rank AS DOUBLE)), 0.0)
+      |    + coalesce(1.0 / (60.0 + CAST(dense_rank AS DOUBLE)), 0.0), 6) AS rrf
+      |FROM sparse FULL JOIN dense USING (doc_id)
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
   val oracles: Map[String, String] = Entries.toMapUnique("Extensions.oracles", oracleEntries)
 }
