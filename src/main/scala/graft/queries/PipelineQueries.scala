@@ -274,6 +274,61 @@ object PipelineQueries {
       .orderBy("device")
   }
 
+  /** CONTINUOUS VIEW MAINTENANCE, driver-gated: the transactional
+    * streaming sink's post-commit hook refreshes a per-(tenant, event)
+    * count/sum view after EVERY micro-batch epoch — and the crash-replay
+    * of `pipe_streaming_transactional` is re-staged with the view
+    * attached, proving the replayed epoch neither double-counts into the
+    * view (refresh is cursor-idempotent) nor regresses it. The oracle
+    * recomputes the aggregate from `events`, so the gate is "view
+    * maintained batch-by-batch under a crash ≡ full recompute". */
+  def streamingView(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/svw_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    events(spark, dir)
+      .filter(col("event_id") <= 5000 && col("event_type") =!= "error")
+      .select(
+        to_json(struct(struct(
+          concat(lit("dev"), col("event_id").cast("string")).as("device"),
+          col("event_type").as("event"),
+          lit("US").as("region")).as("Data"))).as("value"),
+        tenantCol.as("tenant_key"))
+      .repartition(6) // 6 input files × maxFilesPerTrigger=2 → 3 epochs
+      .write.mode("overwrite").json(s"$base/in")
+    val mkRaw = () => spark.readStream
+      .schema(StructType(Seq(
+        StructField("value", StringType),
+        StructField("tenant_key", StringType))))
+      .option("maxFilesPerTrigger", 2) // force several micro-batch epochs
+      .json(s"$base/in")
+    val (lake, ckpt, view) = (s"$base/lake", s"$base/ckpt", s"$base/view")
+    val V = graft.sources.MaterializedView
+    val refresh = (s: SparkSession, _: Long) => {
+      V.refresh(s, lake, view, Seq("tenant", "event"), "timestamp"); ()
+    }
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingIngest.startTransactional(spark, mkRaw(),
+        "value", "tenant_key", lake, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        ingestTs = lit(replayIngestEpoch), onEpochCommitted = refresh))
+    run()
+    val afterFirst = V.cursor(spark, view)
+    require(afterFirst >= 1, s"expected multiple micro-batch epochs, got $afterFirst")
+    // the crash: epoch 0's manifest entry and checkpoint commit are lost
+    fs.delete(new org.apache.hadoop.fs.Path(s"$lake/_manifest/0"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false)
+    run() // replays epoch 0: lake no-op, view refresh no-op
+    require(V.cursor(spark, view) == afterFirst,
+      "replay must not advance the view cursor")
+    V.read(spark, view)
+      .select(col("tenant"), col("event"), col("cnt"),
+        col("total").cast("double").as("total_value"))
+      .orderBy("tenant", "event")
+  }
+
   /** S1 END-TO-END, driver-gated: the reference's `POST /data` → token
     * authorizer → stream → lake path, fully offline. An RSA keypair is
     * generated in-process, one token per tenant is signed with
@@ -1120,6 +1175,18 @@ object PipelineQueries {
         |  'u', CAST(2 AS BIGINT)
         |FROM b WHERE event_id % 3 = 0
         |ORDER BY epoch_id, event_id""".stripMargin,
+    // batch-by-batch maintained view under a crash replay ≡ recompute
+    // (timestamp is the constant replay ingest epoch, so total_value is
+    // cnt × 1704067200.00 — summed as decimals exactly like the view)
+    "pipe_streaming_view" ->
+      """SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  event_type AS event,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(1704067200 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE event_id <= 5000 AND event_type <> 'error'
+        |GROUP BY 1, 2
+        |ORDER BY tenant, event""".stripMargin,
     // incrementally maintained view ≡ full recompute over the same rows
     "pipe_incremental_view" ->
       """SELECT 't' || CAST(user_id % 3 AS VARCHAR) AS tenant, event_type,
@@ -1152,6 +1219,7 @@ object PipelineQueries {
     "pipe_merge_upsert" -> (mergeUpsert _),
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
+    "pipe_streaming_view" -> (streamingView _),
     "pipe_tenant_usage" -> (tenantUsage _),
     "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),
     "pipe_http_ingest" -> (httpIngestRoundtrip _),

@@ -119,7 +119,9 @@ object StreamingIngest {
   def startTransactional(spark: SparkSession, raw: DataFrame, rawCol: String,
                          tenantCol: String, lakeRoot: String, checkpoint: String,
                          trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-                         ingestTs: Column = unix_timestamp()): StreamingQuery =
+                         ingestTs: Column = unix_timestamp(),
+                         onEpochCommitted: (SparkSession, Long) => Unit =
+                           (_, _) => ()): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -135,6 +137,12 @@ object StreamingIngest {
               col(tenantCol), ingestTs))
             .drop(rawCol)
           graft.sources.TransactionalLake.commitEpoch(enriched, lakeRoot, epochId)
+          // post-commit hook — e.g. MaterializedView.refresh for
+          // continuous incremental view maintenance. Runs AFTER the
+          // epoch is durable; a crash between commit and hook replays
+          // the epoch as a no-op and re-fires the hook, so the hook
+          // must be (and MaterializedView.refresh is) idempotent.
+          onEpochCommitted(batch.sparkSession, epochId)
           val allErrors = errors.unionByName(noTenant)
           if (!allErrors.isEmpty) {
             graft.sources.Lake.writeErrors(allErrors, lakeRoot); ()
