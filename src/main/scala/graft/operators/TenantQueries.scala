@@ -101,6 +101,29 @@ object TenantQueries {
     bad.toSeq.distinct
   }
 
+  /** COLUMN MASKING layered on the tenant row filter — the data-egress
+    * policy a multi-tenant operator applies before handing query results
+    * to a tenant's analysts: direct identifiers PSEUDONYMIZED (user_id →
+    * salted SHA-256; the raw column is DROPPED, not hidden, so no
+    * downstream projection can resurrect it) and free-text columns
+    * regex-redacted (emails → `[EMAIL]`, the Java∩RE2 pattern family of
+    * `TextAnalysis.piiRedact`). Pure per-row codegen'd expressions on top
+    * of the partition-pruned tenant scan — masking costs scan speed,
+    * never a shuffle. Compose with [[sqlInTenantScope]] by registering
+    * the returned frame as the tenant's ONLY queryable view. */
+  def maskedTenantView(spark: SparkSession, table: String, salt: String,
+                       redactCols: Seq[String] = Seq("props"))
+                      (implicit ctx: TenantContext): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val pseudo = sha2(
+      concat(col("user_id").cast("string"), lit(":"), lit(salt)), 256)
+    redactCols.foldLeft(
+      queryByTenant(spark, table)
+        .withColumn("user_pseudo", pseudo)
+        .drop("user_id"))(
+      (df, c) => df.withColumn(c, regexp_replace(col(c), email, "[EMAIL]")))
+  }
+
   /** True iff the physical plan prunes on the tenant partition column —
     * test hook for the §5.2-t1 pruning assertion. */
   def prunesOnTenant(df: DataFrame): Boolean = {

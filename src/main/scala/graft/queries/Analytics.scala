@@ -352,6 +352,35 @@ object Analytics {
       .orderBy("event_type", "hour_idx")
   }
 
+  /** ANOMALY DETECTION on the hourly series: per-type z-scores of hourly
+    * event counts against that type's own mean/σ, top-20 by |z| — the
+    * monitoring query behind "this hour looks wrong". σ derives from
+    * EXACT integer sums (Σc, Σc²) in a fixed double-expression order, so
+    * scores are bit-stable cross-engine; two shuffles (hourly counts,
+    * per-type stats broadcast back) + a TakeOrdered. */
+  def anomalyHours(spark: SparkSession, dir: String): DataFrame = {
+    val hourIdx = floor(unix_timestamp(col("ts")) / 3600).cast("long")
+    val hourly = t(spark, dir, "events")
+      .groupBy(col("event_type"), hourIdx.as("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val nd = col("n_hours").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val varr = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / nd) / nd
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", round(
+        when(varr > 0, (col("n").cast("double") - mean) / sqrt(varr))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("abs_z", abs(col("z")))
+      .orderBy(col("abs_z").desc, col("event_type"), col("hour_idx"))
+      .limit(20)
+      .select(col("event_type"), col("hour_idx"), col("n"), col("z"))
+      .orderBy(col("z").desc, col("event_type"), col("hour_idx"))
+  }
+
   /** COHORT RETENTION: users grouped by first-seen week, distinct actives
     * per (cohort, week offset) — the classic retention triangle. Two
     * shuffles (per-user min, then per-cell distinct count). */
@@ -1100,7 +1129,8 @@ object Analytics {
     "q_sessionize" -> (sessionize _),
     "q_gap_fill" -> (gapFillHourly _),
     "q_cohort_retention" -> (cohortRetention _),
-    "q_funnel" -> (funnel _)))
+    "q_funnel" -> (funnel _),
+    "q_anomaly" -> (anomalyHours _)))
 
   val oracles: Map[String, String] =
     Entries.toMapUnique("Analytics.oracles", Seq(
@@ -1626,5 +1656,27 @@ object Analytics {
         |  SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
         |  UNION ALL
         |  SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p)
-        |ORDER BY stage""".stripMargin))
+        |ORDER BY stage""".stripMargin,
+    "q_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_idx,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n*n) AS BIGINT) AS s2
+        |  FROM hourly GROUP BY 1),
+        |sc AS (
+        |  SELECT h.event_type, hour_idx, n,
+        |    round(CASE WHEN (CAST(s2 AS DOUBLE)
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |        / CAST(n_hours AS DOUBLE) > 0
+        |      THEN (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |        / sqrt((CAST(s2 AS DOUBLE)
+        |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |          / CAST(n_hours AS DOUBLE))
+        |      ELSE 0.0 END, 6) AS z
+        |  FROM hourly h JOIN st USING (event_type))
+        |SELECT event_type, hour_idx, n, z FROM sc
+        |ORDER BY abs(z) DESC, event_type, hour_idx LIMIT 20""".stripMargin))
 }

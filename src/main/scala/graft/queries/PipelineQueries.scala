@@ -75,6 +75,42 @@ object PipelineQueries {
       .select("event_id", "event_type", "value", "tenant")
       .orderBy("event_id")
 
+  /** MASKED TENANT VIEW, driver-gated: a lake with PII planted into the
+    * free-text column (an email for every 3rd event), registered in the
+    * catalog, then queried through the masking view for tenant t1 —
+    * row-level security (tenant filter, partition-pruned) + column
+    * masking (salted-SHA-256 pseudonym replaces user_id, which is
+    * DROPPED; emails redacted) in one policy. The oracle applies the
+    * identical masking in SQL; engine-side asserts pin what SQL cannot:
+    * the raw user_id column is absent from the output schema and the
+    * scan pruned on the tenant partition. */
+  def maskedView(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/masked_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val planted = events(spark, dir).filter(col("event_id") <= 2000)
+      .withColumn("props", concat(col("props"),
+        when(col("event_id") % 3 === 0,
+          concat(lit(" contact user"), col("event_id").cast("string"),
+            lit("@example.com"))).otherwise(lit(""))))
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(planted, tenantCol, unix_timestamp(col("ts"))))
+      .select(col("event_id"), col("user_id"), col("props"),
+        col("tenant"), col("year"), col("month"), col("day"), col("hour"))
+    Lake.writeValid(enriched, root)
+    Lake.registerExternal(spark, "masked_lake_events", s"$root/data")
+    implicit val ctx: TenantContext = TenantContext("t1")
+    val out = TenantQueries.maskedTenantView(spark, "masked_lake_events",
+      salt = "pepper")
+    require(!out.columns.contains("user_id"),
+      "masked view must DROP the raw identifier column")
+    require(TenantQueries.prunesOnTenant(out),
+      "masked view must keep the tenant partition pruning")
+    out.select(col("event_id"), col("tenant"), col("user_pseudo"), col("props"))
+      .orderBy("event_id")
+  }
+
   /** S4+S5+S8+S7 end-to-end: enrich → partitioned Parquet write (dynamic
     * partitions, small-file-aware) → catalog registration (crawler analog)
     * → tenant-scoped query that PRUNES partitions. The oracle sees the
@@ -1175,6 +1211,18 @@ object PipelineQueries {
         |  'u', CAST(2 AS BIGINT)
         |FROM b WHERE event_id % 3 = 0
         |ORDER BY epoch_id, event_id""".stripMargin,
+    // RLS + masking: pseudonymized id, redacted email, tenant-only rows
+    "pipe_masked_view" ->
+      """SELECT event_id, 't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  sha256(CAST(user_id AS VARCHAR) || ':pepper') AS user_pseudo,
+        |  regexp_replace(
+        |    props || CASE WHEN event_id % 3 = 0
+        |      THEN ' contact user' || CAST(event_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS props
+        |FROM events
+        |WHERE user_id % 3 = 1 AND event_id <= 2000
+        |ORDER BY event_id""".stripMargin,
     // batch-by-batch maintained view under a crash replay ≡ recompute
     // (timestamp is the constant replay ingest epoch, so total_value is
     // cnt × 1704067200.00 — summed as decimals exactly like the view)
@@ -1220,6 +1268,7 @@ object PipelineQueries {
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
     "pipe_streaming_view" -> (streamingView _),
+    "pipe_masked_view" -> (maskedView _),
     "pipe_tenant_usage" -> (tenantUsage _),
     "pipe_streaming_epoch_compact" -> (epochFoldRoundtrip _),
     "pipe_http_ingest" -> (httpIngestRoundtrip _),
