@@ -276,9 +276,23 @@ object TextAnalysis {
     * sum — order-independent, cross-engine exact. Docs with < 2 tokens
     * have no bigrams and drop out (same contract as the oracle). */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokenize behind a PROJECT boundary: shingles() references its token
+    // array once per element, and an inlined words(text) alias would
+    // re-split the text per shingle position (O(tokens²) regex work —
+    // measured 4 s of the query's 9 s at sf0.1; same trap documented on
+    // qualityFilter)
     val grams = docs
-      .select(col(idCol), explode(TF.shingles(TF.words(col(textCol)), 2)).as("bg"))
-    val bc = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .select(col(idCol), TF.words(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(TF.shingles(col("__toks"), 2)).as("bg"))
+    // the bigram count table is referenced three times downstream (its own
+    // join, the prefix aggregate, the surprisal join) — without a
+    // materialization each reference replays the corpus tokenize+explode
+    // lineage (measured 4 corpus passes → 9.3 s at sf0.1). It is
+    // VOCAB-scale (distinct bigrams), so the checkpoint is tiny; corpus
+    // passes drop to the minimum two (count pass + scoring pass).
+    val bc = Blocks.copyOut(
+      grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt")),
+      singleEval = true)
     // prefix counts: c(w1 •) = Σ over bigrams sharing the first token —
     // derived FROM the bigram counts (vocab-scale, not corpus-scale)
     val prefix = bc

@@ -498,6 +498,11 @@ object Extensions {
       .limit(10)
   }
 
+  /** BPE tokenizer training gate: 5 merge rounds learned from the word
+    * frequency table. */
+  def textBpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.learnMerges(docs(s, d), "text", rounds = 5)
+
   def textVocab(s: SparkSession, d: String): DataFrame =
     TextAnalysis.vocabulary(docs(s, d), "text", topK = 30)
 
@@ -885,7 +890,8 @@ object Extensions {
     "text_bm25_incremental" -> (textBm25Incremental _),
     "text_vocab" -> (textVocab _),
     "text_bigram_logprob" -> (textBigramLogProb _),
-    "sim_hybrid_rrf" -> (simHybridRrf _)))
+    "sim_hybrid_rrf" -> (simHybridRrf _),
+    "text_bpe_merges" -> (textBpeMerges _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2080,6 +2086,7 @@ object Extensions {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "graph_pagerank" -> pageRankSql,
     "sim_hybrid_rrf" -> hybridRrfSql,
+    "text_bpe_merges" -> bpeMergesSql,
     "text_pmi" -> (tokensCte +
       """
         |, pr AS (
@@ -2201,6 +2208,43 @@ object Extensions {
     """
       |SELECT doc_id, doc_len, n_terms_matched, score FROM bm25agg
       |ORDER BY sx DESC, doc_id LIMIT 15""".stripMargin
+
+  /** BPE oracle: the word-frequency table in the engine's sentinel-
+    * delimited representation (chr(1)-wrapped symbols), then `rounds`
+    * UNROLLED merge rounds generated by the same loop shape the operator
+    * runs — per round an adjacent-pair weighted count, the argmax pair
+    * (count desc, lexicographic), and the identical boundary-safe
+    * literal replace. Pure integer counts — exact cross-engine. */
+  private def bpeMergesSql: String = {
+    val rounds = 5
+    val base = tokensCte +
+      """, v0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+        |    chr(1) || array_to_string(string_split(word, ''), chr(1) || chr(1))
+        |      || chr(1) AS str
+        |  FROM (SELECT unnest(toks) AS word FROM w) GROUP BY 1)""".stripMargin
+    val iter = (1 to rounds).map { i =>
+      s""",
+         |p$i AS (
+         |  SELECT cnt, unnest(list_transform(range(1, len(syms)),
+         |    k -> {'l': syms[k], 'r': syms[k+1]})) AS pr
+         |  FROM (SELECT cnt, list_filter(string_split(str, chr(1)),
+         |          x -> len(x) > 0) AS syms FROM v${i - 1})),
+         |m$i AS (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM p$i GROUP BY 1, 2 ORDER BY c DESC, l, r LIMIT 1),
+         |v$i AS (
+         |  SELECT word, cnt,
+         |    replace(str, chr(1) || l || chr(1) || chr(1) || r || chr(1),
+         |                 chr(1) || l || r || chr(1)) AS str
+         |  FROM v${i - 1}, m$i)""".stripMargin
+    }.mkString
+    val rows = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS INT) AS round, l AS "left", r AS "right",
+         |  c AS pair_count FROM m$i""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    base + iter + rows + "ORDER BY round"
+  }
 
   /** Hybrid RRF oracle: the BM25 CTE chain + the embedding CTE chain
     * (vecCte spliced in as continuation CTEs) + rank fusion. */
