@@ -35,7 +35,12 @@ object Scaling {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_embedding_lsh", "dedup_canonical",
     "sim_topk_exact", "sim_topk_ivf", "sim_topk_pq",
-    "text_quality_filter", "text_tfidf", "train_corpus_prep_v2")
+    "text_quality_filter", "text_tfidf", "train_corpus_prep_v2",
+    // round-6 additions: retrieval, co-occurrence, LM scoring, graph,
+    // tokenizer training — each with a non-obvious scale shape worth
+    // pinning (posting filters, pair explosion, iterative rounds)
+    "text_bm25", "text_pmi", "text_bigram_logprob", "graph_pagerank",
+    "text_bpe_merges")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */

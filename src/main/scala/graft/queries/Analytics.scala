@@ -352,6 +352,51 @@ object Analytics {
       .orderBy("event_type", "hour_idx")
   }
 
+  /** APPROXIMATE QUERY PROCESSING with a DETERMINISTIC sample: a 10%
+    * Bernoulli sample drawn by integer hash (portable arithmetic — the
+    * identical rows sample in any engine), scaled estimates next to the
+    * exact aggregates, and the realized relative error as an output
+    * column. The AQP contract made auditable: a dashboard can serve the
+    * estimate and publish its error. Sampling pushes to the scan as a
+    * per-row predicate; both aggregates are one shuffle each. */
+  def sampleEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = ((col("l_orderkey") % 100000) * 7919 +
+      col("l_linenumber") * 104729) % 1000
+    val li = t(spark, dir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q_exact"))
+    val est = li.filter(bucket < 100)
+      .groupBy(col("l_returnflag"))
+      .agg((count(lit(1)) * 10).as("n_est"),
+        (sum(col("l_quantity").cast("decimal(18,2)")) * 10).as("q_est"))
+    exact.join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"), col("n_est"),
+        round(abs(col("n_est").cast("double") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6).as("n_rel_err"),
+        col("q_exact").cast("double").as("q_exact"),
+        col("q_est").cast("double").as("q_est"))
+      .orderBy("l_returnflag")
+  }
+
+  /** JOIN-KEY SKEW REPORT: the diagnostic behind "which key melts my
+    * shuffle" — per-key row counts of the probe side, the hot keys, and
+    * the skew factor (max/mean). One map-side-combined aggregate + a
+    * 1-row stats broadcast; top-10 by count. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
+      max(col("n")).as("max_n"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("n"),
+        round(col("max_n").cast("double") /
+          (col("total").cast("double") / col("n_keys").cast("double")), 6)
+          .as("skew_factor"))
+      .orderBy(col("n").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   /** ANOMALY DETECTION on the hourly series: per-type z-scores of hourly
     * event counts against that type's own mean/σ, top-20 by |z| — the
     * monitoring query behind "this hour looks wrong". σ derives from
@@ -1130,7 +1175,9 @@ object Analytics {
     "q_gap_fill" -> (gapFillHourly _),
     "q_cohort_retention" -> (cohortRetention _),
     "q_funnel" -> (funnel _),
-    "q_anomaly" -> (anomalyHours _)))
+    "q_anomaly" -> (anomalyHours _),
+    "q_sample_estimate" -> (sampleEstimate _),
+    "q_skew_report" -> (skewReport _)))
 
   val oracles: Map[String, String] =
     Entries.toMapUnique("Analytics.oracles", Seq(
@@ -1678,5 +1725,33 @@ object Analytics {
         |      ELSE 0.0 END, 6) AS z
         |  FROM hourly h JOIN st USING (event_type))
         |SELECT event_type, hour_idx, n, z FROM sc
-        |ORDER BY abs(z) DESC, event_type, hour_idx LIMIT 20""".stripMargin))
+        |ORDER BY abs(z) DESC, event_type, hour_idx LIMIT 20""".stripMargin,
+    "q_sample_estimate" ->
+      """WITH ex AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_exact,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS q_exact
+        |  FROM lineitem GROUP BY 1),
+        |es AS (
+        |  SELECT l_returnflag, CAST(count(*) * 10 AS BIGINT) AS n_est,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) * 10 AS q_est
+        |  FROM lineitem
+        |  WHERE ((l_orderkey % 100000) * 7919 + l_linenumber * 104729) % 1000 < 100
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n_exact, n_est,
+        |  round(abs(CAST(n_est AS DOUBLE) - CAST(n_exact AS DOUBLE))
+        |    / CAST(n_exact AS DOUBLE), 6) AS n_rel_err,
+        |  CAST(q_exact AS DOUBLE) AS q_exact, CAST(q_est AS DOUBLE) AS q_est
+        |FROM ex JOIN es USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n) AS BIGINT) AS total, CAST(max(n) AS BIGINT) AS max_n FROM c)
+        |SELECT l_orderkey, n,
+        |  round(CAST(max_n AS DOUBLE)
+        |    / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_factor
+        |FROM c, st
+        |ORDER BY n DESC, l_orderkey LIMIT 10""".stripMargin))
 }
