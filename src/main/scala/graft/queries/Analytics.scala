@@ -352,6 +352,32 @@ object Analytics {
       .orderBy("event_type", "hour_idx")
   }
 
+  /** CROSS-FORMAT FEDERATION: one plan joining a JSON dimension, an ORC
+    * dimension, and the Parquet fact table — the "query the lake as it
+    * is" composition (every format pair round-trips are separately gated
+    * by FormatParitySpec; this gates that they JOIN). The two small dims
+    * broadcast; the fact scan is the only distributed input. */
+  def federatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/fed_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    t(spark, dir, "nation").write.mode("overwrite").json(s"$root/nation_json")
+    t(spark, dir, "region").write.mode("overwrite").orc(s"$root/region_orc")
+    val nation = spark.read.json(s"$root/nation_json")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+    val region = spark.read.orc(s"$root/region_orc")
+    t(spark, dir, "customer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_acctbal"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** APPROXIMATE QUERY PROCESSING with a DETERMINISTIC sample: a 10%
     * Bernoulli sample drawn by integer hash (portable arithmetic — the
     * identical rows sample in any engine), scaled estimates next to the
@@ -1177,7 +1203,8 @@ object Analytics {
     "q_funnel" -> (funnel _),
     "q_anomaly" -> (anomalyHours _),
     "q_sample_estimate" -> (sampleEstimate _),
-    "q_skew_report" -> (skewReport _)))
+    "q_skew_report" -> (skewReport _),
+    "q_federated_join" -> (federatedJoin _)))
 
   val oracles: Map[String, String] =
     Entries.toMapUnique("Analytics.oracles", Seq(
@@ -1753,5 +1780,12 @@ object Analytics {
         |  round(CAST(max_n AS DOUBLE)
         |    / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6) AS skew_factor
         |FROM c, st
-        |ORDER BY n DESC, l_orderkey LIMIT 10""".stripMargin))
+        |ORDER BY n DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_federated_join" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin))
 }
