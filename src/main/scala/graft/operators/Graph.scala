@@ -66,4 +66,39 @@ object Graph {
     Blocks.release(ranks); Blocks.release(withDeg); Blocks.release(nodes)
     out
   }
+
+  /** DETERMINISTIC RANDOM WALKS over a ranked edge list (e.g. the k-NN
+    * graph, whose edges carry `rank` 1..k) — the positive-pair sampler
+    * of graph-based embedding training (DeepWalk/node2vec shape). Each
+    * node starts one walk; at step s the walk at node v follows the
+    * neighbor whose rank is `1 + (v·7919 + s·104729) mod deg(v)` — a
+    * HASH-derived choice, so walks are reproducible across runs,
+    * partitionings, and engines (no RNG state to ship), yet mix across
+    * ranks like a uniform pick. Each step is ONE equi-join of the
+    * frontier against the ranked edges on (node, rank) — O(walks) rows
+    * per step, `steps` shuffles total, no collect, no adjacency in
+    * driver memory. */
+  def randomWalks(rankedEdges: DataFrame, srcCol: String, dstCol: String,
+                  rankCol: String, steps: Int): DataFrame = {
+    require(steps >= 1, "randomWalks: steps must be >= 1")
+    val e = rankedEdges.select(col(srcCol).as("e_src"),
+      col(dstCol).as("e_dst"), col(rankCol).cast("long").as("e_rank"))
+    val deg = e.groupBy("e_src").agg(count(lit(1)).as("e_deg"))
+    val edges = Blocks.copyOut(e.join(deg, "e_src"), singleEval = true)
+    var frontier = edges.select(col("e_src").as("walk_id"))
+      .distinct().withColumn("node", col("walk_id"))
+    var path = frontier.withColumn("step", lit(0))
+    for (s <- 1 to steps) {
+      val pick = lit(1) + pmod(col("node") * lit(7919L) + lit(s.toLong) * lit(104729L),
+        col("e_deg"))
+      frontier = frontier
+        .join(edges, col("node") === col("e_src"))
+        .filter(col("e_rank") === pick)
+        .select(col("walk_id"), col("e_dst").as("node"))
+      path = path.unionByName(frontier.withColumn("step", lit(s)))
+    }
+    val out = Blocks.copyOut(path.select(col("walk_id"), col("step"), col("node")))
+    Blocks.release(edges)
+    out
+  }
 }

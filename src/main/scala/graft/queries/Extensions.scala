@@ -627,6 +627,17 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** Deterministic random walks over the k-NN graph — 4 hash-directed
+    * steps from every node (the DeepWalk positive-pair sampler, made
+    * reproducible). */
+  def graphRandomWalks(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
+      k = 3, nCells = 16)
+    graft.operators.Graph.randomWalks(edges, "vec_id", "neighbor_id",
+      "rank", steps = 4)
+      .orderBy("walk_id", "step")
+  }
+
   /** Diversity-sampling gate: at most 10 per semantic cell, id order. */
   def sampleDiverse(s: SparkSession, d: String): DataFrame =
     Similarity.diversitySample(embs(s, d), "vec_id", "embedding", cap = 10, nCells = 16)
@@ -891,7 +902,8 @@ object Extensions {
     "text_vocab" -> (textVocab _),
     "text_bigram_logprob" -> (textBigramLogProb _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
-    "text_bpe_merges" -> (textBpeMerges _)))
+    "text_bpe_merges" -> (textBpeMerges _),
+    "graph_random_walks" -> (graphRandomWalks _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2087,6 +2099,7 @@ object Extensions {
     "graph_pagerank" -> pageRankSql,
     "sim_hybrid_rrf" -> hybridRrfSql,
     "text_bpe_merges" -> bpeMergesSql,
+    "graph_random_walks" -> randomWalksSql,
     "text_pmi" -> (tokensCte +
       """
         |, pr AS (
@@ -2116,34 +2129,40 @@ object Extensions {
     * round to DECIMAL(26,12) before the per-destination sum (exact in any
     * order) and each rank re-rounds to 12 dp — the identical arithmetic,
     * association order, and interpolated IEEE constants as the engine. */
+  /** The sim_knn_graph edge derivation as a CTE chain ending in
+    * `eg(src, dst, rank)` — shared by the PageRank and random-walk
+    * oracles. */
+  private def knnEdgesCte: String = vecCte +
+    """, cents AS (
+      |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+      |  FROM n ORDER BY vec_id LIMIT 16
+      |), ca AS (
+      |  SELECT c_id, cell FROM (
+      |    SELECT a.vec_id AS c_id, b.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+      |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) DESC, b.cent_id) AS rn
+      |    FROM n a CROSS JOIN cents b)
+      |  WHERE rn = 1
+      |), eg AS (
+      |  SELECT src, dst, rank FROM (
+      |    SELECT vec_id AS src, neighbor_id AS dst,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |    FROM (
+      |      SELECT aa.c_id AS vec_id, bb.c_id AS neighbor_id,
+      |        list_reduce(list_transform(range(1, len(na.e)+1), i -> na.e[i]*nb.e[i]),
+      |          (x,y) -> x+y) / (na.nrm * nb.nrm) AS cosine
+      |      FROM ca aa JOIN ca bb ON aa.cell = bb.cell AND aa.c_id <> bb.c_id
+      |      JOIN n na ON na.vec_id = aa.c_id
+      |      JOIN n nb ON nb.vec_id = bb.c_id))
+      |  WHERE rank <= 3
+      |)""".stripMargin
+
   private def pageRankSql: String = {
     val damping = 0.85; val iters = 5
     val oneMinusD = 1.0 - damping // interpolated: Double.toString round-trips
-    val base = vecCte +
-      """, cents AS (
-        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
-        |  FROM n ORDER BY vec_id LIMIT 16
-        |), ca AS (
-        |  SELECT c_id, cell FROM (
-        |    SELECT a.vec_id AS c_id, b.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
-        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) DESC, b.cent_id) AS rn
-        |    FROM n a CROSS JOIN cents b)
-        |  WHERE rn = 1
-        |), eg AS (
-        |  SELECT src, dst FROM (
-        |    SELECT vec_id AS src, neighbor_id AS dst,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
-        |    FROM (
-        |      SELECT aa.c_id AS vec_id, bb.c_id AS neighbor_id,
-        |        list_reduce(list_transform(range(1, len(na.e)+1), i -> na.e[i]*nb.e[i]),
-        |          (x,y) -> x+y) / (na.nrm * nb.nrm) AS cosine
-        |      FROM ca aa JOIN ca bb ON aa.cell = bb.cell AND aa.c_id <> bb.c_id
-        |      JOIN n na ON na.vec_id = aa.c_id
-        |      JOIN n nb ON nb.vec_id = bb.c_id))
-        |  WHERE rank <= 3
-        |), gn AS (
+    val base = knnEdgesCte +
+      """, gn AS (
         |  SELECT DISTINCT id FROM (
         |    SELECT src AS id FROM eg UNION ALL SELECT dst AS id FROM eg)
         |), od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM eg GROUP BY 1),
@@ -2208,6 +2227,30 @@ object Extensions {
     """
       |SELECT doc_id, doc_len, n_terms_matched, score FROM bm25agg
       |ORDER BY sx DESC, doc_id LIMIT 15""".stripMargin
+
+  /** Random-walk oracle: the shared k-NN edge CTE + `steps` unrolled
+    * frontier joins with the identical hash-directed neighbor pick
+    * (1 + (node·7919 + step·104729) mod deg — positive operands, so `%`
+    * ≡ pmod). Integer arithmetic only — exact cross-engine. */
+  private def randomWalksSql: String = {
+    val steps = 4
+    val base = knnEdgesCte +
+      """, dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM eg GROUP BY 1),
+        |ew AS (SELECT eg.src, eg.dst, CAST(eg.rank AS BIGINT) AS rnk, dg.deg
+        |       FROM eg JOIN dg USING (src)),
+        |f0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM eg)""".stripMargin
+    val iter = (1 to steps).map { s =>
+      s""",
+         |f$s AS (
+         |  SELECT f.walk_id, ew.dst AS node
+         |  FROM f${s - 1} f JOIN ew ON f.node = ew.src
+         |  WHERE ew.rnk = 1 + (f.node * 7919 + $s * 104729) % ew.deg)""".stripMargin
+    }.mkString
+    val rows = (0 to steps).map(s =>
+      s"SELECT walk_id, CAST($s AS INT) AS step, node FROM f$s")
+      .mkString("\n", "\nUNION ALL\n", "\n")
+    base + iter + rows + "ORDER BY walk_id, step"
+  }
 
   /** BPE oracle: the word-frequency table in the engine's sentinel-
     * delimited representation (chr(1)-wrapped symbols), then `rounds`

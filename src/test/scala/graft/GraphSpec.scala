@@ -44,6 +44,28 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("randomWalks: walks follow edges, terminate at sinks, and are deterministic") {
+    // ranked edges: 1→{2,3}, 2→{3}, 3 is a sink
+    val e = Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)).toDF("src", "dst", "rank")
+    val out = Graph.randomWalks(e, "src", "dst", "rank", steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // step 0 = every src node (1 and 2); walks from both reach sink 3 and stop
+    assert(out.filter(_._2 == 0).map(_._1) == Set(1L, 2L))
+    // every step-s>0 row is an edge from the walk's step-(s-1) node
+    val edges = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    for ((w, s, n) <- out if s > 0) {
+      val prev = out.find(r => r._1 == w && r._2 == s - 1).get._3
+      assert(edges.contains((prev, n)), s"walk $w step $s: $prev -> $n not an edge")
+    }
+    // sink termination: no walk continues past node 3
+    assert(!out.exists(r => r._2 > 0 && out.exists(p =>
+      p._1 == r._1 && p._2 == r._2 - 1 && p._3 == 3L)))
+    // hash-directed choice is reproducible bit-for-bit
+    val again = Graph.randomWalks(e, "src", "dst", "rank", steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == out)
+  }
+
   test("pageRank holds zero residual storage after returning") {
     val out = Graph.pageRank(edges(1L -> 2L, 2L -> 3L, 3L -> 1L), "src", "dst")
     out.count()
