@@ -627,6 +627,18 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** Cross-table entity resolution gate: customer↔supplier name matching
+    * on char-trigram Jaccard ≥ 0.32 (the fixture's shared `#NNNNNNNNN`
+    * name shape makes digit grams the discriminative long tail). The
+    * oracle is the naive cross product — the engine's prefix-blocked
+    * form must return the identical pair set. */
+  def dedupCrossEr(s: SparkSession, d: String): DataFrame =
+    graft.operators.EntityResolution.fuzzyJoin(
+      Tables.load(s, d, "customer"), "c_custkey", "c_name",
+      Tables.load(s, d, "supplier"), "s_suppkey", "s_name",
+      k = 3, threshold = 0.32)
+      .orderBy("id_a", "id_b")
+
   /** Deterministic random walks over the k-NN graph — 4 hash-directed
     * steps from every node (the DeepWalk positive-pair sampler, made
     * reproducible). */
@@ -903,7 +915,8 @@ object Extensions {
     "text_bigram_logprob" -> (textBigramLogProb _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "text_bpe_merges" -> (textBpeMerges _),
-    "graph_random_walks" -> (graphRandomWalks _)))
+    "graph_random_walks" -> (graphRandomWalks _),
+    "dedup_cross_er" -> (dedupCrossEr _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2100,6 +2113,28 @@ object Extensions {
     "sim_hybrid_rrf" -> hybridRrfSql,
     "text_bpe_merges" -> bpeMergesSql,
     "graph_random_walks" -> randomWalksSql,
+    // cross-table ER: the naive cross product IS the oracle; the
+    // engine's prefix-blocked join must return the identical pair set
+    "dedup_cross_er" ->
+      """WITH cg AS (
+        |  SELECT c_custkey AS id,
+        |    list_distinct(list_transform(range(1, len(lower(c_name)) - 1),
+        |      i -> substr(lower(c_name), i, 3))) AS g
+        |  FROM customer WHERE len(c_name) >= 3),
+        |sg AS (
+        |  SELECT s_suppkey AS id,
+        |    list_distinct(list_transform(range(1, len(lower(s_name)) - 1),
+        |      i -> substr(lower(s_name), i, 3))) AS g
+        |  FROM supplier WHERE len(s_name) >= 3)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT cg.id AS id_a, sg.id AS id_b,
+        |    CAST(len(list_filter(cg.g, x -> list_contains(sg.g, x))) AS DOUBLE) /
+        |    CAST(len(cg.g) + len(sg.g)
+        |      - len(list_filter(cg.g, x -> list_contains(sg.g, x))) AS DOUBLE)
+        |      AS jaccard
+        |  FROM cg, sg)
+        |WHERE jaccard >= 0.32
+        |ORDER BY id_a, id_b""".stripMargin,
     "text_pmi" -> (tokensCte +
       """
         |, pr AS (
