@@ -46,10 +46,16 @@ object TextIndex {
       TF.words(col(textCol)).as("__toks"))
       .select(col("doc"), col("__toks"),
         size(col("__toks")).cast("long").as("dl"))
+    // POSITIONAL postings: token positions ride each (term, doc) row
+    // (sorted — deterministic), enabling phrase/proximity queries from
+    // the index alone; positions are additive across disjoint batches
+    // like every other statistic here
     val postings = toks
-      .select(col("doc"), col("dl"), explode(col("__toks")).as("term"))
+      .select(col("doc"), col("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "term")))
       .groupBy("term", "doc", "dl")
-      .agg(count(lit(1)).cast("long").as("tf"))
+      .agg(count(lit(1)).cast("long").as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
       .withColumn("tbucket", bucketOf(col("term"), nBuckets))
     TransactionalLake.commitEpoch(postings, postingsRoot(indexRoot), epochId,
       partitionCols = Seq("tbucket"))
@@ -65,6 +71,46 @@ object TextIndex {
       upTo, partitionCols = Seq("tbucket")),
       TransactionalLake.foldCommittedEpochs(spark, doclenRoot(indexRoot),
         upTo, partitionCols = Nil))
+
+  /** PHRASE SEARCH from the positional index: documents containing the
+    * exact token sequence `phrase`, ranked by phrase occurrence count.
+    * Classic positional-postings intersection: start from the first
+    * term's position list and, per following term, keep positions whose
+    * successor appears in that term's list — each step is ONE doc-keyed
+    * equi-join of two (bucket-pruned) posting lists with a per-row
+    * array intersection; the corpus text is never read. Cost is
+    * O(Σ matching postings), the inverted-index phrase contract. */
+  def phraseSearch(spark: SparkSession, indexRoot: String,
+                   phrase: Seq[String], topK: Int = 10,
+                   nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(phrase.size >= 2, "phraseSearch: need at least 2 phrase terms")
+    val terms = phrase.map(_.toLowerCase)
+    val buckets = terms.map { t =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      ((h % nBuckets) + nBuckets) % nBuckets
+    }.distinct
+    val posting = TransactionalLake.readCommitted(spark, postingsRoot(indexRoot))
+      .filter(col("tbucket").cast("long").isInCollection(buckets) &&
+        col("term").isInCollection(terms.distinct))
+    def listOf(t: String) = posting.filter(col("term") === t)
+      .select(col("doc"), col("positions"))
+    val first = listOf(terms.head).select(col("doc"), col("positions").as("p"))
+    val matched = terms.tail.foldLeft(first) { (acc, t) =>
+      acc.join(listOf(t), "doc")
+        .select(col("doc"),
+          array_intersect(transform(col("p"), x => x + lit(1L)),
+            col("positions")).as("p"))
+        .filter(size(col("p")) > 0)
+    }
+    matched
+      .select(col("doc").as("doc_id"),
+        size(col("p")).cast("long").as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(topK)
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+  }
 
   /** BM25 top-k from the committed index — identical semantics (and the
     * identical 6-dp DECIMAL determinism contract) to

@@ -627,6 +627,23 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** Positional phrase search gate: the index is built incrementally
+    * (3 disjoint batches + a fold), then the exact phrase "join hash"
+    * is answered from posting-list position intersections alone — the
+    * oracle scans tokens for the adjacency directly. */
+  def textPhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/phraseidx_$tag"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val all = docs(s, d)
+    (0 until 3).foreach(i => graft.operators.TextIndex.commitPostings(
+      all.filter(col("doc_id") % 3 === i), "doc_id", "text", root, i.toLong))
+    require(graft.operators.TextIndex.foldIndex(s, root, upTo = 1L) == ((2, 2)))
+    graft.operators.TextIndex.phraseSearch(s, root,
+      Seq("join", "hash"), topK = 10)
+  }
+
   /** Cross-table entity resolution gate: customer↔supplier name matching
     * on char-trigram Jaccard ≥ 0.32 (the fixture's shared `#NNNNNNNNN`
     * name shape makes digit grams the discriminative long tail). The
@@ -916,7 +933,8 @@ object Extensions {
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "text_bpe_merges" -> (textBpeMerges _),
     "graph_random_walks" -> (graphRandomWalks _),
-    "dedup_cross_er" -> (dedupCrossEr _)))
+    "dedup_cross_er" -> (dedupCrossEr _),
+    "text_phrase_search" -> (textPhraseSearch _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2113,6 +2131,16 @@ object Extensions {
     "sim_hybrid_rrf" -> hybridRrfSql,
     "text_bpe_merges" -> bpeMergesSql,
     "graph_random_walks" -> randomWalksSql,
+    "text_phrase_search" -> (tokensCte +
+      """
+        |SELECT doc_id, phrase_tf FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'join' AND toks[i+1] = 'hash')) AS BIGINT)
+        |      AS phrase_tf
+        |  FROM w)
+        |WHERE phrase_tf > 0
+        |ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin),
     // cross-table ER: the naive cross product IS the oracle; the
     // engine's prefix-blocked join must return the identical pair set
     "dedup_cross_er" ->

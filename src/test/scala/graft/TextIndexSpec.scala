@@ -54,6 +54,29 @@ class TextIndexSpec extends SparkSpec {
     assert(engine.keySet == Set("cat", "dog", "bird", "fish", "worm", "moth"))
   }
 
+  test("phrase search: positional intersection matches a token scan") {
+    val root = tmpDir("tidx_phrase")
+    val c = Seq(
+      1L -> "big cat sat big cat sat",   // "big cat" twice
+      2L -> "cat big cat nap",           // once
+      3L -> "big dog big dog",           // never
+      4L -> "a a a a")                   // overlap probe
+      .toDF("doc_id", "text")
+    TextIndex.commitPostings(c, "doc_id", "text", root, 0L)
+    val out = TextIndex.phraseSearch(spark, root, Seq("big", "cat"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+    // overlapping occurrences all count ("a a a a" has three "a a")
+    val ov = TextIndex.phraseSearch(spark, root, Seq("a", "a"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ov == Map(4L -> 3L))
+    // 3-term phrase chains the intersection
+    val three = TextIndex.phraseSearch(spark, root,
+      Seq("big", "cat", "sat"), topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three == Map(1L -> 2L))
+  }
+
   test("replayed index epoch is a no-op (disjoint-batch additivity safe)") {
     val root = tmpDir("tidx_replay")
     TextIndex.commitPostings(corpus.filter(col("doc_id") <= 3), "doc_id",
