@@ -67,6 +67,57 @@ object Graph {
     out
   }
 
+  /** WEIGHTED PageRank — contributions split by edge weight instead of
+    * uniformly (for a k-NN graph: cosine-weighted, so a node's mass
+    * flows mostly to its CLOSEST neighbors). Same determinism contract
+    * as [[pageRank]], extended to the weights: weights round to
+    * DECIMAL(18,6) at ingest, per-source weight totals sum exactly, and
+    * each edge's share `rank · (w / Σw)` rounds to 9 dp before the
+    * decimal per-destination sum (9, not 12: at scale 12 the two
+    * engines' double-rounding paths — exact-BigDecimal vs
+    * scaled-multiply — can disagree by 1 ulp on arbitrary products;
+    * at 9 the boundary is out of reach). Requires positive weights (a zero
+    * total would divide by zero — ranked-similarity edges satisfy
+    * this). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int = 5,
+                       damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "pageRankWeighted: iterations must be >= 1")
+    require(damping > 0.0 && damping < 1.0,
+      "pageRankWeighted: damping must be in (0,1)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      round(col(weightCol), 6).cast("decimal(18,6)").as("w"))
+    val outW = e.groupBy("src").agg(sum(col("w")).as("sw"))
+    val withW = Blocks.copyOut(e.join(outW, "src"), singleEval = true)
+    val nodes = Blocks.copyOut(
+      e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+        .distinct(), singleEval = true)
+    val n = nodes.count().toDouble
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes
+      .select(col("id"), round(lit(1.0) / lit(n), 12).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = withW.join(ranks, col("src") === col("id"))
+        .select(col("dst"),
+          round(col("rank") *
+            (col("w").cast("double") / col("sw").cast("double")), 9)
+            .cast("decimal(26,9)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_mass"))
+      val next = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          round(lit(teleport) +
+            lit(damping) * coalesce(col("in_mass").cast("double"), lit(0.0)), 12)
+            .as("rank"))
+        .localCheckpoint(true)
+      Blocks.release(ranks)
+      ranks = next
+    }
+    val out = Blocks.copyOut(ranks)
+    Blocks.release(ranks); Blocks.release(withW); Blocks.release(nodes)
+    out
+  }
+
   /** DETERMINISTIC RANDOM WALKS over a ranked edge list (e.g. the k-NN
     * graph, whose edges carry `rank` 1..k) — the positive-pair sampler
     * of graph-based embedding training (DeepWalk/node2vec shape). Each

@@ -656,6 +656,17 @@ object Extensions {
       k = 3, threshold = 0.32)
       .orderBy("id_a", "id_b")
 
+  /** Cosine-weighted PageRank over the same k-NN graph — mass flows
+    * preferentially to closest neighbors. */
+  def graphPagerankWeighted(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
+      k = 3, nCells = 16)
+    graft.operators.Graph.pageRankWeighted(edges, "vec_id", "neighbor_id",
+      "cosine", iterations = 5, damping = 0.85)
+      .select(col("id").as("vec_id"), col("rank").as("pagerank"))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic random walks over the k-NN graph — 4 hash-directed
     * steps from every node (the DeepWalk positive-pair sampler, made
     * reproducible). */
@@ -934,7 +945,8 @@ object Extensions {
     "text_bpe_merges" -> (textBpeMerges _),
     "graph_random_walks" -> (graphRandomWalks _),
     "dedup_cross_er" -> (dedupCrossEr _),
-    "text_phrase_search" -> (textPhraseSearch _)))
+    "text_phrase_search" -> (textPhraseSearch _),
+    "graph_pagerank_weighted" -> (graphPagerankWeighted _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2128,6 +2140,7 @@ object Extensions {
         |FROM g JOIN sc USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "graph_pagerank" -> pageRankSql,
+    "graph_pagerank_weighted" -> pageRankWeightedSql,
     "sim_hybrid_rrf" -> hybridRrfSql,
     "text_bpe_merges" -> bpeMergesSql,
     "graph_random_walks" -> randomWalksSql,
@@ -2208,8 +2221,8 @@ object Extensions {
       |    FROM n a CROSS JOIN cents b)
       |  WHERE rn = 1
       |), eg AS (
-      |  SELECT src, dst, rank FROM (
-      |    SELECT vec_id AS src, neighbor_id AS dst,
+      |  SELECT src, dst, rank, cosine FROM (
+      |    SELECT vec_id AS src, neighbor_id AS dst, cosine,
       |      row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
       |    FROM (
       |      SELECT aa.c_id AS vec_id, bb.c_id AS neighbor_id,
@@ -2290,6 +2303,41 @@ object Extensions {
     """
       |SELECT doc_id, doc_len, n_terms_matched, score FROM bm25agg
       |ORDER BY sx DESC, doc_id LIMIT 15""".stripMargin
+
+  /** Weighted-PageRank oracle — pageRankSql with the uniform 1/deg
+    * share replaced by the cosine-weighted `rank · (w / Σw)` share;
+    * weights round to DECIMAL(18,6) pre-sum, same arithmetic order as
+    * the operator. */
+  private def pageRankWeightedSql: String = {
+    val damping = 0.85; val iters = 5
+    val oneMinusD = 1.0 - damping
+    val base = knnEdgesCte +
+      """, ew AS (
+        |  SELECT src, dst, CAST(round(cosine, 6) AS DECIMAL(18,6)) AS w
+        |  FROM eg),
+        |ow AS (SELECT src, sum(w) AS sw FROM ew GROUP BY 1),
+        |gn AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM eg UNION ALL SELECT dst AS id FROM eg)
+        |), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |""".stripMargin +
+      s"              $oneMinusD / CAST(count(*) AS DOUBLE) AS tele FROM gn),\n" +
+      "r0 AS (SELECT id, round(1.0 / n, 12) AS rank FROM gn, nn)"
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |c$i AS (
+         |  SELECT dst, sum(CAST(round(r.rank *
+         |      (CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)), 9)
+         |    AS DECIMAL(26,9))) AS m
+         |  FROM ew JOIN ow USING (src) JOIN r${i - 1} r ON r.id = ew.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT id, round(tele + $damping * coalesce(CAST(m AS DOUBLE), 0.0), 12) AS rank
+         |  FROM gn LEFT JOIN c$i ON c$i.dst = gn.id, nn)""".stripMargin
+    }.mkString
+    base + iterCtes +
+      s"\nSELECT id AS vec_id, rank AS pagerank FROM r$iters ORDER BY vec_id"
+  }
 
   /** Random-walk oracle: the shared k-NN edge CTE + `steps` unrolled
     * frontier joins with the identical hash-directed neighbor pick

@@ -44,6 +44,24 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("weighted pageRank: equal weights agree with uniform; heavy edges attract mass") {
+    import graft.operators.Graph
+    val eq = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (1L, 3L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val uw = Graph.pageRank(eq.select("src", "dst"), "src", "dst", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wt = Graph.pageRankWeighted(eq, "src", "dst", "w", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // identical structure, shares rounded at different scales (12 vs 9)
+    for ((k, v) <- uw) assert(math.abs(wt(k) - v) < 1e-7, s"node $k: ${wt(k)} vs $v")
+    // 1 sends 90% of its mass to 2: rank(2) must beat rank(3)
+    val skewed = Seq((1L, 2L, 0.9), (1L, 3L, 0.1), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRankWeighted(skewed, "src", "dst", "w", iterations = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) > r(3L))
+  }
+
   test("randomWalks: walks follow edges, terminate at sinks, and are deterministic") {
     // ranked edges: 1→{2,3}, 2→{3}, 3 is a sink
     val e = Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)).toDF("src", "dst", "rank")
