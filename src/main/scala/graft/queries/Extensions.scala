@@ -627,6 +627,37 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** Incremental CMS gate: the sketch accumulates over 3 disjoint
+    * batches + a retention fold, then the exact top-20 terms (computed
+    * only here, as ground truth) are checked against the committed
+    * sketch's estimates — never-under must ALWAYS hold; the ε·N
+    * envelope is deterministic for the fixed hash family. The driver
+    * output carries exact counts + the two guarantee flags, so the
+    * oracle (the plain exact top-20 with TRUE flags) hash-matches iff
+    * the sketch honors its contract through epochs and folds. */
+  def textCmsIncremental(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/cmsidx_$tag"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val all = docs(s, d)
+    val C = graft.operators.CmsIndex
+    (0 until 3).foreach(i => C.commitBatch(
+      all.filter(col("doc_id") % 3 === i), "text", root, i.toLong))
+    require(graft.sources.TransactionalLake.foldCommittedEpochs(
+      s, root, upTo = 1L, partitionCols = Nil) == 2)
+    val exact = all.select(explode(
+        graft.functions.TextFunctions.words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("n"))
+      .orderBy(col("n").desc, col("term")).limit(20)
+    val bound = (math.E / C.Width * C.totalCount(s, root)).toLong
+    exact.join(C.estimate(s, root, exact.select("term")), "term")
+      .select(col("term"), col("n"),
+        (col("est") >= col("n")).as("cms_never_under"),
+        (col("est") <= col("n") + bound).as("cms_within_envelope"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** Positional phrase search gate: the index is built incrementally
     * (3 disjoint batches + a fold), then the exact phrase "join hash"
     * is answered from posting-list position intersections alone — the
@@ -946,7 +977,8 @@ object Extensions {
     "graph_random_walks" -> (graphRandomWalks _),
     "dedup_cross_er" -> (dedupCrossEr _),
     "text_phrase_search" -> (textPhraseSearch _),
-    "graph_pagerank_weighted" -> (graphPagerankWeighted _)))
+    "graph_pagerank_weighted" -> (graphPagerankWeighted _),
+    "text_cms_incremental" -> (textCmsIncremental _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2144,6 +2176,15 @@ object Extensions {
     "sim_hybrid_rrf" -> hybridRrfSql,
     "text_bpe_merges" -> bpeMergesSql,
     "graph_random_walks" -> randomWalksSql,
+    // exact top-20 + TRUE guarantee flags (engine computes the flags
+    // from the committed sketch; the same pattern as text_heavy_hitters)
+    "text_cms_incremental" -> (tokensCte +
+      """
+        |, t AS (SELECT unnest(toks) AS term FROM w)
+        |SELECT term, CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS cms_never_under, TRUE AS cms_within_envelope
+        |FROM t GROUP BY term
+        |ORDER BY n DESC, term LIMIT 20""".stripMargin),
     "text_phrase_search" -> (tokensCte +
       """
         |SELECT doc_id, phrase_tf FROM (

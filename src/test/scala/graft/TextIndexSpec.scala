@@ -77,6 +77,31 @@ class TextIndexSpec extends SparkSpec {
     assert(three == Map(1L -> 2L))
   }
 
+  test("CMS index: batch-committed sketch equals the one-shot sketch cell-for-cell") {
+    import graft.operators.CmsIndex
+    val inc = tmpDir("cms_inc"); val one = tmpDir("cms_one")
+    (0 until 3).foreach(i => CmsIndex.commitBatch(
+      corpus.filter(col("doc_id") % 3 === i), "text", inc, i.toLong))
+    CmsIndex.commitBatch(corpus, "text", one, 0L)
+    val a = CmsIndex.sketch(spark, inc).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = CmsIndex.sketch(spark, one).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b && a.nonEmpty)
+    // estimates are never under the true counts (structural guarantee)
+    val exact = corpus.select(explode(
+        graft.functions.TextFunctions.words(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val est = CmsIndex.estimate(spark, inc, exact.select("term"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- exact.collect())
+      assert(est(r.getString(0)) >= r.getLong(1), s"under-count: ${r.getString(0)}")
+    // total stream length is exact (a full sketch row sums every token)
+    assert(CmsIndex.totalCount(spark, inc) ==
+      corpus.select(explode(graft.functions.TextFunctions.words(col("text"))))
+        .count())
+  }
+
   test("replayed index epoch is a no-op (disjoint-batch additivity safe)") {
     val root = tmpDir("tidx_replay")
     TextIndex.commitPostings(corpus.filter(col("doc_id") <= 3), "doc_id",
