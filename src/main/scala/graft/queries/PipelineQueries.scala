@@ -623,6 +623,61 @@ object PipelineQueries {
       .orderBy("tenant", "event_type")
   }
 
+  /** KEYED INCREMENTAL VIEW over a MERGE lake, driver-gated end-to-end:
+    * a per-event_type count/sum view maintained through three merge
+    * epochs by per-epoch [[graft.sources.KeyedView]] refreshes. Unlike
+    * the append-only view above, upserts are NOT additive deltas — the
+    * view's hash-bucketed key index supplies each changed key's OLD
+    * (group, value) contribution, so a value change contributes
+    * `new − old`, a tombstone `−old`, and epoch 2's event_type rewrite
+    * MOVES keys between groups (−1 old group, +1 new). A retention fold
+    * lands between refreshes (the cursor must keep meaning "applied"
+    * through it) and the final refresh is asserted a no-op. The oracle
+    * recomputes the aggregate from the resolved final state, so the gate
+    * is "key-indexed incremental maintenance ≡ full recompute". */
+  def keyedView(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/kvlake_$tag"
+    val view = s"/root/repo/target/tmp/kvview_$tag"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    f.delete(new org.apache.hadoop.fs.Path(view), true)
+    val T = graft.sources.TransactionalLake
+    val K = graft.sources.KeyedView
+    val base = events(spark, dir).filter(col("event_id") <= 3000)
+      .select("event_id", "event_type", "value")
+    val none = base.filter(lit(false)).select("event_id")
+    def refresh(): Long =
+      K.refresh(spark, root, view, "event_id", "event_type", "value")
+    // epoch 0: base load
+    T.mergeCommit(base, none, root, 0L, Seq("event_id"))
+    require(refresh() == 0L)
+    // epoch 1: value upserts (same group — pure new−old) + tombstones
+    T.mergeCommit(
+      base.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+        .withColumn("value", col("value") + 1000.0),
+      base.filter(col("event_id") % 7 === 0).select("event_id"),
+      root, 1L, Seq("event_id"))
+    require(refresh() == 1L)
+    // epoch 2: group-MOVING upserts (event_type → 'promo') that also
+    // re-insert epoch-1-deleted keys; a retention fold of the already-
+    // applied epochs lands first
+    require(T.foldCommittedEpochs(spark, root, upTo = 1L,
+      partitionCols = Nil) == 2)
+    T.mergeCommit(
+      base.filter(col("event_id") % 3 === 0)
+        .withColumn("event_type", lit("promo"))
+        .withColumn("value", col("value") + 2000.0),
+      none, root, 2L, Seq("event_id"))
+    require(refresh() == 2L)
+    require(refresh() == 2L) // head unchanged — refresh is a no-op
+    K.read(spark, view)
+      .select(col("g").as("event_type"), col("cnt"),
+        col("total").cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** Row-level MERGE, driver-gated end-to-end: three merge epochs over an
     * events-keyed table — base load, then an epoch of value-upserts plus
     * delete tombstones, then a second upsert epoch that both overrides
@@ -1242,7 +1297,25 @@ object PipelineQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events WHERE event_id <= 2000
         |GROUP BY 1, 2
-        |ORDER BY tenant, event_type""".stripMargin))
+        |ORDER BY tenant, event_type""".stripMargin,
+    // keyed view final state ≡ aggregate of the resolved merge state:
+    // epoch 2 moves id%3=0 keys to group 'promo' (value+2000, re-inserting
+    // deleted keys), epoch 1 upserts value+1000 (id%5=0, id%7<>0) and
+    // tombstones id%7=0
+    "pipe_keyed_view" ->
+      """WITH final AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 'promo' ELSE event_type END AS g,
+        |    CASE WHEN event_id % 3 = 0 THEN value + 2000.0
+        |         WHEN event_id % 5 = 0 AND event_id % 7 <> 0 THEN value + 1000.0
+        |         ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id <= 3000
+        |    AND NOT (event_id % 7 = 0 AND event_id % 3 <> 0))
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM final GROUP BY 1
+        |ORDER BY event_type""".stripMargin))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("PipelineQueries.queries", Seq(
@@ -1267,6 +1340,7 @@ object PipelineQueries {
     "pipe_merge_upsert" -> (mergeUpsert _),
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
+    "pipe_keyed_view" -> (keyedView _),
     "pipe_streaming_view" -> (streamingView _),
     "pipe_masked_view" -> (maskedView _),
     "pipe_tenant_usage" -> (tenantUsage _),
