@@ -158,13 +158,64 @@ object TransactionalLake {
     val gens = content.trim match {
       case "" => Seq.empty[(Long, Seq[Long])]
       case c if c.contains(':') =>
-        c.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
-          val Array(g, rest@_*) = line.split(":", 2): @unchecked
-          (g.trim.toLong, ids(rest.headOption.getOrElse("")))
-        }.sortBy(_._1)
+        c.split("\n").toSeq.map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#")) // '#' = metadata lines (e.g. the compaction horizon)
+          .map { line =>
+            val Array(g, rest@_*) = line.split(":", 2): @unchecked
+            (g.trim.toLong, ids(rest.headOption.getOrElse("")))
+          }.sortBy(_._1)
       case c => Seq((v, ids(c)))
     }
     Some((v, gens))
+  }
+
+  /** Raw content of the highest fold-view file, if any. */
+  private def viewFileContent(spark: SparkSession, root: String): Option[String] = {
+    val dir = new Path(foldPointerDir(root))
+    val f = fs(spark, root)
+    if (!f.exists(dir)) return None
+    val views = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toLong)
+    if (views.isEmpty) return None
+    val in = f.open(new Path(s"${foldPointerDir(root)}/gen-${views.max}"))
+    try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
+  /** The MERGE-COMPACTION HORIZON: the highest epoch id whose change
+    * history has been resolved away by [[compactMerged]]; -1 = never
+    * compacted. Below the horizon, per-epoch change rows no longer exist
+    * — [[changesBetween]] and [[readCommittedAsOf]] refuse those reads
+    * instead of silently returning incomplete history. Carried as a
+    * `#compact:<epoch>` metadata line inside the fold-view file, so it
+    * flips atomically with the data view and survives later folds. */
+  def compactionHorizon(spark: SparkSession, root: String): Long =
+    viewFileContent(spark, root).flatMap {
+      _.split("\n").map(_.trim).find(_.startsWith("#compact:"))
+        .map(_.stripPrefix("#compact:").trim.toLong)
+    }.getOrElse(-1L)
+
+  /** Write + atomically publish fold-view file `v` (see the object
+    * scaladoc): one `<genId>:<epochIds>` line per live generation plus,
+    * when a compaction horizon exists, its `#compact:` metadata line. */
+  private def commitViewFile(spark: SparkSession, root: String, v: Long,
+                             view: Seq[(Long, Seq[Long])],
+                             horizon: Long): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(foldPointerDir(root)))
+    val tmp = new Path(s"${foldPointerDir(root)}/.tmp-$v")
+    val fin = new Path(s"${foldPointerDir(root)}/gen-$v")
+    val lines = view.map { case (g, es) => s"$g:${es.mkString(",")}" } ++
+      (if (horizon >= 0) Seq(s"#compact:$horizon") else Nil)
+    val out = f.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, fin) && !f.exists(fin))
+      throw new java.io.IOException(s"fold-view commit failed for view $v")
+    // superseded view files — crash here is harmless, never wrong
+    f.listStatus(new Path(foldPointerDir(root))).map(_.getPath)
+      .filter(p => p.getName.startsWith("gen-") &&
+        p.getName.stripPrefix("gen-").toLong < v)
+      .foreach(p => f.delete(p, false))
   }
 
   /** Current fold view number and ALL folded epoch ids (flattened across
@@ -207,9 +258,14 @@ object TransactionalLake {
     * not listed/filtered — a reproducible snapshot for audits, replays,
     * and training-run provenance ("exactly the corpus as of epoch N"). */
   def readCommittedAsOf(spark: SparkSession, root: String,
-                        epoch: Long): DataFrame =
+                        epoch: Long): DataFrame = {
+    val horizon = compactionHorizon(spark, root)
+    require(epoch >= horizon,
+      s"readCommittedAsOf($epoch): snapshots below the compaction " +
+        s"horizon ($horizon) were resolved away by compactMerged")
     readCommitted(spark, root)
       .filter(col("epoch").cast("long") <= epoch)
+  }
 
   /** Tenant OFFBOARDING across the transactional lake — the epoch-aware
     * twin of [[Lake.purgeTenant]]: deletes the tenant's partition subtree
@@ -295,30 +351,16 @@ object TransactionalLake {
     f.mkdirs(new Path(foldedMarkerDir(root)))
     fresh.foreach(e =>
       f.create(new Path(s"${foldedMarkerDir(root)}/$e"), true).close())
-    // 3. COMMIT: a NEW view file, temp + atomic rename
+    // 3. COMMIT: a NEW view file, temp + atomic rename (any existing
+    //    compaction horizon is carried forward unchanged)
     val view = kept :+ ((v, (absorbed.flatMap(_._2) ++ fresh).sorted))
-    f.mkdirs(new Path(foldPointerDir(root)))
-    val tmp = new Path(s"${foldPointerDir(root)}/.tmp-$v")
-    val fin = new Path(s"${foldPointerDir(root)}/gen-$v")
-    val out = f.create(tmp, true)
-    try out.write(view.map { case (g, ids) => s"$g:${ids.mkString(",")}" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(tmp, fin) && !f.exists(fin))
-      throw new java.io.IOException(s"fold commit failed for view $v")
+    commitViewFile(spark, root, v, view, compactionHorizon(spark, root))
     // 4. cleanup — crash here leaves garbage, never wrong results
     fresh.foreach { e =>
       f.delete(new Path(s"${manifestDir(root)}/$e"), false)
       f.delete(new Path(epochDir(root, e)), true)
     }
     absorbed.foreach { case (g, _) => f.delete(new Path(foldGenDir(root, g)), true) }
-    // superseded view files (every gen-* below the new view number that
-    // is not a kept generation's data dir — view files and data dirs
-    // live in different namespaces, so just drop all older view files)
-    f.listStatus(new Path(foldPointerDir(root))).map(_.getPath)
-      .filter(p => p.getName.startsWith("gen-") &&
-        p.getName.stripPrefix("gen-").toLong < v)
-      .foreach(p => f.delete(p, false))
     fresh.size
   }
 
@@ -396,11 +438,105 @@ object TransactionalLake {
   def changesBetween(spark: SparkSession, root: String,
                      fromExclusive: Long, toInclusive: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
+    val horizon = compactionHorizon(spark, root)
+    require(fromExclusive >= horizon,
+      s"changesBetween($fromExclusive, $toInclusive): change history at " +
+        s"or below the compaction horizon ($horizon) was resolved away " +
+        s"by compactMerged — consumers must keep their cursor ahead of " +
+        s"the compaction cadence")
     val all = readCommitted(spark, root)
     val withOp =
       if (all.columns.contains(OpCol)) all
       else all.withColumn(OpCol, lit("u"))
     withOp.filter(col("epoch").cast("long") > fromExclusive &&
       col("epoch").cast("long") <= toInclusive)
+  }
+
+  /** MAJOR COMPACTION of a merge lake (the Hudi MOR→base-file / Delta
+    * OPTIMIZE analog): RESOLVE the change history at or below epoch
+    * `upTo` — per key, keep only the winning upsert row (original
+    * per-row `epoch` preserved); superseded versions and tombstones
+    * whose verdict is final below the boundary are dropped — and rewrite
+    * it as ONE consolidated generation under the normal fold-view
+    * protocol. [[readMerged]] is unchanged before/after (rows above the
+    * boundary still win their keys at read time), but its window now
+    * ranks ≤1 historical version per key below the horizon, so
+    * merge-on-read cost tracks O(live keys + fresh changes), not
+    * O(all changes ever).
+    *
+    * What compaction DESTROYS, it destroys loudly: change rows at or
+    * below `upTo` no longer exist, so [[changesBetween]] with a cursor
+    * below the new horizon and [[readCommittedAsOf]] below it REFUSE
+    * (see [[compactionHorizon]]) instead of returning incomplete
+    * history — run compaction behind the slowest CDC consumer's cursor.
+    *
+    * Cost: O(all generations + live epochs ≤ upTo) — a major
+    * compaction, not the size-tiered incremental fold; straddling
+    * generations' above-boundary rows pass through unresolved. The
+    * commit (stage → replay markers → one view-file rename carrying
+    * `#compact:upTo`) inherits fold's crash contract: every crash
+    * window leaves the previous view intact and a retry overwrites the
+    * same deterministic targets. Single-writer maintenance — never run
+    * concurrently with a fold of the same root. Returns the number of
+    * epoch ids consolidated into the compacted generation (0 = nothing
+    * to do). */
+  def compactMerged(spark: SparkSession, root: String, upTo: Long,
+                    keyCols: Seq[String],
+                    targetRecordsPerFile: Long = 5000000L,
+                    partitionCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, row_number}
+    require(keyCols.nonEmpty, "compactMerged: keyCols must be non-empty")
+    val horizon = compactionHorizon(spark, root)
+    require(upTo >= horizon,
+      s"compactMerged($upTo): horizon may not regress (currently $horizon)")
+    val f = fs(spark, root)
+    val cur = foldView(spark, root)
+    val gens = cur.map(_._2).getOrElse(Seq.empty).filter(_._2.nonEmpty)
+    val prevIds = gens.flatMap(_._2)
+    val fresh = committedEpochs(spark, root)
+      .filterNot(prevIds.toSet).filter(_ <= upTo)
+    if (fresh.isEmpty && !prevIds.exists(_ <= upTo)) return 0
+    if (fresh.isEmpty && horizon >= upTo) return 0 // everything <= upTo already resolved
+    val v = cur.map(_._1).getOrElse(0L) + 1L
+    val sources = gens.map { case (g, _) =>
+      spark.read.option("basePath", foldGenDir(root, g))
+        .parquet(foldGenDir(root, g))
+    } ++ (if (fresh.nonEmpty)
+      Seq(spark.read.option("basePath", s"$root/data")
+        .parquet(fresh.map(epochDir(root, _)): _*))
+    else Nil)
+    val all = sources.reduce(_ unionByName _)
+    val withOp =
+      if (all.columns.contains(OpCol)) all
+      else all.withColumn(OpCol, lit("u"))
+    val below = withOp.filter(col("epoch").cast("long") <= upTo)
+    val above = withOp.filter(col("epoch").cast("long") > upTo)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("epoch").cast("long").desc)
+    val resolved = below // one winner per key; a winning tombstone vanishes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(OpCol) === "u")
+      .drop("__rn")
+    val partCols = "epoch" +: partitionCols
+    val n = spark.sessionState.conf.numShufflePartitions
+    resolved.unionByName(above)
+      .repartition(n, partCols.map(col): _*)
+      .write.mode("overwrite") // an orphaned stage from a crashed attempt is rewritten
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(foldGenDir(root, v))
+    f.mkdirs(new Path(foldedMarkerDir(root)))
+    fresh.foreach(e =>
+      f.create(new Path(s"${foldedMarkerDir(root)}/$e"), true).close())
+    val allIds = (prevIds ++ fresh).sorted
+    commitViewFile(spark, root, v, Seq((v, allIds)), horizon = upTo)
+    // cleanup — crash here leaves garbage, never wrong results
+    fresh.foreach { e =>
+      f.delete(new Path(s"${manifestDir(root)}/$e"), false)
+      f.delete(new Path(epochDir(root, e)), true)
+    }
+    gens.foreach { case (g, _) => f.delete(new Path(foldGenDir(root, g)), true) }
+    allIds.size
   }
 }
