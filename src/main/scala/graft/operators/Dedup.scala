@@ -47,8 +47,18 @@ object Dedup {
     * must share a shingle, so the shingle join loses nothing. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
-                        maxShinglePostings: Int = 100000): DataFrame = {
-    val sets = withShingleSets(docs, idCol, textCol, k)
+                        maxShinglePostings: Int = 100000): DataFrame =
+    ngramJaccardPairsFromSets(withShingleSets(docs, idCol, textCol, k),
+      idCol, threshold, maxShinglePostings)
+
+  /** Same as [[ngramJaccardPairs]] but over an ALREADY-COMPUTED shingle-set
+    * frame `(idCol, sh, sh_n)` — the caller can materialize it once and
+    * share it across the three consumers in this plan (postings + both
+    * exact-verify sides), which otherwise each re-run the per-row shingle
+    * pass over the corpus. */
+  private[operators] def ngramJaccardPairsFromSets(
+      sets: DataFrame, idCol: String, threshold: Double,
+      maxShinglePostings: Int): DataFrame = {
     val postings = sets.select(col(idCol).as("id"), col("sh_n"),
       explode(col("sh")).as("shingle"))
     // Prefix filtering (PPJoin lemma): under a global shingle order, two
