@@ -44,12 +44,27 @@ object Dedup {
   /** Exact n-gram (word k-shingle) Jaccard near-dup pairs, candidate
     * generation by shared shingle. Emits (id_a, id_b, jaccard) for
     * jaccard >= threshold, id_a < id_b. Exact: a pair at threshold > 0
-    * must share a shingle, so the shingle join loses nothing. */
+    * must share a shingle, so the shingle join loses nothing.
+    *
+    * The shingle-set frame is materialized ONCE (memory-with-disk-spill)
+    * and shared by its three consumers — the postings branch and both
+    * exact-verify sides — which would otherwise each re-run the per-row
+    * shingle pass over the whole corpus (at 100 TB: two redundant
+    * full-corpus scans). The SMALL verified pair set is then copied out
+    * of the block manager (disk checkpoint) and the corpus-sized sets
+    * are released before returning, so the returned frame is file-backed
+    * and pins zero executor storage (BlockRetentionSpec). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
-                        maxShinglePostings: Int = 100000): DataFrame =
-    ngramJaccardPairsFromSets(withShingleSets(docs, idCol, textCol, k),
-      idCol, threshold, maxShinglePostings)
+                        maxShinglePostings: Int = 100000): DataFrame = {
+    val sets = withShingleSets(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try
+      Blocks.copyOut(
+        ngramJaccardPairsFromSets(sets, idCol, threshold, maxShinglePostings),
+        singleEval = true)
+    finally { sets.unpersist(blocking = true); () }
+  }
 
   /** Same as [[ngramJaccardPairs]] but over an ALREADY-COMPUTED shingle-set
     * frame `(idCol, sh, sh_n)` — the caller can materialize it once and
@@ -172,9 +187,11 @@ object Dedup {
     * representative per cluster. */
   def canonicalize(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // pairs feed BOTH the node derivation and the CC edge set — cache one
-    // materialization of the candidate-generation pipeline across them
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, k, threshold).persist()
+    // pairs come back from ngramJaccardPairs already materialized to a
+    // disk checkpoint (file-backed, lineage-free), so BOTH consumers
+    // below — the node derivation and the CC edge set — read the small
+    // pair files, never the candidate-generation pipeline
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, k, threshold)
     // CC only over the TOUCHED subgraph (nodes with >= 1 near-dup edge):
     // dup clusters are a small fraction of any real corpus, so the
     // iterative machinery (per-round join + checkpoint + changed-count
@@ -185,13 +202,69 @@ object Dedup {
       .unionAll(pairs.select(col("id_b").as("id"))).distinct()
     val labels = connectedComponents(pairs, touched, "id")
       .withColumnRenamed("id", idCol)
-    // CC returned a copied-out (disk-checkpointed, lineage-truncated)
-    // frame, so the pair cache is no longer referenced
-    pairs.unpersist()
     docs.select(col(idCol))
       .join(labels, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("label"), col(idCol)).as("canonical_id"))
+  }
+
+  /** INCREMENTAL canonicalization — maintain the canonical-id map from a
+    * batch pair stream instead of re-running [[canonicalize]] over the
+    * lake: `prevMap` is the persisted (id → canonical_id) map of
+    * everything ingested so far, `newDocs` an arriving batch, `newPairs`
+    * its near-dup pairs against the accumulated corpus (the
+    * [[incrementalNearDupPairs]] / StreamingDedup pair-log output). The
+    * returned map is what one-shot [[canonicalize]] over the union would
+    * produce — folding batches converges to the batch semantics (gated
+    * by `dedup_canonical_incremental`; fold/replay in CanonicalDedupSpec).
+    *
+    * Scale shape (the `pipe_keyed_view` contract — O(changes + touched),
+    * never O(corpus) shuffles): the batch's pairs are CONTRACTED onto
+    * current canonical labels (each previous canonical id is already the
+    * min of its component, so CC only runs on the tiny touched-label
+    * graph), and the map update is ONE corpus-map scan with a BROADCAST
+    * remap join (old label → merged root) plus one map-side-filtered
+    * scan to fetch the batch-relevant prior entries — no shuffle ever
+    * touches the full map. Re-delivered doc ids keep their existing
+    * entries; self-pairs and already-merged pairs contract away. */
+  def canonicalizeIncremental(prevMap: DataFrame, newDocs: DataFrame,
+                              newPairs: DataFrame, idCol: String): DataFrame = {
+    // ids this batch needs prior state for: its own ids (re-delivery
+    // check) + its pair endpoints (label lookup) — metadata-small
+    val newIds = newDocs.select(col(idCol)).distinct()
+    val endpoints = newPairs.select(col("id_a").as(idCol))
+      .unionAll(newPairs.select(col("id_b").as(idCol))).distinct()
+    val wanted = newIds.unionAll(endpoints).distinct()
+    // ONE map-side-filtered scan of the persisted map fetches every
+    // prior entry the batch can touch; copied out so the consumers
+    // below read the tiny artifact, not the corpus map
+    val hits = Blocks.copyOut(
+      prevMap.join(broadcast(wanted), Seq(idCol), "left_semi"),
+      singleEval = true)
+    val newEntries = newIds.join(hits, Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("canonical_id"))
+    // endpoint → CURRENT label (component contraction): a previous
+    // canonical id is the min of its component, so CC below merges
+    // whole components by their representatives
+    val lbl = hits.unionByName(newEntries)
+      .select(col(idCol).as("eid"), col("canonical_id").as("elabel"))
+    val labelPairs = newPairs
+      .join(broadcast(lbl.select(col("eid").as("id_a"), col("elabel").as("la"))), Seq("id_a"))
+      .join(broadcast(lbl.select(col("eid").as("id_b"), col("elabel").as("lb"))), Seq("id_b"))
+      .select(least(col("la"), col("lb")).as("id_a"),
+        greatest(col("la"), col("lb")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val touched = labelPairs.select(col("id_a").as("id"))
+      .unionAll(labelPairs.select(col("id_b").as("id"))).distinct()
+    // CC over the contracted label graph only — O(touched components);
+    // returns (id = old label, label = merged root), copied out
+    val rootMap = connectedComponents(labelPairs, touched, "id")
+      .select(col("id").as("old_label"), col("label").as("new_label"))
+    // the map update: one scan, broadcast remap, no shuffle
+    prevMap.unionByName(newEntries)
+      .join(broadcast(rootMap), col("canonical_id") === col("old_label"), "left")
+      .select(col(idCol),
+        coalesce(col("new_label"), col("canonical_id")).as("canonical_id"))
   }
 
   /** Exact-Jaccard verification of candidate pairs (shared by the exact
@@ -230,7 +303,15 @@ object Dedup {
   def minhashBandIndex(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, bands: Int = 16,
                        rowsPerBand: Int = 4): DataFrame =
-    withShingleSets(docs, idCol, textCol, k)
+    bandIndexFromSets(withShingleSets(docs, idCol, textCol, k), idCol,
+      bands, rowsPerBand)
+
+  /** [[minhashBandIndex]] over an already-computed shingle-set frame —
+    * lets a caller that also needs the sets (e.g. exact verification)
+    * materialize them once and share the corpus scan. */
+  private def bandIndexFromSets(sets: DataFrame, idCol: String,
+                                bands: Int, rowsPerBand: Int): DataFrame =
+    sets
       .select(col(idCol),
         SketchExpressions.minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
       .select(col(idCol).as("id"),
@@ -247,14 +328,21 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 3, threshold: Double = 0.8,
                           bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    // one materialized corpus scan shared by the band index and both
+    // exact-verify sides (same shape as [[ngramJaccardPairs]]; the
+    // signature pass reads the cached sets, not the corpus)
     val sets = withShingleSets(docs, idCol, textCol, k)
-    val banded = minhashBandIndex(docs, idCol, textCol, k, bands, rowsPerBand)
-    val l = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
-    val r = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
-    val candidates = l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyPairs(candidates, sets, idCol, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = bandIndexFromSets(sets, idCol, bands, rowsPerBand)
+      val l = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+      val r = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
+      val candidates = l.join(r, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      Blocks.copyOut(verifyPairs(candidates, sets, idCol, threshold),
+        singleEval = true)
+    } finally { sets.unpersist(blocking = true); () }
   }
 
   /** INCREMENTAL near-dup: pairs involving at least one NEW document,

@@ -93,12 +93,15 @@ def main():
     for q, msg in sorted(new.get("errors", {}).items()):
         print(f"ERR  {q}: {msg}")
         bad.append(q)
-    # reproducibility: a median whose max is far above it means the entry
-    # still has a variance source the quiesce misses (round-4 flagship bug)
+    # reproducibility GATE: a median whose max is far above it means the
+    # entry still has a variance source the quiesce misses (round-4
+    # flagship bug; round-7 heavy entries showed 3-10x min-to-max bands).
+    # A grade you can't reproduce is not a grade — fail, don't just warn.
     for q, tsp in sorted(new.get("spread", {}).items()):
         lo, med, hi = tsp
         if med >= noise_floor and hi > 1.5 * med:
             print(f"VAR  {q}: spread [{lo:.2f}, {med:.2f}, {hi:.2f}]s (max {hi/med:.2f}x median)")
+            bad.append(f"{q}:spread")
     tot_ratio = new["value"] / prev["value"] if prev.get("value") else 1.0
     print(f"total: {prev.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s ({tot_ratio:.2f}x)")
     if "freshness_sec" in new:
