@@ -44,7 +44,12 @@ object Blocks {
     * never engages. */
   private def ensureCheckpointDir(spark: SparkSession): Unit =
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // SPARK_LOCAL_DIRS is the deployment-env spelling of the same
+      // scratch location (cluster managers set it); without the fallback
+      // those deployments silently land on java.io.tmpdir and reintroduce
+      // the cross-device variance this colocation removes
       val base = spark.sparkContext.getConf.getOption("spark.local.dir")
+        .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
         .map(_.split(",").head.trim).filter(_.nonEmpty)
         .map { d =>
           val p = java.nio.file.Paths.get(d)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.plans.SketchExpressions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,7 +53,12 @@ object Dedup {
     * full-corpus scans). The SMALL verified pair set is then copied out
     * of the block manager (disk checkpoint) and the corpus-sized sets
     * are released before returning, so the returned frame is file-backed
-    * and pins zero executor storage (BlockRetentionSpec). */
+    * and pins zero executor storage (BlockRetentionSpec).
+    *
+    * EAGER contract: this call MATERIALIZES at call time (the shared-scan
+    * persist and copy-out jobs run here, not at the caller's first
+    * action); the returned frame is already file-backed — callers must
+    * not re-persist or re-checkpoint it. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
                         maxShinglePostings: Int = 100000): DataFrame = {
@@ -215,8 +220,12 @@ object Dedup {
     * its near-dup pairs against the accumulated corpus (the
     * [[incrementalNearDupPairs]] / StreamingDedup pair-log output). The
     * returned map is what one-shot [[canonicalize]] over the union would
-    * produce — folding batches converges to the batch semantics (gated
-    * by `dedup_canonical_incremental`; fold/replay in CanonicalDedupSpec).
+    * produce — folding batches converges to the batch semantics. Gated by
+    * the driver's `dedup_canonical_incremental` entry (3-batch fold vs
+    * the one-shot recursive-closure oracle); fold/re-delivery/guard
+    * behavior in CanonicalDedupSpec; the streaming deployment is
+    * `StreamingDedup.maintainCanonical` (delta epochs over the committed
+    * pair log, exactly-once across crash replay — StreamingDedupSpec).
     *
     * Scale shape (the `pipe_keyed_view` contract — O(changes + touched),
     * never O(corpus) shuffles): the batch's pairs are CONTRACTED onto
@@ -226,9 +235,50 @@ object Dedup {
     * remap join (old label → merged root) plus one map-side-filtered
     * scan to fetch the batch-relevant prior entries — no shuffle ever
     * touches the full map. Re-delivered doc ids keep their existing
-    * entries; self-pairs and already-merged pairs contract away. */
+    * entries; self-pairs and already-merged pairs contract away. A pair
+    * endpoint in neither `prevMap` nor `newDocs` fails loud (it would
+    * silently split a component): the caller's pair stream references an
+    * id that was never ingested. */
   def canonicalizeIncremental(prevMap: DataFrame, newDocs: DataFrame,
                               newPairs: DataFrame, idCol: String): DataFrame = {
+    val (newEntries, rootMap) =
+      incrementalCanonicalParts(prevMap, newDocs, newPairs, idCol)
+    // the map update: one scan, broadcast remap, no shuffle
+    prevMap.unionByName(newEntries)
+      .join(broadcast(rootMap), col("canonical_id") === col("old_label"), "left")
+      .select(col(idCol),
+        coalesce(col("new_label"), col("canonical_id")).as("canonical_id"))
+  }
+
+  /** The DELTA form of [[canonicalizeIncremental]]: only the rows whose
+    * canonical id is new or CHANGED this batch — the O(changes) artifact
+    * a deployment persists per epoch (latest-entry-wins fold of the
+    * deltas ≡ the full map; `StreamingDedup.canonicalMap` is that view).
+    * The full-map form scans and rewrites the whole map per batch — fine
+    * for a returned view, wrong for a per-epoch commit at 100 TB. */
+  def canonicalizeIncrementalDelta(prevMap: DataFrame, newDocs: DataFrame,
+                                   newPairs: DataFrame, idCol: String): DataFrame = {
+    val (newEntries, rootMap) =
+      incrementalCanonicalParts(prevMap, newDocs, newPairs, idCol)
+    val newRemapped = newEntries
+      .join(broadcast(rootMap), col("canonical_id") === col("old_label"), "left")
+      .select(col(idCol),
+        coalesce(col("new_label"), col("canonical_id")).as("canonical_id"))
+    // prior entries whose label merged away: ONE map-side broadcast-
+    // filtered scan of the persisted map (rootMap is touched-label-sized)
+    val changedPrev = prevMap
+      .join(broadcast(rootMap), col("canonical_id") === col("old_label"))
+      .filter(col("new_label") =!= col("canonical_id"))
+      .select(col(idCol), col("new_label").as("canonical_id"))
+    newRemapped.unionByName(changedPrev)
+  }
+
+  /** Shared core of the incremental canonicalization forms: the batch's
+    * brand-new (id → id) entries plus the broadcast-sized remap of merged
+    * component labels (old label → merged root). */
+  private def incrementalCanonicalParts(prevMap: DataFrame, newDocs: DataFrame,
+                                        newPairs: DataFrame,
+                                        idCol: String): (DataFrame, DataFrame) = {
     // ids this batch needs prior state for: its own ids (re-delivery
     // check) + its pair endpoints (label lookup) — metadata-small
     val newIds = newDocs.select(col(idCol)).distinct()
@@ -245,14 +295,25 @@ object Dedup {
       .select(col(idCol), col(idCol).as("canonical_id"))
     // endpoint → CURRENT label (component contraction): a previous
     // canonical id is the min of its component, so CC below merges
-    // whole components by their representatives
+    // whole components by their representatives. An UNLABELED endpoint
+    // (in neither prevMap nor newDocs) fails loud instead of silently
+    // dropping the pair and splitting its component — same fail-loud
+    // style as incrementalNearDupPairs' banding guard.
     val lbl = hits.unionByName(newEntries)
       .select(col(idCol).as("eid"), col("canonical_id").as("elabel"))
+    def labeledOrFail(c: Column, id: Column): Column =
+      coalesce(c, raise_error(concat(
+        lit("canonicalizeIncremental: pair endpoint "), id.cast("string"),
+        lit(" is in neither prevMap nor newDocs — pairs must only reference ingested ids"))))
     val labelPairs = newPairs
-      .join(broadcast(lbl.select(col("eid").as("id_a"), col("elabel").as("la"))), Seq("id_a"))
-      .join(broadcast(lbl.select(col("eid").as("id_b"), col("elabel").as("lb"))), Seq("id_b"))
-      .select(least(col("la"), col("lb")).as("id_a"),
-        greatest(col("la"), col("lb")).as("id_b"))
+      .join(broadcast(lbl.select(col("eid").as("id_a"), col("elabel").as("la"))),
+        Seq("id_a"), "left")
+      .join(broadcast(lbl.select(col("eid").as("id_b"), col("elabel").as("lb"))),
+        Seq("id_b"), "left")
+      .select(least(labeledOrFail(col("la"), col("id_a")),
+          labeledOrFail(col("lb"), col("id_b"))).as("id_a"),
+        greatest(labeledOrFail(col("la"), col("id_a")),
+          labeledOrFail(col("lb"), col("id_b"))).as("id_b"))
       .filter(col("id_a") =!= col("id_b")).distinct()
     val touched = labelPairs.select(col("id_a").as("id"))
       .unionAll(labelPairs.select(col("id_b").as("id"))).distinct()
@@ -260,11 +321,7 @@ object Dedup {
     // returns (id = old label, label = merged root), copied out
     val rootMap = connectedComponents(labelPairs, touched, "id")
       .select(col("id").as("old_label"), col("label").as("new_label"))
-    // the map update: one scan, broadcast remap, no shuffle
-    prevMap.unionByName(newEntries)
-      .join(broadcast(rootMap), col("canonical_id") === col("old_label"), "left")
-      .select(col(idCol),
-        coalesce(col("new_label"), col("canonical_id")).as("canonical_id"))
+    (newEntries, rootMap)
   }
 
   /** Exact-Jaccard verification of candidate pairs (shared by the exact
@@ -324,7 +381,9 @@ object Dedup {
   /** MinHash + banded LSH near-dup: candidates from band-bucket collisions,
     * then EXACT Jaccard verification — the output semantics are therefore
     * identical to [[ngramJaccardPairs]] (LSH only prunes the pair space).
-    * bands×rowsPerBand = nHashes; P(miss | jaccard=s) = (1-s^r)^b. */
+    * bands×rowsPerBand = nHashes; P(miss | jaccard=s) = (1-s^r)^b.
+    * Same EAGER contract as [[ngramJaccardPairs]]: materializes at call
+    * time and returns a file-backed frame — don't re-persist it. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 3, threshold: Double = 0.8,
                           bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {

@@ -178,6 +178,39 @@ object Extensions {
     Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("doc_id")
 
+  /** INCREMENTAL canonicalization gate: three arriving batches, each
+    * deduped against the accumulated band index (the
+    * [[dedupIncrementalFold]] machinery) and FOLDED into the maintained
+    * (id → canonical_id) map via `Dedup.canonicalizeIncremental` —
+    * per-batch cost O(batch + touched components), never O(corpus). The
+    * folded map must equal the one-shot [[dedupCanonical]] closure over
+    * the union — the same recursive-CTE oracle gates both. */
+  def dedupCanonicalIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val batches = (0 until 3).map(i => all.filter(col("doc_id") % 3 === i))
+    val empty = all.filter(lit(false))
+    val emptyMap = all.select(col("doc_id"), col("doc_id").as("canonical_id"))
+      .filter(lit(false))
+    val (_, _, finalMap) = batches.foldLeft(
+      (empty, Dedup.minhashBandIndex(empty, "doc_id", "text"), emptyMap)) {
+      case ((corpus, index, prevMap), batch) =>
+        val batchIndex = Dedup.minhashBandIndex(batch, "doc_id", "text")
+        // pairs file-backed before the fold step consumes them twice
+        // (endpoint scan + label join) — mirrors the streaming path,
+        // where the canonical maintenance reads the COMMITTED pair epoch
+        val pairs = Blocks.copyOut(Dedup.incrementalNearDupPairs(
+          batch, corpus, index, "doc_id", "text", newIndex = Some(batchIndex)),
+          singleEval = true)
+        // map and index are copied out per step (file-backed): lineage
+        // must not re-derive every prior batch's work per round
+        (corpus.unionByName(batch),
+          Blocks.copyOut(index.unionByName(batchIndex)),
+          Blocks.copyOut(
+            Dedup.canonicalizeIncremental(prevMap, batch, pairs, "doc_id")))
+    }
+    finalMap.orderBy("doc_id")
+  }
+
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
@@ -924,6 +957,7 @@ object Extensions {
     "dedup_streaming_decon" -> (dedupStreamingDecon _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_canonical" -> (dedupCanonical _),
+    "dedup_canonical_incremental" -> (dedupCanonicalIncremental _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_exact" -> (simTopKExact _),
     "sim_topk_lsh" -> (simTopKLsh _),
@@ -1085,6 +1119,32 @@ object Extensions {
       |QUALIFY rank <= 5
       |ORDER BY probe_id, rank""".stripMargin
 
+  /** Connected-component closure over the exact Jaccard-0.8 pair set as
+    * a recursive CTE — every doc labeled with the min reachable id.
+    * Shared by the one-shot (`dedup_canonical`) and incremental-fold
+    * (`dedup_canonical_incremental`) gates. */
+  private val canonicalSql: String =
+    shingleCte.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
+      """, pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |      CAST(len(a.sh) + len(b.sh)
+        |           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |  WHERE jaccard >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst
+        |)
+        |SELECT id AS doc_id, min(r) AS canonical_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Oracle SQL as an entry LIST folded into a Map through a uniqueness
     * guard: a duplicate key in a `Map(...)` literal silently keeps only the
     * last definition (it happened in round 1 — three keys were defined
@@ -1105,26 +1165,10 @@ object Extensions {
     "dedup_incremental" -> ngramJaccardSql.replaceFirst(
       "WHERE jaccard >= 0\\.8",
       "WHERE jaccard >= 0.8\n  AND NOT (id_a % 10 < 8 AND id_b % 10 < 8)"),
-    "dedup_canonical" -> (shingleCte.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
-      """, pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
-        |      CAST(len(a.sh) + len(b.sh)
-        |           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
-        |    FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
-        |  WHERE jaccard >= 0.8
-        |), edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst
-        |)
-        |SELECT id AS doc_id, min(r) AS canonical_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    "dedup_canonical" -> canonicalSql,
+    // the 3-batch incremental fold must converge to the one-shot
+    // canonical closure — same oracle
+    "dedup_canonical_incremental" -> canonicalSql,
     // minhash+LSH verifies candidates exactly, so its output semantics
     // equal the exact n-gram pairs — same oracle.
     "dedup_minhash" -> ngramJaccardSql,

@@ -89,6 +89,77 @@ object StreamingDedup {
   def pairLog(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     TransactionalLake.readCommitted(spark, pairsRoot(root)).drop("epoch")
 
+  def canonicalRoot(root: String): String = s"$root/canonical"
+
+  /** POST-COMMIT canonical-map maintenance — the incremental path that
+    * keeps "which doc is the canonical representative" current WITHOUT
+    * re-canonicalizing the corpus: every committed pair-log epoch not yet
+    * applied advances the persisted (id → canonical_id) map by a
+    * [[Dedup.canonicalizeIncrementalDelta]] — per epoch that is
+    * O(batch + touched components) work and an O(changes)-row delta
+    * commit, never an O(corpus) rewrite. Run after a stream run or at
+    * maintenance cadence (like [[foldAged]]); never concurrently with
+    * itself.
+    *
+    * EXACTLY-ONCE: each delta commits through the idempotent
+    * [[TransactionalLake]] epoch protocol under `root/canonical`, keyed
+    * by the SAME epoch id as the pair-log epoch it consumes; an epoch's
+    * inputs (prior map state, the epoch's corpus slice and pairs) are
+    * all reads of already-committed artifacts below it, so a crash
+    * mid-maintenance resumes by skipping the committed prefix and a
+    * re-delivered pair epoch contracts to an empty delta
+    * (StreamingDedupSpec). Returns the epoch ids applied this call. */
+  def maintainCanonical(spark: org.apache.spark.sql.SparkSession, root: String,
+                        idCol: String): Seq[Long] = {
+    val croot = canonicalRoot(root)
+    val done = TransactionalLake.committedEpochs(spark, croot).toSet ++
+      TransactionalLake.foldState(spark, croot).map(_._2).getOrElse(Seq.empty)
+    val pairEpochs = (TransactionalLake.committedEpochs(spark, pairsRoot(root)) ++
+      TransactionalLake.foldState(spark, pairsRoot(root)).map(_._2).getOrElse(Seq.empty))
+      .distinct.sorted
+    val todo = pairEpochs.filterNot(done)
+    todo.foreach { e =>
+      val newDocs = TransactionalLake.readCommitted(spark, corpusRoot(root))
+        .filter(col("epoch").cast("long") === e).select(col(idCol))
+      val pairs = TransactionalLake.readCommitted(spark, pairsRoot(root))
+        .filter(col("epoch").cast("long") === e).drop("epoch")
+      // prior map state = latest-wins over the delta epochs BELOW this
+      // one (so a resumed maintenance pass sees exactly the state the
+      // first attempt saw); before any canonical epoch exists the prior
+      // map is empty
+      val anyPrior = (TransactionalLake.committedEpochs(spark, croot) ++
+        TransactionalLake.foldState(spark, croot).map(_._2).getOrElse(Seq.empty))
+        .exists(_ < e)
+      val prev =
+        if (anyPrior) canonicalMapAsOf(spark, root, idCol, e - 1)
+        else newDocs.select(col(idCol), col(idCol).as("canonical_id"))
+          .filter(lit(false))
+      val delta = Dedup.canonicalizeIncrementalDelta(prev, newDocs, pairs, idCol)
+      TransactionalLake.commitEpoch(delta, croot, e, Nil)
+    }
+    todo
+  }
+
+  /** The maintained (id → canonical_id) map: latest-entry-wins over the
+    * committed delta epochs. Docs with no near-dup carry their own id.
+    * The read is one window shuffle keyed on the id — the O(corpus-map)
+    * cost lives HERE (a view consumers pay when they ask), never in the
+    * per-epoch maintenance write path. */
+  def canonicalMap(spark: org.apache.spark.sql.SparkSession,
+                   root: String, idCol: String): DataFrame =
+    canonicalMapAsOf(spark, root, idCol, Long.MaxValue)
+
+  private def canonicalMapAsOf(spark: org.apache.spark.sql.SparkSession,
+                               root: String, idCol: String,
+                               epoch: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("epoch").cast("long").desc)
+    TransactionalLake.readCommitted(spark, canonicalRoot(root))
+      .filter(col("epoch").cast("long") <= epoch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "epoch")
+  }
+
   def quarantineRoot(root: String): String = s"$root/quarantine"
 
   /** STREAMING DECONTAMINATION — the ingest-time twin of
@@ -142,9 +213,14 @@ object StreamingDedup {
       graft.sources.Maintenance.foldAged(spark, corpusRoot(root), keepLast, Nil),
       graft.sources.Maintenance.foldAged(spark, indexRoot(root), keepLast, Nil),
       graft.sources.Maintenance.foldAged(spark, pairsRoot(root), keepLast, Nil),
-      graft.sources.Maintenance.foldAged(spark, quarantineRoot(root), keepLast, Nil))
+      graft.sources.Maintenance.foldAged(spark, quarantineRoot(root), keepLast, Nil),
+      // the canonical-delta lake folds too (latest-wins is epoch-keyed
+      // and a fold preserves per-row epoch values, so the map view and
+      // maintainCanonical's done-set both survive retention)
+      graft.sources.Maintenance.foldAged(spark, canonicalRoot(root), keepLast, Nil))
 }
 
 /** Epochs folded per streaming-dedup artifact lake by
   * [[StreamingDedup.foldAged]]. */
-case class FoldedEpochs(corpus: Int, index: Int, pairs: Int, quarantine: Int)
+case class FoldedEpochs(corpus: Int, index: Int, pairs: Int, quarantine: Int,
+                        canonical: Int = 0)

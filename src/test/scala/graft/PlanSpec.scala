@@ -192,6 +192,89 @@ class PlanSpec extends SparkSpec {
       s"the election aggregate must not carry the line string: $electionExchanges")
   }
 
+  // ---- executed-scan audit: the round-7 scale-killer was the flagship
+  // re-running the full-corpus shingle pass once per consumer (three
+  // documents-text scans where one suffices). The fix shares ONE
+  // materialized shingle frame; this audit is its regression tripwire.
+  // It counts, across every listener-visible execution an invocation
+  // runs, the FileSourceScans of documents.parquet that read the TEXT
+  // column (the corpus-sized payload — id-only scans are metadata-cheap
+  // and exempt), plus any CartesianProduct anywhere.
+  private def scanAudit(body: => Unit): (Int, Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { plans.add(qe.executedPlan); () }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      // the listener rides an async bus — wait for the capture to settle
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val n = plans.size
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case n => Seq(n)
+      }
+    import scala.jdk.CollectionConverters._
+    val all = plans.asScala.toSeq.flatMap(walk)
+    val textScans = all.count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("documents.parquet")) &&
+          f.requiredSchema.fieldNames.contains("text")
+      case _ => false
+    }
+    val cartesians = all.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+    (textScans, cartesians)
+  }
+
+  test("dedup_canonical: at most one corpus text scan per invocation; no cartesian product") {
+    val (scans, cart) = scanAudit {
+      SparkEntry.queries("dedup_canonical")(spark, sf0001).collect(); ()
+    }
+    println(s"[scan-audit] dedup_canonical text-scans=$scans cartesians=$cart")
+    assert(scans <= 1,
+      s"the shingle pass must read the corpus text ONCE (shared materialized " +
+        s"sets frame) — counted $scans documents-text scans")
+    assert(cart == 0, "no cartesian product anywhere in the dedup pipeline")
+  }
+
+  test("flagship v2/v3: bounded corpus text scans; no cartesian product") {
+    // Legitimate text scans per invocation (each a column-pruned parquet
+    // read — at 100 TB re-reading two pruned columns beats checkpointing
+    // corpus-sized text): the shared SHINGLE pass reads the corpus via
+    // the cached sets frame (invisible here), while reps (consumed by
+    // the decon train side AND the clean join), the eval split, and the
+    // final join-back each scan text once. A re-derived per-consumer
+    // shingle pass adds 2+ direct scans — the tripwire bound is the
+    // current count, so any new corpus re-scan fails this test.
+    for ((name, bound) <- Seq("train_corpus_prep_v2" -> 4,
+        "train_corpus_prep_v3" -> 3)) {
+      val (scans, cart) = scanAudit {
+        SparkEntry.queries(name)(spark, sf0001).collect(); ()
+      }
+      println(s"[scan-audit] $name text-scans=$scans cartesians=$cart")
+      assert(scans <= bound,
+        s"$name: counted $scans documents-text scans (bound $bound) — " +
+          "a stage is re-scanning the corpus")
+      assert(cart == 0, s"$name: no cartesian product allowed")
+    }
+  }
+
   test("z-ordered layout: exactly one data exchange (the range repartition)") {
     val li = Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     val df = graft.operators.ZOrder.zOrdered(li, "l_partkey", "l_suppkey")

@@ -54,6 +54,19 @@ class StreamingDedupSpec extends SparkSpec {
     val idxOneShot = Dedup.minhashBandIndex(full, "doc_id", "text")
       .as[(Long, Int, Int, Int, Int)].collect().toSet
     assert(idx == idxOneShot)
+    // POST-COMMIT canonical maintenance: the delta epochs folded
+    // latest-wins must equal one-shot canonicalize over the full corpus
+    val applied = StreamingDedup.maintainCanonical(spark, base, "doc_id")
+    assert(applied.nonEmpty, "maintenance must apply the pair-log epochs")
+    val canonOneShot = Dedup.canonicalize(full, "doc_id", "text", k = 3,
+      threshold = 0.5).as[(Long, Long)].collect().toMap
+    def canonMap = StreamingDedup.canonicalMap(spark, base, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(canonMap == canonOneShot,
+      "maintained canonical map must equal one-shot canonicalize")
+    assert(StreamingDedup.maintainCanonical(spark, base, "doc_id").isEmpty,
+      "re-running maintenance with no new epochs must be a no-op")
+
     // forced replay of the final epoch: stream commit deleted → restart
     // re-delivers; idempotent epoch commits keep everything exact
     val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
@@ -63,6 +76,9 @@ class StreamingDedupSpec extends SparkSpec {
     assert(logSet == first, "replay must not change the pair log")
     assert(TransactionalLake.readCommitted(spark, StreamingDedup.corpusRoot(base))
       .count() == full.count(), "replay must not duplicate the corpus")
+    assert(StreamingDedup.maintainCanonical(spark, base, "doc_id").isEmpty &&
+      canonMap == canonOneShot,
+      "crash replay must leave the canonical map exactly-once")
 
     // RETENTION: fold all but the newest epoch of every artifact; the
     // views are unchanged, and a replay AFTER folding is still a no-op
@@ -79,5 +95,9 @@ class StreamingDedupSpec extends SparkSpec {
     assert(logSet == first, "replay after retention must stay exactly-once")
     assert(TransactionalLake.readCommitted(spark, StreamingDedup.corpusRoot(base))
       .count() == full.count())
+    assert(canonMap == canonOneShot,
+      "retention folds must not change the canonical map view")
+    assert(StreamingDedup.maintainCanonical(spark, base, "doc_id").isEmpty,
+      "folded pair epochs must stay applied in the maintenance done-set")
   }
 }
