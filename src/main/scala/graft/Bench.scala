@@ -23,6 +23,13 @@ object Bench {
       // many-small-file dynamic partition writes (measured 2x); real
       // clusters rely on HDFS/S3 storage integrity instead
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // the state-store ASYNC maintenance thread (snapshot/cleanup) fires
+      // on a wall-clock interval and can land inside a timing window of
+      // whichever stateful-streaming entry is running (measured as a
+      // 1.5-2x outlier on one of three runs); the quiesce barrier unloads
+      // providers between runs anyway, so within-run maintenance buys
+      // nothing here — push it past any plausible entry duration
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
       // shuffle/localCheckpoint scratch on tmpfs: the container disk's
       // writeback stalls made every ~4th run of the iterative operators
       // ~2x slower (measured on canonicalize: [4.5..6.3]s stable on

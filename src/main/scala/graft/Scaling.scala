@@ -40,7 +40,12 @@ object Scaling {
     // tokenizer training — each with a non-obvious scale shape worth
     // pinning (posting filters, pair explosion, iterative rounds)
     "text_bm25", "text_pmi", "text_bigram_logprob", "graph_pagerank",
-    "text_bpe_merges")
+    "text_bpe_merges",
+    // round-9: the incremental canonicalization fold — THE operator whose
+    // scale shape matters most (per-batch cost must track the batch, so
+    // the 3-batch fold must grow ~linearly in corpus size like the
+    // one-shot), plus the host-keyed exact cut
+    "dedup_canonical_incremental", "dedup_host_keys")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */

@@ -33,6 +33,43 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** HOST/URL-keyed exact dedup — the first pass of a web-corpus dedup
+    * recipe (the CCNet/RefinedWeb-style cheap cut before any banded
+    * near-dup pass): normalize the text (NFC, strip control/format
+    * chars, collapse whitespace — graft.plans.NormalizeExpressions) and
+    * dedup EXACTLY within each host on the normalized content. One
+    * representative (min id) + multiplicity per (host, content) key.
+    *
+    * Scale shape: the host rides the dedup key, so the hash aggregate
+    * co-partitions by host for free and map-side partial aggregation
+    * collapses same-host mirrors before the exchange — the shuffle
+    * carries ~|distinct (host, content)| rows, and a single hot host
+    * spreads over the content half of the key instead of hot-spotting
+    * one partition. Cross-host near-dups are the banded passes' job. */
+  def exactByHostKey(df: DataFrame, idCol: String, hostCol: String,
+                     textCol: String): DataFrame =
+    df.select(col(idCol), col(hostCol).as("host"),
+        TF.normalizeText(col(textCol)).as("norm"))
+      .groupBy(col("host"), col("norm"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col("host"), col(idCol), col("n_copies"))
+
+  /** Near-dup CLUSTER QUALITY REPORT — the curation reporting surface
+    * over [[canonicalize]]'s output: the cluster-size distribution (how
+    * much of the corpus is duplicated, at what multiplicity) with the
+    * representative-selection policy made auditable (canonical = the
+    * component min; each size bucket carries its smallest canonical id
+    * as a spot-check handle). Two metadata-scale hash aggregates over
+    * the (id → canonical) map — nothing corpus-sized. */
+  def clusterReport(canonicalMap: DataFrame): DataFrame =
+    canonicalMap.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        min(col("canonical_id")).as("min_canonical_id"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .select("cluster_size", "n_clusters", "n_docs", "min_canonical_id")
+
   /** Shingle sets per doc: (id, shingles array, size). */
   private def withShingleSets(docs: DataFrame, idCol: String, textCol: String,
                               k: Int): DataFrame =

@@ -211,6 +211,19 @@ object Extensions {
     finalMap.orderBy("doc_id")
   }
 
+  /** Cluster-size distribution + representative policy over the
+    * canonical closure — `Dedup.clusterReport` on `Dedup.canonicalize`. */
+  def dedupClusterReport(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterReport(
+      Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8))
+      .orderBy("cluster_size")
+
+  /** Host/URL-keyed exact dedup after text normalization —
+    * `Dedup.exactByHostKey` with `source` playing the host role. */
+  def dedupHostKeys(s: SparkSession, d: String): DataFrame =
+    Dedup.exactByHostKey(docs(s, d), "doc_id", "source", "text")
+      .orderBy("host", "doc_id")
+
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDupPairs(embs(s, d), "vec_id", "embedding", threshold = 0.4)
       .orderBy("id_a", "id_b")
@@ -958,6 +971,8 @@ object Extensions {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_canonical_incremental" -> (dedupCanonicalIncremental _),
+    "dedup_cluster_report" -> (dedupClusterReport _),
+    "dedup_host_keys" -> (dedupHostKeys _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_exact" -> (simTopKExact _),
     "sim_topk_lsh" -> (simTopKLsh _),
@@ -1120,10 +1135,11 @@ object Extensions {
       |ORDER BY probe_id, rank""".stripMargin
 
   /** Connected-component closure over the exact Jaccard-0.8 pair set as
-    * a recursive CTE — every doc labeled with the min reachable id.
-    * Shared by the one-shot (`dedup_canonical`) and incremental-fold
-    * (`dedup_canonical_incremental`) gates. */
-  private val canonicalSql: String =
+    * a recursive CTE ending in a `canon(doc_id, canonical_id)` relation —
+    * shared by the one-shot (`dedup_canonical`), incremental-fold
+    * (`dedup_canonical_incremental`), and cluster-report
+    * (`dedup_cluster_report`) gates. */
+  private val canonicalCoreSql: String =
     shingleCte.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
       """, pairs AS (
         |  SELECT id_a, id_b FROM (
@@ -1141,9 +1157,13 @@ object Extensions {
         |  SELECT doc_id, doc_id FROM documents
         |  UNION
         |  SELECT e.src, reach.r FROM reach JOIN edges e ON reach.id = e.dst
-        |)
-        |SELECT id AS doc_id, min(r) AS canonical_id
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+        |), canon AS (
+        |  SELECT id AS doc_id, min(r) AS canonical_id
+        |  FROM reach GROUP BY id
+        |)""".stripMargin
+
+  private val canonicalSql: String = canonicalCoreSql +
+    "\nSELECT doc_id, canonical_id FROM canon ORDER BY doc_id"
 
   /** Oracle SQL as an entry LIST folded into a Map through a uniqueness
     * guard: a duplicate key in a `Map(...)` literal silently keeps only the
@@ -1169,6 +1189,25 @@ object Extensions {
     // the 3-batch incremental fold must converge to the one-shot
     // canonical closure — same oracle
     "dedup_canonical_incremental" -> canonicalSql,
+    "dedup_cluster_report" -> (canonicalCoreSql +
+      """
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        |  min(canonical_id) AS min_canonical_id
+        |FROM (SELECT canonical_id, count(*) AS cluster_size
+        |      FROM canon GROUP BY 1)
+        |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+    // host-keyed exact dedup: the oracle repeats the normalize chain
+    // (same regexes as text_normalize — valid in Java regex and RE2)
+    "dedup_host_keys" ->
+      """WITH n AS (
+        |  SELECT doc_id, source AS host,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F\p{Cf}]', '', 'g'),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT host, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM n GROUP BY host, norm ORDER BY host, doc_id""".stripMargin,
     // minhash+LSH verifies candidates exactly, so its output semantics
     // equal the exact n-gram pairs — same oracle.
     "dedup_minhash" -> ngramJaccardSql,

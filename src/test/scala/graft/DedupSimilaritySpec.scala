@@ -400,4 +400,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.length == 3)
     assert(out.sliding(2).forall { case Array(a, b) => a._2 >= b._2 })
   }
+
+  test("host-keyed exact dedup: same content collapses within a host, never across hosts") {
+    val df = Seq(
+      (1L, "hostA", "Hello   world test"),
+      (2L, "hostA", "hello world test".replace("h", "H")), // normalizes equal to 1
+      (3L, "hostB", "Hello world test"),                   // same content, other host
+      (4L, "hostA", "entirely different content here")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.exactByHostKey(df, "doc_id", "source", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("hostA", 1L, 2L), ("hostB", 3L, 1L), ("hostA", 4L, 1L)),
+      s"whitespace-normalized dup must collapse within hostA only, got $out")
+  }
+
+  test("cluster report: distribution covers the corpus; representatives are component minima") {
+    val canon = Dedup.canonicalize(docs, "doc_id", "text")
+    val report = Dedup.clusterReport(canon)
+      .select("cluster_size", "n_clusters", "n_docs", "min_canonical_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(report.map(_._3).sum == docs.count(),
+      "size buckets must partition the corpus")
+    assert(report.forall { case (size, n, docs_, _) => docs_ == size * n })
+    // the representative policy: every canonical id is the min of its
+    // cluster, so a cluster of size >= 2 has members above the canonical
+    val labels = canon.as[(Long, Long)].collect()
+    assert(labels.forall { case (id, c) => c <= id },
+      "canonical must be the component min")
+  }
 }
