@@ -192,6 +192,7 @@ object Bench {
     // bench_last.json (which the judge reads).
     val headline = Seq(
       "train_corpus_prep", "train_corpus_prep_v2", "train_corpus_prep_v3",
+      "train_corpus_prep_v4",
       "dedup_exact", "dedup_minhash", "dedup_canonical",
       "dedup_streaming_index", "text_dedup_spans", "dedup_semantic",
       "sim_topk_exact", "sim_topk_ivf", "sim_topk_pq", "sim_topk_ivfpq",

@@ -226,4 +226,24 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("flagship v4 (maintained canonical map) equals v3 (one-shot canonicalize)") {
+    val v3 = graft.queries.Extensions.queries("train_corpus_prep_v3")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // first v4 call builds the maintained-map artifact (incremental-fold
+    // provenance); the call itself must already produce v3's output
+    val v4cold = graft.queries.Extensions.queries("train_corpus_prep_v4")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(v4cold == v3, "v4 must reproduce v3's rollup exactly")
+    // warm call reuses the artifact — same output, no rebuild (marker
+    // mtime unchanged proves the fold did not re-run)
+    val marker = java.nio.file.Paths.get(
+      s"/root/repo/target/tmp/canon_map_${sf0001.replaceAll("[^a-zA-Z0-9]", "_")}/_OK")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    val v4warm = graft.queries.Extensions.queries("train_corpus_prep_v4")(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(v4warm == v3)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t0,
+      "a warm v4 run must NOT rebuild the maintained map")
+  }
 }

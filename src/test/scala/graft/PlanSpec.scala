@@ -275,6 +275,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("flagship v4 steady state: maintained canonical map, no re-dedup scans, no cartesian") {
+    // first call warms the maintained-map artifact; the audited call is
+    // the STEADY-STATE run a deployment pays — its canonical labels come
+    // from the persisted map, so no shingle/candidate/CC work may appear
+    SparkEntry.queries("train_corpus_prep_v4")(spark, sf0001).collect()
+    val (scans, cart) = scanAudit {
+      SparkEntry.queries("train_corpus_prep_v4")(spark, sf0001).collect(); ()
+    }
+    println(s"[scan-audit] train_corpus_prep_v4(warm) text-scans=$scans cartesians=$cart")
+    assert(scans <= 3,
+      s"warm v4 counted $scans documents-text scans — the incremental path must not re-dedup")
+    assert(cart == 0)
+  }
+
   test("z-ordered layout: exactly one data exchange (the range repartition)") {
     val li = Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     val df = graft.operators.ZOrder.zOrdered(li, "l_partkey", "l_suppkey")
