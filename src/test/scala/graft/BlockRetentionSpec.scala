@@ -57,6 +57,23 @@ class BlockRetentionSpec extends SparkSpec {
     assert(pairs.count() == n) // result survives the sweep
   }
 
+  test("incremental canonicalization fold leaves zero persistent RDDs; map survives a sweep") {
+    sweepAll()
+    val docs = Tables.load(spark, sf0001, "documents")
+    // ngramJaccardPairs is EAGER and already file-backed — used as-is
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    val emptyMap = docs.select(col("doc_id"), col("doc_id").as("canonical_id"))
+      .filter(lit(false))
+    val map = Blocks.copyOut(
+      Dedup.canonicalizeIncremental(emptyMap, docs, pairs, "doc_id"))
+    val n = map.count()
+    assert(n == docs.count())
+    assert(residentBlocks == 0,
+      s"canonicalizeIncremental left $residentBlocks persistent RDDs")
+    sweepAll()
+    assert(map.count() == n) // the copied-out map survives the sweep
+  }
+
   test("ivfCentroidsRefined leaves zero persistent RDDs") {
     sweepAll()
     val embs = Tables.load(spark, sf0001, "embeddings")
