@@ -679,6 +679,43 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** THRESHOLD-fraction decontamination — the published-recipe variant
+    * of [[decontaminate]] (Llama/GPT-3-style): instead of flagging on
+    * ANY shared n-gram, score each train doc by the FRACTION of its
+    * distinct k-grams that appear anywhere in the eval suite, and flag
+    * at `tau`. Any-overlap is too aggressive for short boilerplate-ish
+    * n-grams; the fraction keeps docs with incidental collisions while
+    * catching verbatim inclusions. Returns every train doc with >= 1
+    * shared gram — (n_grams, n_shared_ngrams, shared_frac, flagged) —
+    * so the caller can audit near-threshold docs, not just the drops.
+    *
+    * Scale shape: identical to [[decontaminate]] — distinct eval grams
+    * broadcast (auto-selected vs shuffle at ~20 M postings), the train
+    * corpus never shuffles, per-doc gram counts ride the postings rows
+    * (the shingle set is computed once per row and carried through the
+    * explode — no second corpus scan). */
+  def decontaminateFraction(train: DataFrame, evalSet: DataFrame,
+                            idCol: String, textCol: String, k: Int = 8,
+                            tau: Double = 0.2,
+                            broadcastEval: Option[Boolean] = None): DataFrame = {
+    val ev = evalSet.select(
+      explode(TF.shingleSet(col(textCol), k)).as("g")).distinct()
+    val useBroadcast = broadcastEval.getOrElse(
+      ev.agg(count(lit(1))).head().getLong(0) <= 20L * 1000 * 1000)
+    val tr = train.select(col(idCol).as("train_id"),
+        TF.shingleSet(col(textCol), k).as("sh"))
+      .withColumn("n_grams", size(col("sh")).cast("long"))
+      .filter(col("n_grams") > 0)
+      .select(col("train_id"), col("n_grams"), explode(col("sh")).as("g"))
+    tr.join(if (useBroadcast) broadcast(ev) else ev, "g")
+      .groupBy(col("train_id"), col("n_grams"))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"))
+      .withColumn("shared_frac",
+        col("n_shared_ngrams").cast("double") / col("n_grams").cast("double"))
+      .withColumn("flagged", col("shared_frac") >= tau)
+      .select("train_id", "n_grams", "n_shared_ngrams", "shared_frac", "flagged")
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs form — the recall
     * baseline; the ANN paths for scale are [[embeddingNearDupPairsLsh]]
     * and Similarity.lshTopK/ivfTopK). */

@@ -340,6 +340,54 @@ object TextAnalysis {
       .drop("cum_before")
   }
 
+  /** Retrieval-style document CHUNKING — the RAG/embedding preprocessing
+    * split: fixed word windows of `chunkWords` with `overlapWords` of
+    * context carried between neighbors. Chunk count is the closed form
+    * (1 when len <= chunk, else ceil((len-chunk)/step)+1 with
+    * step = chunk-overlap), so the generator is a per-row
+    * sequence+explode — scan-speed, no shuffle, no UDF; empty docs
+    * produce no chunks and the final chunk may be shorter. At 100 TB
+    * chunking is a projection: it composes with any downstream
+    * (embedding, indexing, packing) without materializing the corpus
+    * twice. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkWords: Int = 64, overlapWords: Int = 16): DataFrame = {
+    require(overlapWords < chunkWords,
+      s"overlap ($overlapWords) must be smaller than the chunk ($chunkWords)")
+    val step = chunkWords - overlapWords
+    val base = docs.select(col(idCol), TF.words(col(textCol)).as("ws"))
+      .withColumn("len", size(col("ws")).cast("long"))
+      .filter(col("len") > 0)
+      .withColumn("nc", when(col("len") <= chunkWords, lit(1L))
+        .otherwise(ceil((col("len") - chunkWords).cast("double") / step)
+          .cast("long") + 1L))
+    base.select(col(idCol), col("ws"), col("len"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .withColumn("start_word", col("chunk_idx") * step)
+      .withColumn("n_words",
+        least(lit(chunkWords.toLong), col("len") - col("start_word")))
+      .select(col(idCol), col("chunk_idx"), col("start_word"), col("n_words"),
+        array_join(slice(col("ws"), (col("start_word") + 1).cast("int"),
+          col("n_words").cast("int")), " ").as("chunk_text"))
+  }
+
+  /** TRAINING-SHARD MANIFEST — the operational artifact a training job
+    * reads instead of listing data files: per shard of a
+    * [[packSequences]] output, the document/sequence/token totals, the
+    * id range, and an order-insensitive integrity checksum (bit_xor of
+    * a per-row key fold — commutative, so partition order and merge
+    * order cannot change it). One metadata-scale aggregate; at 100 TB
+    * the manifest is what makes resumable/verifiable training runs
+    * possible without re-listing the lake. */
+  def shardManifest(packed: DataFrame, idCol: String): DataFrame =
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_sequences"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col(idCol)).as("min_doc_id"),
+        max(col(idCol)).as("max_doc_id"),
+        expr(s"bit_xor($idCol + 131 * n_tokens)").as("content_checksum"))
+
   /** PII detection + redaction: emails, IPv4 addresses, and NANP-style
     * phone numbers found by regex, counted per type, then replaced with
     * typed placeholder tokens ([EMAIL]/[IP]/[PHONE]). The patterns are

@@ -560,6 +560,29 @@ object Extensions {
       tokensPerSeq = 512, nShards = 8)
       .orderBy("doc_id")
 
+  /** Retrieval chunking gate: 64-word windows, 16-word overlap. */
+  def textChunk(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunk(docs(s, d), "doc_id", "text",
+      chunkWords = 64, overlapWords = 16)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Shard-manifest gate: the manifest over the standard pack. */
+  def textShardManifest(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.shardManifest(
+      TextAnalysis.packSequences(docs(s, d), "doc_id", "text",
+        tokensPerSeq = 512, nShards = 8), "doc_id")
+      .orderBy("shard")
+
+  /** Threshold-fraction decontamination gate: same train/eval split as
+    * `text_decontaminate`, scored by shared-gram fraction at tau=0.2. */
+  def textDecontaminateFrac(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.decontaminateFraction(
+      all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0),
+      "doc_id", "text", k = 8, tau = 0.2)
+      .orderBy("train_id")
+  }
+
   /** PII redaction gate. The fixture corpus is clean word soup, so the
     * query first PLANTS deterministic PII derived from doc_id (an email
     * for 2/3 of docs, an IPv4 for every even doc, a phone for all), then
@@ -1075,6 +1098,9 @@ object Extensions {
     "text_tfidf" -> (textTfidf _),
     "text_unigram_logprob" -> (textUnigramLogProb _),
     "text_pack_sequences" -> (textPackSequences _),
+    "text_chunk" -> (textChunk _),
+    "text_shard_manifest" -> (textShardManifest _),
+    "text_decontaminate_frac" -> (textDecontaminateFrac _),
     "text_pii_redact" -> (textPiiRedact _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -1151,9 +1177,9 @@ object Extensions {
   private val markers: Map[String, Seq[String]] =
     graft.functions.TextFunctions.langMarkers.toMap
 
-  /** Benchmark decontamination (8-gram train/eval overlap) — shared by
-    * the batch operator gate and the streaming quarantine-log gate. */
-  private val decontaminateSql: String = tokensCte +
+  /** Distinct word-8-gram sets per doc (`s8(doc_id, sh)`) — shared by
+    * the decontamination oracles. */
+  private val s8Cte: String = tokensCte +
     """, s8 AS (
       |  SELECT doc_id,
       |    CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) ELSE
@@ -1161,7 +1187,12 @@ object Extensions {
       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
       |          || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
       |    END AS sh
-      |  FROM w),
+      |  FROM w)""".stripMargin
+
+  /** Benchmark decontamination (8-gram train/eval overlap) — shared by
+    * the batch operator gate and the streaming quarantine-log gate. */
+  private val decontaminateSql: String = s8Cte +
+    """,
       |tr AS (SELECT doc_id AS train_id, unnest(sh) AS g FROM s8 WHERE doc_id % 10 <> 0),
       |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s8 WHERE doc_id % 10 = 0)
       |SELECT train_id,
@@ -1169,6 +1200,21 @@ object Extensions {
       |  count(DISTINCT eval_id) AS n_eval_docs
       |FROM tr JOIN ev USING (g)
       |GROUP BY 1 ORDER BY train_id""".stripMargin
+
+  /** Threshold-fraction decontamination: shared-gram fraction per train
+    * doc, flagged at tau=0.2 — `Dedup.decontaminateFraction`'s oracle. */
+  private val decontaminateFracSql: String = s8Cte +
+    """,
+      |tr AS (SELECT doc_id AS train_id, CAST(len(sh) AS BIGINT) AS n_grams,
+      |         unnest(sh) AS g
+      |       FROM s8 WHERE doc_id % 10 <> 0 AND len(sh) > 0),
+      |ev AS (SELECT DISTINCT unnest(sh) AS g FROM s8 WHERE doc_id % 10 = 0)
+      |SELECT train_id, n_grams,
+      |  count(DISTINCT g) AS n_shared_ngrams,
+      |  CAST(count(DISTINCT g) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS shared_frac,
+      |  (CAST(count(DISTINCT g) AS DOUBLE) / CAST(n_grams AS DOUBLE)) >= 0.2 AS flagged
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY train_id, n_grams ORDER BY train_id""".stripMargin
 
   private def markerListSql(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -1242,6 +1288,25 @@ object Extensions {
 
   private val canonicalSql: String = canonicalCoreSql +
     "\nSELECT doc_id, canonical_id FROM canon ORDER BY doc_id"
+
+  /** The sequence-packing computation (8 shards, 512-token sequences) as
+    * a CTE chain ending in `packed(doc_id, shard, n_tokens, seq_id,
+    * seq_offset)` — shared by the per-doc gate and the shard manifest. */
+  private val packCoreSql: String = tokensCte +
+    """, t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens
+      |  FROM w),
+      |c AS (
+      |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |    0) AS BIGINT) AS cum_before
+      |  FROM t),
+      |packed AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(cum_before // 512 AS BIGINT) AS seq_id,
+      |    CAST(cum_before % 512 AS BIGINT) AS seq_offset
+      |  FROM c)""".stripMargin
 
   /** Oracle SQL as an entry LIST folded into a Map through a uniqueness
     * guard: a duplicate key in a `Map(...)` literal silently keeps only the
@@ -1619,6 +1684,7 @@ object Extensions {
         |JOIN df USING (term)
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
     "text_decontaminate" -> decontaminateSql,
+    "text_decontaminate_frac" -> decontaminateFracSql,
     // the streaming quarantine log accumulates exactly the same flags —
     // per-doc against a static eval set, batching-independent, so the
     // batch operator's SQL is the oracle (proven across a crash replay)
@@ -1679,20 +1745,33 @@ object Extensions {
         |    AS mean_neg_logprob
         |FROM t JOIN sc USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    "text_pack_sequences" -> (tokensCte +
-      """, t AS (
-        |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens
-        |  FROM w),
-        |c AS (
-        |  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
-        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |    0) AS BIGINT) AS cum_before
-        |  FROM t)
-        |SELECT doc_id, shard, n_tokens,
-        |  CAST(cum_before // 512 AS BIGINT) AS seq_id,
-        |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
-        |FROM c ORDER BY doc_id""".stripMargin),
+    "text_pack_sequences" -> (packCoreSql +
+      "\nSELECT doc_id, shard, n_tokens, seq_id, seq_offset FROM packed ORDER BY doc_id"),
+    // manifest = one aggregate over the same pack; checksum is the
+    // commutative bit_xor fold both engines define identically
+    "text_shard_manifest" -> (packCoreSql +
+      """
+        |SELECT shard, count(*) AS n_docs,
+        |  count(DISTINCT seq_id) AS n_sequences,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  bit_xor(doc_id + 131 * n_tokens) AS content_checksum
+        |FROM packed GROUP BY shard ORDER BY shard""".stripMargin),
+    // chunking: closed-form chunk count, inclusive list_slice bounds
+    "text_chunk" -> (tokensCte +
+      """, n AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len,
+        |    CASE WHEN len(toks) <= 64 THEN 1
+        |         ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS nc
+        |  FROM w WHERE len(toks) > 0),
+        |g AS (
+        |  SELECT doc_id, toks, len, unnest(range(0, nc)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 48 AS BIGINT) AS start_word,
+        |  CAST(least(64, len - i * 48) AS BIGINT) AS n_words,
+        |  array_to_string(list_slice(toks, i * 48 + 1,
+        |    i * 48 + least(64, len - i * 48)), ' ') AS chunk_text
+        |FROM g ORDER BY doc_id, chunk_idx""".stripMargin),
     "text_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id, text ||

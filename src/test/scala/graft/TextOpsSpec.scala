@@ -252,4 +252,65 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(1))
     assert(out.map(_.getLong(4)).toSeq == expFp.toSeq)
   }
+
+  test("chunk: windows tile with overlap, short docs get one chunk, empty docs none") {
+    import spark.implicits._
+    val words120 = (1 to 120).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words120), (2L, "just five words right here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text",
+        chunkWords = 64, overlapWords = 16)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // doc 1: len 120 > 64 → ceil((120-64)/48)+1 = 3 chunks at 0/48/96
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 48L, 64L), (2L, 96L, 24L)))
+    // neighbors share exactly the 16-word overlap
+    assert(d1(0)._5.split(" ").takeRight(16).toSeq ==
+      d1(1)._5.split(" ").take(16).toSeq)
+    assert(d1(2)._5.split(" ").last == "w120", "final chunk reaches the end")
+    // doc 2: one whole-doc chunk; doc 3: none
+    assert(out.filter(_._1 == 2L).toSeq.map(c => (c._2, c._4)) == Seq((0L, 5L)))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("shard manifest: totals partition the pack; checksum is order-insensitive") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf0001, "documents")
+    val packed = TextAnalysis.packSequences(docs, "doc_id", "text")
+    val manifest = TextAnalysis.shardManifest(packed, "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(manifest.map(_._2).sum == docs.count(), "every doc in exactly one shard")
+    val totalTokens = packed.agg(sum("n_tokens")).as[Long].head()
+    assert(manifest.map(_._4).sum == totalTokens)
+    // checksum must not depend on row order: recompute over a shuffled pack
+    val reshuffled = TextAnalysis.shardManifest(
+      packed.orderBy(rand(42)), "doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(manifest.sortBy(_._1).map(m => (m._1, m._7)).toSeq ==
+      reshuffled.sortBy(_._1).map(m => (m._1, m._7)).toSeq)
+  }
+
+  test("decontaminateFraction scores by shared-gram fraction and flags at tau") {
+    import spark.implicits._
+    val evalDoc = (1 to 16).map(i => s"e$i").mkString(" ") // 9 distinct 8-grams
+    // train doc A = eval verbatim + 7 unique words → shares all 9 eval
+    // grams plus 7 bridging+unique grams of its own (16 total) → 9/16
+    val trainA = evalDoc + " " + (1 to 7).map(i => s"u$i").mkString(" ")
+    // train doc B shares one 8-word window only → 1 shared gram
+    val trainB = (1 to 8).map(i => s"e$i").mkString(" ") + " " +
+      (1 to 8).map(i => s"v$i").mkString(" ")
+    val train = Seq((1L, trainA), (2L, trainB)).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalDoc)).toDF("doc_id", "text")
+    val out = Dedup.decontaminateFraction(train, evalSet, "doc_id", "text",
+        k = 8, tau = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    val a = out(0); val b = out(1)
+    assert(a._3 == 9L && a._2 == 16L && a._5,
+      s"doc A must share 9/16 grams and be flagged at tau=0.5: $a")
+    assert(b._3 == 1L && b._2 == 9L && !b._5,
+      s"doc B must share 1/9 grams and stay unflagged: $b")
+  }
 }
