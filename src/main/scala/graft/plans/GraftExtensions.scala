@@ -48,7 +48,22 @@ object GraftExtensions {
         "graft_lsh_projections(vec, nBits, seed) - per-plane LSH projection values"),
       (args: Seq[Expression]) => LshProjections(args(0),
         lshBits(args(1), "graft_lsh_projections"),
-        lshSeed(args(2), "graft_lsh_projections"))))
+        lshSeed(args(2), "graft_lsh_projections"))),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", "graft_nfc(text) - Unicode NFC normalization"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))),
+    (FunctionIdentifier("graft_intersect_count"),
+      info("graft_intersect_count",
+        "graft_intersect_count(a, b) - |a ∩ b| without materializing the intersection"),
+      (args: Seq[Expression]) => ArrayIntersectCount(args(0), args(1))),
+    (FunctionIdentifier("graft_zorder_key"),
+      info("graft_zorder_key",
+        "graft_zorder_key(a, b, bits) - interleaved-bit Z-order clustering key"),
+      (args: Seq[Expression]) => {
+        val v = args(2).eval()
+        require(v != null, "graft_zorder_key: bits must be a non-null integer literal")
+        ZOrderKey2(args(0), args(1), v.asInstanceOf[Number].intValue())
+      }))
 
   /** Analysis-time validation of the SQL surface's literal arguments —
     * nBits outside [1, 64] would otherwise alias buckets silently

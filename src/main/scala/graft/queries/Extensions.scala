@@ -1004,6 +1004,31 @@ object Extensions {
       .orderBy("split")
   }
 
+  /** The SQL FUNCTION SURFACE gated end-to-end: the engine's custom
+    * codegen'd expressions registered through `GraftExtensions` and
+    * driven from pure `spark.sql` — per-doc NFC-normalized length,
+    * word-3-shingle count, and the shared-shingle count against the
+    * NEXT doc id (a LINEAR equi-join, never all-pairs). DuckDB replays
+    * the identical semantics (nfc_normalize, lowercased shingles, list
+    * intersection), so registration, builders, and codegen are all
+    * hash-gated, not just spec-asserted. */
+  def qSqlSurface(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.registerAll(s)
+    docs(s, d).createOrReplaceTempView("g_documents")
+    s.sql(
+      """WITH sh AS (
+        |  SELECT doc_id, graft_word_shingles(text, 3) AS sh FROM g_documents),
+        |n AS (
+        |  SELECT doc_id, CAST(length(graft_nfc(text)) AS BIGINT) AS norm_chars
+        |  FROM g_documents)
+        |SELECT a.doc_id, n.norm_chars,
+        |  CAST(size(a.sh) AS BIGINT) AS n_shingles,
+        |  CAST(graft_intersect_count(a.sh, b.sh) AS BIGINT) AS shared_next
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |JOIN n ON n.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin)
+  }
+
   // ---- multimodal ----
 
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -1101,6 +1126,7 @@ object Extensions {
     "text_chunk" -> (textChunk _),
     "text_shard_manifest" -> (textShardManifest _),
     "text_decontaminate_frac" -> (textDecontaminateFrac _),
+    "q_sql_surface" -> (qSqlSurface _),
     "text_pii_redact" -> (textPiiRedact _),
     "multimodal_meta" -> (multimodalMeta _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -1685,6 +1711,18 @@ object Extensions {
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
     "text_decontaminate" -> decontaminateSql,
     "text_decontaminate_frac" -> decontaminateFracSql,
+    // the SQL-surface gate: nfc + shingles + intersect count replayed
+    // natively in DuckDB over the same linear next-doc join
+    "q_sql_surface" -> (shingleCte +
+      """, n AS (
+        |  SELECT doc_id, CAST(length(nfc_normalize(text)) AS BIGINT) AS norm_chars
+        |  FROM documents)
+        |SELECT a.doc_id, n.norm_chars,
+        |  CAST(len(a.sh) AS BIGINT) AS n_shingles,
+        |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS shared_next
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        |JOIN n ON n.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin),
     // the streaming quarantine log accumulates exactly the same flags —
     // per-doc against a static eval set, batching-independent, so the
     // batch operator's SQL is the oracle (proven across a crash replay)

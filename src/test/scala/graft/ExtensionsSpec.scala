@@ -43,6 +43,26 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_lsh_bucket(array(1.0d), -1, 42)").collect()
     }
+    // NFC: decomposed e + combining acute (U+0301) composes to one char
+    // (the codepoint is embedded from Scala — Spark's chr() wraps mod 256)
+    val nfc = spark.sql("SELECT length(graft_nfc('e' || '\u0301')) AS n")
+      .as[Int].head()
+    assert(nfc == 1)
+    val ic = spark.sql(
+      "SELECT graft_intersect_count(array('a','b','c'), array('b','c','d')) AS n")
+      .as[Int].head()
+    assert(ic == 2)
+    // z-order through SQL must agree with the Column-API builder
+    val z = spark.sql("SELECT graft_zorder_key(1L, 2L, 2) AS z").as[Long].head()
+    val zCol = Seq((1L, 2L)).toDF("a", "b")
+      .select(graft.plans.ZOrderExpressions.zOrderKey2(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), 2).as("z"))
+      .as[Long].head()
+    assert(z == zCol, "SQL surface must agree with the Column API")
+    intercept[Exception] {
+      spark.sql("SELECT graft_zorder_key(1L, 2L, 40)").collect() // 2*40 > 62
+    }
   }
 
   test("query/oracle registries fail fast on duplicate keys") {
