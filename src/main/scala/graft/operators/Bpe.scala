@@ -71,4 +71,44 @@ object Bpe {
     merges.result().toDF("round", "left", "right", "pair_count")
       .orderBy("round")
   }
+
+  /** BPE ENCODE — the tokenizer-APPLY pass that turns a learned merge
+    * table into per-document subword token counts. Applied where it is
+    * cheap at scale: on the VOCABULARY (distinct words), never the token
+    * stream — each distinct word is encoded once through the merge chain
+    * and the result joins back to the per-(doc, word) count table, so the
+    * replace chain runs O(vocab) times against O(corpus tokens) uses.
+    *
+    * The merge table is collected to the driver (metadata-scale by
+    * construction — it IS the tokenizer artifact, `rounds` rows) and
+    * compiled into a chain of codegen'd literal `replace`s in learned
+    * order, the exact BPE apply semantics (left-to-right non-overlapping
+    * per round, sentinel-delimited so matches are boundary-safe). For
+    * tokenizer-sized tables (32k merges) the same fold would compile the
+    * merge list into an array literal and apply it with one `aggregate`
+    * HOF instead of nesting 32k expressions; at this gate's scale the
+    * nested chain keeps everything in whole-stage codegen.
+    *
+    * Output: one row per document that has at least one token —
+    * (id, n_words, n_bpe_tokens); integers end to end, oracle-exact. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("round").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+    val tokens = docs.select(col(idCol), explode(TF.words(col(textCol))).as("word"))
+    val perDocWord = tokens.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val vocab = perDocWord.select(col("word")).distinct()
+    val encoded = ms.foldLeft(
+      concat(lit(S), concat_ws(S + S, split(col("word"), "")), lit(S))) {
+      case (acc, (l, r)) =>
+        replace(acc, lit(S + l + S + S + r + S), lit(S + l + r + S))
+    }
+    val wordSyms = vocab.withColumn("n_syms",
+      size(filter(split(encoded, S), x => length(x) > 0)).cast("long"))
+    perDocWord.join(wordSyms, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * col("n_syms")).cast("long").as("n_bpe_tokens"))
+  }
 }

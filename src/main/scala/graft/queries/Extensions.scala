@@ -549,6 +549,14 @@ object Extensions {
   def textBpeMerges(s: SparkSession, d: String): DataFrame =
     graft.operators.Bpe.learnMerges(docs(s, d), "text", rounds = 5)
 
+  /** BPE ENCODE gate: tokenizer train + apply in one pipeline — 5 merges
+    * learned from the word-frequency table, then applied on the
+    * vocabulary and re-aggregated to per-document subword counts. */
+  def textBpeEncode(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.encode(docs(s, d), "doc_id", "text",
+      graft.operators.Bpe.learnMerges(docs(s, d), "text", rounds = 5))
+      .orderBy("doc_id")
+
   def textVocab(s: SparkSession, d: String): DataFrame =
     TextAnalysis.vocabulary(docs(s, d), "text", topK = 30)
 
@@ -1153,6 +1161,7 @@ object Extensions {
     "text_bigram_logprob" -> (textBigramLogProb _),
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "text_bpe_merges" -> (textBpeMerges _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "graph_random_walks" -> (graphRandomWalks _),
     "dedup_cross_er" -> (dedupCrossEr _),
     "text_phrase_search" -> (textPhraseSearch _),
@@ -2453,6 +2462,7 @@ object Extensions {
     "graph_pagerank_weighted" -> pageRankWeightedSql,
     "sim_hybrid_rrf" -> hybridRrfSql,
     "text_bpe_merges" -> bpeMergesSql,
+    "text_bpe_encode" -> bpeEncodeSql,
     "graph_random_walks" -> randomWalksSql,
     // exact top-20 + TRUE guarantee flags (engine computes the flags
     // from the committed sketch; the same pattern as text_heavy_hitters)
@@ -2688,8 +2698,11 @@ object Extensions {
     * runs — per round an adjacent-pair weighted count, the argmax pair
     * (count desc, lexicographic), and the identical boundary-safe
     * literal replace. Pure integer counts — exact cross-engine. */
-  private def bpeMergesSql: String = {
-    val rounds = 5
+  /** The unrolled BPE learning CTE chain (v0..v`rounds` word encodings,
+    * m1..m`rounds` winning merges) — shared by the merge-table oracle and
+    * the encode oracle (v`rounds` IS the vocabulary in its final merged
+    * form, so the apply oracle needs no re-derivation). */
+  private def bpeChainCte(rounds: Int): String = {
     val base = tokensCte +
       """, v0 AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
@@ -2712,11 +2725,35 @@ object Extensions {
          |                 chr(1) || l || r || chr(1)) AS str
          |  FROM v${i - 1}, m$i)""".stripMargin
     }.mkString
+    base + iter
+  }
+
+  private def bpeMergesSql: String = {
+    val rounds = 5
     val rows = (1 to rounds).map(i =>
       s"""SELECT CAST($i AS INT) AS round, l AS "left", r AS "right",
          |  c AS pair_count FROM m$i""".stripMargin)
       .mkString("\n", "\nUNION ALL\n", "\n")
-    base + iter + rows + "ORDER BY round"
+    bpeChainCte(rounds) + rows + "ORDER BY round"
+  }
+
+  /** Encode oracle: the final vocabulary encoding v5 gives each word's
+    * merged symbol count; the token stream joins against it and
+    * re-aggregates per document — identical integers to the engine's
+    * vocab-side apply. */
+  private def bpeEncodeSql: String = {
+    val rounds = 5
+    bpeChainCte(rounds) +
+      s""",
+         |enc AS (
+         |  SELECT word, CAST(len(list_filter(string_split(str, chr(1)),
+         |    x -> len(x) > 0)) AS BIGINT) AS n_syms
+         |  FROM v$rounds),
+         |tok AS (SELECT doc_id, unnest(toks) AS word FROM w)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+         |FROM tok JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Hybrid RRF oracle: the BM25 CTE chain + the embedding CTE chain

@@ -47,4 +47,24 @@ class BpeSpec extends SparkSpec {
     // zero residual blocks after the early exit too
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("encode applies learned merges in order and re-counts per doc") {
+    // corpus: low×3 lower lowest — merges: (l,o), (lo,w) -> symbol 'low'
+    val df = corpus("low low low", "lower lowest")
+    val enc = Bpe.encode(df, "id", "text", Bpe.learnMerges(df, "text", 2))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 0: 'low'×3 -> 1 symbol each = 3 bpe tokens from 3 words
+    // doc 1: lower = [low][e][r] (3), lowest = [low][e][s][t] (4)
+    assert(enc(0) == ((0L, 3L, 3L)))
+    assert(enc(1) == ((1L, 2L, 7L)))
+  }
+
+  test("encode with an empty merge table degrades to character counts") {
+    val df = corpus("ab cde")
+    val empty = Bpe.learnMerges(df.filter(lit(false)), "text", 1)
+    val enc = Bpe.encode(df, "id", "text", empty).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc(0) == ((0L, 2L, 5L))) // 2 words, 2+3 single-char symbols
+  }
 }
