@@ -181,6 +181,36 @@ object TextAnalysis {
           col("dup_bigram_frac") <= maxDupBigramFrac)
   }
 
+  /** QUALITY-CLASSIFIER scoring — the model-based stage that follows the
+    * rule gate in a modern corpus pipeline (fastText/logistic quality
+    * classifiers in the C4/CCNet lineage). The model here is a LINEAR
+    * scorer with FROZEN offline-trained weights over exactly the
+    * [[qualityFilter]] features — the engine's job is the feature
+    * extraction and the deterministic scoring pass, not the training:
+    * swap the constant weights for a learned coefficient row and the
+    * plan is unchanged (per-row expressions at scan speed, no shuffle).
+    *
+    * Determinism contract: every feature is rounded to 6 dp before the
+    * dot product, terms are combined in one fixed left-associative
+    * order, and the logit rounds to 6 dp before the threshold compare —
+    * bit-stable cross-engine (the same discipline as unigramLogProb).
+    * Output keeps the rule gate's `keep` beside the model's `pred_keep`
+    * so downstream can audit rule/model disagreement. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.0): DataFrame = {
+    val f = qualityFilter(docs, idCol, textCol)
+    val logit =
+      lit(-1.0) +
+        lit(0.45) * round(log(lit(1.0) + col("n_words").cast("double")), 6) +
+        lit(1.2) * col("has_stopword").cast("double") -
+        lit(3.5) * round(col("top_word_frac"), 6) -
+        lit(4.0) * round(col("dup_bigram_frac"), 6) -
+        lit(0.2) * round(abs(col("mean_word_len") - lit(5.0)), 6)
+    f.select(col(idCol), col("n_words"), col("keep").as("rule_keep"),
+        round(logit, 6).as("quality_logit"))
+      .withColumn("pred_keep", col("quality_logit") >= threshold)
+  }
+
   /** TF-IDF top terms per document — the feature-selection pass on top of
     * [[termFrequency]]. Score = tf · ln(N/df); N broadcasts as a 1-row
     * aggregate (never collected), df is one term-keyed aggregate, and the

@@ -479,6 +479,11 @@ object Extensions {
   def textQualityFilter(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityFilter(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
+  /** Model-based quality scoring gate: frozen linear classifier over the
+    * rule-filter features, logit + decision beside the rule verdict. */
+  def textQualityClassifier(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, d), "doc_id", "text").orderBy("doc_id")
+
   def textUnigramLogProb(s: SparkSession, d: String): DataFrame =
     TextAnalysis.unigramLogProb(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
@@ -1128,6 +1133,7 @@ object Extensions {
     "text_fingerprint" -> (textFingerprint _),
     "text_decontaminate" -> (textDecontaminate _),
     "text_quality_filter" -> (textQualityFilter _),
+    "text_quality_classifier" -> (textQualityClassifier _),
     "text_tfidf" -> (textTfidf _),
     "text_unigram_logprob" -> (textUnigramLogProb _),
     "text_pack_sequences" -> (textPackSequences _),
@@ -1253,6 +1259,30 @@ object Extensions {
 
   private def markerListSql(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  /** qualityFilter's feature frame (`m`) — shared by the rule-filter and
+    * classifier oracles. */
+  private def qualityFeatureCte: String = tokensCte +
+    """, m AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CASE WHEN len(toks) > 0 THEN
+      |      CAST(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b) AS DOUBLE)
+      |        / CAST(len(toks) AS DOUBLE)
+      |    ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
+      |    len(list_filter(toks, t -> list_contains(""".stripMargin +
+    markerListSql(markers.values.flatten.toSeq) +
+    """, t))) >= 1 AS has_stopword,
+      |    CASE WHEN len(toks) > 0 THEN
+      |      CAST(list_max(list_transform(list_distinct(toks),
+      |          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+      |        / CAST(len(toks) AS DOUBLE)
+      |    ELSE CAST(0 AS DOUBLE) END AS top_word_frac,
+      |    CASE WHEN len(toks) >= 2 THEN
+      |      CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+      |        i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE)
+      |    ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac
+      |  FROM w)""".stripMargin
 
   /** The full IVF lifecycle in SQL (centroid seed → cell assignment →
     * probe fan-out → exact rerank) — shared by the one-shot and the
@@ -1736,30 +1766,29 @@ object Extensions {
     // per-doc against a static eval set, batching-independent, so the
     // batch operator's SQL is the oracle (proven across a crash replay)
     "dedup_streaming_decon" -> decontaminateSql,
-    "text_quality_filter" -> (tokensCte +
-      """, m AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CASE WHEN len(toks) > 0 THEN
-        |      CAST(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b) AS DOUBLE)
-        |        / CAST(len(toks) AS DOUBLE)
-        |    ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
-        |    len(list_filter(toks, t -> list_contains(""".stripMargin +
-      markerListSql(markers.values.flatten.toSeq) +
-      """, t))) >= 1 AS has_stopword,
-        |    CASE WHEN len(toks) > 0 THEN
-        |      CAST(list_max(list_transform(list_distinct(toks),
-        |          t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
-        |        / CAST(len(toks) AS DOUBLE)
-        |    ELSE CAST(0 AS DOUBLE) END AS top_word_frac,
-        |    CASE WHEN len(toks) >= 2 THEN
-        |      CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(range(1, len(toks)),
-        |        i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE)
-        |    ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac
-        |  FROM w)
+    "text_quality_filter" -> (qualityFeatureCte +
+      """
         |SELECT doc_id, n_words, mean_word_len, has_stopword, top_word_frac, dup_bigram_frac,
         |  n_words > 0 AND n_words BETWEEN 20 AND 10000 AND mean_word_len BETWEEN 3.0 AND 10.0
         |    AND has_stopword AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.1 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin),
+    // classifier = frozen linear weights over the SAME feature CTE; terms
+    // rounded to 6 dp and combined in the engine's exact left-assoc order
+    "text_quality_classifier" -> (qualityFeatureCte +
+      """
+        |SELECT doc_id, n_words,
+        |  n_words > 0 AND n_words BETWEEN 20 AND 10000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND has_stopword AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.1 AS rule_keep,
+        |  round(-1.0 + 0.45 * round(ln(1.0 + CAST(n_words AS DOUBLE)), 6)
+        |    + 1.2 * CAST(has_stopword AS DOUBLE)
+        |    - 3.5 * round(top_word_frac, 6)
+        |    - 4.0 * round(dup_bigram_frac, 6)
+        |    - 0.2 * round(abs(mean_word_len - 5.0), 6), 6) AS quality_logit,
+        |  round(-1.0 + 0.45 * round(ln(1.0 + CAST(n_words AS DOUBLE)), 6)
+        |    + 1.2 * CAST(has_stopword AS DOUBLE)
+        |    - 3.5 * round(top_word_frac, 6)
+        |    - 4.0 * round(dup_bigram_frac, 6)
+        |    - 0.2 * round(abs(mean_word_len - 5.0), 6), 6) >= 0.0 AS pred_keep
         |FROM m ORDER BY doc_id""".stripMargin),
     "text_tfidf" -> (tokensCte +
       """, toks2 AS (SELECT doc_id, unnest(toks) AS term FROM w),

@@ -168,6 +168,31 @@ class TextOpsSpec extends SparkSpec {
       !byId(4L).getAs[Boolean]("has_stopword"))
   }
 
+  test("qualityScore: good text scores above spam and the logit is bit-stable") {
+    val docs = docsDf(
+      1L -> ("the good doc with plenty of different words " +
+        "and a reasonable spread of the usual content here today now then"),
+      2L -> Seq.fill(30)("spam").mkString(" "),  // dominance + dup bigrams
+      3L -> "")                                   // zero tokens
+    val out = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    val good = byId(1L).getAs[Double]("quality_logit")
+    val spam = byId(2L).getAs[Double]("quality_logit")
+    assert(good > spam, s"expected good ($good) > spam ($spam)")
+    assert(byId(1L).getAs[Boolean]("pred_keep") && byId(1L).getAs[Boolean]("rule_keep"))
+    assert(!byId(2L).getAs[Boolean]("pred_keep"))
+    // zero-token doc: counts pin to 0, so the logit is exactly
+    // bias + the mean-word-len deviation term (-1.0 + -0.2*|0-5|) —
+    // never null, decision deterministically false
+    assert(byId(3L).getAs[Double]("quality_logit") == -2.0)
+    assert(!byId(3L).getAs[Boolean]("pred_keep"))
+    // re-running yields bit-identical logits (fixed-order double arithmetic)
+    val again = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[Double]("quality_logit"))
+    assert(again.toSeq == out.map(_.getAs[Double]("quality_logit")).toSeq)
+  }
+
   test("qualityFilter rejects zero-token docs deterministically (never null)") {
     // minWords = 0 used to make `keep` = true && null = null for empty docs
     val docs = docsDf(1L -> "", 2L -> "   ")
