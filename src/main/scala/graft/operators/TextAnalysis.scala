@@ -418,6 +418,60 @@ object TextAnalysis {
         max(col(idCol)).as("max_doc_id"),
         expr(s"bit_xor($idCol + 131 * n_tokens)").as("content_checksum"))
 
+  /** CORPUS COMPOSITION DRIFT — the per-source mix report a training-data
+    * operation watches across ingest epochs: for every (epoch, source)
+    * cell, document/token counts, the source's share of that epoch, the
+    * share movement vs the previous epoch, and the epoch's total
+    * variation distance (TVD = ½·Σ|Δshare|) from its predecessor — the
+    * alarm number for "the crawl mix shifted".
+    *
+    * Shape at scale: ONE corpus aggregate (map-side combined on
+    * (epoch, source)); everything after runs on the aggregate, which is
+    * |sources|×|epochs| — metadata-scale. The report is densified over
+    * the full source×epoch spine so a source that disappears still shows
+    * a (share → 0) movement instead of silently dropping out. Shares are
+    * rounded to 6 dp and carried as DECIMAL(18,6) through the delta/TVD
+    * arithmetic — exact and order-independent, so the cross-partition
+    * window sums cannot drift between engines. */
+  def compositionDrift(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, nEpochs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nEpochs >= 2, "compositionDrift: need at least 2 epochs to drift")
+    val base = docs.select(col(sourceCol).as("source"),
+      (col(idCol) % nEpochs).cast("int").as("epoch"),
+      size(TF.words(col(textCol))).cast("long").as("n_toks"))
+    val agg = base.groupBy("epoch", "source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"))
+    val spine = agg.select("source").distinct()
+      .crossJoin(docs.sparkSession.range(nEpochs)
+        .select(col("id").cast("int").as("epoch")))
+    val dense = spine.join(agg, Seq("epoch", "source"), "left")
+      .na.fill(0L, Seq("n_docs", "n_tokens"))
+    val totals = dense.groupBy("epoch")
+      .agg(sum(col("n_docs")).as("tot_docs"), sum(col("n_tokens")).as("tot_toks"))
+    val shares = dense.join(broadcast(totals), "epoch")
+      .withColumn("doc_share_dec",
+        round(col("n_docs").cast("double") / col("tot_docs").cast("double"), 6)
+          .cast("decimal(18,6)"))
+      .withColumn("token_share_dec",
+        round(col("n_tokens").cast("double") / col("tot_toks").cast("double"), 6)
+          .cast("decimal(18,6)"))
+    val wLag = Window.partitionBy(col("source")).orderBy(col("epoch"))
+    val wEpoch = Window.partitionBy(col("epoch"))
+    shares
+      .withColumn("prev_dec", lag(col("doc_share_dec"), 1).over(wLag))
+      .withColumn("delta_dec", col("doc_share_dec") - col("prev_dec"))
+      .withColumn("epoch_tvd",
+        round(sum(abs(col("delta_dec"))).over(wEpoch).cast("double") / 2.0, 6))
+      .select(col("epoch"), col("source"), col("n_docs"), col("n_tokens"),
+        col("doc_share_dec").cast("double").as("doc_share"),
+        col("token_share_dec").cast("double").as("token_share"),
+        col("prev_dec").cast("double").as("prev_doc_share"),
+        col("delta_dec").cast("double").as("share_delta"),
+        col("epoch_tvd"))
+  }
+
   /** PII detection + redaction: emails, IPv4 addresses, and NANP-style
     * phone numbers found by regex, counted per type, then replaced with
     * typed placeholder tokens ([EMAIL]/[IP]/[PHONE]). The patterns are

@@ -484,6 +484,13 @@ object Extensions {
   def textQualityClassifier(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
+  /** Composition-drift gate: per-source mix across 3 id-derived epochs,
+    * share movement + per-epoch total-variation distance. */
+  def textCompositionDrift(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.compositionDrift(docs(s, d), "doc_id", "text", "source",
+      nEpochs = 3)
+      .orderBy("epoch", "source")
+
   def textUnigramLogProb(s: SparkSession, d: String): DataFrame =
     TextAnalysis.unigramLogProb(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
@@ -1134,6 +1141,7 @@ object Extensions {
     "text_decontaminate" -> (textDecontaminate _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_quality_classifier" -> (textQualityClassifier _),
+    "text_composition_drift" -> (textCompositionDrift _),
     "text_tfidf" -> (textTfidf _),
     "text_unigram_logprob" -> (textUnigramLogProb _),
     "text_pack_sequences" -> (textPackSequences _),
@@ -1772,6 +1780,41 @@ object Extensions {
         |  n_words > 0 AND n_words BETWEEN 20 AND 10000 AND mean_word_len BETWEEN 3.0 AND 10.0
         |    AND has_stopword AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.1 AS keep
         |FROM m ORDER BY doc_id""".stripMargin),
+    // one (epoch, source) aggregate, densified over the source×epoch
+    // spine; shares carried as DECIMAL(18,6) through the delta/TVD sums
+    "text_composition_drift" ->
+      """WITH b AS (
+        |  SELECT source, CAST(doc_id % 3 AS INT) AS epoch,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS n_toks
+        |  FROM documents),
+        |a AS (SELECT epoch, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM b GROUP BY 1, 2),
+        |spine AS (SELECT source, epoch
+        |  FROM (SELECT DISTINCT source FROM a), (SELECT unnest([0,1,2]) AS epoch)),
+        |d AS (SELECT spine.epoch, spine.source,
+        |        coalesce(n_docs, 0) AS n_docs, coalesce(n_tokens, 0) AS n_tokens
+        |      FROM spine LEFT JOIN a USING (epoch, source)),
+        |t AS (SELECT epoch, sum(n_docs) AS tot_docs, sum(n_tokens) AS tot_toks
+        |      FROM d GROUP BY 1),
+        |s AS (SELECT d.*, CAST(round(CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE), 6)
+        |        AS DECIMAL(18,6)) AS doc_share_dec,
+        |      CAST(round(CAST(n_tokens AS DOUBLE) / CAST(tot_toks AS DOUBLE), 6)
+        |        AS DECIMAL(18,6)) AS token_share_dec
+        |      FROM d JOIN t USING (epoch)),
+        |l AS (SELECT *,
+        |        lag(doc_share_dec) OVER (PARTITION BY source ORDER BY epoch) AS prev_dec,
+        |        doc_share_dec - lag(doc_share_dec)
+        |          OVER (PARTITION BY source ORDER BY epoch) AS delta_dec
+        |      FROM s)
+        |SELECT epoch, source, n_docs, n_tokens,
+        |  CAST(doc_share_dec AS DOUBLE) AS doc_share,
+        |  CAST(token_share_dec AS DOUBLE) AS token_share,
+        |  CAST(prev_dec AS DOUBLE) AS prev_doc_share,
+        |  CAST(delta_dec AS DOUBLE) AS share_delta,
+        |  round(CAST(sum(abs(delta_dec)) OVER (PARTITION BY epoch) AS DOUBLE) / 2.0, 6)
+        |    AS epoch_tvd
+        |FROM l ORDER BY epoch, source""".stripMargin,
     // classifier = frozen linear weights over the SAME feature CTE; terms
     // rounded to 6 dp and combined in the engine's exact left-assoc order
     "text_quality_classifier" -> (qualityFeatureCte +

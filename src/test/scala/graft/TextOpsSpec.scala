@@ -193,6 +193,29 @@ class TextOpsSpec extends SparkSpec {
     assert(again.toSeq == out.map(_.getAs[Double]("quality_logit")).toSeq)
   }
 
+  test("compositionDrift: dense spine, hand-checked shares and TVD") {
+    import spark.implicits._
+    // epoch = id % 2; source B present only in epoch 0 -> must still get
+    // an epoch-1 row with share 0 and a -0.5 movement
+    val docs = Seq(
+      (0L, "a b", "A"), (2L, "c d", "B"),   // epoch 0: A .5, B .5
+      (1L, "e f g", "A"), (3L, "h i", "A")) // epoch 1: A 1.0, B 0
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.compositionDrift(docs, "doc_id", "text", "source",
+      nEpochs = 2).orderBy("epoch", "source").collect()
+    assert(out.length == 4) // 2 sources x 2 epochs, densified
+    val e1B = out.find(r => r.getInt(0) == 1 && r.getString(1) == "B").get
+    assert(e1B.getLong(2) == 0L && e1B.getAs[Double]("doc_share") == 0.0)
+    assert(e1B.getAs[Double]("share_delta") == -0.5)
+    // epoch-1 TVD = 0.5 * (|+0.5| + |-0.5|) = 0.5 on every epoch-1 row
+    out.filter(_.getInt(0) == 1).foreach { r =>
+      assert(r.getAs[Double]("epoch_tvd") == 0.5) }
+    // epoch 0 has no predecessor: null movement, null TVD
+    out.filter(_.getInt(0) == 0).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("share_delta")))
+      assert(r.isNullAt(r.fieldIndex("epoch_tvd"))) }
+  }
+
   test("qualityFilter rejects zero-token docs deterministically (never null)") {
     // minWords = 0 used to make `keep` = true && null = null for empty docs
     val docs = docsDf(1L -> "", 2L -> "   ")
