@@ -710,4 +710,67 @@ object Similarity {
           .as(vecCol))
     bruteForceTopK(dequantized, probes, idCol, vecCol, k)
   }
+
+  /** CROSS-ENCODER-style reranking over an ANN shortlist — the second
+    * stage of two-stage retrieval: a cheap retriever (ANN) produces k
+    * candidates per probe, then an expensive pairwise model rescores only
+    * those k·|probes| pairs. The model here is a deterministic STUB
+    * (cosine damped by the probe/candidate label gap — full-precision
+    * sequential-fold arithmetic so the oracle replicates it exactly);
+    * what is REAL, and what a production model drops into unchanged, is
+    * the inference plumbing:
+    *  - candidates stream through `mapPartitions` and are scored in
+    *    fixed-size BATCHES (`grouped(batchSize)`) — the scorer is invoked
+    *    once per batch, the shape a model session / native runtime needs
+    *    to amortize per-call overhead (identical to the multimodal codec
+    *    pattern);
+    *  - the batch call takes a columnar-ish Seq of (p_vec, c_vec,
+    *    label_gap) and returns one score per input, order-preserving;
+    *  - everything upstream (shortlist generation) and downstream
+    *    (per-probe rank, top-k cut) stays declarative Catalyst.
+    * Scale: the reranker touches k·|probes| rows — shortlist-scale, never
+    * corpus-scale; batches are per-partition so nothing collects.
+    *
+    * Input contract: (probe_id, neighbor_id, ann_rank, p_e, c_e,
+    * label_gap) with the vectors as array<double>. Output: shortlist
+    * reranked to `topK` by (ce_score desc, neighbor_id). */
+  def crossEncoderRerank(shortlist: DataFrame, batchSize: Int = 8,
+                         topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("probe_id", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("ann_rank", IntegerType),
+      StructField("ce_score", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    // the stub "model": one invocation scores a whole batch. Cosine via
+    // left-to-right fold (≡ list_reduce) over doubles, damped by the
+    // label gap, rounded exactly as Spark/DuckDB round() does.
+    def scoreBatch(batch: Seq[(Array[Double], Array[Double], Double)]): Seq[Double] =
+      batch.map { case (p, c, gap) =>
+        var dot = 0.0; var np = 0.0; var nc = 0.0; var i = 0
+        while (i < p.length) {
+          dot += p(i) * c(i); np += p(i) * p(i); nc += c(i) * c(i); i += 1
+        }
+        val cos = dot / (math.sqrt(np) * math.sqrt(nc))
+        BigDecimal(cos / (1.0 + gap))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    val scored = shortlist.select(col("probe_id").cast("long"),
+        col("neighbor_id").cast("long"), col("ann_rank").cast("int"),
+        col("p_e"), col("c_e"), col("label_gap").cast("double"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val inputs = batch.map(r => (r.getSeq[Double](3).toArray,
+            r.getSeq[Double](4).toArray, r.getDouble(5)))
+          batch.zip(scoreBatch(inputs)).map { case (r, s) =>
+            Row(r.getLong(0), r.getLong(1), r.getInt(2), s) }
+        }
+      }(enc)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ce_score").desc, col("neighbor_id"))
+    scored.withColumn("ce_rank", row_number().over(w))
+      .filter(col("ce_rank") <= topK)
+  }
 }

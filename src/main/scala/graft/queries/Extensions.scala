@@ -262,6 +262,28 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** Two-stage retrieval gate: exact-cosine shortlist (k=20) for probe 0,
+    * then the batched cross-encoder stub rescores each (probe, candidate)
+    * pair — cosine damped by the label gap — and cuts to top-10. */
+  def simRerankCrossenc(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val e = embs(s, d)
+    val short = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 20)
+      .withColumnRenamed("rank", "ann_rank")
+    val vecs = e.select(col("vec_id"), VF.toDouble(col("embedding")).as("e"),
+      col("label").cast("double").as("lab"))
+    val withSides = short
+      .join(vecs.select(col("vec_id").as("probe_id"), col("e").as("p_e"),
+        col("lab").as("p_lab")), "probe_id")
+      .join(vecs.select(col("vec_id").as("neighbor_id"), col("e").as("c_e"),
+        col("lab").as("c_lab")), "neighbor_id")
+      .withColumn("label_gap", abs(col("p_lab") - col("c_lab")))
+    Similarity.crossEncoderRerank(withSides, batchSize = 8, topK = 10)
+      .select("probe_id", "neighbor_id", "ann_rank", "ce_score", "ce_rank")
+      .orderBy("probe_id", "ce_rank")
+  }
+
   def simTopKLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     // query-directed multi-probe: 12 margin-ranked buckets of the 22
@@ -1120,6 +1142,7 @@ object Extensions {
     "dedup_host_keys" -> (dedupHostKeys _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_exact" -> (simTopKExact _),
+    "sim_rerank_crossenc" -> (simRerankCrossenc _),
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
     "sim_topk_ivf_incremental" -> (simTopKIvfIncremental _),
@@ -1666,6 +1689,33 @@ object Extensions {
         |  WHERE p.vec_id < 10)
         |QUALIFY rank <= 5
         |ORDER BY probe_id, rank""".stripMargin),
+    // the stub reranker's arithmetic is full-precision sequential-fold
+    // cosine (identical to sim_topk_exact's) damped by the label gap,
+    // rounded at 6 dp — exactly replicable in SQL
+    "sim_rerank_crossenc" -> (vecCte +
+      """, lab AS (SELECT vec_id, CAST(label AS DOUBLE) AS lab FROM embeddings),
+        |sc AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+        |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosx
+        |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id = 0),
+        |short AS (
+        |  SELECT probe_id, neighbor_id,
+        |    CAST(row_number() OVER (ORDER BY cosx DESC, neighbor_id) AS INT) AS ann_rank,
+        |    cosx
+        |  FROM sc ORDER BY cosx DESC, neighbor_id LIMIT 20),
+        |ce AS (
+        |  SELECT s.probe_id, s.neighbor_id, s.ann_rank,
+        |    round(s.cosx / (1.0 + abs(pl.lab - cl.lab)), 6) AS ce_score
+        |  FROM short s JOIN lab pl ON pl.vec_id = s.probe_id
+        |               JOIN lab cl ON cl.vec_id = s.neighbor_id)
+        |SELECT probe_id, neighbor_id, ann_rank, ce_score,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY ce_score DESC, neighbor_id) AS INT) AS ce_rank
+        |FROM ce
+        |QUALIFY ce_rank <= 10
+        |ORDER BY probe_id, ce_rank""".stripMargin),
     "text_stats" -> (tokensCte +
       """
         |SELECT doc_id,

@@ -428,4 +428,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(labels.forall { case (id, c) => c <= id },
       "canonical must be the component min")
   }
+
+  test("cross-encoder rerank: batch-size invariant, shortlist-scoped, rank-coherent") {
+    import graft.functions.{VectorFunctions => VF}
+    import org.apache.spark.sql.functions._
+    val probes = embs.filter($"vec_id" === 0)
+    val short = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", 20)
+      .withColumnRenamed("rank", "ann_rank")
+    val vecs = embs.select($"vec_id", VF.toDouble($"embedding").as("e"),
+      $"label".cast("double").as("lab"))
+    val withSides = short
+      .join(vecs.select($"vec_id".as("probe_id"), $"e".as("p_e"),
+        $"lab".as("p_lab")), "probe_id")
+      .join(vecs.select($"vec_id".as("neighbor_id"), $"e".as("c_e"),
+        $"lab".as("c_lab")), "neighbor_id")
+      .withColumn("label_gap", abs($"p_lab" - $"c_lab"))
+    def run(bs: Int) = Similarity.crossEncoderRerank(withSides, batchSize = bs,
+        topK = 10).orderBy("ce_rank")
+      .select("neighbor_id", "ann_rank", "ce_score", "ce_rank")
+      .as[(Long, Int, Double, Int)].collect().toSeq
+    val b1 = run(1); val b8 = run(8); val b64 = run(64)
+    // batching is pure plumbing: any batch size gives bit-identical output
+    assert(b1 == b8 && b8 == b64)
+    assert(b8.length == 10 && b8.map(_._4) == (1 to 10))
+    // the reranker only reorders the shortlist — every survivor came from it
+    assert(b8.forall(_._2 <= 20))
+    // zero-gap candidates keep their cosine order; damping can only demote
+    // relative to ann order when gaps differ — sanity: scores descend
+    assert(b8.map(_._3) == b8.map(_._3).sorted.reverse)
+  }
 }
