@@ -211,6 +211,77 @@ object Extensions {
     finalMap.orderBy("doc_id")
   }
 
+  /** CONTINUOUS-MAINTENANCE CHAIN gate — the full derived-artifact
+    * cascade a 100 TB corpus deployment runs under ONE ingest stream:
+    * micro-batches commit corpus/index/pair epochs (StreamingDedup),
+    * each committed pair epoch advances the canonical map by an
+    * O(changes) delta (maintainCanonical), each canonical delta mirrors
+    * into a MERGE lake as doc → (cluster, text-mass) upserts, and the
+    * hash-bucketed keyed view refreshes per epoch (O(changes + touched
+    * buckets)) into per-cluster doc counts and mass. Every stage is
+    * exactly-once: after a FORCED crash replay of the final stream
+    * epoch, the second maintenance pass must contract to a no-op (the
+    * view cursor may not advance). Nothing in the chain ever rewrites
+    * or rescans the corpus — the one deliberate exception is the mass
+    * lookup join (O(changes) broadcast against the corpus lake; a
+    * production deployment carries the mass inside the corpus epoch
+    * and prunes the scan, or keeps it in the key index).
+    *
+    * Oracle: the one-shot connected-component closure joined back to
+    * the documents table — per-cluster counts and total characters. */
+  def dedupCanonicalChain(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/schain_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+    (0 until 3).foreach(i => all.filter(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").json(s"$base/in"))
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingDedup.start(
+        s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+          .option("maxFilesPerTrigger", 1).json(s"$base/in"),
+        "doc_id", "text", base, s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    val croot = graft.streaming.StreamingDedup.canonicalRoot(base)
+    val mroot = s"$base/clusterlake"
+    val vroot = s"$base/clusterview"
+    import graft.sources.{KeyedView, TransactionalLake}
+    def maintain(): Unit = {
+      graft.streaming.StreamingDedup.maintainCanonical(s, base, "doc_id")
+      val mirrored = TransactionalLake.committedEpochs(s, mroot).toSet
+      TransactionalLake.committedEpochs(s, croot).sorted
+        .filterNot(mirrored).foreach { e =>
+          val delta = TransactionalLake.readCommitted(s, croot)
+            .filter(col("epoch").cast("long") === e).drop("epoch")
+          val mass = TransactionalLake.readCommitted(s,
+            graft.streaming.StreamingDedup.corpusRoot(base))
+            .select(col("doc_id"), length(col("text")).cast("long").as("mass"))
+          val up = delta.join(mass, "doc_id")
+            .select(col("doc_id"), col("canonical_id").as("cluster"), col("mass"))
+          TransactionalLake.mergeCommit(up,
+            up.select(col("doc_id")).limit(0), mroot, e, Seq("doc_id"))
+          KeyedView.refresh(s, mroot, vroot, "doc_id", "cluster", "mass")
+        }
+    }
+    run(); maintain()
+    val before = KeyedView.cursor(s, vroot)
+    // the crash: the final epoch's STREAM commit vanishes — restart
+    // re-delivers the batch; every chained artifact must stay exact
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
+    run(); maintain()
+    require(KeyedView.cursor(s, vroot) == before,
+      "replayed chain maintenance must be a no-op")
+    KeyedView.read(s, vroot)
+      .select(col("g").as("canonical_id"), col("cnt").as("n_docs"),
+        col("total").cast("double").as("total_chars"))
+      .orderBy("canonical_id")
+  }
+
   /** Cluster-size distribution + representative policy over the
     * canonical closure — `Dedup.clusterReport` on `Dedup.canonicalize`. */
   def dedupClusterReport(s: SparkSession, d: String): DataFrame =
@@ -1138,6 +1209,7 @@ object Extensions {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_canonical_incremental" -> (dedupCanonicalIncremental _),
+    "dedup_canonical_chain" -> (dedupCanonicalChain _),
     "dedup_cluster_report" -> (dedupClusterReport _),
     "dedup_host_keys" -> (dedupHostKeys _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1428,6 +1500,14 @@ object Extensions {
     // the 3-batch incremental fold must converge to the one-shot
     // canonical closure — same oracle
     "dedup_canonical_incremental" -> canonicalSql,
+    // stream → pair log → canonical deltas → merge mirror → keyed view:
+    // the final view state must equal the closure joined to the corpus
+    "dedup_canonical_chain" -> (canonicalCoreSql +
+      """
+        |SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS DOUBLE) AS total_chars
+        |FROM canon JOIN documents USING (doc_id)
+        |GROUP BY canonical_id ORDER BY canonical_id""".stripMargin),
     "dedup_cluster_report" -> (canonicalCoreSql +
       """
         |SELECT cluster_size, count(*) AS n_clusters,
