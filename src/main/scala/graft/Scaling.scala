@@ -45,7 +45,12 @@ object Scaling {
     // scale shape matters most (per-batch cost must track the batch, so
     // the 3-batch fold must grow ~linearly in corpus size like the
     // one-shot), plus the host-keyed exact cut
-    "dedup_canonical_incremental", "dedup_host_keys")
+    "dedup_canonical_incremental", "dedup_host_keys",
+    // round-9 session additions: tokenizer apply (vocab-scale replace
+    // chain), model scoring (per-row), the closure×classifier
+    // representative pick, and the source-mix drift report
+    "text_bpe_encode", "text_quality_classifier",
+    "dedup_cluster_representatives", "text_composition_drift")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */

@@ -289,6 +289,31 @@ object Extensions {
       Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8))
       .orderBy("cluster_size")
 
+  /** MODEL-SCORED REPRESENTATIVE selection — the near-dup cluster keeps
+    * its BEST member, not its lowest id: the quality-classifier logit
+    * picks the representative per canonical cluster (ties break on id).
+    * This is the policy step between dedup and the training corpus —
+    * "for each duplicate group, which copy survives". Composes the
+    * canonical closure with [[TextAnalysis.qualityScore]]; one window
+    * over cluster-keyed rows after corpus-scale feature extraction. */
+  def dedupClusterRepresentatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = docs(s, d)
+    val canon = Dedup.canonicalize(dd, "doc_id", "text", k = 3, threshold = 0.8)
+    val scores = TextAnalysis.qualityScore(dd, "doc_id", "text")
+      .select(col("doc_id"), col("quality_logit"))
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("quality_logit").desc, col("doc_id"))
+    canon.join(scores, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("canonical_id"))).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("rep_doc_id"),
+        col("quality_logit").as("rep_logit"), col("cluster_size"))
+      .orderBy("canonical_id")
+  }
+
   /** Host/URL-keyed exact dedup after text normalization —
     * `Dedup.exactByHostKey` with `source` playing the host role. */
   def dedupHostKeys(s: SparkSession, d: String): DataFrame =
@@ -661,6 +686,31 @@ object Extensions {
     graft.operators.Bpe.encode(docs(s, d), "doc_id", "text",
       graft.operators.Bpe.learnMerges(docs(s, d), "text", rounds = 5))
       .orderBy("doc_id")
+
+  /** TOKENIZER FERTILITY report — the per-source subword economics a
+    * tokenizer decision reads: bpe-tokens-per-word (fertility) and
+    * chars-per-bpe-token by document source. High-fertility sources are
+    * the ones the vocabulary serves poorly (cost multiplier at training
+    * time). Composes [[textBpeEncode]]'s per-doc counts with the source
+    * column — one extra metadata-scale aggregate. */
+  def textTokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val enc = graft.operators.Bpe.encode(dd, "doc_id", "text",
+      graft.operators.Bpe.learnMerges(dd, "text", rounds = 5))
+    enc.join(dd.select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"),
+        sum(col("len")).cast("long").as("__chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6)
+          .as("fertility"),
+        round(col("__chars").cast("double") / col("n_bpe_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy("source")
+  }
 
   def textVocab(s: SparkSession, d: String): DataFrame =
     TextAnalysis.vocabulary(docs(s, d), "text", topK = 30)
@@ -1271,6 +1321,8 @@ object Extensions {
     "sim_hybrid_rrf" -> (simHybridRrf _),
     "text_bpe_merges" -> (textBpeMerges _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_tokenizer_fertility" -> (textTokenizerFertility _),
+    "dedup_cluster_representatives" -> (dedupClusterRepresentatives _),
     "graph_random_walks" -> (graphRandomWalks _),
     "dedup_cross_er" -> (dedupCrossEr _),
     "text_phrase_search" -> (textPhraseSearch _),
@@ -1362,6 +1414,15 @@ object Extensions {
 
   private def markerListSql(ms: Seq[String]): String =
     ms.map(m => s"'$m'").mkString("[", ", ", "]")
+
+  /** The frozen linear quality-logit expression over the feature frame's
+    * columns — shared by the classifier and representative oracles. */
+  private val qualityLogitSql: String =
+    """round(-1.0 + 0.45 * round(ln(1.0 + CAST(n_words AS DOUBLE)), 6)
+      |    + 1.2 * CAST(has_stopword AS DOUBLE)
+      |    - 3.5 * round(top_word_frac, 6)
+      |    - 4.0 * round(dup_bigram_frac, 6)
+      |    - 0.2 * round(abs(mean_word_len - 5.0), 6), 6)""".stripMargin
 
   /** qualityFilter's feature frame (`m`) — shared by the rule-filter and
     * classifier oracles. */
@@ -1948,21 +2009,27 @@ object Extensions {
     // classifier = frozen linear weights over the SAME feature CTE; terms
     // rounded to 6 dp and combined in the engine's exact left-assoc order
     "text_quality_classifier" -> (qualityFeatureCte +
-      """
+      s"""
         |SELECT doc_id, n_words,
         |  n_words > 0 AND n_words BETWEEN 20 AND 10000 AND mean_word_len BETWEEN 3.0 AND 10.0
         |    AND has_stopword AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.1 AS rule_keep,
-        |  round(-1.0 + 0.45 * round(ln(1.0 + CAST(n_words AS DOUBLE)), 6)
-        |    + 1.2 * CAST(has_stopword AS DOUBLE)
-        |    - 3.5 * round(top_word_frac, 6)
-        |    - 4.0 * round(dup_bigram_frac, 6)
-        |    - 0.2 * round(abs(mean_word_len - 5.0), 6), 6) AS quality_logit,
-        |  round(-1.0 + 0.45 * round(ln(1.0 + CAST(n_words AS DOUBLE)), 6)
-        |    + 1.2 * CAST(has_stopword AS DOUBLE)
-        |    - 3.5 * round(top_word_frac, 6)
-        |    - 4.0 * round(dup_bigram_frac, 6)
-        |    - 0.2 * round(abs(mean_word_len - 5.0), 6), 6) >= 0.0 AS pred_keep
+        |  $qualityLogitSql AS quality_logit,
+        |  $qualityLogitSql >= 0.0 AS pred_keep
         |FROM m ORDER BY doc_id""".stripMargin),
+    // representative policy: the canonical closure joined to the model
+    // logit; per cluster the highest-scoring member survives (id ties)
+    "dedup_cluster_representatives" -> (canonicalCoreSql +
+      qualityFeatureCte.stripPrefix(tokensCte) +
+      s""",
+        |scored AS (SELECT doc_id, $qualityLogitSql AS quality_logit FROM m)
+        |SELECT canonical_id, rep_doc_id, rep_logit, cluster_size FROM (
+        |  SELECT c.canonical_id, sc.doc_id AS rep_doc_id,
+        |    sc.quality_logit AS rep_logit,
+        |    row_number() OVER (PARTITION BY c.canonical_id
+        |      ORDER BY sc.quality_logit DESC, sc.doc_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY c.canonical_id) AS BIGINT) AS cluster_size
+        |  FROM canon c JOIN scored sc USING (doc_id))
+        |WHERE rn = 1 ORDER BY canonical_id""".stripMargin),
     "text_tfidf" -> (tokensCte +
       """, toks2 AS (SELECT doc_id, unnest(toks) AS term FROM w),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
@@ -2665,6 +2732,27 @@ object Extensions {
     "sim_hybrid_rrf" -> hybridRrfSql,
     "text_bpe_merges" -> bpeMergesSql,
     "text_bpe_encode" -> bpeEncodeSql,
+    // per-source fertility = the encode oracle re-aggregated over source
+    "text_tokenizer_fertility" -> (bpeChainCte(5) +
+      """,
+        |enc AS (
+        |  SELECT word, CAST(len(list_filter(string_split(str, chr(1)),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_syms
+        |  FROM v5),
+        |tok AS (SELECT doc_id, unnest(toks) AS word FROM w),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(n_syms) AS BIGINT) AS n_bpe
+        |  FROM tok JOIN enc USING (word) GROUP BY doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 6)
+        |    AS fertility,
+        |  round(CAST(sum(length(text)) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE), 6)
+        |    AS chars_per_token
+        |FROM per_doc JOIN documents USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin),
     "graph_random_walks" -> randomWalksSql,
     // exact top-20 + TRUE guarantee flags (engine computes the flags
     // from the committed sketch; the same pattern as text_heavy_hitters)

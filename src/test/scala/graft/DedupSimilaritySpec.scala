@@ -429,6 +429,25 @@ class DedupSimilaritySpec extends SparkSpec {
       "canonical must be the component min")
   }
 
+  test("cluster representatives carry the cluster's maximum quality logit") {
+    import org.apache.spark.sql.functions._
+    val reps = graft.queries.Extensions.dedupClusterRepresentatives(spark, sf0001)
+    val canon = Dedup.canonicalize(docs, "doc_id", "text", k = 3, threshold = 0.8)
+    val scores = graft.operators.TextAnalysis
+      .qualityScore(docs, "doc_id", "text").select($"doc_id", $"quality_logit")
+    val truth = canon.join(scores, "doc_id").groupBy("canonical_id")
+      .agg(max($"quality_logit").as("mx"), count(lit(1)).cast("long").as("n"))
+    // every cluster appears exactly once, with the max logit and true size
+    assert(reps.count() == truth.count())
+    val bad = reps.join(truth, "canonical_id")
+      .filter($"rep_logit" =!= $"mx" || $"cluster_size" =!= $"n")
+    assert(bad.isEmpty, s"mismatched representatives: ${bad.head(3).mkString}")
+    // the representative is a member of its own cluster
+    val nonMember = reps.select($"canonical_id", $"rep_doc_id".as("doc_id"))
+      .join(canon, Seq("doc_id", "canonical_id"), "left_anti")
+    assert(nonMember.isEmpty)
+  }
+
   test("cross-encoder rerank: batch-size invariant, shortlist-scoped, rank-coherent") {
     import graft.functions.{VectorFunctions => VF}
     import org.apache.spark.sql.functions._
