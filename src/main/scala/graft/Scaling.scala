@@ -50,7 +50,10 @@ object Scaling {
     // chain), model scoring (per-row), the closure×classifier
     // representative pick, and the source-mix drift report
     "text_bpe_encode", "text_quality_classifier",
-    "dedup_cluster_representatives", "text_composition_drift")
+    "dedup_cluster_representatives", "text_composition_drift",
+    // second continued session: the DSIR two-pass score (must stay
+    // linear — model build + scan), LPA's per-round O(E) join-agg
+    "sample_importance", "graph_lpa")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */
@@ -76,7 +79,17 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect() // JVM warm
+    val json = run(spark)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/target/scaling.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
 
+  /** Measure every exponent and return the artifact JSON (stderr-only
+    * progress) — factored out so Bench can regenerate the artifact each
+    * round inside its own session without clobbering its stdout line. */
+  def run(spark: SparkSession): String = {
     val sfSmall = "/root/testdata/sf0.01"
     val sfBig = "/root/testdata/sf0.1"
     val synthDir = "/root/repo/target/sf_synth"
@@ -128,12 +141,8 @@ object Scaling {
         s""","t_synth":${fmt(t)},"alpha_large":${fmt(aLarge.get)}""").getOrElse("")
       s""""$q":{"t_sf001":${fmt(t1)},"t_sf01":${fmt(t2)},"alpha_small":${fmt(aSmall)}$extra}"""
     }
-    val json = s"""{"rows_ratio_small":10,"rows_ratio_large":$SynthReplicas,""" +
+    s"""{"rows_ratio_small":10,"rows_ratio_large":$SynthReplicas,""" +
       s""""queries":{${entries.mkString(",")}}}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/target/scaling.json"), json + "\n")
-    println(json)
-    spark.stop()
   }
 
   private def fmt(d: Double): String = "%.4f".format(d)

@@ -118,6 +118,59 @@ object Graph {
     out
   }
 
+  /** SYNCHRONOUS LABEL PROPAGATION communities over an edge list (the
+    * k-NN / near-dup graph): every node starts as its own community and
+    * per round adopts the most frequent label among its neighbors —
+    * the classic near-linear community detector (Raghavan et al. 2007),
+    * used in corpus curation to group topically-coherent documents
+    * beyond the near-dup clusters CC finds.
+    *
+    * DETERMINISTIC by construction: the update is synchronous (all nodes
+    * flip on the same frozen label vector — no traversal-order
+    * dependence) and the argmax tie-break is total (max count, then MIN
+    * label), so the label vector after any fixed round count is a pure
+    * function of the edge set and both engines replay it exactly (the
+    * oracle unrolls the rounds as CTEs; all arithmetic is integer).
+    * Synchronous LPA can 2-cycle on bipartite-ish structures, so the
+    * contract is a FIXED round count, not convergence.
+    *
+    * Scale shape: per round one O(E) join of the frozen labels onto the
+    * edges + one (dst, label) count + one per-dst argmax — all
+    * key-partitioned shuffles, no driver state, no adjacency lists;
+    * lineage truncated per round, zero residual blocks (the
+    * [[pageRank]] hygiene contract). The input is symmetrized and
+    * de-duplicated here — callers pass directed edges. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, "labelPropagation: iterations must be >= 1")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val e = Blocks.copyOut(und, singleEval = true)
+    val nodes = Blocks.copyOut(e.select(col("src").as("id")).distinct(),
+      singleEval = true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to iterations) {
+      val best = e.join(labels, col("src") === col("id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("label").as("new_label"))
+      val next = labels.drop("label").join(
+          best.withColumnRenamed("new_label", "label"), Seq("id"), "inner")
+        .localCheckpoint(true)
+      Blocks.release(labels)
+      labels = next
+    }
+    val out = Blocks.copyOut(labels.select(col("id"), col("label").as("community")))
+    Blocks.release(labels); Blocks.release(e); Blocks.release(nodes)
+    out
+  }
+
   /** DETERMINISTIC RANDOM WALKS over a ranked edge list (e.g. the k-NN
     * graph, whose edges carry `rank` 1..k) — the positive-pair sampler
     * of graph-based embedding training (DeepWalk/node2vec shape). Each

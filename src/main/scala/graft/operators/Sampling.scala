@@ -72,6 +72,69 @@ object Sampling {
     downsampleToWeights(df, strataCol, textCol,
       round(pow(col("n").cast("double"), lit(alpha)), 6))
 
+  /** Hashed word-bigram feature buckets in [0, buckets) — the DSIR
+    * feature map (Xie et al. 2023: importance resampling over hashed
+    * n-gram features). OCCURRENCES, not the distinct set: the importance
+    * model is a bag-of-buckets multinomial. Same modular polynomial
+    * char hash as [[contentBucket]], so any engine replays it. */
+  def bigramBuckets(textCol: Column, buckets: Int): Column =
+    transform(TF.shingles(TF.words(textCol), 2),
+      bg => pmod(TF.rollingFingerprint(bg), lit(buckets.toLong)).cast("int"))
+
+  /** DSIR-style IMPORTANCE SCORING: rank raw documents by how much more
+    * likely their hashed-bigram features are under a TARGET domain's
+    * bucket distribution than under the raw corpus's — the data-selection
+    * step that tilts a 100 TB crawl toward a quality/target domain
+    * without training a model. `isTarget` marks the in-domain rows
+    * (e.g. `col("source") === "wiki"`); both multinomials use add-one
+    * smoothing over the `buckets`-sized feature space, and a document's
+    * score is the MEAN per-occurrence log-likelihood ratio (length-
+    * normalized so long docs aren't favored), rounded to 6 dp.
+    * `keep = score > 0` (more target-like than raw-average).
+    *
+    * Cost model (the 100 TB shape): one O(tokens) explode feeding a
+    * `buckets`-key count aggregate (map-side partials collapse it to
+    * ~buckets rows per partition), a `buckets`-row collect — the MODEL,
+    * a few KB, the same metadata-scale pattern as the PQ codebooks —
+    * and one scan-speed scoring pass with the model inlined as an array
+    * literal: per-row sequential fold, no join, no shuffle, no UDF.
+    * Docs with < 2 tokens have no features: score 0.0, keep = false.
+    *
+    * DETERMINISM: bucket counts are exact integers; the per-doc fold
+    * adds the model's doubles in document order (both engines run the
+    * identical sequential `aggregate`/`list_reduce`); ties cannot
+    * straddle the rounded 6 dp boundary because the pre-round spacing
+    * of IEEE sums of ~1e-1-magnitude logs is ~1e-15. */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      "importanceScores: buckets must be in (0, 2^20]")
+    val withB = df.select(col(idCol), isTarget.as("is_t"),
+      bigramBuckets(col(textCol), buckets).as("bks"))
+    val counts = withB.select(col("is_t"), explode(col("bks")).as("b"))
+      .groupBy("b").agg(
+        count(lit(1)).as("n_raw"),
+        count(when(col("is_t"), 1)).as("n_t"))
+      .collect()
+    val nRaw = new Array[Long](buckets)
+    val nT = new Array[Long](buckets)
+    counts.foreach { r =>
+      val b = r.getInt(0); nRaw(b) = r.getLong(1); nT(b) = r.getLong(2)
+    }
+    val totRaw = nRaw.sum.toDouble + buckets
+    val totT = nT.sum.toDouble + buckets
+    val logRatio: Seq[Double] = (0 until buckets).map(b =>
+      math.log((nT(b) + 1.0) / totT) - math.log((nRaw(b) + 1.0) / totRaw))
+    val model = typedLit(logRatio)
+    val folded = aggregate(col("bks"), lit(0.0),
+      (acc, b) => acc + element_at(model, b + lit(1)))
+    withB.select(col(idCol),
+        when(size(col("bks")) === 0, lit(0.0))
+          .otherwise(round(folded / size(col("bks")).cast("double"), 6))
+          .as("score"))
+      .withColumn("keep", col("score") > 0.0)
+  }
+
   /** Shared deletion-only rebalance core: `wtExpr` (evaluated over the
     * per-stratum count frame, `n` = stratum size) sets each stratum's
     * relative target; keep rate_s = floor(1000·w_s·K/n_s)/1000 with

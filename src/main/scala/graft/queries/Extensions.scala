@@ -774,6 +774,46 @@ object Extensions {
       (graft.operators.Sampling.contentBucket(col("text")) < 20).as("in_20pct_sample"))
       .orderBy("doc_id")
 
+  /** DSIR importance-resampling gate: target domain = source 'src0',
+    * raw = the whole corpus; 256 hashed-bigram buckets. The model
+    * (bucket log-likelihood ratios) and every per-doc fold are
+    * replayed exactly by the oracle. */
+  def sampleImportance(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.importanceScores(docs(s, d), "doc_id", "text",
+      col("source") === "src0", buckets = 256)
+      .orderBy("doc_id")
+
+  /** NEAR-DUP-AWARE SPLIT gate: the train/val/test hash is computed on
+    * the CLUSTER CANONICAL's text, so near-duplicate documents can never
+    * straddle splits (content-hash splitting alone only protects against
+    * byte-identical leakage). Composition of the verified canonical
+    * closure (dedup_canonical) + the verified split hash (sample_split);
+    * the per-doc buckets are computed scan-side and joined on the int
+    * canonical key — the corpus text never shuffles. */
+  def sampleSplitCanonical(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val canon = Dedup.canonicalize(dd, "doc_id", "text", k = 3, threshold = 0.8)
+    val repBucket = dd.select(col("doc_id").as("canonical_id"),
+      graft.operators.Sampling.contentBucket(col("text")).as("b"))
+    canon.join(repBucket, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"),
+        when(col("b") < 80, lit("train")).when(col("b") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Label-propagation communities over the k-NN graph — 4 synchronous
+    * rounds, integer arithmetic throughout; the oracle unrolls the
+    * rounds with the identical (max count, min label) tie-break. */
+  def graphLpa(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
+      k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id"))
+    graft.operators.Graph.labelPropagation(edges, "vec_id", "neighbor_id",
+      iterations = 4)
+      .select(col("id").as("vec_id"), col("community"))
+      .orderBy("vec_id")
+  }
+
   /** Repeated-span masking gate (word-8-gram ExactSubstr dedup): the
     * engine keys the occurrence count on xxhash64(gram), the oracle on
     * the gram string — hash-equality of the outputs certifies the
@@ -1249,6 +1289,9 @@ object Extensions {
     Entries.toMapUnique("Extensions.queries", Seq(
     "multimodal_resize" -> (multimodalResize _),
     "sample_split" -> (sampleSplit _),
+    "sample_importance" -> (sampleImportance _),
+    "sample_split_canonical" -> (sampleSplitCanonical _),
+    "graph_lpa" -> (graphLpa _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -2119,6 +2162,60 @@ object Extensions {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DSIR importance resampling: the oracle rebuilds the hashed-bigram
+    // bucket model (exact integer counts, add-one smoothing) and replays
+    // each document's sequential log-ratio fold over the same list.
+    "sample_importance" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS INT[]) ELSE
+        |      list_transform(range(1, len(toks)),
+        |        i -> CAST(list_reduce(
+        |          list_transform(string_split(toks[i] || ' ' || toks[i+1], ''),
+        |            c -> CAST(ascii(c) AS BIGINT)),
+        |          (a, b) -> (a * 31 + b) % 1000000007) % 256 AS INT))
+        |    END AS bks
+        |  FROM w),
+        |cnt AS (
+        |  SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+        |    CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS n_t
+        |  FROM (SELECT source, unnest(bks) AS b FROM bg)
+        |  GROUP BY b),
+        |tot AS (SELECT CAST(sum(n_raw) AS DOUBLE) + 256.0 AS tr,
+        |               CAST(sum(n_t) AS DOUBLE) + 256.0 AS tt FROM cnt),
+        |lr AS (
+        |  SELECT bb.b,
+        |    ln((COALESCE(c.n_t, 0) + 1.0) / tt)
+        |      - ln((COALESCE(c.n_raw, 0) + 1.0) / tr) AS v
+        |  FROM (SELECT unnest(range(0, 256)) AS b) bb
+        |  LEFT JOIN cnt c ON c.b = bb.b CROSS JOIN tot),
+        |model AS (SELECT list(v ORDER BY b) AS m FROM lr),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(bks) = 0 THEN 0.0 ELSE
+        |      round(list_reduce(list_transform(bks, x -> m[x + 1]), (a, b) -> a + b)
+        |        / CAST(len(bks) AS DOUBLE), 6)
+        |    END AS score
+        |  FROM bg CROSS JOIN model)
+        |SELECT doc_id, score, score > 0.0 AS keep FROM sc ORDER BY doc_id""".stripMargin,
+    // near-dup-aware split: canonical closure + the split hash of the
+    // CANONICAL document's text — near-dups cannot straddle splits
+    "sample_split_canonical" -> (canonicalCoreSql +
+      """, rb AS (
+        |  SELECT doc_id AS canonical_id,
+        |    list_reduce(
+        |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS b
+        |  FROM documents)
+        |SELECT c.doc_id, c.canonical_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM canon c JOIN rb USING (canonical_id)
+        |ORDER BY c.doc_id""".stripMargin),
+    "graph_lpa" -> lpaSql,
     "sample_split" ->
       """WITH f AS (
         |  SELECT doc_id,
@@ -2852,6 +2949,34 @@ object Extensions {
       |      JOIN n nb ON nb.vec_id = bb.c_id))
       |  WHERE rank <= 3
       |)""".stripMargin
+
+  /** Label-propagation oracle: symmetrized distinct edge set, then 4
+    * unrolled synchronous rounds of the (max neighbor-label count, min
+    * label) argmax — pure integer arithmetic, no FP anywhere. */
+  private def lpaSql: String = {
+    val iters = 4
+    val base = knnEdgesCte +
+      """, ue AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM eg UNION ALL SELECT dst AS src, src AS dst FROM eg)
+        |  WHERE src <> dst
+        |), gn AS (SELECT DISTINCT src AS id FROM ue),
+        |l0 AS (SELECT id, id AS label FROM gn)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |c$i AS (
+         |  SELECT ue.dst, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ue JOIN l${i - 1} l ON l.id = ue.src
+         |  GROUP BY ue.dst, l.label),
+         |l$i AS (
+         |  SELECT dst AS id, label FROM (
+         |    SELECT dst, label, row_number() OVER (PARTITION BY dst
+         |      ORDER BY cnt DESC, label) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString
+    base + iterCtes +
+      s"\nSELECT id AS vec_id, label AS community FROM l$iters ORDER BY vec_id"
+  }
 
   private def pageRankSql: String = {
     val damping = 0.85; val iters = 5

@@ -678,6 +678,53 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** GROUP-RECOMPUTE merged view, driver-gated end-to-end: the same
+    * three merge epochs and fold as [[keyedView]], maintained by
+    * [[graft.sources.MaterializedView.refreshMerged]] instead — the
+    * O(groups)-state strategy (no per-key index; each refresh recomputes
+    * exactly the touched groups from the resolved head). Epoch 2's
+    * event_type rewrite exercises both directions: 'promo' is a NEW
+    * group and every origin group must shrink via the changed keys'
+    * PRIOR resolved placement. Identical oracle as the keyed variant —
+    * two maintenance strategies, one recompute ground truth. */
+  def mergedView(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/mvlake_$tag"
+    val view = s"/root/repo/target/tmp/mvview_$tag"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    f.delete(new org.apache.hadoop.fs.Path(view), true)
+    val T = graft.sources.TransactionalLake
+    val V = graft.sources.MaterializedView
+    val base = events(spark, dir).filter(col("event_id") <= 3000)
+      .select("event_id", "event_type", "value")
+    val none = base.filter(lit(false)).select("event_id")
+    def refresh(): Long = V.refreshMerged(spark, root, view,
+      Seq("event_id"), Seq("event_type"), "value")
+    T.mergeCommit(base, none, root, 0L, Seq("event_id"))
+    require(refresh() == 0L)
+    T.mergeCommit(
+      base.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0)
+        .withColumn("value", col("value") + 1000.0),
+      base.filter(col("event_id") % 7 === 0).select("event_id"),
+      root, 1L, Seq("event_id"))
+    require(refresh() == 1L)
+    require(T.foldCommittedEpochs(spark, root, upTo = 1L,
+      partitionCols = Nil) == 2)
+    T.mergeCommit(
+      base.filter(col("event_id") % 3 === 0)
+        .withColumn("event_type", lit("promo"))
+        .withColumn("value", col("value") + 2000.0),
+      none, root, 2L, Seq("event_id"))
+    require(refresh() == 2L)
+    require(refresh() == 2L) // head unchanged — refresh is a no-op
+    V.read(spark, view)
+      .select(col("event_type"), col("cnt"),
+        col("total").cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   /** Row-level MERGE, driver-gated end-to-end: three merge epochs over an
     * events-keyed table — base load, then an epoch of value-upserts plus
     * delete tombstones, then a second upsert epoch that both overrides
@@ -1315,6 +1362,22 @@ object PipelineQueries {
         |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM final GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
+    // group-recompute strategy over the identical fixture — same
+    // resolved-state ground truth as the keyed variant
+    "pipe_merged_view" ->
+      """WITH final AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 'promo' ELSE event_type END AS g,
+        |    CASE WHEN event_id % 3 = 0 THEN value + 2000.0
+        |         WHEN event_id % 5 = 0 AND event_id % 7 <> 0 THEN value + 1000.0
+        |         ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id <= 3000
+        |    AND NOT (event_id % 7 = 0 AND event_id % 3 <> 0))
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM final GROUP BY 1
         |ORDER BY event_type""".stripMargin))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -1341,6 +1404,7 @@ object PipelineQueries {
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
     "pipe_keyed_view" -> (keyedView _),
+    "pipe_merged_view" -> (mergedView _),
     "pipe_streaming_view" -> (streamingView _),
     "pipe_masked_view" -> (maskedView _),
     "pipe_tenant_usage" -> (tenantUsage _),

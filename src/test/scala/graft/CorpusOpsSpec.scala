@@ -217,6 +217,64 @@ class CorpusOpsSpec extends SparkSpec {
       before(largest).toDouble / before.values.sum)
   }
 
+  test("importanceScores ranks target-like docs above off-domain docs") {
+    // target docs are built from 'alpha beta' bigrams, the rest from
+    // 'kappa theta' — in-domain text must score positive, off-domain
+    // negative, and a <2-token doc pins to (0.0, keep=false). Buckets
+    // is SMALL (16) so add-one smoothing doesn't drown the tiny
+    // fixture's counts (collision-free for these four bigrams).
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha", true),
+      (2L, "beta alpha beta alpha beta", true),
+      (3L, "kappa theta kappa theta kappa", false),
+      (4L, "theta kappa theta kappa theta", false),
+      (5L, "alpha beta alpha", false), // raw doc that looks target-like
+      (6L, "solo", false)
+    ).toDF("doc_id", "text", "is_t")
+    val out = Sampling.importanceScores(docs, "doc_id", "text",
+      col("is_t"), buckets = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(1L)._1 > 0 && out(1L)._2, "in-domain doc must keep")
+    assert(out(5L)._1 > 0 && out(5L)._2, "target-LIKE raw doc must keep")
+    assert(out(3L)._1 < 0 && !out(3L)._2, "off-domain doc must drop")
+    assert(out(4L)._1 < 0 && !out(4L)._2)
+    assert(out(6L) == ((0.0, false)), "featureless doc pins to 0/false")
+  }
+
+  test("importanceScores is bit-identical across shuffle partitionings") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    def run(): Seq[(Long, Double, Boolean)] =
+      Sampling.importanceScores(docs, "doc_id", "text",
+        col("source") === "src0", buckets = 256)
+        .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val a = run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run() == a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("sampleSplitCanonical: a near-dup cluster never straddles splits") {
+    val out = graft.queries.Extensions.sampleSplitCanonical(spark, sf0001)
+    out.cache()
+    try {
+      assert(out.count() == Tables.load(spark, sf0001, "documents").count(),
+        "every doc gets a split")
+      val straddlers = out.groupBy("canonical_id")
+        .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+      assert(straddlers == 0, "cluster members must share one split")
+      // the canonical member's split is its own content split — so for
+      // singleton clusters the scheme degrades to exactly sample_split
+      val plain = Tables.load(spark, sf0001, "documents").select(col("doc_id"),
+        Sampling.contentSplit(col("text")).as("plain_split"))
+      val selfCanon = out.filter(col("doc_id") === col("canonical_id"))
+        .join(plain, "doc_id")
+        .filter(col("split") =!= col("plain_split")).count()
+      assert(selfCanon == 0, "canonical rows keep their own content split")
+    } finally { out.unpersist(); () }
+  }
+
   test("mixtureSample is deterministic and content-keyed (rerun-identical)") {
     val docs = Tables.load(spark, sf0001, "documents")
     val w = Map("src0" -> 2.0)

@@ -84,6 +84,48 @@ class GraphSpec extends SparkSpec {
     assert(again == out)
   }
 
+  test("labelPropagation: disconnected cliques each converge to their min label") {
+    // two triangles, no bridge: every node adopts its triangle's min id
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      10L -> 11L, 11L -> 12L, 12L -> 10L)
+    val out = Graph.labelPropagation(e, "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation input is symmetrized: directed edges act undirected") {
+    // 1→2→3→1 directed cycle must behave like the undirected triangle
+    val directed = Graph.labelPropagation(edges(1L -> 2L, 2L -> 3L, 3L -> 1L),
+      "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(directed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labelPropagation is bit-identical across shuffle partitionings") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .limit(60).select(col("vec_id").as("src"),
+        (col("vec_id") * 7 % 60).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    def run(): Map[Long, Long] =
+      Graph.labelPropagation(e, "src", "dst", iterations = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "11")
+      assert(run() == a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("labelPropagation holds zero residual storage after returning") {
+    val out = Graph.labelPropagation(edges(1L -> 2L, 2L -> 3L), "src", "dst",
+      iterations = 3)
+    out.count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("pageRank holds zero residual storage after returning") {
     val out = Graph.pageRank(edges(1L -> 2L, 2L -> 3L, 3L -> 1L), "src", "dst")
     out.count()
