@@ -1144,6 +1144,84 @@ object Analytics {
       .limit(20)
   }
 
+  /** Data-quality constraint audit (the Deequ-style validation suite a
+    * lake runs before publishing a table): one row per declared
+    * constraint with (rows checked, violations, pass). Cost discipline
+    * for 100 TB: ALL per-row constraints on a table are folded into ONE
+    * scan's conditional aggregates (lineitem is read once for its three
+    * rules, orders once for its two), uniqueness is a key-grouped count
+    * (the one unavoidable shuffle, map-side combined to |keys|), and
+    * referential integrity is a single orderkey-shuffled anti-join —
+    * no per-constraint passes. The per-table single-row aggregates are
+    * assembled with broadcast-scalar crossJoins and unpivoted with
+    * `stack`, so the report itself is metadata-scale. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val ord = t(spark, dir, "orders")
+    val liAgg = li.agg(
+      count(lit(1)).as("li_n"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_li_null"),
+      sum(when(col("l_quantity").between(1.0, 50.0), 0L).otherwise(1L))
+        .as("v_li_qty"),
+      sum(when(col("l_discount").between(0.0, 0.10), 0L).otherwise(1L))
+        .as("v_li_disc"))
+    val ordAgg = ord.agg(
+      count(lit(1)).as("ord_n"),
+      sum(when(col("o_orderstatus").isin("F", "O", "P"), 0L).otherwise(1L))
+        .as("v_ord_status"))
+    val dupAgg = ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(when(col("cnt") > 1, col("cnt") - 1L)), lit(0L))
+        .as("v_ord_dup"))
+    val orphanAgg = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_li_orphan"))
+    liAgg.crossJoin(ordAgg).crossJoin(dupAgg).crossJoin(orphanAgg)
+      .select(expr(
+        """stack(6,
+          |  'not_null:lineitem.l_orderkey',        li_n,  v_li_null,
+          |  'range:lineitem.l_quantity[1,50]',     li_n,  v_li_qty,
+          |  'range:lineitem.l_discount[0,0.1]',    li_n,  v_li_disc,
+          |  'domain:orders.o_orderstatus{F,O,P}',  ord_n, v_ord_status,
+          |  'unique:orders.o_orderkey',            ord_n, v_ord_dup,
+          |  'ref:lineitem.l_orderkey->orders',     li_n,  v_li_orphan
+          |) AS (constraint_name, checked, violations)""".stripMargin))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("constraint_name")
+  }
+
+  /** SCD TYPE-2 interval build from a change log: collapse each user's
+    * consecutive same-value runs of `event_type` into
+    * [valid_from, valid_to) versions with an `is_current` flag — the
+    * standard islands construction (lag → change flag → running group id
+    * → group bounds). Three window passes over ONE (user_id)-shuffled
+    * sort; at 100 TB the event log shuffles once on the entity key and
+    * every window reuses that partitioning (no extra exchanges — the
+    * sort order (ts, event_id) serves all three frames). Tiebreak on
+    * event_id makes same-timestamp rows deterministic. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = t(spark, dir, "events")
+      .filter(col("user_id") <= 200)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wg = Window.partitionBy(col("user_id")).orderBy(col("grp"))
+    runs.groupBy(col("user_id"), col("grp"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wg))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "event_type", "valid_from", "valid_to",
+        "is_current", "n_events")
+      .orderBy("user_id", "valid_from")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("Analytics.queries", Seq(
     "q_outer_join" -> (outerJoin _),
@@ -1204,10 +1282,65 @@ object Analytics {
     "q_anomaly" -> (anomalyHours _),
     "q_sample_estimate" -> (sampleEstimate _),
     "q_skew_report" -> (skewReport _),
+    "q_dq_audit" -> (dqAudit _),
+    "q_scd2_intervals" -> (scd2Intervals _),
     "q_federated_join" -> (federatedJoin _)))
 
   val oracles: Map[String, String] =
     Entries.toMapUnique("Analytics.oracles", Seq(
+    "q_dq_audit" ->
+      """WITH li AS (
+        |  SELECT count(*) AS li_n,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v_qty,
+        |    sum(CASE WHEN l_discount BETWEEN 0 AND 0.10 THEN 0 ELSE 1 END) AS v_disc
+        |  FROM lineitem),
+        |o AS (
+        |  SELECT count(*) AS ord_n,
+        |    sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS v_status
+        |  FROM orders),
+        |dup AS (
+        |  SELECT coalesce(sum(cnt - 1), 0) AS v_dup FROM (
+        |    SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey) WHERE cnt > 1),
+        |orph AS (
+        |  SELECT count(*) AS v_orphan FROM lineitem l
+        |  LEFT JOIN orders ON l.l_orderkey = o_orderkey
+        |  WHERE o_orderkey IS NULL)
+        |SELECT constraint_name, CAST(checked AS BIGINT) AS checked,
+        |  CAST(violations AS BIGINT) AS violations, violations = 0 AS pass
+        |FROM (
+        |  SELECT 'not_null:lineitem.l_orderkey' AS constraint_name,
+        |    li_n AS checked, v_null AS violations FROM li
+        |  UNION ALL SELECT 'range:lineitem.l_quantity[1,50]', li_n, v_qty FROM li
+        |  UNION ALL SELECT 'range:lineitem.l_discount[0,0.1]', li_n, v_disc FROM li
+        |  UNION ALL SELECT 'domain:orders.o_orderstatus{F,O,P}', ord_n, v_status FROM o
+        |  UNION ALL SELECT 'unique:orders.o_orderkey', ord_n, v_dup FROM o, dup
+        |  UNION ALL SELECT 'ref:lineitem.l_orderkey->orders', li_n, v_orphan
+        |    FROM li, orph)
+        |ORDER BY constraint_name""".stripMargin,
+    "q_scd2_intervals" ->
+      """WITH runs AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events WHERE user_id <= 200
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |grps AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM runs),
+        |iv AS (
+        |  SELECT user_id, grp, min(event_type) AS event_type,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM grps GROUP BY user_id, grp)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY grp) IS NULL
+        |    AS is_current,
+        |  n_events
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_orderkey) AS exact_orders,

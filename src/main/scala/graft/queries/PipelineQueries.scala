@@ -739,6 +739,30 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Snapshot reconciliation over the merge lake: diff the keyed as-of
+    * views across consecutive epochs (v0→v1 exercises changed+removed,
+    * v1→v2 changed+added — the %21 keys deleted in epoch 1 and
+    * re-upserted in epoch 2). Gates [[graft.sources.TransactionalLake
+    * .readMergedAsOf]] + [[graft.sources.TransactionalLake
+    * .diffSnapshots]] end-to-end through the fixture's retention fold
+    * (epochs 0–1 are folded before the as-of reads, so the diff also
+    * certifies fold-stability of the merged snapshots). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val root = mergeFixture(spark, dir, "sdiff")
+    val T = graft.sources.TransactionalLake
+    val keys = Seq("event_id")
+    def at(e: Long): DataFrame = T.readMergedAsOf(spark, root, keys, e)
+    val d01 = T.diffSnapshots(at(0L), at(1L), keys)
+      .withColumn("from_epoch", lit(0L))
+    val d12 = T.diffSnapshots(at(1L), at(2L), keys)
+      .withColumn("from_epoch", lit(1L))
+    d01.unionByName(d12)
+      .select(col("from_epoch"), col("event_id"), col("change_type"),
+        col("before.value").as("value_before"),
+        col("after.value").as("value_after"))
+      .orderBy("from_epoch", "event_id")
+  }
+
   /** CDC FEED over the same merge fixture: every change row in epochs
     * (0, 2] with its operation and epoch — consumed AFTER a retention
     * fold of epoch <= 1, proving an incremental consumer whose cursor
@@ -1264,6 +1288,32 @@ object PipelineQueries {
         |SELECT tenant, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT part) AS BIGINT) AS n_partitions
         |FROM base GROUP BY tenant ORDER BY tenant""".stripMargin,
+    // the merge fixture's change algebra, replayed as set logic:
+    // v0→v1 removes %7 keys and bumps %5-not-%7 by 1000; v1→v2 upserts
+    // every %3 key to base+2000 (re-adding the %21 keys deleted at v1)
+    "pipe_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id <= 3000),
+        |d01 AS (
+        |  SELECT CAST(0 AS BIGINT) AS from_epoch, event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN 'removed'
+        |         ELSE 'changed' END AS change_type,
+        |    value AS value_before,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE value + 1000.0 END AS value_after
+        |  FROM base WHERE event_id % 7 = 0 OR event_id % 5 = 0),
+        |d12 AS (
+        |  SELECT CAST(1 AS BIGINT) AS from_epoch, event_id,
+        |    CASE WHEN event_id % 21 = 0 THEN 'added'
+        |         ELSE 'changed' END AS change_type,
+        |    CASE WHEN event_id % 21 = 0 THEN NULL
+        |         WHEN event_id % 5 = 0 THEN value + 1000.0
+        |         ELSE value END AS value_before,
+        |    value + 2000.0 AS value_after
+        |  FROM base WHERE event_id % 3 = 0)
+        |SELECT * FROM d01 UNION ALL SELECT * FROM d12
+        |ORDER BY from_epoch, event_id""".stripMargin,
     // as-of epoch 1 == batches 0 and 1 (event_id % 3 ∈ {0, 1}), read
     // through the folded generation
     "pipe_time_travel" ->
@@ -1401,6 +1451,7 @@ object PipelineQueries {
     "pipe_tenant_purge" -> (tenantPurge _),
     "pipe_time_travel" -> (timeTravel _),
     "pipe_merge_upsert" -> (mergeUpsert _),
+    "pipe_snapshot_diff" -> (snapshotDiff _),
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
     "pipe_keyed_view" -> (keyedView _),

@@ -425,6 +425,55 @@ object TransactionalLake {
       .drop("__rn", OpCol, "epoch")
   }
 
+  /** MERGED view AS OF `epoch`: latest-wins resolution over only the
+    * change history committed at or below `epoch` — the merge-lake twin
+    * of [[readCommittedAsOf]] (same free partition pruning on the
+    * `epoch` column, same post-fold stability, same refusal below the
+    * compaction horizon). A reproducible keyed snapshot: "the table
+    * exactly as consumers saw it after epoch N". */
+  def readMergedAsOf(spark: SparkSession, root: String, keyCols: Seq[String],
+                     epoch: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    require(keyCols.nonEmpty, "readMergedAsOf: keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("epoch").cast("long").desc)
+    readCommittedAsOf(spark, root, epoch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(OpCol) === "u")
+      .drop("__rn", OpCol, "epoch")
+  }
+
+  /** SNAPSHOT DIFF (reconciliation audit): keyed full-outer compare of
+    * two snapshots of the same schema — one row per key whose state
+    * differs, as `change_type` ∈ {added, removed, changed} with the full
+    * `before`/`after` row structs (NULL on the absent side). The
+    * validation tool for replication targets, restored backups, and
+    * as-of provenance claims ("v2 minus v1 is exactly these rows");
+    * [[changesBetween]] stays the O(changes) feed for incremental
+    * consumers — this is the O(snapshots) audit you run when you can't
+    * trust the feed, as ONE co-shuffled full-outer join on the key
+    * (both sides exchange once; unchanged keys are dropped before
+    * anything widens). Null-safe struct equality, so rows with null
+    * data fields diff correctly. */
+  def diffSnapshots(a: DataFrame, b: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, not, struct, when}
+    require(keyCols.nonEmpty, "diffSnapshots: keyCols must be non-empty")
+    require(a.columns.sameElements(b.columns),
+      s"diffSnapshots: schemas differ: ${a.columns.mkString(",")} vs " +
+        b.columns.mkString(","))
+    val dataCols = a.columns.filterNot(keyCols.contains).toSeq
+    require(dataCols.nonEmpty, "diffSnapshots: no non-key columns to compare")
+    def packed(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
+    packed(a, "before").join(packed(b, "after"), keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("before").isNull, lit("added"))
+          .when(col("after").isNull, lit("removed"))
+          .when(not(col("before") <=> col("after")), lit("changed")))
+      .filter(col("change_type").isNotNull)
+  }
+
   /** CDC FEED: every change row committed in epochs
     * `(fromExclusive, toInclusive]`, with its epoch and operation — the
     * incremental-consumption contract ("give me what changed since my
