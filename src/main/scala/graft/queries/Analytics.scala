@@ -1222,6 +1222,47 @@ object Analytics {
       .orderBy("user_id", "valid_from")
   }
 
+  /** SCAN-LEVEL AGGREGATE PUSHDOWN: MIN/MAX/COUNT answered from parquet
+    * footer statistics through the DSv2 reader — the scan reads row-group
+    * METADATA, not data pages (`.explain` shows `PushedAggregation:
+    * [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]`; asserted in
+    * `PlanSpec`). At 100 TB this is the difference between a metadata
+    * pass (O(row groups)) and a full-column scan for table-profiling
+    * queries. Pushdown is a DSv2-only optimizer rule gated on session
+    * confs, and it happens at EXECUTION time — so this entry materializes
+    * its one result row inside the conf window (restoring the session
+    * confs either way) rather than returning a lazy plan that would
+    * silently lose the pushdown when the confs revert. */
+  def scanAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.conf
+    val prevAgg = conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = conf.getOption("spark.sql.sources.useV1SourceList")
+    def restore(key: String, prev: Option[String]): Unit =
+      prev match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.sources.useV1SourceList", "") // parquet through DSv2
+    val row =
+      try {
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .agg(min(col("l_orderkey")).as("min_okey"),
+            max(col("l_orderkey")).as("max_okey"),
+            count(lit(1)).as("n_rows"))
+          .collect()
+      } finally {
+        restore("spark.sql.parquet.aggregatePushdown", prevAgg)
+        restore("spark.sql.sources.useV1SourceList", prevV1)
+      }
+    spark.createDataFrame(
+      java.util.Arrays.asList(row: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("min_okey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("max_okey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("Analytics.queries", Seq(
     "q_outer_join" -> (outerJoin _),
@@ -1284,10 +1325,16 @@ object Analytics {
     "q_skew_report" -> (skewReport _),
     "q_dq_audit" -> (dqAudit _),
     "q_scd2_intervals" -> (scd2Intervals _),
+    "q_scan_agg_pushdown" -> (scanAggPushdown _),
     "q_federated_join" -> (federatedJoin _)))
 
   val oracles: Map[String, String] =
     Entries.toMapUnique("Analytics.oracles", Seq(
+    "q_scan_agg_pushdown" ->
+      """SELECT CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(max(l_orderkey) AS BIGINT) AS max_okey,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem""".stripMargin,
     "q_dq_audit" ->
       """WITH li AS (
         |  SELECT count(*) AS li_n,

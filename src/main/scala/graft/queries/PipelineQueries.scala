@@ -739,6 +739,46 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Per-epoch data-quality TREND over the transactional lake — the
+    * continuous-monitoring form of `q_dq_audit`: every committed epoch
+    * reports (constraint, checked, violations, pass), so a bad ingest
+    * batch is localized to its epoch instead of disappearing into a
+    * whole-table rate. One conditional-aggregate scan grouped by the
+    * `epoch` partition column (map-side combine collapses the shuffle to
+    * |epochs × constraints| rows); per-row epochs survive retention
+    * folds, so the trend is fold-stable — the fixture folds epochs 0–1
+    * before reporting to prove it. The event_type-domain rule excludes
+    * 'error' and the value ceiling is deliberately tight, so real
+    * violation counts flow per epoch (not a vacuous all-zeros report). */
+  def dqEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/dqep_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(events(spark, dir).filter(col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("tenant"), col("year"), col("month"), col("day"), col("hour"))
+    (0 until 3).foreach(i => graft.sources.TransactionalLake.commitEpoch(
+      enriched.filter(col("event_id") % 3 === i), root, i.toLong))
+    require(graft.sources.TransactionalLake
+      .foldCommittedEpochs(spark, root, upTo = 1L) == 2)
+    graft.sources.TransactionalLake.readCommitted(spark, root)
+      .groupBy(col("epoch").cast("long").as("epoch"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type").isin("click", "view", "purchase", "signup"),
+          0L).otherwise(1L)).as("v_domain"),
+        sum(when(col("value") <= 250.0, 0L).otherwise(1L)).as("v_range"))
+      .select(col("epoch"), expr(
+        """stack(2,
+          |  'domain:event_type!=error', n, v_domain,
+          |  'range:value<=250',         n, v_range
+          |) AS (constraint_name, checked, violations)""".stripMargin))
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("epoch", "constraint_name")
+  }
+
   /** Snapshot reconciliation over the merge lake: diff the keyed as-of
     * views across consecutive epochs (v0→v1 exercises changed+removed,
     * v1→v2 changed+added — the %21 keys deleted in epoch 1 and
@@ -1288,6 +1328,26 @@ object PipelineQueries {
         |SELECT tenant, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT part) AS BIGINT) AS n_partitions
         |FROM base GROUP BY tenant ORDER BY tenant""".stripMargin,
+    // per-epoch DQ trend: epoch = event_id % 3; 'error' rows violate the
+    // domain rule, values above 250 violate the range rule
+    "pipe_dq_epochs" ->
+      """WITH base AS (
+        |  SELECT CAST(event_id % 3 AS BIGINT) AS epoch, event_type, value
+        |  FROM events WHERE event_id <= 2000),
+        |per AS (
+        |  SELECT epoch, 'domain:event_type!=error' AS constraint_name,
+        |    count(*) AS checked,
+        |    sum(CASE WHEN event_type IN ('click','view','purchase','signup')
+        |        THEN 0 ELSE 1 END) AS violations
+        |  FROM base GROUP BY epoch
+        |  UNION ALL
+        |  SELECT epoch, 'range:value<=250', count(*),
+        |    sum(CASE WHEN value <= 250 THEN 0 ELSE 1 END)
+        |  FROM base GROUP BY epoch)
+        |SELECT epoch, constraint_name, CAST(checked AS BIGINT) AS checked,
+        |  CAST(violations AS BIGINT) AS violations,
+        |  violations = 0 AS pass
+        |FROM per ORDER BY epoch, constraint_name""".stripMargin,
     // the merge fixture's change algebra, replayed as set logic:
     // v0→v1 removes %7 keys and bumps %5-not-%7 by 1000; v1→v2 upserts
     // every %3 key to base+2000 (re-adding the %21 keys deleted at v1)
@@ -1452,6 +1512,7 @@ object PipelineQueries {
     "pipe_time_travel" -> (timeTravel _),
     "pipe_merge_upsert" -> (mergeUpsert _),
     "pipe_snapshot_diff" -> (snapshotDiff _),
+    "pipe_dq_epochs" -> (dqEpochs _),
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
     "pipe_keyed_view" -> (keyedView _),

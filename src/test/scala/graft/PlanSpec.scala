@@ -289,6 +289,33 @@ class PlanSpec extends SparkSpec {
     assert(cart == 0)
   }
 
+  test("aggregate pushdown: min/max/count answered from parquet footers (DSv2)") {
+    val conf = spark.conf
+    val pAgg = conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val pV1 = conf.getOption("spark.sql.sources.useV1SourceList")
+    def restore(key: String, prev: Option[String]): Unit =
+      prev match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .agg(min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          count(lit(1)).as("n_rows"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]"),
+        s"aggregate not pushed to the scan:\n${p.take(1500)}")
+      // footer-stat answers must equal the data-page (v1, no-pushdown) scan
+      val v1 = Tables.load(spark, sf0001, "lineitem")
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")), count(lit(1)))
+        .collect().head
+      assert(df.collect().head.toSeq === v1.toSeq)
+    } finally {
+      restore("spark.sql.parquet.aggregatePushdown", pAgg)
+      restore("spark.sql.sources.useV1SourceList", pV1)
+    }
+  }
+
   test("z-ordered layout: exactly one data exchange (the range repartition)") {
     val li = Tables.load(spark, sf0001, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     val df = graft.operators.ZOrder.zOrdered(li, "l_partkey", "l_suppkey")
