@@ -739,6 +739,47 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** VACUUM gate: build a folded lake, inject every debris class the
+    * crash windows can leave (uncommitted epoch dir, leftover live dir
+    * of a folded epoch, unreferenced fold generation, crashed-publish
+    * tmp files), vacuum with a zero horizon, and prove (a) every debris
+    * path is gone — counted exactly — and (b) the committed view is
+    * byte-identical to a lake that never had debris (the oracle). A
+    * fresh uncommitted epoch under a real horizon is the
+    * concurrent-writer case, covered in `VacuumSpec`. */
+  def vacuumGate(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/vac_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val cols = Seq("event_id", "event_type", "value",
+      "tenant", "year", "month", "day", "hour")
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(events(spark, dir).filter(col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
+      .select(cols.map(col): _*)
+    val T = graft.sources.TransactionalLake
+    (0 until 3).foreach(i => T.commitEpoch(
+      enriched.filter(col("event_id") % 3 === i), root, i.toLong))
+    require(T.foldCommittedEpochs(spark, root, upTo = 1L) == 2)
+    // debris: a crashed commitEpoch (data written, manifest never
+    // published), a crashed fold cleanup (folded epoch's live dir
+    // re-materialized), an unreferenced generation stage, and two
+    // crashed atomic publishes
+    enriched.limit(5).write.parquet(s"$root/data/epoch=99")
+    enriched.limit(5).write.parquet(s"$root/data/epoch=0")
+    enriched.limit(5).write.parquet(s"$root/data_folded/gen=999")
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_manifest/.tmp-7"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/_fold/.tmp-7"), true).close()
+    val removed = T.vacuum(spark, root, olderThanMs = 0L)
+    require(removed == 5, s"vacuum removed $removed paths, expected 5")
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/epoch=99")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/data/epoch=0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/data_folded/gen=999")),
+      "vacuum must remove every injected debris path")
+    T.readCommitted(spark, root).select(cols.map(col): _*).orderBy("event_id")
+  }
+
   /** Per-epoch data-quality TREND over the transactional lake — the
     * continuous-monitoring form of `q_dq_audit`: every committed epoch
     * reports (constraint, checked, violations, pass), so a bad ingest
@@ -1328,6 +1369,15 @@ object PipelineQueries {
         |SELECT tenant, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT part) AS BIGINT) AS n_partitions
         |FROM base GROUP BY tenant ORDER BY tenant""".stripMargin,
+    // post-vacuum committed view ≡ a lake that never had debris: all
+    // three epochs of the enriched feed
+    "pipe_vacuum" ->
+      """SELECT event_id, event_type, value,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  strftime(ts, '%Y') AS year, strftime(ts, '%m') AS month,
+        |  strftime(ts, '%d') AS day, strftime(ts, '%H') AS hour
+        |FROM events WHERE event_id <= 2000
+        |ORDER BY event_id""".stripMargin,
     // per-epoch DQ trend: epoch = event_id % 3; 'error' rows violate the
     // domain rule, values above 250 violate the range rule
     "pipe_dq_epochs" ->
@@ -1513,6 +1563,7 @@ object PipelineQueries {
     "pipe_merge_upsert" -> (mergeUpsert _),
     "pipe_snapshot_diff" -> (snapshotDiff _),
     "pipe_dq_epochs" -> (dqEpochs _),
+    "pipe_vacuum" -> (vacuumGate _),
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
     "pipe_keyed_view" -> (keyedView _),

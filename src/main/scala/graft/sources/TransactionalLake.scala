@@ -281,6 +281,84 @@ object TransactionalLake {
     * single-writer maintenance — never run concurrently with a fold of
     * the same root. Returns the number of epoch/generation subtrees
     * removed. */
+  /** VACUUM: reclaim debris the crash-tolerant protocols deliberately
+    * leave behind (every crash window above says "cleanup later is
+    * harmless" — this is that cleanup, safe to run at any maintenance
+    * cadence):
+    *
+    *  1. UNCOMMITTED live epoch dirs (no manifest entry, no `_folded`
+    *     marker) older than `olderThanMs` — a crashed [[commitEpoch]]'s
+    *     data write. The age horizon is the safety rule (same as Delta
+    *     VACUUM's retention): a concurrent writer's epoch dir exists
+    *     before its manifest entry does, so only aged dirs are debris.
+    *  2. Leftover LIVE dirs + manifest entries of epochs the published
+    *     fold view already superseded — a fold/compaction that crashed
+    *     in its cleanup step. No horizon needed: the view file is
+    *     published, so readers already exclude these ids.
+    *  3. UNREFERENCED `data_folded/gen=` dirs older than the horizon —
+    *     a fold that crashed before publishing its view (its stage is
+    *     recomputed under the same id next attempt; an *aged* stage
+    *     means no retry is in flight), or an absorbed generation whose
+    *     delete crashed.
+    *  4. Aged `.tmp-*` files under `_manifest`/`_fold` (crashed atomic
+    *     publishes) and superseded `_fold/gen-*` pointer files.
+    *
+    * `_folded` replay markers are NEVER removed — they are what keeps a
+    * replayed epoch a no-op forever, and they cost one empty file each.
+    * Committed state is untouched by construction: every rule requires
+    * either "not reachable from the manifest/view" or "superseded by
+    * the published view". Single-writer maintenance op, like fold.
+    * Returns the number of paths removed. */
+  def vacuum(spark: SparkSession, root: String,
+             olderThanMs: Long = 86400000L): Int = {
+    val f = fs(spark, root)
+    val now = System.currentTimeMillis()
+    var removed = 0
+    def rm(p: Path, recursive: Boolean): Unit =
+      if (f.exists(p) && f.delete(p, recursive)) removed += 1
+    def aged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      now - st.getModificationTime >= olderThanMs
+    val view = foldView(spark, root)
+    val folded = view.map(_._2.flatMap(_._2)).getOrElse(Seq.empty).toSet
+    val liveGens = view.map(_._2.map(_._1)).getOrElse(Seq.empty).toSet
+    val dataDir = new Path(s"$root/data")
+    if (f.exists(dataDir)) f.listStatus(dataDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("epoch=")) {
+        val e = name.stripPrefix("epoch=").toLong
+        if (folded(e)) rm(st.getPath, recursive = true) // rule 2
+        else if (!isCommitted(spark, root, e) && aged(st))
+          rm(st.getPath, recursive = true) // rule 1
+      }
+    }
+    folded.foreach { e => // rule 2: manifest entries of folded epochs
+      rm(new Path(s"${manifestDir(root)}/$e"), recursive = false)
+    }
+    val genRoot = new Path(s"$root/data_folded")
+    if (f.exists(genRoot)) f.listStatus(genRoot).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("gen=") &&
+        !liveGens(name.stripPrefix("gen=").toLong) && aged(st))
+        rm(st.getPath, recursive = true) // rule 3
+    }
+    Seq(manifestDir(root), foldPointerDir(root)).foreach { d =>
+      val p = new Path(d)
+      if (f.exists(p)) f.listStatus(p).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp-") && aged(st))
+          rm(st.getPath, recursive = false) // rule 4
+      }
+    }
+    view.foreach { case (v, _) => // rule 4: superseded pointer files
+      val p = new Path(foldPointerDir(root))
+      if (f.exists(p)) f.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen-") && n.stripPrefix("gen-").toLong < v)
+          rm(st.getPath, recursive = false)
+      }
+    }
+    removed
+  }
+
   def purgeTenant(spark: SparkSession, root: String, tenant: String): Int = {
     val f = fs(spark, root)
     var removed = 0
