@@ -1263,6 +1263,22 @@ object Analytics {
           org.apache.spark.sql.types.LongType))))
   }
 
+  /** SALTED two-phase aggregation gated against the plain group-by: the
+    * skew playbook made checkable. events.event_type has 5 values over
+    * ~100k rows — the worst-case hot-key shape — so the direct groupBy
+    * sends each key's entire mass to one reducer; the salted form
+    * partial-aggregates per (key, content-salt) first, then merges
+    * |keys × saltN| rows. Decimal sums re-merge exactly, so the result
+    * is bit-equal to the direct aggregate (that equality IS this gate).
+    * The salt is a content hash — retry-stable, unlike rand()
+    * (SPARK-23207). */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSumCount(
+      t(spark, dir, "events"), "event_type", dec(col("value")))
+      .select(col("event_type"),
+        col("sum_value").cast("double").as("sum_value"), col("cnt"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("Analytics.queries", Seq(
     "q_outer_join" -> (outerJoin _),
@@ -1326,10 +1342,16 @@ object Analytics {
     "q_dq_audit" -> (dqAudit _),
     "q_scd2_intervals" -> (scd2Intervals _),
     "q_scan_agg_pushdown" -> (scanAggPushdown _),
+    "q_salted_agg" -> (saltedAgg _),
     "q_federated_join" -> (federatedJoin _)))
 
   val oracles: Map[String, String] =
     Entries.toMapUnique("Analytics.oracles", Seq(
+    "q_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_scan_agg_pushdown" ->
       """SELECT CAST(min(l_orderkey) AS BIGINT) AS min_okey,
         |  CAST(max(l_orderkey) AS BIGINT) AS max_okey,

@@ -739,6 +739,38 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** SCHEMA EVOLUTION gate (SURVEY §3.2's crawler contract, end-to-end):
+    * a later writer lands files with a NEW column, the incremental
+    * re-crawl surfaces it on the SAME catalog table, pre-evolution files
+    * read NULL for it, and both generations flow through one query.
+    * Deterministic evolution: even event_ids get `quality` derived from
+    * `value`, odd ids predate the column — the oracle expresses exactly
+    * that NULL pattern, so a crawler that dropped either generation (or
+    * failed to merge schemas) hash-mismatches. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/sevo_$tag"
+    val tbl = s"sevo_tbl_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val enriched = Ingest.derivePartitions(
+      Ingest.enrich(events(spark, dir).filter(col("event_id") <= 2000),
+        tenantCol, unix_timestamp(col("ts"))))
+      .select(col("event_id"), col("event_type"), col("value"), col("tenant"),
+        col("year"), col("month"), col("day"), col("hour"))
+    graft.sources.Lake.writeValid(enriched.filter(col("event_id") % 2 === 1), root)
+    graft.sources.Maintenance.refreshOnce(spark, tbl, s"$root/data")
+    graft.sources.Lake.writeValid(
+      enriched.filter(col("event_id") % 2 === 0)
+        .withColumn("quality", when(col("value") > 100.0, "hi").otherwise("lo")),
+      root)
+    graft.sources.Maintenance.refreshOnce(spark, tbl, s"$root/data")
+    spark.table(tbl)
+      .select("event_id", "event_type", "value", "tenant", "quality")
+      .orderBy("event_id")
+  }
+
   /** VACUUM gate: build a folded lake, inject every debris class the
     * crash windows can leave (uncommitted epoch dir, leftover live dir
     * of a folded epoch, unreferenced fold generation, crashed-publish
@@ -1369,6 +1401,16 @@ object PipelineQueries {
         |SELECT tenant, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT part) AS BIGINT) AS n_partitions
         |FROM base GROUP BY tenant ORDER BY tenant""".stripMargin,
+    // evolved table: odd ids predate the quality column (NULL), even ids
+    // carry the derived value — both generations through one crawl
+    "pipe_schema_evolution" ->
+      """SELECT event_id, event_type, value,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tenant,
+        |  CASE WHEN event_id % 2 = 0 THEN
+        |    (CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END)
+        |  END AS quality
+        |FROM events WHERE event_id <= 2000
+        |ORDER BY event_id""".stripMargin,
     // post-vacuum committed view ≡ a lake that never had debris: all
     // three epochs of the enriched feed
     "pipe_vacuum" ->
@@ -1564,6 +1606,7 @@ object PipelineQueries {
     "pipe_snapshot_diff" -> (snapshotDiff _),
     "pipe_dq_epochs" -> (dqEpochs _),
     "pipe_vacuum" -> (vacuumGate _),
+    "pipe_schema_evolution" -> (schemaEvolution _),
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
     "pipe_keyed_view" -> (keyedView _),
