@@ -739,6 +739,49 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** DEAD-LETTER REPLAY gate — the repair loop that closes S6: the wire
+    * batch carries both failure classes (every 5th envelope missing the
+    * required `device` field → validation-error; every other 7th not
+    * JSON at all → parse-error), the one-pass split quarantines them,
+    * and the REPAIRABLE class is replayed: the quarantined raw is
+    * re-parsed, the missing field injected from the repair policy, and
+    * the result pushed through the SAME validator (no bypass — repaired
+    * records earn their way back). Parse-errors stay quarantined. The
+    * repair must clear its whole class (fail-loud probe, one cheap
+    * job); the oracle pins the exact union of first-pass and replayed
+    * rows. Everything is scan-speed expressions — two passes over a
+    * quarantine that is O(errors), never O(stream). */
+  def errorReplay(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id").cast("string")
+    val mkValid = concat(lit("""{"Data":{"event":"e"""), id,
+      lit("""","region":"US","device":"d"""),
+      (col("event_id") % 4).cast("string"), lit(""""}}"""))
+    val mkNoDevice = concat(lit("""{"Data":{"event":"e"""), id,
+      lit("""","region":"US"}}"""))
+    val raw = events(spark, dir).filter(col("event_id") <= 3000)
+      .select(col("event_id"),
+        when(col("event_id") % 5 === 0, mkNoDevice)
+          .when(col("event_id") % 7 === 0, lit("not-json"))
+          .otherwise(mkValid).as("raw"))
+    val (valid, errors) = Ingest.validateAndSplit(raw, "raw")
+    val repairedRaw = errors
+      .filter(col(Ingest.ErrorTypeCol) === "validation-error")
+      .withColumn("__env", Ingest.parse(col("raw")))
+      .select(concat(lit("""{"Data":{"event":""""),
+        col("__env.Data.event"),
+        lit("""","region":""""), col("__env.Data.region"),
+        lit("""","device":"fixed-by-replay"}}""")).as("raw"))
+    val (replayed, unrepaired) = Ingest.validateAndSplit(repairedRaw, "raw")
+    require(unrepaired.limit(1).count() == 0L,
+      "replay must clear the validation-error class — the repair policy " +
+        "produced a record the validator still rejects")
+    valid.select(col("event"), col("region"), col("device"))
+      .withColumn("repaired", lit(false))
+      .unionByName(replayed.select(col("event"), col("region"), col("device"))
+        .withColumn("repaired", lit(true)))
+      .orderBy("event")
+  }
+
   /** SCHEMA EVOLUTION gate (SURVEY §3.2's crawler contract, end-to-end):
     * a later writer lands files with a NEW column, the incremental
     * re-crawl surfaces it on the SAME catalog table, pre-evolution files
@@ -1401,6 +1444,18 @@ object PipelineQueries {
         |SELECT tenant, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT part) AS BIGINT) AS n_partitions
         |FROM base GROUP BY tenant ORDER BY tenant""".stripMargin,
+    // first-pass valid rows (neither %5 nor %7) plus the replayed
+    // validation-error class (%5, device injected by the repair policy);
+    // parse-errors (%7 and not %5) stay quarantined
+    "pipe_error_replay" ->
+      """SELECT 'e' || CAST(event_id AS VARCHAR) AS event,
+        |  'US' AS region,
+        |  CASE WHEN event_id % 5 = 0 THEN 'fixed-by-replay'
+        |       ELSE 'd' || CAST(event_id % 4 AS VARCHAR) END AS device,
+        |  event_id % 5 = 0 AS repaired
+        |FROM events
+        |WHERE event_id <= 3000 AND (event_id % 5 = 0 OR event_id % 7 <> 0)
+        |ORDER BY event""".stripMargin,
     // evolved table: odd ids predate the quality column (NULL), even ids
     // carry the derived value — both generations through one crawl
     "pipe_schema_evolution" ->
@@ -1607,6 +1662,7 @@ object PipelineQueries {
     "pipe_dq_epochs" -> (dqEpochs _),
     "pipe_vacuum" -> (vacuumGate _),
     "pipe_schema_evolution" -> (schemaEvolution _),
+    "pipe_error_replay" -> (errorReplay _),
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
     "pipe_keyed_view" -> (keyedView _),
