@@ -11,6 +11,62 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** TRIANGLE COUNT + local clustering coefficient per node over an
+    * edge list (directions ignored) — the graph-cohesion signal: in a
+    * near-dup similarity graph, high clustering marks tight duplicate
+    * communities, low clustering marks hub/template artifacts.
+    *
+    * DEGREE-ORDERED ORIENTATION (the MapReduce-classic hub killer):
+    * each undirected edge is oriented from its lower-(degree, id)
+    * endpoint to the higher one, so every triangle is generated exactly
+    * once — as a wedge at its LOWEST-ordered vertex — and the wedge
+    * join's per-node fanout is bounded by the ORIENTED out-degree
+    * (O(√m) worst case), giving the O(m^1.5) total bound instead of the
+    * O(Σ deg²) a naive wedge join pays on a hub. At 100 TB-graph scale
+    * this is the difference between the hot key exploding and not
+    * existing. Composite (degree, id) ordering is encoded as one
+    * overflow-safe BIGINT (degree·10¹² + id) so the tiebreak is a plain
+    * integer compare in any engine. Four shuffles total: symmetrize
+    * +distinct, degree count, wedge self-join on the pivot, closure
+    * equi-join. Pure integer arithmetic until the final coefficient
+    * (rounded to 6 dp). */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val dg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    def key(d: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+      d * lit(1000000000000L) + id
+    val o = und
+      .join(dg.select(col("id").as("u"), col("degree").as("du")), "u")
+      .join(dg.select(col("id").as("v"), col("degree").as("dv")), "v")
+      .select(
+        when(key(col("du"), col("u")) < key(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(key(col("du"), col("u")) < key(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("hi"))
+    val ohi = o.join(dg.select(col("id").as("hi"), col("degree").as("hdeg")), "hi")
+      .withColumn("hkey", key(col("hdeg"), col("hi")))
+      .select("lo", "hi", "hkey")
+    val tri = ohi.as("a")
+      .join(ohi.as("b"),
+        col("a.lo") === col("b.lo") && col("a.hkey") < col("b.hkey"))
+      .join(o.as("c"),
+        col("c.lo") === col("a.hi") && col("c.hi") === col("b.hi"))
+      .select(col("a.lo").as("x"), col("a.hi").as("y"), col("b.hi").as("z"))
+    val tc = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri_count"))
+    dg.join(tc, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"),
+        when(col("degree") > 1,
+          round(lit(2.0) * coalesce(col("tri_count"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1.0))), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   /** Distributed PageRank over an edge list — the classic iterative
     * join-aggregate: per round, every edge ships `rank(src)/outDeg(src)`
     * to its destination, destinations sum, and teleport mass tops up.

@@ -805,6 +805,18 @@ object Extensions {
   /** Label-propagation communities over the k-NN graph — 4 synchronous
     * rounds, integer arithmetic throughout; the oracle unrolls the
     * rounds with the identical (max count, min label) tie-break. */
+  /** Triangle count + clustering coefficient over the k-NN similarity
+    * graph — [[graft.operators.Graph.triangles]]' degree-ordered wedge
+    * join on the gated `sim_knn_graph` edge set. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
+      k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id"))
+    graft.operators.Graph.triangles(edges, "vec_id", "neighbor_id")
+      .select(col("id").as("vec_id"), col("degree"), col("tri_count"),
+        col("clustering"))
+      .orderBy("vec_id")
+  }
+
   def graphLpa(s: SparkSession, d: String): DataFrame = {
     val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
       k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id"))
@@ -1292,6 +1304,7 @@ object Extensions {
     "sample_importance" -> (sampleImportance _),
     "sample_split_canonical" -> (sampleSplitCanonical _),
     "graph_lpa" -> (graphLpa _),
+    "graph_triangles" -> (graphTriangles _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -2216,6 +2229,45 @@ object Extensions {
         |FROM canon c JOIN rb USING (canonical_id)
         |ORDER BY c.doc_id""".stripMargin),
     "graph_lpa" -> lpaSql,
+    // degree-ordered orientation replayed literally: the composite
+    // (degree, id) order is one BIGINT key, wedges at the lowest-ordered
+    // vertex, closure on the oriented edge set
+    "graph_triangles" -> (knnEdgesCte +
+      """, und AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM eg WHERE src <> dst
+        |), dgr AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+        |  GROUP BY id
+        |), o AS (
+        |  SELECT CASE WHEN du.degree * 1000000000000 + u
+        |                 < dv.degree * 1000000000000 + v
+        |              THEN u ELSE v END AS lo,
+        |         CASE WHEN du.degree * 1000000000000 + u
+        |                 < dv.degree * 1000000000000 + v
+        |              THEN v ELSE u END AS hi
+        |  FROM und JOIN dgr du ON du.id = u JOIN dgr dv ON dv.id = v
+        |), ohi AS (
+        |  SELECT o.lo, o.hi, d.degree * 1000000000000 + o.hi AS hkey
+        |  FROM o JOIN dgr d ON d.id = o.hi
+        |), tri AS (
+        |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+        |  FROM ohi a JOIN ohi b ON a.lo = b.lo AND a.hkey < b.hkey
+        |  JOIN o c ON c.lo = a.hi AND c.hi = b.hi
+        |), tcnt AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS tri_count FROM (
+        |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY id)
+        |SELECT dgr.id AS vec_id, dgr.degree,
+        |  CAST(coalesce(tri_count, 0) AS BIGINT) AS tri_count,
+        |  CASE WHEN dgr.degree > 1 THEN
+        |    round(2.0 * coalesce(tri_count, 0)
+        |      / (dgr.degree * (dgr.degree - 1.0)), 6)
+        |  ELSE 0.0 END AS clustering
+        |FROM dgr LEFT JOIN tcnt ON tcnt.id = dgr.id
+        |ORDER BY vec_id""".stripMargin),
     "sample_split" ->
       """WITH f AS (
         |  SELECT doc_id,

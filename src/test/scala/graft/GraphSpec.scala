@@ -132,4 +132,23 @@ class GraphSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
+
+  test("triangles: K4-minus-an-edge counts and coefficients, direction-blind") {
+    // K4 on {1,2,3,4} without edge (1,4): triangles {1,2,3} and {2,3,4}.
+    // Edges deliberately mixed-direction + a duplicate reverse edge.
+    val e = edges(1L -> 2L, 3L -> 1L, 2L -> 3L, 3L -> 2L, 2L -> 4L, 4L -> 3L)
+    val t = Graph.triangles(e, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(t(1L) === ((2L, 1L, 1.0)))  // deg 2, one triangle, coeff 1
+    assert(t(4L) === ((2L, 1L, 1.0)))
+    assert(t(2L) === ((3L, 2L, 0.666667)))  // deg 3, two triangles, 4/6 @6dp
+    assert(t(3L) === ((3L, 2L, 0.666667)))
+  }
+
+  test("triangles: triangle-free star has zero triangles everywhere") {
+    val t = Graph.triangles(edges(1L -> 2L, 1L -> 3L, 1L -> 4L), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
 }
