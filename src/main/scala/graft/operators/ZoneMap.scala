@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FILE-LEVEL ZONE MAPS: a per-file (min, max, count) statistics index
+  * over a sort/range-clustered parquet layout, and range reads that
+  * prune at the FILE-LISTING level against it — the data-skipping layer
+  * between partition pruning (directory-level, [[graft.sources.Lake]])
+  * and parquet row-group stats (intra-file, only consulted after the
+  * file is opened). Delta/Iceberg keep exactly this index in their
+  * metadata layer; here it is an explicit, queryable artifact.
+  *
+  * Effectiveness is a LAYOUT property: after
+  * `repartitionByRange(sortCol)` (or [[ZOrder.zOrdered]] for
+  * multi-column), file ranges are near-disjoint and a selective range
+  * predicate prunes to O(matching files). On a hash-scattered layout
+  * every file straddles the predicate and nothing prunes — the index is
+  * honest about that (it just returns every file).
+  *
+  * Scale shape: stats build is ONE scan with a per-file map-side
+  * aggregate (|files| output rows, no wide shuffle); the index is
+  * metadata-scale (rows = files), so the planning read + driver file
+  * list is in the same audited class as the IVF probed-cell collect —
+  * bounded by the file count of one table, never by rows. */
+object ZoneMap {
+
+  /** One (file, min_v, max_v, n) row per parquet file under `path`.
+    * Persist next to the table and refresh per ingest batch (append-only
+    * layouts only ever ADD rows here — a new file's stats row is
+    * computed from that file alone). */
+  def buildStats(spark: SparkSession, path: String, statCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
+        count(lit(1)).as("n"))
+
+  /** Range read `lo <= statCol <= hi` planned against the stats index:
+    * only files whose [min, max] envelope intersects the range are
+    * LISTED, then the exact predicate re-filters inside them (zone maps
+    * prune envelopes, they never answer predicates). Returns the
+    * surviving file count alongside so callers can assert/monitor the
+    * skipping rate (`requirePruned` fails loud if the layout gave no
+    * pruning — the misconfiguration this index exists to surface). */
+  def prunedRangeRead(spark: SparkSession, stats: DataFrame, statCol: String,
+                      lo: Long, hi: Long,
+                      requirePruned: Boolean = false): DataFrame = {
+    val all = stats.select(col("file"), col("min_v"), col("max_v")).collect()
+    val keep = all.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0))
+    if (requirePruned)
+      require(keep.length < all.length,
+        s"zone-map pruning eliminated nothing (${all.length} files all " +
+          "intersect the range) — the layout is not range-clustered on " +
+          s"'$statCol'; repartitionByRange/zOrder the table first")
+    if (keep.isEmpty) {
+      val schema = spark.read.parquet(all.head.getString(0)).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    } else
+      spark.read.parquet(keep.toSeq: _*)
+        .filter(col(statCol).between(lo, hi))
+  }
+}

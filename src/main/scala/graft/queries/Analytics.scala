@@ -1279,6 +1279,34 @@ object Analytics {
         col("sum_value").cast("double").as("sum_value"), col("cnt"))
       .orderBy("event_type")
 
+  /** ZONE-MAP data skipping gated end-to-end: lineitem rewritten
+    * range-clustered on l_orderkey (8 near-disjoint file ranges), the
+    * per-file (min, max) index built in one map-side-aggregated scan,
+    * and a selective range query planned against it — files whose
+    * envelope misses the range are never LISTED (the layer between
+    * directory-level partition pruning and intra-file row-group stats).
+    * `requirePruned = true` makes the skipping itself part of the gate:
+    * a hash-scattered layout (no pruning possible) fails loud instead
+    * of silently scanning everything. The oracle is the plain filtered
+    * aggregate — zone maps must never change answers, only I/O. */
+  def zoneMapScan(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/zmap_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(root)
+    val stats = graft.operators.ZoneMap.buildStats(spark, root, "l_orderkey")
+    graft.operators.ZoneMap.prunedRangeRead(spark, stats, "l_orderkey",
+      lo = 100L, hi = 500L, requirePruned = true)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("l_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("Analytics.queries", Seq(
     "q_outer_join" -> (outerJoin _),
@@ -1343,10 +1371,16 @@ object Analytics {
     "q_scd2_intervals" -> (scd2Intervals _),
     "q_scan_agg_pushdown" -> (scanAggPushdown _),
     "q_salted_agg" -> (saltedAgg _),
+    "q_zonemap_scan" -> (zoneMapScan _),
     "q_federated_join" -> (federatedJoin _)))
 
   val oracles: Map[String, String] =
     Entries.toMapUnique("Analytics.oracles", Seq(
+    "q_zonemap_scan" ->
+      """SELECT l_orderkey, count(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.ZoneMap
+import org.apache.spark.sql.functions._
+
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeRanged(root: String): Unit =
+    (1L to 1000L).toDF("k").withColumn("v", col("k") * 2)
+      .repartitionByRange(8, col("k"))
+      .write.mode("overwrite").parquet(root)
+
+  test("range-clustered layout: selective range prunes files, answers match") {
+    val root = tmpDir("zm_ranged")
+    writeRanged(root)
+    val stats = ZoneMap.buildStats(spark, root, "k")
+    assert(stats.count() === 8)
+    val got = ZoneMap.prunedRangeRead(spark, stats, "k", 10L, 60L,
+      requirePruned = true)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === (10L to 60L).map(k => (k, k * 2)))
+  }
+
+  test("empty range returns an empty frame with the table schema") {
+    val root = tmpDir("zm_empty")
+    writeRanged(root)
+    val stats = ZoneMap.buildStats(spark, root, "k")
+    val out = ZoneMap.prunedRangeRead(spark, stats, "k", 5000L, 6000L)
+    assert(out.columns.toSeq === Seq("k", "v"))
+    assert(out.count() === 0L)
+  }
+
+  test("hash-scattered layout fails loud under requirePruned") {
+    val root = tmpDir("zm_hash")
+    (1L to 1000L).toDF("k").repartition(8, col("k"))
+      .write.mode("overwrite").parquet(root)
+    val stats = ZoneMap.buildStats(spark, root, "k")
+    intercept[IllegalArgumentException] {
+      ZoneMap.prunedRangeRead(spark, stats, "k", 10L, 60L, requirePruned = true)
+        .count()
+    }
+    // without the guard it still answers correctly (every file scanned)
+    assert(ZoneMap.prunedRangeRead(spark, stats, "k", 10L, 60L).count() === 51L)
+  }
+}
