@@ -805,6 +805,41 @@ object Extensions {
   /** Label-propagation communities over the k-NN graph — 4 synchronous
     * rounds, integer arithmetic throughout; the oracle unrolls the
     * rounds with the identical (max count, min label) tie-break. */
+  /** BLOCKING-QUALITY REPORT over the MinHash banding — the metadata a
+    * curation team actually reviews before trusting a dedup run:
+    * reduction ratio (how much of the O(n²) pair space the blocking
+    * never generated) and pair precision (what fraction of generated
+    * candidates verified). One row. The candidate pairs are split-phase
+    * persisted (the hash-dependent half); verified pairs are the gated
+    * `dedup_minhash` semantics (exact-Jaccard verification, banding
+    * recall certified by that gate's equality with the exact operator);
+    * all counts assemble as broadcast-scalar crossJoins — the report
+    * itself is metadata-scale. */
+  def dedupBlockingReport(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val idx = Dedup.minhashBandIndex(dd, "doc_id", "text")
+    val cands = idx.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(idx.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val path = s"${splitDir(d)}/blocking_cands"
+    cands.coalesce(1).write.mode("overwrite").parquet(path)
+    val nAgg = dd.agg(count(lit(1)).as("n_docs"))
+    val cAgg = s.read.parquet(path).agg(count(lit(1)).as("candidate_pairs"))
+    val vAgg = Dedup.minhashNearDupPairs(dd, "doc_id", "text")
+      .agg(count(lit(1)).as("verified_pairs"))
+    nAgg.crossJoin(cAgg).crossJoin(vAgg)
+      .withColumn("total_pairs",
+        (col("n_docs") * (col("n_docs") - lit(1L)) / lit(2)).cast("long"))
+      .withColumn("reduction_ratio",
+        round(lit(1.0) - col("candidate_pairs") / col("total_pairs"), 6))
+      .withColumn("pair_precision",
+        round(col("verified_pairs").cast("double") / col("candidate_pairs"), 6))
+      .select("n_docs", "total_pairs", "candidate_pairs", "verified_pairs",
+        "reduction_ratio", "pair_precision")
+  }
+
   /** Triangle count + clustering coefficient over the k-NN similarity
     * graph — [[graft.operators.Graph.triangles]]' degree-ordered wedge
     * join on the gated `sim_knn_graph` edge set. */
@@ -1305,6 +1340,7 @@ object Extensions {
     "sample_split_canonical" -> (sampleSplitCanonical _),
     "graph_lpa" -> (graphLpa _),
     "graph_triangles" -> (graphTriangles _),
+    "dedup_blocking_report" -> (dedupBlockingReport _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -2229,6 +2265,32 @@ object Extensions {
         |FROM canon c JOIN rb USING (canonical_id)
         |ORDER BY c.doc_id""".stripMargin),
     "graph_lpa" -> lpaSql,
+    // candidates from the split-phase artifact (the hash half); verified
+    // = the exact-Jaccard pair set the dedup_minhash gate certifies the
+    // banding recovers completely at these parameters
+    "dedup_blocking_report" -> (shingleCte +
+      s"""
+         |, vp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS verified_pairs FROM (
+         |    SELECT a.doc_id
+         |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |      AND CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+         |          CAST(len(a.sh) + len(b.sh)
+         |            - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |          >= 0.8)),
+         |cd AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS candidate_pairs
+         |  FROM read_parquet('$oracleSplitDir/blocking_cands/*.parquet')),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |tp AS (SELECT n_docs,
+         |  CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS total_pairs FROM nd)
+         |SELECT n_docs, total_pairs, candidate_pairs, verified_pairs,
+         |  round(1.0 - candidate_pairs / CAST(total_pairs AS DOUBLE), 6)
+         |    AS reduction_ratio,
+         |  round(CAST(verified_pairs AS DOUBLE) / candidate_pairs, 6)
+         |    AS pair_precision
+         |FROM tp, cd, vp""".stripMargin),
     // degree-ordered orientation replayed literally: the composite
     // (degree, id) order is one BIGINT key, wedges at the lowest-ordered
     // vertex, closure on the oriented edge set
