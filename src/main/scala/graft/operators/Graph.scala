@@ -227,6 +227,54 @@ object Graph {
     out
   }
 
+  /** K-CORE: the maximal subgraph where every node keeps degree ≥ k
+    * (directions ignored) — the density filter of the graph-analytics
+    * suite: in a similarity graph the k-core isolates genuinely dense
+    * duplicate/topic communities that survive after peeling hub-touched
+    * fringe. Synchronous peeling: each round drops every node whose
+    * CURRENT degree is < k, then removes edges touching dropped nodes;
+    * monotone, so once a round removes nothing the core is final.
+    * Per round: one degree aggregate + one semi-join on each endpoint —
+    * O(E) shuffle per round, O(peeling depth) rounds (≤ max degree, in
+    * practice a handful); lineage truncated per round, zero residual
+    * blocks (the [[pageRank]] hygiene contract). FAIL-LOUD if the core
+    * is not stable within `maxRounds` — a truncated peel would silently
+    * over-report the core. Returns (id, core_degree) for core members. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    var e = Blocks.copyOut(und, singleEval = true)
+    var nEdges = e.count()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val alive = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("id")
+      val kept = e
+        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst")
+      val next = Blocks.copyOut(kept, singleEval = true)
+      val nNext = next.count()
+      Blocks.release(e)
+      e = next
+      stable = nNext == nEdges
+      nEdges = nNext
+      rounds += 1
+    }
+    require(stable,
+      s"kCore(k=$k): peel not stable after $maxRounds rounds — raise " +
+        "maxRounds; truncating would over-report the core")
+    val out = Blocks.copyOut(
+      e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree")))
+    Blocks.release(e)
+    out
+  }
+
   /** DETERMINISTIC RANDOM WALKS over a ranked edge list (e.g. the k-NN
     * graph, whose edges carry `rank` 1..k) — the positive-pair sampler
     * of graph-based embedding training (DeepWalk/node2vec shape). Each

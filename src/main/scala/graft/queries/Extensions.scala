@@ -852,6 +852,20 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** 2-core of the exact-Jaccard near-dup graph — the density filter
+    * that separates CYCLIC duplicate structure (template families,
+    * mutual-copy rings) from mere pairwise matches: isolated pairs and
+    * pendant chains peel away, cliques/cycles survive
+    * ([[graft.operators.Graph.kCore]]). Converges-or-fails, so the
+    * fixed-depth oracle's extra rounds are provably no-ops. */
+  def graphKcore(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+      k = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
+    graft.operators.Graph.kCore(edges, "id_a", "id_b", k = 2)
+      .select(col("id").as("doc_id"), col("core_degree"))
+      .orderBy("doc_id")
+  }
+
   def graphLpa(s: SparkSession, d: String): DataFrame = {
     val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
       k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id"))
@@ -1341,6 +1355,7 @@ object Extensions {
     "graph_lpa" -> (graphLpa _),
     "graph_triangles" -> (graphTriangles _),
     "dedup_blocking_report" -> (dedupBlockingReport _),
+    "graph_kcore" -> (graphKcore _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1438,6 +1453,47 @@ object Extensions {
         |    END AS sh
         |  FROM w
         |)""".stripMargin
+
+  /** k-core oracle: symmetrized distinct edges, then `rounds` unrolled
+    * synchronous peels (drop nodes with degree < k, drop their edges).
+    * The Spark operator converges-or-fails, and peeling is monotone, so
+    * any fixed depth ≥ the convergence depth replays it exactly — the
+    * extra rounds are no-ops. Pure integer arithmetic. */
+  private def kcoreSql: String = {
+    val k = 2; val rounds = 8
+    // MATERIALIZED: each round references the previous one three times
+    // (direct + both alive-joins); inlined CTEs would expand 3^rounds
+    // copies of the base scan
+    val base = shingleCte +
+      """, jp AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |      CAST(len(a.sh) + len(b.sh)
+        |           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |  WHERE jaccard >= 0.8
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT id_a AS src, id_b AS dst FROM jp
+        |    UNION ALL SELECT id_b AS src, id_a AS dst FROM jp)
+        |  WHERE src <> dst
+        |), e0 AS MATERIALIZED (SELECT src, dst FROM und)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s""",
+         |a$i AS MATERIALIZED (
+         |  SELECT src AS id FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN a$i x ON e.src = x.id
+         |  JOIN a$i y ON e.dst = y.id)""".stripMargin
+    }.mkString
+    base + peels +
+      s"""
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM e$rounds GROUP BY src ORDER BY doc_id""".stripMargin
+  }
 
   private val ngramJaccardSql: String =
     shingleCte +
@@ -2265,6 +2321,7 @@ object Extensions {
         |FROM canon c JOIN rb USING (canonical_id)
         |ORDER BY c.doc_id""".stripMargin),
     "graph_lpa" -> lpaSql,
+    "graph_kcore" -> kcoreSql,
     // candidates from the split-phase artifact (the hash half); verified
     // = the exact-Jaccard pair set the dedup_minhash gate certifies the
     // banding recovers completely at these parameters

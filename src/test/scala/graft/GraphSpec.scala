@@ -146,6 +146,28 @@ class GraphSpec extends SparkSpec {
     assert(t(3L) === ((3L, 2L, 0.666667)))
   }
 
+  test("kCore: pendant chain peels away, the cycle survives with core degrees") {
+    // triangle {1,2,3} with a pendant chain 3-4-5: the chain peels in
+    // two cascading rounds, the triangle is the 2-core
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 5L)
+    val core = Graph.kCore(e, "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("kCore: empty core and fail-loud on insufficient rounds") {
+    // pure chain: 2-core is empty (converges to zero edges)
+    assert(Graph.kCore(edges(1L -> 2L, 2L -> 3L, 3L -> 4L), "src", "dst",
+      k = 2).count() === 0L)
+    // a 6-chain needs 3 cascading rounds; maxRounds = 1 must refuse
+    intercept[IllegalArgumentException] {
+      Graph.kCore(edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L),
+        "src", "dst", k = 2, maxRounds = 1).count()
+    }
+  }
+
   test("triangles: triangle-free star has zero triangles everywhere") {
     val t = Graph.triangles(edges(1L -> 2L, 1L -> 3L, 1L -> 4L), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
