@@ -1307,6 +1307,25 @@ object Analytics {
       .orderBy("l_orderkey")
   }
 
+  /** K-ANONYMITY RISK REPORT — the re-identification audit run before
+    * releasing a "de-identified" extract (complements the masked-view
+    * RLS/pseudonymization surface): rows are grouped by their
+    * quasi-identifier tuple (event type, day, 50-unit value band) and
+    * every equivalence class smaller than k=5 is flagged — those rows
+    * are linkable even with direct identifiers removed. One grouped
+    * conditional aggregate (map-side combined to |classes| rows); at
+    * 100 TB the class count is bounded by the QI domain, not the row
+    * count. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (floor(col("value") / 50.0) * 50).cast("long").as("value_band"))
+      .groupBy("event_type", "day", "value_band")
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < 5)
+      .orderBy("event_type", "day", "value_band")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("Analytics.queries", Seq(
     "q_outer_join" -> (outerJoin _),
@@ -1372,10 +1391,18 @@ object Analytics {
     "q_scan_agg_pushdown" -> (scanAggPushdown _),
     "q_salted_agg" -> (saltedAgg _),
     "q_zonemap_scan" -> (zoneMapScan _),
+    "q_kanonymity" -> (kAnonymity _),
     "q_federated_join" -> (federatedJoin _)))
 
   val oracles: Map[String, String] =
     Entries.toMapUnique("Analytics.oracles", Seq(
+    "q_kanonymity" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(floor(value / 50) * 50 AS BIGINT) AS value_band,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  count(*) < 5 AS at_risk
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY event_type, day, value_band""".stripMargin,
     "q_zonemap_scan" ->
       """SELECT l_orderkey, count(*) AS n_lines,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty

@@ -805,6 +805,30 @@ object Extensions {
   /** Label-propagation communities over the k-NN graph — 4 synchronous
     * rounds, integer arithmetic throughout; the oracle unrolls the
     * rounds with the identical (max count, min label) tie-break. */
+  /** CURRICULUM ASSIGNMENT: docs staged 1..4 by quality-score quartile
+    * (stage 1 = highest quality — the curriculum-learning data order:
+    * clean text first, noisier tail later). Deliberately NOT a global
+    * ntile — a total-order window would single-partition 100 TB.
+    * Instead the three exact quartile thresholds are computed as ONE
+    * scalar aggregate (≡ quantile_cont, certified by `q_quantiles`),
+    * broadcast, and applied at scan speed; ties at a threshold land in
+    * the higher stage in any engine. */
+  def sampleCurriculum(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("quality_logit"))
+    val qs = scored.agg(
+      percentile(col("quality_logit"), lit(0.75)).as("p75"),
+      percentile(col("quality_logit"), lit(0.5)).as("p50"),
+      percentile(col("quality_logit"), lit(0.25)).as("p25"))
+    scored.crossJoin(broadcast(qs))
+      .select(col("doc_id"), col("quality_logit"),
+        when(col("quality_logit") >= col("p75"), lit(1))
+          .when(col("quality_logit") >= col("p50"), lit(2))
+          .when(col("quality_logit") >= col("p25"), lit(3))
+          .otherwise(lit(4)).as("stage"))
+      .orderBy("doc_id")
+  }
+
   /** BLOCKING-QUALITY REPORT over the MinHash banding — the metadata a
     * curation team actually reviews before trusting a dedup run:
     * reduction ratio (how much of the O(n²) pair space the blocking
@@ -1351,6 +1375,7 @@ object Extensions {
     "multimodal_resize" -> (multimodalResize _),
     "sample_split" -> (sampleSplit _),
     "sample_importance" -> (sampleImportance _),
+    "sample_curriculum" -> (sampleCurriculum _),
     "sample_split_canonical" -> (sampleSplitCanonical _),
     "graph_lpa" -> (graphLpa _),
     "graph_triangles" -> (graphTriangles _),
@@ -2322,6 +2347,20 @@ object Extensions {
         |ORDER BY c.doc_id""".stripMargin),
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
+    // quartile thresholds via quantile_cont (the q_quantiles-certified
+    // equivalence with Spark's exact percentile), applied at scan speed
+    "sample_curriculum" -> (qualityFeatureCte +
+      s""",
+         |sc AS (SELECT doc_id, $qualityLogitSql AS quality_logit FROM m),
+         |qs AS (SELECT quantile_cont(quality_logit, 0.75) AS p75,
+         |  quantile_cont(quality_logit, 0.5) AS p50,
+         |  quantile_cont(quality_logit, 0.25) AS p25 FROM sc)
+         |SELECT doc_id, quality_logit,
+         |  CAST(CASE WHEN quality_logit >= p75 THEN 1
+         |            WHEN quality_logit >= p50 THEN 2
+         |            WHEN quality_logit >= p25 THEN 3
+         |            ELSE 4 END AS INT) AS stage
+         |FROM sc, qs ORDER BY doc_id""".stripMargin),
     // candidates from the split-phase artifact (the hash half); verified
     // = the exact-Jaccard pair set the dedup_minhash gate certifies the
     // banding recovers completely at these parameters
