@@ -174,6 +174,51 @@ object Extensions {
     graft.streaming.StreamingDedup.quarantineLog(s, base).orderBy("train_id")
   }
 
+  /** STREAMING QUALITY CIRCUIT-BREAKER gate: three micro-batches, the
+    * middle one poisoned by a truncating producer (every text cut to 20
+    * chars — individually parseable rows, statistically broken batch).
+    * The per-batch violation fraction (rule: text shorter than 40
+    * chars, which NO healthy doc triggers) trips the breaker at 50%:
+    * the poisoned batch lands complete in the quarantine lake, healthy
+    * batches commit normally, and a forced crash replay of the final
+    * stream epoch must contract to a no-op (same verdict re-derived,
+    * idempotent epoch commit). Output: every doc with the lake it
+    * actually reached. */
+  def pipeStreamingCircuit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/scirc_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+    (0 until 3).foreach { i =>
+      val b = all.filter(col("doc_id") % 3 === i)
+      val out = if (i == 1) b.withColumn("text", substring(col("text"), 1, 20))
+                else b
+      out.coalesce(1).write.mode("append").json(s"$base/in")
+    }
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.QualityGate.start(
+        s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+          .option("maxFilesPerTrigger", 1).json(s"$base/in"),
+        violation = length(col("text")) < 40,
+        maxViolationFrac = 0.5,
+        s"$base/lake", s"$base/quarantine", s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    run()
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
+    run()
+    val T = graft.sources.TransactionalLake
+    T.readCommitted(s, s"$base/lake")
+      .select(col("doc_id"), lit("lake").as("route"))
+      .unionByName(T.readCommitted(s, s"$base/quarantine")
+        .select(col("doc_id"), lit("quarantine").as("route")))
+      .orderBy("doc_id")
+  }
+
   def dedupCanonical(s: SparkSession, d: String): DataFrame =
     Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("doc_id")
@@ -1376,6 +1421,7 @@ object Extensions {
     "sample_split" -> (sampleSplit _),
     "sample_importance" -> (sampleImportance _),
     "sample_curriculum" -> (sampleCurriculum _),
+    "pipe_streaming_circuit" -> (pipeStreamingCircuit _),
     "sample_split_canonical" -> (sampleSplitCanonical _),
     "graph_lpa" -> (graphLpa _),
     "graph_triangles" -> (graphTriangles _),
@@ -2347,6 +2393,12 @@ object Extensions {
         |ORDER BY c.doc_id""".stripMargin),
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
+    // whole-batch routing by the deterministic poisoning: batch
+    // doc_id%3=1 was truncated → 100% violations → quarantined
+    "pipe_streaming_circuit" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'quarantine' ELSE 'lake' END AS route
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // quartile thresholds via quantile_cont (the q_quantiles-certified
     // equivalence with Spark's exact percentile), applied at scan speed
     "sample_curriculum" -> (qualityFeatureCte +
