@@ -35,6 +35,32 @@ object ZoneMap {
       .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"),
         count(lit(1)).as("n"))
 
+  /** INCREMENTAL index maintenance for a [[graft.sources
+    * .TransactionalLake]]-backed table: per committed data epoch, stats
+    * are computed from THAT EPOCH'S files alone — O(batch), never
+    * O(lake) — and committed to a stats lake under the SAME epoch id,
+    * inheriting the data lake's idempotent-replay contract (a replayed
+    * maintenance pass re-commits the same epoch and contracts to a
+    * no-op). Run it post-commit, exactly like the canonical-map and
+    * keyed-view maintenance hooks. INVALIDATION: a retention fold
+    * rewrites aged files into a generation dir, so fold maintenance
+    * must re-stat the new generation (cost O(fresh), the same bound as
+    * the fold itself) — stats rows are keyed by file path and a stale
+    * index fails loud at read time (missing file), never silently. */
+  def appendEpochStats(spark: SparkSession, lakeRoot: String,
+                       statsRoot: String, epoch: Long, statCol: String): Unit = {
+    val stats = buildStats(spark, s"$lakeRoot/data/epoch=$epoch", statCol)
+    graft.sources.TransactionalLake.commitEpoch(stats, statsRoot, epoch,
+      partitionCols = Nil)
+  }
+
+  /** The accumulated per-file stats index across all committed
+    * maintenance epochs (drop the bookkeeping epoch column — the index
+    * consumer keys on file). */
+  def statsIndex(spark: SparkSession, statsRoot: String): DataFrame =
+    graft.sources.TransactionalLake.readCommitted(spark, statsRoot)
+      .drop("epoch")
+
   /** Range read `lo <= statCol <= hi` planned against the stats index:
     * only files whose [min, max] envelope intersects the range are
     * LISTED, then the exact predicate re-filters inside them (zone maps

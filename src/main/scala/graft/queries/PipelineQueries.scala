@@ -814,6 +814,37 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** INCREMENTAL ZONE-MAP gate: three committed epochs, each
+    * range-clustered on event_id at write time, each followed by an
+    * O(batch) stats append ([[graft.operators.ZoneMap
+    * .appendEpochStats]] — only that epoch's files are scanned). A
+    * selective range query then plans against the ACCUMULATED index and
+    * must prune at the file level (requirePruned) while answering
+    * exactly the plain filtered scan (the oracle). The lake is never
+    * re-scanned for index maintenance — the property that matters at
+    * 100 TB, where rebuilding file stats per batch would be O(lake). */
+  def zoneMapIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/zmi_$tag"
+    val statsRoot = s"$root/stats"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = events(spark, dir).filter(col("event_id") <= 2000)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val T = graft.sources.TransactionalLake
+    val Z = graft.operators.ZoneMap
+    (0 until 3).foreach { i =>
+      T.commitEpoch(base.filter(col("event_id") % 3 === i)
+        .repartitionByRange(4, col("event_id")), root, i.toLong,
+        partitionCols = Nil)
+      Z.appendEpochStats(spark, root, statsRoot, i.toLong, "event_id")
+    }
+    Z.prunedRangeRead(spark, Z.statsIndex(spark, statsRoot), "event_id",
+      lo = 100L, hi = 500L, requirePruned = true)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** VACUUM gate: build a folded lake, inject every debris class the
     * crash windows can leave (uncommitted epoch dir, leftover live dir
     * of a folded epoch, unreferenced fold generation, crashed-publish
@@ -1466,6 +1497,10 @@ object PipelineQueries {
         |  END AS quality
         |FROM events WHERE event_id <= 2000
         |ORDER BY event_id""".stripMargin,
+    "pipe_zonemap_incremental" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id BETWEEN 100 AND 500
+        |ORDER BY event_id""".stripMargin,
     // post-vacuum committed view ≡ a lake that never had debris: all
     // three epochs of the enriched feed
     "pipe_vacuum" ->
@@ -1661,6 +1696,7 @@ object PipelineQueries {
     "pipe_snapshot_diff" -> (snapshotDiff _),
     "pipe_dq_epochs" -> (dqEpochs _),
     "pipe_vacuum" -> (vacuumGate _),
+    "pipe_zonemap_incremental" -> (zoneMapIncremental _),
     "pipe_schema_evolution" -> (schemaEvolution _),
     "pipe_error_replay" -> (errorReplay _),
     "pipe_epoch_changes" -> (epochChanges _),

@@ -31,6 +31,26 @@ class ZoneMapSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("incremental maintenance: O(batch) appends accumulate; replay is a no-op") {
+    val root = tmpDir("zm_incr")
+    val statsRoot = s"$root/stats"
+    val T = graft.sources.TransactionalLake
+    (0 until 2).foreach { i =>
+      T.commitEpoch((1L to 100L).filter(_ % 2 == i).toDF("k")
+        .repartitionByRange(2, col("k")), root, i.toLong, partitionCols = Nil)
+      ZoneMap.appendEpochStats(spark, root, statsRoot, i.toLong, "k")
+    }
+    val idx1 = ZoneMap.statsIndex(spark, statsRoot)
+    assert(idx1.count() === 4) // 2 epochs x 2 range files
+    // replayed maintenance pass: same epoch id -> idempotent no-op
+    ZoneMap.appendEpochStats(spark, root, statsRoot, 1L, "k")
+    assert(ZoneMap.statsIndex(spark, statsRoot).count() === 4)
+    // the accumulated index answers exactly
+    val got = ZoneMap.prunedRangeRead(spark, idx1, "k", 10L, 20L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got === (10L to 20L))
+  }
+
   test("hash-scattered layout fails loud under requirePruned") {
     val root = tmpDir("zm_hash")
     (1L to 1000L).toDF("k").repartition(8, col("k"))
