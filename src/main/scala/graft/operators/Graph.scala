@@ -30,11 +30,20 @@ object Graph {
     * +distinct, degree count, wedge self-join on the pivot, closure
     * equi-join. Pure integer arithmetic until the final coefficient
     * (rounded to 6 dp). */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+  /** Canonical undirected edge set (u < v, loops dropped, directions
+    * merged). */
+  private def undirected(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+
+  /** Degree-ordered triangle enumeration over a canonical (u < v) edge
+    * set: each triangle exactly once as (x, y, z) in ascending
+    * (degree, id) order — the [[triangles]] engine, shared with
+    * [[kTruss]]'s per-round support counting. */
+  private def enumerateTriangles(und: DataFrame): DataFrame = {
     val dg = und.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
     def key(d: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
@@ -50,12 +59,19 @@ object Graph {
     val ohi = o.join(dg.select(col("id").as("hi"), col("degree").as("hdeg")), "hi")
       .withColumn("hkey", key(col("hdeg"), col("hi")))
       .select("lo", "hi", "hkey")
-    val tri = ohi.as("a")
+    ohi.as("a")
       .join(ohi.as("b"),
         col("a.lo") === col("b.lo") && col("a.hkey") < col("b.hkey"))
       .join(o.as("c"),
         col("c.lo") === col("a.hi") && col("c.hi") === col("b.hi"))
       .select(col("a.lo").as("x"), col("a.hi").as("y"), col("b.hi").as("z"))
+  }
+
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val dg = und.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val tri = enumerateTriangles(und)
     val tc = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri_count"))
     dg.join(tc, Seq("id"), "left")
@@ -225,6 +241,53 @@ object Graph {
     val out = Blocks.copyOut(labels.select(col("id"), col("label").as("community")))
     Blocks.release(labels); Blocks.release(e); Blocks.release(nodes)
     out
+  }
+
+  /** K-TRUSS: the maximal subgraph where every EDGE sits in ≥ k−2
+    * triangles — the edge-granular cohesion filter one level stronger
+    * than [[kCore]] (a k-truss is always inside the (k−1)-core, but
+    * additionally demands that each RELATION is triangle-reinforced;
+    * in a near-dup graph the 3-truss is exactly the edges with mutual
+    * corroboration, stripping spurious pairwise matches that survive
+    * node-level filters). Synchronous peel: per round, triangles are
+    * re-enumerated via the degree-ordered wedge join
+    * ([[enumerateTriangles]] — the O(m^1.5) bound applies per round),
+    * per-edge support counted, and edges below k−2 dropped; monotone,
+    * so a round that drops nothing is final. FAIL-LOUD if not stable
+    * within `maxRounds` (a truncated peel over-reports). Returns the
+    * surviving canonical edges with their final support. */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             maxRounds: Int = 20): DataFrame = {
+    require(k >= 3, "kTruss: k must be >= 3 (k-2 triangles per edge)")
+    var e: DataFrame = Blocks.copyOut(
+      undirected(edges, srcCol, dstCol), singleEval = true)
+    var nEdges = e.count()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val tri = enumerateTriangles(e.select("u", "v"))
+      val sup = tri.select(
+          array(col("x"), col("y")).as("pr"))
+        .unionAll(tri.select(array(col("x"), col("z")).as("pr")))
+        .unionAll(tri.select(array(col("y"), col("z")).as("pr")))
+        .select(least(col("pr")(0), col("pr")(1)).as("u"),
+          greatest(col("pr")(0), col("pr")(1)).as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      val kept = Blocks.copyOut(
+        e.select("u", "v").join(sup, Seq("u", "v"))
+          .filter(col("support") >= k - 2),
+        singleEval = true)
+      val nNext = kept.count()
+      Blocks.release(e)
+      e = kept
+      stable = nNext == nEdges
+      nEdges = nNext
+      rounds += 1
+    }
+    require(stable,
+      s"kTruss(k=$k): peel not stable after $maxRounds rounds — raise " +
+        "maxRounds; truncating would over-report the truss")
+    e
   }
 
   /** K-CORE: the maximal subgraph where every node keeps degree ≥ k

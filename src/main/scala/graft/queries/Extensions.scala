@@ -935,6 +935,17 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** 3-truss of the exact-Jaccard near-dup graph: edges surviving the
+    * support-≥-1 peel, i.e. pairwise matches with mutual corroboration
+    * ([[graft.operators.Graph.kTruss]]). */
+  def graphKtruss(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+      k = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
+    graft.operators.Graph.kTruss(edges, "id_a", "id_b", k = 3)
+      .select(col("u").as("id_a"), col("v").as("id_b"), col("support"))
+      .orderBy("id_a", "id_b")
+  }
+
   def graphLpa(s: SparkSession, d: String): DataFrame = {
     val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
       k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id"))
@@ -1427,6 +1438,7 @@ object Extensions {
     "graph_triangles" -> (graphTriangles _),
     "dedup_blocking_report" -> (dedupBlockingReport _),
     "graph_kcore" -> (graphKcore _),
+    "graph_ktruss" -> (graphKtruss _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1564,6 +1576,66 @@ object Extensions {
       s"""
          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
          |FROM e$rounds GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
+  /** k-truss oracle: the same canonical-edge frame as [[kcoreSql]],
+    * then `rounds` unrolled support-peels, each re-enumerating
+    * triangles with the degree-ordered orientation (the
+    * `graph_triangles` construction) and dropping edges below k−2
+    * supports. Monotone + Spark-side converge-or-fail ⇒ any fixed
+    * depth ≥ the convergence depth replays it exactly. */
+  private def kTrussSql: String = {
+    val k = 3; val rounds = 4
+    val base = shingleCte +
+      """, jp AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |      CAST(len(a.sh) + len(b.sh)
+        |           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |  WHERE jaccard >= 0.8
+        |), e0 AS MATERIALIZED (SELECT DISTINCT id_a AS u, id_b AS v FROM jp)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      val p = i - 1
+      s""",
+         |dg$i AS MATERIALIZED (
+         |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT u AS id FROM e$p UNION ALL SELECT v AS id FROM e$p)
+         |  GROUP BY id),
+         |o$i AS MATERIALIZED (
+         |  SELECT CASE WHEN du.degree * 1000000000000 + u
+         |                 < dv.degree * 1000000000000 + v
+         |              THEN u ELSE v END AS lo,
+         |         CASE WHEN du.degree * 1000000000000 + u
+         |                 < dv.degree * 1000000000000 + v
+         |              THEN v ELSE u END AS hi
+         |  FROM e$p JOIN dg$i du ON du.id = u JOIN dg$i dv ON dv.id = v),
+         |oh$i AS MATERIALIZED (
+         |  SELECT o.lo, o.hi, d.degree * 1000000000000 + o.hi AS hkey
+         |  FROM o$i o JOIN dg$i d ON d.id = o.hi),
+         |tr$i AS MATERIALIZED (
+         |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+         |  FROM oh$i a JOIN oh$i b ON a.lo = b.lo AND a.hkey < b.hkey
+         |  JOIN o$i c ON c.lo = a.hi AND c.hi = b.hi),
+         |sp$i AS MATERIALIZED (
+         |  SELECT least(p1, p2) AS u, greatest(p1, p2) AS v,
+         |    CAST(count(*) AS BIGINT) AS support
+         |  FROM (
+         |    SELECT x AS p1, y AS p2 FROM tr$i
+         |    UNION ALL SELECT x, z FROM tr$i
+         |    UNION ALL SELECT y, z FROM tr$i)
+         |  GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v, s.support FROM e$p e
+         |  JOIN sp$i s ON s.u = e.u AND s.v = e.v
+         |  WHERE s.support >= ${k - 2})""".stripMargin
+    }.mkString
+    base + peels +
+      s"""
+         |SELECT u AS id_a, v AS id_b, support
+         |FROM e$rounds ORDER BY id_a, id_b""".stripMargin
   }
 
   private val ngramJaccardSql: String =
@@ -2393,6 +2465,7 @@ object Extensions {
         |ORDER BY c.doc_id""".stripMargin),
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
+    "graph_ktruss" -> kTrussSql,
     // whole-batch routing by the deterministic poisoning: batch
     // doc_id%3=1 was truncated → 100% violations → quarantined
     "pipe_streaming_circuit" ->

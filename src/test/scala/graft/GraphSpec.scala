@@ -168,6 +168,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kTruss: supports on K4-minus-an-edge; chains dissolve; cascade peels") {
+    // K4 \ (1,4): shared edge (2,3) sits in both triangles → support 2
+    val e = edges(1L -> 2L, 1L -> 3L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+    val t = Graph.kTruss(e, "src", "dst", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t === Map((1L, 2L) -> 1L, (1L, 3L) -> 1L, (2L, 3L) -> 2L,
+      (2L, 4L) -> 1L, (3L, 4L) -> 1L))
+    // a pure chain has no triangles: 3-truss empty
+    assert(Graph.kTruss(edges(1L -> 2L, 2L -> 3L), "src", "dst", k = 3)
+      .count() === 0L)
+    // cascade: two triangles sharing edge (2,3) plus a pendant triangle
+    // edge — k=4 (support >= 2) keeps only the shared edge's first
+    // round survivors... which then lose their triangles → empty
+    assert(Graph.kTruss(e, "src", "dst", k = 4).count() === 0L)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("triangles: triangle-free star has zero triangles everywhere") {
     val t = Graph.triangles(edges(1L -> 2L, 1L -> 3L, 1L -> 4L), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
