@@ -243,6 +243,52 @@ object Graph {
     out
   }
 
+  /** BOUNDED-HORIZON BFS: minimum hop distance from a SEED SET to every
+    * node reachable within `maxDepth` hops (directions ignored) — the
+    * neighborhood-expansion primitive: "every document within h hops of
+    * these curated seeds" is the graph form of seed-based data
+    * selection, and hop histograms around known-good/known-bad seeds
+    * are a standard corpus-audit signal. Classic frontier iteration:
+    * per level, ONE equi-join of the frontier against the edges plus an
+    * anti-join against the settled set — O(frontier edges) per level,
+    * `maxDepth` shuffles total, no driver-side adjacency. Early-exits
+    * when the frontier empties (component exhausted). The horizon is a
+    * CONTRACT, not a truncation: output is exactly the nodes at
+    * distance ≤ maxDepth, each with its true minimum hop count —
+    * deterministic for any graph. Lineage truncated per level, zero
+    * residual blocks. */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: DataFrame, sourceIdCol: String,
+              maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "bfsHops: maxDepth must be >= 0")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val e = Blocks.copyOut(und, singleEval = true)
+    var dist = Blocks.copyOut(
+      sources.select(col(sourceIdCol).as("id")).distinct()
+        .withColumn("dist", lit(0L)),
+      singleEval = true)
+    var frontier = dist.select("id")
+    var depth = 0
+    var frontierEmpty = frontier.isEmpty
+    while (!frontierEmpty && depth < maxDepth) {
+      depth += 1
+      val next = frontier.join(e, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select("id"), Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+      val newDist = Blocks.copyOut(dist.unionByName(next), singleEval = true)
+      Blocks.release(dist)
+      dist = newDist
+      frontier = dist.filter(col("dist") === depth).select("id")
+      frontierEmpty = frontier.isEmpty
+    }
+    Blocks.release(e)
+    dist
+  }
+
   /** K-TRUSS: the maximal subgraph where every EDGE sits in ≥ k−2
     * triangles — the edge-granular cohesion filter one level stronger
     * than [[kCore]] (a k-truss is always inside the (k−1)-core, but

@@ -946,6 +946,19 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+  /** Hop distances within 3 of the seed set (every 100th vector) over
+    * the k-NN graph — [[graft.operators.Graph.bfsHops]]' seed-expansion
+    * contract. */
+  def graphBfs(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val edges = Similarity.knnGraphIvf(e, "vec_id", "embedding",
+      k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id"))
+    graft.operators.Graph.bfsHops(edges, "vec_id", "neighbor_id",
+      e.filter(col("vec_id") % 100 === 0), "vec_id", maxDepth = 3)
+      .select(col("id").as("vec_id"), col("dist"))
+      .orderBy("vec_id")
+  }
+
   def graphLpa(s: SparkSession, d: String): DataFrame = {
     val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
       k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id"))
@@ -1439,6 +1452,7 @@ object Extensions {
     "dedup_blocking_report" -> (dedupBlockingReport _),
     "graph_kcore" -> (graphKcore _),
     "graph_ktruss" -> (graphKtruss _),
+    "graph_bfs" -> (graphBfs _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1576,6 +1590,35 @@ object Extensions {
       s"""
          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
          |FROM e$rounds GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
+  /** BFS oracle: seeds at distance 0, then `depth` unrolled frontier
+    * expansions (adjacent ∖ settled), MATERIALIZED per level. */
+  private def bfsSql: String = {
+    val depth = 3
+    val base = knnEdgesCte +
+      """, und AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM eg
+        |    UNION ALL SELECT dst AS src, src AS dst FROM eg)
+        |  WHERE src <> dst
+        |), d0 AS MATERIALIZED (
+        |  SELECT vec_id AS id, CAST(0 AS BIGINT) AS dist
+        |  FROM n WHERE vec_id % 100 = 0)""".stripMargin
+    val levels = (1 to depth).map { i =>
+      val p = i - 1
+      s""",
+         |d$i AS MATERIALIZED (
+         |  SELECT id, dist FROM d$p
+         |  UNION ALL
+         |  SELECT id, CAST($i AS BIGINT) AS dist FROM (
+         |    SELECT DISTINCT e.dst AS id
+         |    FROM und e JOIN d$p f ON f.id = e.src AND f.dist = $p
+         |  ) x WHERE id NOT IN (SELECT id FROM d$p))""".stripMargin
+    }.mkString
+    base + levels +
+      s"""
+         |SELECT id AS vec_id, dist FROM d$depth ORDER BY vec_id""".stripMargin
   }
 
   /** k-truss oracle: the same canonical-edge frame as [[kcoreSql]],
@@ -2466,6 +2509,7 @@ object Extensions {
     "graph_lpa" -> lpaSql,
     "graph_kcore" -> kcoreSql,
     "graph_ktruss" -> kTrussSql,
+    "graph_bfs" -> bfsSql,
     // whole-batch routing by the deterministic poisoning: batch
     // doc_id%3=1 was truncated → 100% violations → quarantined
     "pipe_streaming_circuit" ->

@@ -186,6 +186,23 @@ class GraphSpec extends SparkSpec {
       s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("bfsHops: min distances, horizon cutoff, unreached excluded") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus shortcut 1-3; component {8,9} unreachable
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 1L -> 3L, 8L -> 9L)
+    val seeds = Seq(1L).toDF("id")
+    val d = Graph.bfsHops(e, "src", "dst", seeds, "id", maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 via the shortcut is 1 hop, 4 is 2; 5 is beyond the horizon
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // horizon larger than the component: early-exits, full distances
+    val full = Graph.bfsHops(e, "src", "dst", seeds, "id", maxDepth = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("triangles: triangle-free star has zero triangles everywhere") {
     val t = Graph.triangles(edges(1L -> 2L, 1L -> 3L, 1L -> 4L), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
