@@ -946,6 +946,18 @@ object Extensions {
       .orderBy("id_a", "id_b")
   }
 
+  /** Personalized PageRank from the same seed set as [[graphBfs]] —
+    * seed-relevance propagation over the k-NN graph. */
+  def graphPpr(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val edges = Similarity.knnGraphIvf(e, "vec_id", "embedding",
+      k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id"))
+    graft.operators.Graph.personalizedPageRank(edges, "vec_id", "neighbor_id",
+      e.filter(col("vec_id") % 100 === 0), "vec_id", iterations = 5)
+      .select(col("id").as("vec_id"), col("rank").as("ppr"))
+      .orderBy("vec_id")
+  }
+
   /** Hop distances within 3 of the seed set (every 100th vector) over
     * the k-NN graph — [[graft.operators.Graph.bfsHops]]' seed-expansion
     * contract. */
@@ -1453,6 +1465,7 @@ object Extensions {
     "graph_kcore" -> (graphKcore _),
     "graph_ktruss" -> (graphKtruss _),
     "graph_bfs" -> (graphBfs _),
+    "graph_ppr" -> (graphPpr _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -1590,6 +1603,44 @@ object Extensions {
       s"""
          |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
          |FROM e$rounds GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: [[pageRankSql]]'s unrolled decimal
+    * iterations with the teleport vector restricted to the seed set —
+    * the 1−d constant is interpolated from the SAME Scala double the
+    * operator uses (Double.toString round-trips, so DuckDB divides the
+    * identical IEEE value by the seed count). */
+  private def pprSql: String = {
+    val damping = 0.85; val iters = 5
+    val oneMinusD = 1.0 - damping
+    val base = knnEdgesCte +
+      """, gn AS (
+        |  SELECT DISTINCT id FROM (
+        |    SELECT src AS id FROM eg UNION ALL SELECT dst AS id FROM eg
+        |    UNION ALL SELECT vec_id AS id FROM n WHERE vec_id % 100 = 0)
+        |), od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM eg GROUP BY 1),
+        |sd AS (SELECT vec_id AS id FROM n WHERE vec_id % 100 = 0),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS nseeds FROM sd),
+        |tv AS (
+        |""".stripMargin +
+      s"""  SELECT gn.id, CASE WHEN sd.id IS NOT NULL
+         |    THEN $oneMinusD / nseeds ELSE 0.0 END AS tele
+         |  FROM gn LEFT JOIN sd ON sd.id = gn.id, ns),
+         |r0 AS (SELECT id, round(CASE WHEN tele > 0
+         |  THEN 1.0 / nseeds ELSE 0.0 END, 12) AS rank FROM tv, ns)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s""",
+         |c$i AS (
+         |  SELECT dst, sum(CAST(round(r.rank / CAST(out_deg AS DOUBLE), 12)
+         |    AS DECIMAL(26,12))) AS m
+         |  FROM eg JOIN od USING (src) JOIN r${i - 1} r ON r.id = eg.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT tv.id, round(tele + $damping * coalesce(CAST(m AS DOUBLE), 0.0), 12) AS rank
+         |  FROM tv LEFT JOIN c$i ON c$i.dst = tv.id)""".stripMargin
+    }.mkString
+    base + iterCtes +
+      s"\nSELECT id AS vec_id, rank AS ppr FROM r$iters ORDER BY vec_id"
   }
 
   /** BFS oracle: seeds at distance 0, then `depth` unrolled frontier
@@ -2510,6 +2561,7 @@ object Extensions {
     "graph_kcore" -> kcoreSql,
     "graph_ktruss" -> kTrussSql,
     "graph_bfs" -> bfsSql,
+    "graph_ppr" -> pprSql,
     // whole-batch routing by the deterministic poisoning: batch
     // doc_id%3=1 was truncated → 100% violations → quarantined
     "pipe_streaming_circuit" ->

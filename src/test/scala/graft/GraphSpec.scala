@@ -203,6 +203,28 @@ class GraphSpec extends SparkSpec {
       s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("personalizedPageRank: mass stays near seeds; all-seeds == uniform PR") {
+    import spark.implicits._
+    // two components: chain 1→2→3, pair {8,9}; seed only node 1
+    val e = edges(1L -> 2L, 2L -> 3L, 8L -> 9L, 9L -> 8L)
+    val ppr = Graph.personalizedPageRank(e, "src", "dst",
+      Seq(1L).toDF("id"), "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppr(8L) === 0.0 && ppr(9L) === 0.0, "unreachable nodes hold zero")
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L),
+      s"mass must decay along the chain away from the seed: $ppr")
+    // seeding EVERY node degenerates to the uniform teleport — must
+    // equal plain pageRank bit-for-bit (same rounding discipline)
+    val all = Seq(1L, 2L, 3L, 8L, 9L).toDF("id")
+    val uni = Graph.pageRank(e, "src", "dst").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prs = Graph.personalizedPageRank(e, "src", "dst", all, "id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prs === uni)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked blocks: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("triangles: triangle-free star has zero triangles everywhere") {
     val t = Graph.triangles(edges(1L -> 2L, 1L -> 3L, 1L -> 4L), "src", "dst")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
