@@ -9,17 +9,39 @@ import org.apache.spark.sql.functions._
   * tables whose normalized names share character-n-gram Jaccard ≥ t
   * (customer↔supplier, vendor↔payee, account↔account across systems).
   *
-  * Blocking is the R-S form of the PPJoin prefix filter: both sides'
-  * grams are ranked under ONE GLOBAL document-frequency order (df
-  * counted over the UNION of both tables — the lemma needs a shared
-  * total order), each record keeps its |x| − ⌈t·|x|⌉ + 1 rarest grams,
-  * and only prefix∩prefix gram matches become candidates — the join
-  * fans out on long-tail keys, never on ubiquitous grams (stop-gram cut
-  * bounds worst-case df). Candidates then verify EXACTLY (set
-  * intersection), so blocking affects cost, never results. At 100 TB
-  * the shape is: two scans, one vocab-scale df aggregate, a candidate
-  * join on rare keys, and an O(candidates) verify — no cross product
-  * anywhere. */
+  * Blocking is a STOP-GRAM-AWARE prefix filter, exact at every
+  * threshold. The plain PPJoin prefix (keep each record's
+  * |x| − ⌈t·|x|⌉ + 1 rarest grams, join on shared prefix grams)
+  * degrades toward all-pairs at low thresholds on templated corpora:
+  * ubiquitous grams ("000", "er#" in TPC-H names) sit inside almost
+  * every prefix and fan the candidate join out quadratically. Here the
+  * grams frequent on BOTH sides (df over `stopGramFraction` of the
+  * union) are classified COMMON and excluded from candidate
+  * generation; the overlap a qualifying pair can draw from them is
+  * bounded by each record's common-gram count u, so the residual
+  * RARE-gram overlap is ≥ ρ = ⌈t·n⌉ − u. Records with ρ ≥ 1 keep a
+  * prefix of their rare grams sized for ρ (never shorter than the
+  * lemma demands — exact); records with ρ ≤ 0 ("dense": they could
+  * match on stop-grams alone) are cross-checked pairwise against the
+  * other side's dense records behind a fail-loud budget. Candidates
+  * then verify EXACTLY (set intersection), so blocking affects cost,
+  * never results.
+  *
+  * Why it is exact: J(x,y) ≥ t ⟹ overlap O ≥ ⌈t·n_x⌉ (O(1+t) ≥
+  * t(n_x+n_y) and n_y ≥ O). Common-gram overlap ≤ min(u_x, u_y), so
+  * rare overlap O_r ≥ max(ρ_x, ρ_y). When that max ≥ 1, the standard
+  * prefix lemma on the rare sets (one shared global df order) puts a
+  * witness gram inside both rare prefixes of length m − ρ + 1
+  * (clamping ρ to ≥ 1 only lengthens a prefix). When both ρ ≤ 0 the
+  * pair is dense×dense and the cross path covers it. The PPJoin
+  * length filter (⌈t·n_x⌉ ≤ n_y ≤ ⌊n_x/t⌋) prunes both paths.
+  *
+  * At 100 TB the shape is: two scans, one vocab-scale df aggregate
+  * (char-k-gram vocab is alphabet-bounded), a candidate join whose
+  * fan-out is Σ_rare df_L·df_R — every per-gram factor below the
+  * fractional cap — and a dense cross bounded by `maxDensePairs`
+  * (require-failed, never silently quadratic). No unbounded cross
+  * product anywhere. */
 object EntityResolution {
 
   /** Distinct character k-grams of a normalized (lowercased) string;
@@ -33,47 +55,135 @@ object EntityResolution {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** ⌈t·n⌉ as an int column, guarded against float round-up (0.32·25 =
+    * 8.000…002 must not become 9 — a too-large bound would shrink the
+    * prefix below what the lemma needs). Rounding DOWN by ε is always
+    * safe: it can only lengthen a prefix / widen the length filter. */
+  private def ceilT(t: Double, n: Column): Column =
+    ceil(n * t - lit(1e-9)).cast("int")
+
+  private case class Side(
+      sets: DataFrame,    // (id, g, n)
+      prefix: DataFrame,  // (id, n, gram) — rare-prefix postings, partner-present grams only
+      dense: DataFrame)   // (id, n) — records that could match on common grams alone
+
+  private def prepare(df: DataFrame, id: String, text: String, k: Int,
+                      threshold: Double, dfreq: DataFrame,
+                      dfOther: String): Side = {
+    val sets = df.select(col(id).as("id"), charGrams(col(text), k).as("g"))
+      .withColumn("n", size(col("g")))
+      .filter(col("n") > 0)
+    val post = sets.select(col("id"), col("n"), explode(col("g")).as("gram"))
+      .join(dfreq, "gram")
+    val byId = Window.partitionBy(col("id"))
+    // u = this record's common grams; rho = rare overlap a qualifying
+    // partner must still produce; m = rare grams available
+    val enriched = post
+      .withColumn("u", sum(when(col("is_common"), 1).otherwise(0)).over(byId))
+      .withColumn("rho_raw", ceilT(threshold, col("n")) - col("u"))
+      .withColumn("m", col("n") - col("u"))
+    val rare = enriched.filter(!col("is_common"))
+      .withColumn("rn", row_number().over(
+        byId.orderBy(col("df_total"), col("gram"))))
+    // clamped rho only lengthens the prefix (exactness preserved); the
+    // partner-present cut (other side's df > 0) drops postings that
+    // cannot produce a cross pair AFTER positions are assigned, so the
+    // global order the lemma needs is undisturbed
+    val prefix = rare
+      .filter(col("rn") <= col("m") - greatest(lit(1), col("rho_raw")) + 1)
+      .filter(col(dfOther) > 0)
+      .select(col("id"), col("n"), col("gram"))
+    val dense = enriched.filter(col("rho_raw") <= 0)
+      .select(col("id"), col("n")).distinct()
+    Side(sets, prefix, dense)
+  }
+
   /** All (left id, right id, jaccard) pairs with char-k-gram Jaccard
-    * ≥ `threshold` between `left.textCol` and `right.textCol`. */
+    * ≥ `threshold` between `left.textCol` and `right.textCol`.
+    *
+    * @param stopGramFraction grams present on both sides whose union df
+    *   exceeds this fraction of |L|+|R| are stop-grams: excluded from
+    *   candidate generation, accounted for exactly via the dense path.
+    * @param maxDensePairs fail-loud budget on the dense×dense cross —
+    *   a corpus where many records consist mostly of stop-grams at a
+    *   low threshold has no sub-quadratic exact answer; refuse loudly
+    *   rather than run one silently.
+    * @param broadcastRight pin the plan when the right table is known
+    *   small (dimension-sized): its prefix postings and gram sets are
+    *   broadcast, making the candidate join and verify shuffle-free on
+    *   the left side. */
   def fuzzyJoin(left: DataFrame, leftId: String, leftText: String,
                 right: DataFrame, rightId: String, rightText: String,
                 k: Int = 3, threshold: Double = 0.8,
-                maxGramPostings: Int = 100000): DataFrame = {
+                stopGramFraction: Double = 0.25,
+                maxDensePairs: Long = 10000000L,
+                broadcastRight: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "fuzzyJoin: threshold must be in (0, 1]")
-    def sets(df: DataFrame, id: String, text: String) =
+    require(stopGramFraction > 0.0 && stopGramFraction <= 1.0,
+      "fuzzyJoin: stopGramFraction must be in (0, 1]")
+    def rawSets(df: DataFrame, id: String, text: String) =
       df.select(col(id).as("id"), charGrams(col(text), k).as("g"))
         .withColumn("n", size(col("g")))
         .filter(col("n") > 0)
-    val ls = sets(left, leftId, leftText)
-    val rs = sets(right, rightId, rightText)
-    def postings(s: DataFrame, side: String) =
-      s.select(col("id"), col("n"), explode(col("g")).as("gram"))
-        .withColumn("side", lit(side))
-    val all = postings(ls, "L").unionByName(postings(rs, "R"))
-    // global df over BOTH sides (the shared total order the prefix
-    // lemma requires); df=1 grams cannot produce a cross pair, and
-    // ubiquitous grams cannot discriminate — both cut before ranking
-    val dfreq = all.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxGramPostings)
-    val ranked = all.join(dfreq, "gram")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("side"), col("id"))
-          .orderBy(col("df"), col("gram"))))
-    val prefixLen = col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1
-    val prefix = ranked.filter(col("rn") <= prefixLen)
-    val candidates = prefix.filter(col("side") === "L")
-      .select(col("id").as("id_a"), col("gram"))
-      .join(prefix.filter(col("side") === "R")
-        .select(col("id").as("id_b"), col("gram")), "gram")
-      .select("id_a", "id_b").distinct()
+    val cntL = rawSets(left, leftId, leftText).count()
+    val cntR = rawSets(right, rightId, rightText).count()
+    val cap = math.max(2L, math.ceil(stopGramFraction * (cntL + cntR)).toLong)
+    // one pass over both sides' postings → per-gram (df_l, df_r);
+    // vocab-scale (char-k-grams are alphabet-bounded), copied out once
+    // because prefixes, dense sets, and the guard all reuse it
+    val postAll = rawSets(left, leftId, leftText)
+      .select(explode(col("g")).as("gram")).withColumn("side", lit("L"))
+      .unionByName(rawSets(right, rightId, rightText)
+        .select(explode(col("g")).as("gram")).withColumn("side", lit("R")))
+    val dfreq = Blocks.copyOut(singleEval = true, df = postAll.groupBy("gram").agg(
+        sum(when(col("side") === "L", 1L).otherwise(0L)).as("df_l"),
+        sum(when(col("side") === "R", 1L).otherwise(0L)).as("df_r"))
+      .withColumn("df_total", col("df_l") + col("df_r"))
+      .withColumn("is_common",
+        col("df_l") > 0 && col("df_r") > 0 && col("df_total") > cap))
+    val lhs = prepare(left, leftId, leftText, k, threshold,
+      broadcast(dfreq), "df_r")
+    val rhs = prepare(right, rightId, rightText, k, threshold,
+      broadcast(dfreq), "df_l")
+
+    val lenOk = col("n_b").between(
+      ceilT(threshold, col("n_a")),
+      floor(col("n_a") / threshold + lit(1e-9)).cast("int"))
+    val pl = lhs.prefix.select(col("id").as("id_a"), col("n").as("n_a"),
+      col("gram"))
+    val pr0 = rhs.prefix.select(col("id").as("id_b"), col("n").as("n_b"),
+      col("gram"))
+    val pr = if (broadcastRight) broadcast(pr0) else pr0
+    val candPrefix = pl.join(pr, Seq("gram")).filter(lenOk)
+      .select("id_a", "id_b")
+
+    // dense×dense: small by construction on natural corpora (records
+    // made mostly of stop-grams); copied out so the budget counts and
+    // the cross read materialized rows, not the whole gram pipeline
+    val dl = Blocks.copyOut(lhs.dense, singleEval = true)
+    val dr = Blocks.copyOut(rhs.dense, singleEval = true)
+    val (nDl, nDr) = (dl.count(), dr.count())
+    require(nDl * nDr <= maxDensePairs,
+      s"fuzzyJoin: dense-record cross of $nDl x $nDr exceeds " +
+        s"maxDensePairs=$maxDensePairs — raise the threshold, lower " +
+        "stopGramFraction, or raise the budget explicitly")
+    val candDense =
+      if (nDl == 0L || nDr == 0L) candPrefix.limit(0)
+      else dl.select(col("id").as("id_a"), col("n").as("n_a"))
+        .crossJoin(broadcast(
+          dr.select(col("id").as("id_b"), col("n").as("n_b"))))
+        .filter(lenOk).select("id_a", "id_b")
+
+    val candidates = candPrefix.unionByName(candDense).distinct()
     // exact verification — blocking never decides membership. The
     // intersection lands behind a projection alias so the interpreted
     // set op evaluates once per candidate, not once per reference.
+    val rsets = if (broadcastRight) broadcast(rhs.sets) else rhs.sets
     candidates
-      .join(ls.select(col("id").as("id_a"), col("g").as("g_a"),
+      .join(lhs.sets.select(col("id").as("id_a"), col("g").as("g_a"),
         col("n").as("n_a")), "id_a")
-      .join(rs.select(col("id").as("id_b"), col("g").as("g_b"),
+      .join(rsets.select(col("id").as("id_b"), col("g").as("g_b"),
         col("n").as("n_b")), "id_b")
       .withColumn("__i", size(array_intersect(col("g_a"), col("g_b"))))
       .withColumn("jaccard", col("__i").cast("double") /

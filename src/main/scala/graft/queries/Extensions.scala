@@ -229,7 +229,16 @@ object Extensions {
     * (id → canonical_id) map via `Dedup.canonicalizeIncremental` —
     * per-batch cost O(batch + touched components), never O(corpus). The
     * folded map must equal the one-shot [[dedupCanonical]] closure over
-    * the union — the same recursive-CTE oracle gates both. */
+    * the union — the same recursive-CTE oracle gates both.
+    *
+    * TIMING CAVEAT: this gate's wall time is FOLD-CONSTRUCTION overhead
+    * — it builds a fresh MinHash band index per batch and replays all
+    * three folds inside one invocation — and runs ~3x the one-shot
+    * [[dedupCanonical]] at gate scale. That is NOT the production
+    * per-batch cost: steady state maintains the index and map
+    * incrementally (see `train_corpus_prep_v4`, which consumes the
+    * maintained map and beats the re-dedup flagship, and
+    * `pipe_keyed_view`'s O(changes) refresh contract). */
   def dedupCanonicalIncremental(s: SparkSession, d: String): DataFrame = {
     val all = docs(s, d)
     val batches = (0 until 3).map(i => all.filter(col("doc_id") % 3 === i))
@@ -311,14 +320,24 @@ object Extensions {
           KeyedView.refresh(s, mroot, vroot, "doc_id", "cluster", "mass")
         }
     }
-    run(); maintain()
+    // per-stage wall times to stderr: the entry's bench spread is
+    // dominated by stream-machinery overhead, and a single 3x outlier
+    // run must be attributable to a STAGE, not guessed at
+    def staged[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[chain] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    staged("stream-1")(run()); staged("maintain-1")(maintain())
     val before = KeyedView.cursor(s, vroot)
     // the crash: the final epoch's STREAM commit vanishes — restart
     // re-delivers the batch; every chained artifact must stay exact
     val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
       .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
     fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
-    run(); maintain()
+    staged("stream-replay")(run()); staged("maintain-2")(maintain())
     require(KeyedView.cursor(s, vroot) == before,
       "replayed chain maintenance must be a no-op")
     KeyedView.read(s, vroot)
@@ -1122,7 +1141,7 @@ object Extensions {
     graft.operators.EntityResolution.fuzzyJoin(
       Tables.load(s, d, "customer"), "c_custkey", "c_name",
       Tables.load(s, d, "supplier"), "s_suppkey", "s_name",
-      k = 3, threshold = 0.32)
+      k = 3, threshold = 0.32, broadcastRight = true)
       .orderBy("id_a", "id_b")
 
   /** Cosine-weighted PageRank over the same k-NN graph — mass flows
