@@ -46,8 +46,12 @@ object Graph {
   private def enumerateTriangles(und: DataFrame): DataFrame = {
     val dg = und.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+    // (degree, id) compared as a struct — lexicographic, exact for any
+    // id range and degree (an encoded degree*C+id BIGINT silently breaks
+    // the total order for ids >= C or negative ids, and overflows once
+    // degree exceeds Long.MaxValue/C — plausible for web-scale hubs)
     def key(d: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
-      d * lit(1000000000000L) + id
+      struct(d, id)
     val o = und
       .join(dg.select(col("id").as("u"), col("degree").as("du")), "u")
       .join(dg.select(col("id").as("v"), col("degree").as("dv")), "v")
@@ -327,10 +331,13 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .distinct()
     val e = Blocks.copyOut(und, singleEval = true)
-    var dist = Blocks.copyOut(
-      sources.select(col(sourceIdCol).as("id")).distinct()
-        .withColumn("dist", lit(0L)),
-      singleEval = true)
+    // loop state is localCheckpoint-backed (memory blocks, freed per
+    // level) like the pageRank ranks vector; only the FINAL dist set is
+    // copied out to disk — per-level reliable checkpoints would write
+    // O(levels x settled) rows of checkpoint I/O for no recovery benefit
+    var dist = sources.select(col(sourceIdCol).as("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
     var frontier = dist.select("id")
     var depth = 0
     var frontierEmpty = frontier.isEmpty
@@ -340,14 +347,15 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(dist.select("id"), Seq("id"), "left_anti")
         .withColumn("dist", lit(depth.toLong))
-      val newDist = Blocks.copyOut(dist.unionByName(next), singleEval = true)
+      val newDist = dist.unionByName(next).localCheckpoint(true)
       Blocks.release(dist)
       dist = newDist
       frontier = dist.filter(col("dist") === depth).select("id")
       frontierEmpty = frontier.isEmpty
     }
-    Blocks.release(e)
-    dist
+    val out = Blocks.copyOut(dist)
+    Blocks.release(dist); Blocks.release(e)
+    out
   }
 
   /** K-TRUSS: the maximal subgraph where every EDGE sits in ≥ k−2

@@ -72,7 +72,14 @@ object ZoneMap {
                       lo: Long, hi: Long,
                       requirePruned: Boolean = false): DataFrame = {
     val all = stats.select(col("file"), col("min_v"), col("max_v")).collect()
-    val keep = all.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+    require(all.nonEmpty,
+      "zone-map stats index is empty — nothing has been indexed; run " +
+        "appendEpochStats before planning range reads against it")
+    // a null [min, max] envelope means the file's stat column is all
+    // NULL: no row there can satisfy `statCol BETWEEN lo AND hi`
+    // (comparisons with NULL never hold), so pruning it is exact
+    val keep = all.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getLong(2) >= lo && r.getLong(1) <= hi)
       .map(_.getString(0))
     if (requirePruned)
       require(keep.length < all.length,

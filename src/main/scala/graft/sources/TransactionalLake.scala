@@ -544,7 +544,17 @@ object TransactionalLake {
     require(dataCols.nonEmpty, "diffSnapshots: no non-key columns to compare")
     def packed(df: DataFrame, as: String): DataFrame =
       df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
-    packed(a, "before").join(packed(b, "after"), keyCols, "full_outer")
+    // keys join NULL-SAFELY (<=>): a row keyed on NULL must meet its
+    // counterpart and diff as unchanged/changed, not surface as a
+    // spurious removed+added pair inflating the audit
+    val l = packed(a, "before").as("l")
+    val r = packed(b, "after").as("r")
+    val on = keyCols.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    l.join(r, on, "full_outer")
+      .select(keyCols.map(k =>
+        when(col("l.before").isNotNull, col(s"l.$k"))
+          .otherwise(col(s"r.$k")).as(k)) ++
+        Seq(col("l.before").as("before"), col("r.after").as("after")): _*)
       .withColumn("change_type",
         when(col("before").isNull, lit("added"))
           .when(col("after").isNull, lit("removed"))

@@ -32,6 +32,22 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(d === Map(2L -> "changed", 3L -> "changed"))
   }
 
+  test("diffSnapshots is null-safe on KEY columns") {
+    // a null-keyed row present in both snapshots must meet its
+    // counterpart (one unchanged/changed row), never surface as a
+    // spurious removed+added pair
+    val a = Seq((Option.empty[java.lang.Long], "x"), (Some(1L: java.lang.Long), "p"))
+      .toDF("id", "s")
+    val b = Seq((Option.empty[java.lang.Long], "y"), (Some(1L: java.lang.Long), "p"))
+      .toDF("id", "s")
+    val d = TransactionalLake.diffSnapshots(a, b, Seq("id")).collect()
+    assert(d.length == 1)
+    assert(d.head.isNullAt(d.head.fieldIndex("id")))
+    assert(d.head.getAs[String]("change_type") == "changed")
+    // and unchanged null-keyed rows are dropped entirely
+    assert(TransactionalLake.diffSnapshots(a, a, Seq("id")).isEmpty)
+  }
+
   test("diffSnapshots refuses mismatched schemas and key-only frames") {
     val a = Seq((1L, "a")).toDF("id", "s")
     val b = Seq((1L, 2.0)).toDF("id", "v")

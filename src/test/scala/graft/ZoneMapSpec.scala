@@ -51,6 +51,29 @@ class ZoneMapSpec extends SparkSpec {
     assert(got === (10L to 20L))
   }
 
+  test("degenerate stats: empty index refuses; all-null stat files prune exactly") {
+    val root = tmpDir("zm_degen")
+    writeRanged(root)
+    val stats = ZoneMap.buildStats(spark, root, "k")
+    // empty index → clear refusal, not NoSuchElementException
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.prunedRangeRead(spark, stats.filter(lit(false)), "k", 1L, 5L)
+    }
+    assert(e.getMessage.contains("empty"))
+    // a file whose stat column is all NULL → null [min,max] envelope;
+    // no row there can satisfy BETWEEN, so it prunes without an NPE
+    val nullRoot = tmpDir("zm_degen_nullfile")
+    Seq(Option.empty[java.lang.Long], Option.empty[java.lang.Long])
+      .toDF("k").withColumn("v", lit(0L)).coalesce(1)
+      .write.mode("overwrite").parquet(nullRoot)
+    val nullStats = ZoneMap.buildStats(spark, nullRoot, "k")
+    assert(nullStats.count() === 1)
+    val withNull = stats.unionByName(nullStats)
+    val got = ZoneMap.prunedRangeRead(spark, withNull, "k", 10L, 20L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got === (10L to 20L))
+  }
+
   test("hash-scattered layout fails loud under requirePruned") {
     val root = tmpDir("zm_hash")
     (1L to 1000L).toDF("k").repartition(8, col("k"))
