@@ -867,6 +867,55 @@ object Analytics {
     joined
   }
 
+  /** MULTI-COLUMN CLUSTERING interplay: ONE fact layout carries BOTH
+    * write-time levers at once — `bucketBy(l_suppkey)` (kills the
+    * recurring dim-join's exchanges) and a two-column in-bucket
+    * `sortBy(l_suppkey, l_orderkey)` (keeps every row group's
+    * l_orderkey envelope narrow, so the range predicate skips row
+    * groups INSIDE each bucket file via pushed-down min/max). The two
+    * compose because bucketing decides file placement and the sort
+    * decides order within the file — neither constrains the other. At
+    * 100 TB this is the nightly-fact layout: join co-location AND
+    * selective-scan pruning from one write. Zero join-side exchanges
+    * asserted at runtime (the gate fails, not degrades); the row-group
+    * skipping magnitude vs an unsorted twin is measured in
+    * ClusteringSpec. Tables build once per JVM, like [[bucketedJoin]]:
+    * the benched number is the steady-state query, not the write. */
+  def clusteredJoinScan(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (lt, st) = (s"li_clus_$tag", s"sup_clus_$tag")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!spark.catalog.tableExists(lt) || !spark.catalog.tableExists(st)) {
+      Seq(lt, st).foreach { tbl =>
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${spark.sessionState.conf.warehousePath}/$tbl"), true)
+      }
+      t(spark, dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_suppkey")) // one file per bucket
+        .write.mode("overwrite")
+        .bucketBy(8, "l_suppkey").sortBy("l_suppkey", "l_orderkey")
+        .saveAsTable(lt)
+      t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").bucketBy(8, "s_suppkey").sortBy("s_suppkey")
+        .saveAsTable(st)
+    }
+    val joined = spark.table(lt)
+      .filter(col("l_orderkey") <= 7500) // the sort-column range slice
+      .join(spark.table(st).hint("merge"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("s_nationkey")
+    val shuffles = joined.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    require(shuffles <= 1,
+      s"clustered join must not shuffle its inputs (found $shuffles exchanges)")
+    joined
+  }
+
   /** Sketch SET OPERATIONS: per-event-type Apache DataSketches HLL
     * sketches of the user set, then a UNION of all types performed on
     * the SKETCHES alone (`hll_union_agg`) — the 100 TB pattern for
@@ -1230,28 +1279,23 @@ object Analytics {
     * pass (O(row groups)) and a full-column scan for table-profiling
     * queries. Pushdown is a DSv2-only optimizer rule gated on session
     * confs, and it happens at EXECUTION time — so this entry materializes
-    * its one result row inside the conf window (restoring the session
-    * confs either way) rather than returning a lazy plan that would
-    * silently lose the pushdown when the confs revert. */
+    * its one result row inside an isolated child session carrying the
+    * confs, rather than returning a lazy plan that would silently lose
+    * the pushdown when the confs revert. */
   def scanAggPushdown(spark: SparkSession, dir: String): DataFrame = {
-    val conf = spark.conf
-    val prevAgg = conf.getOption("spark.sql.parquet.aggregatePushdown")
-    val prevV1 = conf.getOption("spark.sql.sources.useV1SourceList")
-    def restore(key: String, prev: Option[String]): Unit =
-      prev match { case Some(v) => conf.set(key, v); case None => conf.unset(key) }
-    conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    conf.set("spark.sql.sources.useV1SourceList", "") // parquet through DSv2
+    // the DSv2 switch runs in an ISOLATED child session (shared
+    // SparkContext, private SQLConf): mutating the caller's session-wide
+    // useV1SourceList would silently re-plan any concurrently-planned
+    // file-source query through DSv2 for the duration of the window
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    iso.conf.set("spark.sql.sources.useV1SourceList", "") // parquet through DSv2
     val row =
-      try {
-        spark.read.parquet(s"$dir/lineitem.parquet")
-          .agg(min(col("l_orderkey")).as("min_okey"),
-            max(col("l_orderkey")).as("max_okey"),
-            count(lit(1)).as("n_rows"))
-          .collect()
-      } finally {
-        restore("spark.sql.parquet.aggregatePushdown", prevAgg)
-        restore("spark.sql.sources.useV1SourceList", prevV1)
-      }
+      iso.read.parquet(s"$dir/lineitem.parquet")
+        .agg(min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          count(lit(1)).as("n_rows"))
+        .collect()
     spark.createDataFrame(
       java.util.Arrays.asList(row: _*),
       org.apache.spark.sql.types.StructType(Seq(
@@ -1339,6 +1383,7 @@ object Analytics {
     "q_approx_distinct" -> (approxDistinct _),
     "q_sketch_union" -> (sketchUnion _),
     "q_bucketed_join" -> (bucketedJoin _),
+    "q_clustered_join_scan" -> (clusteredJoinScan _),
     "q_json_extract" -> (jsonExtractAgg _),
     "q_unpivot" -> (unpivotEvents _),
     "q_argmax_latest" -> (argmaxLatest _),
@@ -1508,6 +1553,13 @@ object Analytics {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_clustered_join_scan" ->
+      """SELECT s_nationkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE l_orderkey <= 7500
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sketch_union" ->
       """SELECT event_type AS scope, count(DISTINCT user_id) AS exact_users,

@@ -137,6 +137,20 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("q_clustered_join_scan: shuffle-free join + pushed sort-column range on one layout") {
+    // the gated query's own require already fails on join-side
+    // exchanges; here additionally pin that the range predicate on the
+    // SECOND sort column reaches the parquet scan (row-group stats
+    // filtering needs the pushed filter) and results are non-trivial
+    val q = graft.queries.Analytics.clusteredJoinScan(spark, sf0001)
+    val rows = q.collect()
+    assert(rows.length > 1)
+    // the AQE-finalized plan string carries the scans' PushedFilters
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(l_orderkey,7500)"),
+      s"sort-column range predicate must reach the fact scan:\n${plan.take(1200)}")
+  }
+
   test("compact(sortCols) clusters the rewritten partitions") {
     val root = tmpDir("compact_cluster")
     spark.sql("DROP TABLE IF EXISTS compact_cluster_tbl")
