@@ -304,21 +304,39 @@ object Extensions {
     val vroot = s"$base/clusterview"
     import graft.sources.{KeyedView, TransactionalLake}
     def maintain(): Unit = {
+      val t0 = System.nanoTime()
       graft.streaming.StreamingDedup.maintainCanonical(s, base, "doc_id")
+      System.err.println(
+        f"[chain]   maintainCanonical ${(System.nanoTime() - t0) / 1e9}%.2f s")
       val mirrored = TransactionalLake.committedEpochs(s, mroot).toSet
-      TransactionalLake.committedEpochs(s, croot).sorted
-        .filterNot(mirrored).foreach { e =>
+      val todo = TransactionalLake.committedEpochs(s, croot).sorted
+        .filterNot(mirrored)
+      if (todo.nonEmpty) {
+        // ONE corpus snapshot for the whole pass: every delta's doc_id
+        // is already in the committed corpus (the stream run finished
+        // before maintenance), so the mass lookup need not re-scan the
+        // corpus text per epoch — materialized (doc_id, mass) once,
+        // reused by each epoch's O(changes) broadcast join
+        val mass = graft.operators.Blocks.copyOut(
+          TransactionalLake.readCommitted(s,
+            graft.streaming.StreamingDedup.corpusRoot(base))
+            .select(col("doc_id"), length(col("text")).cast("long").as("mass")),
+          singleEval = true)
+        todo.foreach { e =>
+          val te = System.nanoTime()
           val delta = TransactionalLake.readCommitted(s, croot)
             .filter(col("epoch").cast("long") === e).drop("epoch")
-          val mass = TransactionalLake.readCommitted(s,
-            graft.streaming.StreamingDedup.corpusRoot(base))
-            .select(col("doc_id"), length(col("text")).cast("long").as("mass"))
           val up = delta.join(mass, "doc_id")
             .select(col("doc_id"), col("canonical_id").as("cluster"), col("mass"))
           TransactionalLake.mergeCommit(up,
             up.select(col("doc_id")).limit(0), mroot, e, Seq("doc_id"))
+          val tm = System.nanoTime()
           KeyedView.refresh(s, mroot, vroot, "doc_id", "cluster", "mass")
+          System.err.println(f"[chain]   mirror-$e merge ${(tm - te) / 1e9}%.2f" +
+            f" s view ${(System.nanoTime() - tm) / 1e9}%.2f s")
         }
+        graft.operators.Blocks.release(mass)
+      }
     }
     // per-stage wall times to stderr: the entry's bench spread is
     // dominated by stream-machinery overhead, and a single 3x outlier

@@ -147,15 +147,36 @@ object KeyedView {
         .filter(col("cnt") > 0)
       state.write.mode("overwrite").parquet(stateDir(viewRoot, head))
       // rewrite ONLY the touched buckets: old rows minus changed keys,
-      // plus the new upsert rows
+      // plus the new upsert rows. ONE partitioned write job computes the
+      // plan once (a write-per-bucket loop re-executes the anti-join per
+      // bucket — measured 16x recompute at 16 buckets); the staged
+      // kb=<b> dirs then RENAME into their versioned homes (metadata
+      // ops; the marker flip below stays the only commit point)
       val newBucketRows = oldRows
         .join(delta.select("k").distinct(), Seq("k"), "left_anti")
         .unionByName(delta.filter(col("_op") === "u").select("k", "g", "v"))
         .withColumn("kb", kb(col("k"), buckets))
+      val staging = s"$viewRoot/.staging_v$head"
+      val f0 = fs(spark, viewRoot)
+      f0.delete(new Path(staging), true)
+      newBucketRows.write.partitionBy("kb").parquet(staging)
       touched.foreach { b =>
-        newBucketRows.filter(col("kb") === b).select("k", "g", "v")
-          .write.mode("overwrite").parquet(bucketDir(viewRoot, b, head))
+        val target = new Path(bucketDir(viewRoot, b, head))
+        f0.delete(target, true) // a crashed prior attempt's partial dir
+        f0.mkdirs(target.getParent)
+        val staged = new Path(s"$staging/kb=$b")
+        if (f0.exists(staged)) {
+          if (!f0.rename(staged, target))
+            throw new java.io.IOException(
+              s"keyed view bucket stage failed for $target")
+        } else
+          // a touched bucket whose every key tombstoned away still needs
+          // its version dir (readers must not fall back to the stale
+          // older version): an empty typed parquet write
+          newBucketRows.filter(lit(false)).select("k", "g", "v")
+            .write.mode("overwrite").parquet(target.toString)
       }
+      f0.delete(new Path(staging), true)
       // COMMIT: one marker file flips state + every touched bucket
       val f = fs(spark, viewRoot)
       f.mkdirs(cursorDir(viewRoot))
