@@ -173,14 +173,21 @@ object PipelineQueries {
     // `error`-typed events carry an unparsable payload → they must be
     // routed to error/, exercising the S6 split through the stream
     val ingestEpoch = 1704067200L // 2024-01-01T00:00:00Z — "the batch's arrival hour"
-    events(spark, dir).select(
+    def staged[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[roundtrip] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    staged("input-write")(events(spark, dir).select(
       when(col("event_type") === "error", lit("not json {"))
         .otherwise(to_json(struct(struct(
           concat(lit("dev"), col("event_id").cast("string")).as("device"),
           col("event_type").as("event"),
           lit("US").as("region")).as("Data")))).as("value"),
       tenantCol.as("tenant_key"))
-      .write.mode("overwrite").json(inDir)
+      .write.mode("overwrite").json(inDir))
     val raw = spark.readStream
       .schema(StructType(Seq(
         StructField("value", StringType),
@@ -188,10 +195,12 @@ object PipelineQueries {
       .json(inDir)
     val tbl = s"stream_events_$tag"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val q = graft.streaming.StreamingIngest.start(spark, raw, "value", "tenant_key",
-      lake, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      ingestTs = lit(ingestEpoch), table = Some(tbl))
-    q.awaitTermination()
+    staged("stream") {
+      val q = graft.streaming.StreamingIngest.start(spark, raw, "value", "tenant_key",
+        lake, ckpt, org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        ingestTs = lit(ingestEpoch), table = Some(tbl))
+      q.awaitTermination()
+    }
     val errs = spark.read.parquet(s"$lake/error")
     require(errs.count() > 0 && errs.select("error_type").distinct().count() == 1,
       "streaming error route must carry the parse errors")

@@ -77,7 +77,10 @@ object Lake {
     * as Firehose's `errorOutputPrefix`. */
   def writeErrors(errors: DataFrame, root: String): String = {
     val path = s"$root/error"
-    errors.write.mode("append").partitionBy("error_type").parquet(path)
+    // dead letters are the RARE path: cap writer tasks so a wide batch
+    // doesn't commit #input-partitions near-empty files per error type
+    // (coalesce = no shuffle; 8 writers is plenty for a diagnostics log)
+    errors.coalesce(8).write.mode("append").partitionBy("error_type").parquet(path)
     path
   }
 
@@ -148,14 +151,15 @@ object Lake {
     val tbl = s"${table}_errors"
     val fresh = !spark.catalog.tableExists(tbl)
     if (fresh) {
-      // schema inferred from the just-written error files (the caller
-      // writes BEFORE registering, so the path is never empty here).
+      // dead-letter schema is the sink's own contract (raw + the
+      // error_type partition) — declared DDL skips footer inference.
       // One recoverPartitions crawl at CREATION only: a restarted app
       // registering over an existing error prefix must surface the
       // historical error types too, not just this batch's (the
       // per-batch path below stays incremental).
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.catalog.createTable(tbl, "parquet", Map("path" -> s"$root/error"))
+      spark.sql(s"CREATE TABLE $tbl (`raw` STRING, `error_type` STRING) " +
+        s"USING parquet PARTITIONED BY (error_type) LOCATION '$root/error'")
       spark.catalog.recoverPartitions(tbl)
     }
     val specs = types.map(t => s"PARTITION (error_type=${sqlLit(t)})")
@@ -177,7 +181,9 @@ object Lake {
     * lake; see DEPLOYMENT.md for the Hive-metastore deployment note). */
   def registerPartitions(spark: SparkSession, table: String, path: String,
                          parts: Seq[Map[String, String]],
-                         format: String = "parquet"): Int = {
+                         format: String = "parquet",
+                         schema: Option[org.apache.spark.sql.types.StructType] =
+                           None): Int = {
     // Specs containing a NULL value (rows written under a
     // __HIVE_DEFAULT_PARTITION__ dir) are skipped: registering the literal
     // default-partition STRING would diverge from recoverPartitions' null
@@ -198,7 +204,20 @@ object Lake {
       // .refreshOnce ONCE at startup to surface historical partitions;
       // the sink's hot path must never pay the full crawl.
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.catalog.createTable(table, format, Map("path" -> path))
+      schema match {
+        case Some(sc) =>
+          // the SINK knows the schema it just wrote — an explicit DDL
+          // create skips the footer-inference read of the data path
+          // (measured per-table cost on every stream cold start)
+          val pcols = Schemas.partitionCols
+          val dataDdl = sc.fields.filterNot(f => pcols.contains(f.name))
+            .map(f => s"`${f.name}` ${f.dataType.sql}")
+          val allDdl = (dataDdl ++ pcols.map(c => s"`$c` STRING")).mkString(", ")
+          spark.sql(s"CREATE TABLE $table ($allDdl) USING $format " +
+            s"PARTITIONED BY (${pcols.mkString(", ")}) LOCATION '$path'")
+        case None =>
+          spark.catalog.createTable(table, format, Map("path" -> path))
+      }
     }
     val specs = registrable.map(p => Schemas.partitionCols
       .map(c => s"$c=${sqlLit(p(c))}").mkString("PARTITION (", ", ", ")"))

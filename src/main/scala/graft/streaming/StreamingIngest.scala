@@ -52,7 +52,8 @@ object StreamingIngest {
             tenantCol: String, lakeRoot: String, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
             ingestTs: Column = unix_timestamp(),
-            table: Option[String] = None): StreamingQuery =
+            table: Option[String] = None,
+            saltFiles: Int = 1): StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -71,7 +72,11 @@ object StreamingIngest {
             Ingest.enrich(valid.filter(col(tenantCol).isNotNull),
               col(tenantCol), ingestTs))
             .drop(rawCol)
-          val path = graft.sources.Lake.writeValid(enriched, lakeRoot)
+          // saltFiles > 1: a batch concentrated on few (tenant, hour)
+          // partitions otherwise serializes behind that many writer
+          // tasks (writeValid's hash distribution leaves the rest idle)
+          val path = graft.sources.Lake.writeValid(enriched, lakeRoot,
+            saltFiles = saltFiles)
           table.foreach { t =>
             val pcols = Schemas.partitionCols
             val parts = enriched.select(pcols.map(col): _*).distinct()
@@ -82,7 +87,8 @@ object StreamingIngest {
             // .sparkSession: foreachBatch hands a cloned session whose
             // relation cache is isolated — refreshing the clone would
             // leave the session users actually query through stale.
-            graft.sources.Lake.registerPartitions(spark, t, path, parts)
+            graft.sources.Lake.registerPartitions(spark, t, path, parts,
+              schema = Some(enriched.schema))
           }
           val allErrors = errors.unionByName(noTenant)
           if (!allErrors.isEmpty) {
