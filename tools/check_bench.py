@@ -3,6 +3,7 @@
 
 Usage: check_bench.py <new_bench.json> <prev_BENCH_rNN.json> [threshold]
        check_bench.py --scaling <scaling.json> [alpha_threshold]
+       check_bench.py --recall <ann_recall.json>
 
 <new_bench.json>: the bench's own JSON line (e.g. target/bench_last.json)
   or a driver BENCH_r{N}.json wrapper.
@@ -68,10 +69,51 @@ def load_bench(path):
     raise SystemExit(f"cannot find bench JSON in {path}")
 
 
+def check_recall(path):
+    """ANN quality gate over graft.AnnRecall's target/ann_recall.json.
+
+    Floors (recall@k at a probe budget, from the round-9 curves with
+    slack for sampling noise): IVF >= 0.70 by 50% scanned and >= 0.50
+    by 25%; LSH >= 0.30 by 30% scanned; PQ whole-corpus scan >= 0.10
+    (coarse codes trade recall for 32x compression — the floor catches
+    a broken codebook, not a tuning drift). A recall regression should
+    fail the round as loudly as a perf one.
+    """
+    d = json.load(open(path))
+    curves = d["curves"]
+    bad = []
+
+    def floor_at(name, budget, lo):
+        pts = [p for p in curves.get(name, []) if p["scanned"] <= budget]
+        if not pts:
+            print(f"MISS {name}: no point within {budget:.0%} scanned")
+            bad.append(f"{name}@{budget}")
+            return
+        best = max(p["recall"] for p in pts)
+        flag = best < lo
+        mark = "LOW " if flag else "ok  "
+        print(f"{mark} {name}: best recall {best:.3f} within {budget:.0%} "
+              f"scanned (floor {lo})")
+        if flag:
+            bad.append(f"{name}@{budget}={best:.3f}")
+
+    floor_at("ivf", 0.50, 0.70)
+    floor_at("ivf", 0.25, 0.50)
+    floor_at("lsh", 0.30, 0.30)
+    floor_at("pq", 1.00, 0.10)
+    if bad:
+        print(f"RECALL REGRESSIONS: {bad}")
+        return 1
+    print("RECALL OK")
+    return 0
+
+
 def main():
     if sys.argv[1] == "--scaling":
         alpha = float(sys.argv[3]) if len(sys.argv) > 3 else 1.35
         return check_scaling(sys.argv[2], alpha)
+    if sys.argv[1] == "--recall":
+        return check_recall(sys.argv[2])
     new = load_bench(sys.argv[1])
     prev = load_bench(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
