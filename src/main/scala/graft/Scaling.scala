@@ -53,7 +53,13 @@ object Scaling {
     "dedup_cluster_representatives", "text_composition_drift",
     // second continued session: the DSIR two-pass score (must stay
     // linear — model build + scan), LPA's per-round O(E) join-agg
-    "sample_importance", "graph_lpa")
+    "sample_importance", "graph_lpa",
+    // round-10: the full continuous-maintenance chain — stream epochs →
+    // canonical deltas → merge lake → keyed view. Its O(changes) claim
+    // is per-stage by construction; this pins the COMPOSED gate's
+    // empirical growth (stream machinery overhead is constant, so the
+    // measured exponent should sit well under 1)
+    "dedup_canonical_chain")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */

@@ -87,6 +87,79 @@ object Graph {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** INCREMENTAL triangle/degree maintenance — the graph analog of the
+    * canonical-map fold: a batch of arriving edges advances maintained
+    * per-node (degree, tri_count) WITHOUT re-enumerating the
+    * accumulated graph's triangles. Per batch the cost is
+    * O(Δ·avg-degree) — each genuinely-new edge joins the adjacency
+    * twice to find its common neighbors — never O(E^1.5) over the
+    * whole graph (what a re-run of [[triangles]] pays per batch).
+    *
+    * Exactly-once per triangle: a triangle gaining k ≥ 1 new edges this
+    * batch must increment its three corners exactly once, so each
+    * triangle is counted AT ITS HIGHEST-RANKED NEW EDGE (rank = the
+    * canonical (u, v) struct, any total order works): a wedge leg
+    * qualifies only if it is OLD or a new edge of lower rank. Edges
+    * re-delivered across batches (at-least-once upstream) drop in the
+    * anti-join against the accumulated edge set — replay is a no-op,
+    * the idempotence the streaming pair-log integration needs.
+    *
+    * Returns (state', edges'): the advanced per-node state
+    * (id, degree, tri_count) and the accumulated canonical edge set.
+    * Callers copy both out per fold step ([[Blocks.copyOut]]) exactly
+    * like the canonical-map fold; [[triangles]]-shaped output
+    * (+clustering) is a cheap projection of state'. */
+  def incrementalTriangles(prevState: DataFrame, prevEdges: DataFrame,
+                           batch: DataFrame, srcCol: String,
+                           dstCol: String): (DataFrame, DataFrame) = {
+    val fresh = undirected(batch, srcCol, dstCol)
+      .join(prevEdges, Seq("u", "v"), "left_anti")
+    // directed adjacency over old + fresh, each leg carrying its
+    // canonical edge's rank and newness for the counting rule
+    def adj(e: DataFrame, isNew: Boolean) = {
+      val rk = struct(col("u"), col("v"))
+      e.select(col("u").as("a"), col("v").as("b"),
+        lit(isNew).as("nw"), rk.as("rk"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b"),
+          lit(isNew).as("nw"), rk.as("rk")))
+    }
+    val a = adj(prevEdges, isNew = false).unionAll(adj(fresh, isNew = true))
+    val delta = fresh.select(col("u").as("eu"), col("v").as("ev"),
+      struct(col("u"), col("v")).as("erk"))
+    val tri = delta
+      .join(a.as("x"), col("x.a") === col("eu") &&
+        (!col("x.nw") || col("x.rk") < col("erk")))
+      .select(col("eu"), col("ev"), col("erk"), col("x.b").as("w"),
+        col("x.nw").as("xnw"))
+      .join(a.as("y"), col("y.a") === col("ev") && col("y.b") === col("w") &&
+        (!col("y.nw") || col("y.rk") < col("erk")))
+      .select(col("eu"), col("ev"), col("w"))
+    val triDelta = tri
+      .select(explode(array(col("eu"), col("ev"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("dt"))
+    val degDelta = fresh
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("dd"))
+    val state = prevState
+      .join(degDelta, Seq("id"), "full_outer")
+      .join(triDelta, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("degree"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+          .as("degree"),
+        (coalesce(col("tri_count"), lit(0L)) + coalesce(col("dt"), lit(0L)))
+          .as("tri_count"))
+    (state, prevEdges.unionByName(fresh))
+  }
+
+  /** [[triangles]]-shaped read of an [[incrementalTriangles]] state:
+    * appends the clustering coefficient projection. */
+  def triangleStateView(state: DataFrame): DataFrame =
+    state.select(col("id"), col("degree"), col("tri_count"),
+      when(col("degree") > 1,
+        round(lit(2.0) * col("tri_count") /
+          (col("degree") * (col("degree") - lit(1.0))), 6))
+        .otherwise(lit(0.0)).as("clustering"))
+
   /** Distributed PageRank over an edge list — the classic iterative
     * join-aggregate: per round, every edge ships `rank(src)/outDeg(src)`
     * to its destination, destinations sum, and teleport mass tops up.

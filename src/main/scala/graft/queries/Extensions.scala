@@ -958,6 +958,46 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL GRAPH-METRIC MAINTENANCE gate — the graph analog of
+    * [[dedupCanonicalIncremental]]: the same k-NN edge set arrives as
+    * three epochs (split by edge hash, so triangles straddle epochs and
+    * the exactly-once counting rule is exercised), each folded into the
+    * maintained per-node (degree, tri_count) by
+    * `Graph.incrementalTriangles` — O(Δ·degree) per epoch, the graph is
+    * never re-enumerated. One epoch is REPLAYED (at-least-once
+    * delivery) and must contract to a no-op. The folded state must
+    * equal the one-shot [[graphTriangles]] — the same SQL oracle gates
+    * both. */
+  def graphIncrementalMetrics(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Blocks, Graph}
+    val edges = Blocks.copyOut(
+      Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
+        k = 3, nCells = 16).select(col("vec_id"), col("neighbor_id")),
+      singleEval = true)
+    val slice = abs(xxhash64(col("vec_id") + col("neighbor_id"))) % 3
+    val batches = (0 until 3).map(i => edges.filter(slice === i))
+    // accumulated-edge seed carries the canonical (u, v) shape
+    val empty = edges.limit(0)
+      .select(col("vec_id").as("u"), col("neighbor_id").as("v"))
+    val emptyState = edges.select(col("vec_id").as("id"))
+      .withColumn("degree", lit(0L)).withColumn("tri_count", lit(0L))
+      .limit(0)
+    // fold the three epochs; epoch 1 is delivered TWICE (replay) — the
+    // anti-join against the accumulated edge set must no-op it
+    val (state, acc) = (batches :+ batches(1)).foldLeft((emptyState, empty)) {
+      case ((st, ed), b) =>
+        val (st2, ed2) = Graph.incrementalTriangles(st, ed, b,
+          "vec_id", "neighbor_id")
+        (Blocks.copyOut(st2, singleEval = true),
+          Blocks.copyOut(ed2, singleEval = true))
+    }
+    Blocks.release(acc)
+    Graph.triangleStateView(state)
+      .select(col("id").as("vec_id"), col("degree"), col("tri_count"),
+        col("clustering"))
+      .orderBy("vec_id")
+  }
+
   /** 2-core of the exact-Jaccard near-dup graph — the density filter
     * that separates CYCLIC duplicate structure (template families,
     * mutual-copy rings) from mere pairwise matches: isolated pairs and
@@ -1498,6 +1538,7 @@ object Extensions {
     "sample_split_canonical" -> (sampleSplitCanonical _),
     "graph_lpa" -> (graphLpa _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_incremental_metrics" -> (graphIncrementalMetrics _),
     "dedup_blocking_report" -> (dedupBlockingReport _),
     "graph_kcore" -> (graphKcore _),
     "graph_ktruss" -> (graphKtruss _),
@@ -1715,6 +1756,46 @@ object Extensions {
     * `graph_triangles` construction) and dropping edges below k−2
     * supports. Monotone + Spark-side converge-or-fail ⇒ any fixed
     * depth ≥ the convergence depth replays it exactly. */
+  /** One-shot per-node triangle metrics over the k-NN graph — shared by
+    * `graph_triangles` AND `graph_incremental_metrics` (the fold must
+    * converge to exactly the one-shot enumeration). */
+  private lazy val triangleOracleSql: String = knnEdgesCte +
+    """, und AS (
+      |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |  FROM eg WHERE src <> dst
+      |), dgr AS (
+      |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+      |    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+      |  GROUP BY id
+      |), o AS (
+      |  SELECT CASE WHEN du.degree * 1000000000000 + u
+      |                 < dv.degree * 1000000000000 + v
+      |              THEN u ELSE v END AS lo,
+      |         CASE WHEN du.degree * 1000000000000 + u
+      |                 < dv.degree * 1000000000000 + v
+      |              THEN v ELSE u END AS hi
+      |  FROM und JOIN dgr du ON du.id = u JOIN dgr dv ON dv.id = v
+      |), ohi AS (
+      |  SELECT o.lo, o.hi, d.degree * 1000000000000 + o.hi AS hkey
+      |  FROM o JOIN dgr d ON d.id = o.hi
+      |), tri AS (
+      |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+      |  FROM ohi a JOIN ohi b ON a.lo = b.lo AND a.hkey < b.hkey
+      |  JOIN o c ON c.lo = a.hi AND c.hi = b.hi
+      |), tcnt AS (
+      |  SELECT id, CAST(count(*) AS BIGINT) AS tri_count FROM (
+      |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY id)
+      |SELECT dgr.id AS vec_id, dgr.degree,
+      |  CAST(coalesce(tri_count, 0) AS BIGINT) AS tri_count,
+      |  CASE WHEN dgr.degree > 1 THEN
+      |    round(2.0 * coalesce(tri_count, 0)
+      |      / (dgr.degree * (dgr.degree - 1.0)), 6)
+      |  ELSE 0.0 END AS clustering
+      |FROM dgr LEFT JOIN tcnt ON tcnt.id = dgr.id
+      |ORDER BY vec_id""".stripMargin
+
   private def kTrussSql: String = {
     val k = 3; val rounds = 4
     val base = shingleCte +
@@ -2648,42 +2729,10 @@ object Extensions {
     // degree-ordered orientation replayed literally: the composite
     // (degree, id) order is one BIGINT key, wedges at the lowest-ordered
     // vertex, closure on the oriented edge set
-    "graph_triangles" -> (knnEdgesCte +
-      """, und AS (
-        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-        |  FROM eg WHERE src <> dst
-        |), dgr AS (
-        |  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
-        |    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
-        |  GROUP BY id
-        |), o AS (
-        |  SELECT CASE WHEN du.degree * 1000000000000 + u
-        |                 < dv.degree * 1000000000000 + v
-        |              THEN u ELSE v END AS lo,
-        |         CASE WHEN du.degree * 1000000000000 + u
-        |                 < dv.degree * 1000000000000 + v
-        |              THEN v ELSE u END AS hi
-        |  FROM und JOIN dgr du ON du.id = u JOIN dgr dv ON dv.id = v
-        |), ohi AS (
-        |  SELECT o.lo, o.hi, d.degree * 1000000000000 + o.hi AS hkey
-        |  FROM o JOIN dgr d ON d.id = o.hi
-        |), tri AS (
-        |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
-        |  FROM ohi a JOIN ohi b ON a.lo = b.lo AND a.hkey < b.hkey
-        |  JOIN o c ON c.lo = a.hi AND c.hi = b.hi
-        |), tcnt AS (
-        |  SELECT id, CAST(count(*) AS BIGINT) AS tri_count FROM (
-        |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
-        |    UNION ALL SELECT z FROM tri)
-        |  GROUP BY id)
-        |SELECT dgr.id AS vec_id, dgr.degree,
-        |  CAST(coalesce(tri_count, 0) AS BIGINT) AS tri_count,
-        |  CASE WHEN dgr.degree > 1 THEN
-        |    round(2.0 * coalesce(tri_count, 0)
-        |      / (dgr.degree * (dgr.degree - 1.0)), 6)
-        |  ELSE 0.0 END AS clustering
-        |FROM dgr LEFT JOIN tcnt ON tcnt.id = dgr.id
-        |ORDER BY vec_id""".stripMargin),
+    "graph_triangles" -> triangleOracleSql,
+    // the incremental fold must converge to the one-shot enumeration —
+    // the IDENTICAL oracle gates both
+    "graph_incremental_metrics" -> triangleOracleSql,
     "sample_split" ->
       """WITH f AS (
         |  SELECT doc_id,

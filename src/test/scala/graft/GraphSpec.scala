@@ -146,6 +146,45 @@ class GraphSpec extends SparkSpec {
     assert(t(3L) === ((3L, 2L, 0.666667)))
   }
 
+  test("incrementalTriangles: fold equals one-shot; cross-epoch triangles count once; replay no-ops") {
+    import org.apache.spark.sql.DataFrame
+    // K4 on {1,2,3,4} + a pendant 4-5: 4 triangles total. Delivered as
+    // three epochs that SPLIT every triangle across epochs, plus one
+    // re-delivered epoch (at-least-once) that must change nothing.
+    val ep1 = edges(1L -> 2L, 3L -> 4L)
+    val ep2 = edges(2L -> 3L, 4L -> 1L)           // mixed direction
+    val ep3 = edges(1L -> 3L, 2L -> 4L, 4L -> 5L) // closes all 4 triangles
+    val all = ep1.unionByName(ep2).unionByName(ep3)
+    // accumulated-edge seed carries the canonical (u, v) shape
+    val empty = all.limit(0).select(col("src").as("u"), col("dst").as("v"))
+    val emptyState = all.select(col("src").as("id"))
+      .withColumn("degree", lit(0L)).withColumn("tri_count", lit(0L)).limit(0)
+    def fold(batches: Seq[DataFrame]): DataFrame =
+      Graph.triangleStateView(
+        batches.foldLeft((emptyState, empty)) { case ((st, ed), b) =>
+          Graph.incrementalTriangles(st, ed, b, "src", "dst")
+        }._1)
+    def toMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val oneShot = toMap(Graph.triangles(all, "src", "dst")
+      .select("id", "degree", "tri_count"))
+    val folded = toMap(fold(Seq(ep1, ep2, ep3)).select("id", "degree", "tri_count"))
+    assert(folded === oneShot)
+    // every K4 node sits in C(3,2)=3 triangles; the pendant in none
+    assert(folded(1L) === ((3L, 3L)) && folded(5L) === ((1L, 0L)))
+    assert(folded(4L) === ((4L, 3L))) // K4 degree 3 + the pendant edge
+    // replayed epoch (and a reversed-direction duplicate) → no-op
+    val replayed = toMap(fold(Seq(ep1, ep2, ep3, ep2,
+      ep1.select(col("dst").as("src"), col("src").as("dst"))))
+      .select("id", "degree", "tri_count"))
+    assert(replayed === oneShot)
+    // batching-independence: one batch, and per-edge batches
+    assert(toMap(fold(Seq(all)).select("id", "degree", "tri_count")) === oneShot)
+    val perEdge = Seq(1L -> 2L, 3L -> 4L, 2L -> 3L, 4L -> 1L, 1L -> 3L,
+      2L -> 4L, 4L -> 5L).map(p => edges(p))
+    assert(toMap(fold(perEdge).select("id", "degree", "tri_count")) === oneShot)
+  }
+
   test("kCore: pendant chain peels away, the cycle survives with core degrees") {
     // triangle {1,2,3} with a pendant chain 3-4-5: the chain peels in
     // two cascading rounds, the triangle is the 2-core
