@@ -61,6 +61,74 @@ object ZoneMap {
     graft.sources.TransactionalLake.readCommitted(spark, statsRoot)
       .drop("epoch")
 
+  /** FOLD-AWARE index maintenance: a retention fold
+    * ([[graft.sources.TransactionalLake.foldCommittedEpochs]]) rewrites
+    * aged epochs into a generation dir and deletes their files — every
+    * stats row keyed on those paths goes stale. This hook re-stats
+    * exactly the generations that lack stats (ONE scan per new
+    * generation — O(fresh), the same bound as the fold itself; folds
+    * with `rangeClusterCols` keep the rewritten files prunable) and
+    * drops stats dirs of generations a later merge-fold absorbed.
+    * Idempotent: a generation's stats write is an overwrite detected by
+    * its _SUCCESS marker, so a crashed pass just re-runs. Returns the
+    * number of generations statted this call. */
+  def refoldStats(spark: SparkSession, lakeRoot: String, statsRoot: String,
+                  statCol: String): Int = {
+    val T = graft.sources.TransactionalLake
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statsRoot), spark.sparkContext.hadoopConfiguration)
+    val gens = T.foldView(spark, lakeRoot).map(_._2).getOrElse(Seq.empty)
+      .filter(_._2.nonEmpty).map(_._1)
+    var statted = 0
+    gens.foreach { g =>
+      val out = s"$statsRoot/gen/v=$g"
+      if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS"))) {
+        buildStats(spark, T.foldGenDataDir(lakeRoot, g), statCol)
+          .write.mode("overwrite").parquet(out)
+        statted += 1
+      }
+    }
+    // a merge-fold absorbed older generations: their stats dirs go too
+    val genRoot = new org.apache.hadoop.fs.Path(s"$statsRoot/gen")
+    if (fsys.exists(genRoot)) {
+      val live = gens.map(g => s"v=$g").toSet
+      fsys.listStatus(genRoot).map(_.getPath)
+        .filter(p => p.getName.startsWith("v=") && !live.contains(p.getName))
+        .foreach(p => fsys.delete(p, true))
+    }
+    statted
+  }
+
+  /** The stats index of a lake that has been through retention folds:
+    * per-epoch stats for LIVE epochs (a folded epoch's rows point at
+    * deleted files) plus the per-generation stats [[refoldStats]]
+    * maintains. Fails loud if a fold happened but its generation was
+    * never re-statted — a silently stale index is the failure mode this
+    * layer exists to prevent. */
+  def statsIndexFoldAware(spark: SparkSession, lakeRoot: String,
+                          statsRoot: String): DataFrame = {
+    val T = graft.sources.TransactionalLake
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statsRoot), spark.sparkContext.hadoopConfiguration)
+    val foldedIds = T.foldState(spark, lakeRoot).map(_._2)
+      .getOrElse(Seq.empty).toSet
+    val liveEpochStats = T.readCommitted(spark, statsRoot)
+      .filter(!col("epoch").cast("long")
+        .isin(foldedIds.toSeq.map(Long.box): _*))
+      .drop("epoch")
+    val gens = T.foldView(spark, lakeRoot).map(_._2).getOrElse(Seq.empty)
+      .filter(_._2.nonEmpty).map(_._1)
+    val genDirs = gens.map { g =>
+      val d = s"$statsRoot/gen/v=$g"
+      require(fsys.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS")),
+        s"zone-map stats missing for fold generation $g of $lakeRoot — " +
+          "run ZoneMap.refoldStats after every foldCommittedEpochs")
+      d
+    }
+    if (genDirs.isEmpty) liveEpochStats
+    else liveEpochStats.unionByName(spark.read.parquet(genDirs: _*))
+  }
+
   /** Range read `lo <= statCol <= hi` planned against the stats index:
     * only files whose [min, max] envelope intersects the range are
     * LISTED, then the exact predicate re-filters inside them (zone maps

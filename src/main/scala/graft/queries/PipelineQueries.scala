@@ -854,6 +854,43 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** FOLD-AWARE ZONE-MAP gate — the index-survives-retention lifecycle:
+    * three statted epochs, then a RANGE-CLUSTERED retention fold
+    * rewrites the two aged epochs into a generation (deleting their
+    * files and staling their stats rows), `ZoneMap.refoldStats`
+    * re-stats exactly that generation (O(fresh)), and the fold-aware
+    * index must (a) never point at a deleted file and (b) still PRUNE
+    * at the file level — the range-clustered fold keeps per-file
+    * envelopes near-disjoint where a hash re-bin would scatter them.
+    * Same selective range, same oracle as the pre-fold gate: retention
+    * must be invisible to answers. */
+  def zoneMapRefold(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/zmr_$tag"
+    val statsRoot = s"$root/stats"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = events(spark, dir).filter(col("event_id") <= 2000)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val T = graft.sources.TransactionalLake
+    val Z = graft.operators.ZoneMap
+    (0 until 3).foreach { i =>
+      T.commitEpoch(base.filter(col("event_id") % 3 === i)
+        .repartitionByRange(4, col("event_id")), root, i.toLong,
+        partitionCols = Nil)
+      Z.appendEpochStats(spark, root, statsRoot, i.toLong, "event_id")
+    }
+    val folded = T.foldCommittedEpochs(spark, root, upTo = 1L,
+      partitionCols = Nil, rangeClusterCols = Seq("event_id"))
+    require(folded == 2, s"retention fold must absorb epochs 0-1, got $folded")
+    require(Z.refoldStats(spark, root, statsRoot, "event_id") == 1,
+      "exactly the new generation must be re-statted")
+    Z.prunedRangeRead(spark, Z.statsIndexFoldAware(spark, root, statsRoot),
+      "event_id", lo = 100L, hi = 500L, requirePruned = true)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** VACUUM gate: build a folded lake, inject every debris class the
     * crash windows can leave (uncommitted epoch dir, leftover live dir
     * of a folded epoch, unreferenced fold generation, crashed-publish
@@ -1510,6 +1547,11 @@ object PipelineQueries {
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id BETWEEN 100 AND 500
         |ORDER BY event_id""".stripMargin,
+    // retention must be invisible to answers: identical range oracle
+    "pipe_zonemap_refold" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id BETWEEN 100 AND 500
+        |ORDER BY event_id""".stripMargin,
     // post-vacuum committed view ≡ a lake that never had debris: all
     // three epochs of the enriched feed
     "pipe_vacuum" ->
@@ -1706,6 +1748,7 @@ object PipelineQueries {
     "pipe_dq_epochs" -> (dqEpochs _),
     "pipe_vacuum" -> (vacuumGate _),
     "pipe_zonemap_incremental" -> (zoneMapIncremental _),
+    "pipe_zonemap_refold" -> (zoneMapRefold _),
     "pipe_schema_evolution" -> (schemaEvolution _),
     "pipe_error_replay" -> (errorReplay _),
     "pipe_epoch_changes" -> (epochChanges _),

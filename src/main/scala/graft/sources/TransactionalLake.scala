@@ -87,6 +87,11 @@ object TransactionalLake {
   private def foldedMarkerDir(root: String) = s"$root/_folded"
   private def foldGenDir(root: String, gen: Long) = s"$root/data_folded/gen=$gen"
 
+  /** A fold generation's data dir — for index-maintenance hooks
+    * (zone-map re-stat) that must scan exactly one generation. */
+  private[graft] def foldGenDataDir(root: String, gen: Long): String =
+    foldGenDir(root, gen)
+
   /** True iff `epochId` has been committed — directly (manifest entry) or
     * via a fold (its rows live in the consolidated generation; the
     * `_folded` marker keeps replay a no-op forever). */
@@ -395,7 +400,8 @@ object TransactionalLake {
   def foldCommittedEpochs(spark: SparkSession, root: String, upTo: Long,
                           targetRecordsPerFile: Long = 5000000L,
                           partitionCols: Seq[String] = Schemas.partitionCols,
-                          maxGenerations: Int = 4): Int = {
+                          maxGenerations: Int = 4,
+                          rangeClusterCols: Seq[String] = Nil): Int = {
     require(maxGenerations >= 1, "maxGenerations must be >= 1")
     val f = fs(spark, root)
     val cur = foldView(spark, root)
@@ -417,10 +423,21 @@ object TransactionalLake {
     } :+ freshDf).reduce(_ unionByName _)
     // 1. stage the new generation: epoch kept as the leading partition
     //    column, re-binned (explicit partition count — AQE would coalesce
-    //    a cols-only repartition to one serial writer task)
+    //    a cols-only repartition to one serial writer task).
+    //    `rangeClusterCols`: the fold is THE moment to (re)establish data
+    //    clustering — range-binning on (epoch, cols) gives the rewritten
+    //    generation near-disjoint per-file envelopes on the cluster
+    //    columns, so file-level zone maps and row-group stats keep
+    //    pruning AFTER retention rewrites (a hash re-bin scatters every
+    //    file across the full value range and silently disables both).
     val partCols = "epoch" +: partitionCols
     val n = spark.sessionState.conf.numShufflePartitions
-    stageDf.repartition(n, partCols.map(col): _*)
+    val binned =
+      if (rangeClusterCols.isEmpty) stageDf.repartition(n, partCols.map(col): _*)
+      else stageDf
+        .repartitionByRange(n, (partCols ++ rangeClusterCols).map(col): _*)
+        .sortWithinPartitions((partCols ++ rangeClusterCols).map(col): _*)
+    binned
       .write.mode("overwrite") // an orphaned stage from a crashed attempt is rewritten
       .option("maxRecordsPerFile", targetRecordsPerFile)
       .partitionBy(partCols: _*)

@@ -51,6 +51,39 @@ class ZoneMapSpec extends SparkSpec {
     assert(got === (10L to 20L))
   }
 
+  test("refoldStats: index survives a range-clustered retention fold and keeps pruning") {
+    val root = tmpDir("zm_refold")
+    val statsRoot = s"$root/stats"
+    val T = graft.sources.TransactionalLake
+    (0 until 3).foreach { i =>
+      T.commitEpoch((1L to 999L).filter(_ % 3 == i).toDF("k")
+        .repartitionByRange(2, col("k")), root, i.toLong, partitionCols = Nil)
+      ZoneMap.appendEpochStats(spark, root, statsRoot, i.toLong, "k")
+    }
+    // fold-aware read BEFORE any fold ≡ the plain index
+    assert(ZoneMap.statsIndexFoldAware(spark, root, statsRoot).count() === 6)
+    assert(T.foldCommittedEpochs(spark, root, upTo = 1L, partitionCols = Nil,
+      rangeClusterCols = Seq("k")) === 2)
+    // stale index now points at deleted files; the fold-aware read
+    // REFUSES until the generation is re-statted
+    intercept[IllegalArgumentException] {
+      ZoneMap.statsIndexFoldAware(spark, root, statsRoot)
+    }
+    assert(ZoneMap.refoldStats(spark, root, statsRoot, "k") === 1)
+    assert(ZoneMap.refoldStats(spark, root, statsRoot, "k") === 0) // idempotent
+    val idx = ZoneMap.statsIndexFoldAware(spark, root, statsRoot)
+    // every indexed file exists (no stale rows)
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    idx.select("file").collect().foreach(r =>
+      assert(f.exists(new org.apache.hadoop.fs.Path(r.getString(0))),
+        s"stale stats row: ${r.getString(0)}"))
+    // the range-clustered fold keeps file-level pruning alive
+    val got = ZoneMap.prunedRangeRead(spark, idx, "k", 100L, 200L,
+      requirePruned = true).select("k").as[Long].collect().sorted.toSeq
+    assert(got === (100L to 200L))
+  }
+
   test("degenerate stats: empty index refuses; all-null stat files prune exactly") {
     val root = tmpDir("zm_degen")
     writeRanged(root)
