@@ -301,6 +301,72 @@ object Similarity {
     ivfTopKWith(seedCentroids(corpus, idCol, vecCol, nCells),
       corpus, probes, idCol, vecCol, k, nProbe)
 
+  /** TWO-LEVEL IVF (coarse → fine): the hierarchical routing that keeps
+    * centroid argmin tractable when flat IVF's cell count explodes — at
+    * 100 TB a √n-cell flat index means millions of centroids per
+    * probe-routing argmin and an unbroadcastable centroid table, while
+    * two levels of √(cells) each keep BOTH levels broadcast-sized
+    * (route cost O(nCoarse + nProbeCoarse·nFinePerCell) per probe).
+    * Candidate fetch then keys on the composite (coarse, fine) cell —
+    * strictly finer partitions than either level alone, so the scanned
+    * fraction drops multiplicatively.
+    *
+    * Deterministic end to end (the oracle replays it): coarse centroids
+    * are the first `nCoarse` vectors by id; each coarse cell's fine
+    * centroids are its first `nFinePerCell` members by id; every argmin
+    * tiebreaks (cosine desc, centroid id asc). A probe routes to its
+    * `nProbeCoarse` best coarse cells, then its `nProbeFine` best fine
+    * cells among those cells' fine centroids, and candidates rerank
+    * exactly. */
+  def ivfTwoLevelTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nCoarse: Int = 4,
+                      nFinePerCell: Int = 4, nProbeCoarse: Int = 2,
+                      nProbeFine: Int = 3): DataFrame = {
+    val coarse = seedCentroids(corpus, idCol, vecCol, nCoarse)
+    val cAssign = assignedNormed(coarse, corpus, idCol, vecCol)
+    // fine centroids: each coarse cell's first members by id (seeded,
+    // like the flat index — deterministic and oracle-replayable)
+    val fineCents = cAssign
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("c_id"))))
+      .filter(col("rn") <= nFinePerCell)
+      .select(col("cell").as("f_coarse"), col("c_id").as("f_id"),
+        col("c_e").as("f_e"), col("c_nrm").as("f_nrm"))
+    // corpus → fine cell within its own coarse cell (broadcast argmin;
+    // the corpus still never shuffles for assignment)
+    val fAssign = cAssign
+      .join(broadcast(fineCents), col("cell") === col("f_coarse"))
+      .withColumn("f_cos",
+        VF.cosineWithNorms(col("c_e"), col("f_e"), col("c_nrm"), col("f_nrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_id"))
+          .orderBy(col("f_cos").desc, col("f_id"))))
+      .filter(col("rn") === 1)
+      .select(col("c_id"), col("c_e"), col("c_nrm"), col("cell"),
+        col("f_id").as("fine"))
+    // probe routing: coarse cells first, then fine cells among them
+    val pc = probeCells(coarse, probes, idCol, vecCol, nProbeCoarse)
+    val pf = pc.join(broadcast(fineCents), col("cell") === col("f_coarse"))
+      .withColumn("f_cos",
+        VF.cosineWithNorms(col("p_e"), col("f_e"), col("p_nrm"), col("f_nrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_id"))
+          .orderBy(col("f_cos").desc, col("f_id"))))
+      .filter(col("rn") <= nProbeFine)
+      .select(col("p_id"), col("p_e"), col("p_nrm"), col("cell"),
+        col("f_id").as("fine"))
+    val scored = fAssign.join(broadcast(pf), Seq("cell", "fine"))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** Persist the corpus PARTITIONED BY IVF CELL — the vector analog of
     * `Lake.writeValid(sortCols)` clustering: with one directory per
     * cell, a probe's candidate fetch prunes to its nProbe cells at the

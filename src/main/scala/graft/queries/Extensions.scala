@@ -480,6 +480,15 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** Two-level (coarse→fine) IVF — hierarchical routing for cell counts
+    * a flat broadcast can't carry; see `Similarity.ivfTwoLevelTopK`. */
+  def simTopKIvf2(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.ivfTwoLevelTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Incremental ANN index maintenance — the similarity twin of
     * [[dedupIncrementalFold]]: three arriving embedding batches, each
     * assigned against the deployment's centroid generation (seeded from
@@ -1562,6 +1571,7 @@ object Extensions {
     "sim_rerank_crossenc" -> (simRerankCrossenc _),
     "sim_topk_lsh" -> (simTopKLsh _),
     "sim_topk_ivf" -> (simTopKIvf _),
+    "sim_topk_ivf2" -> (simTopKIvf2 _),
     "sim_topk_ivf_incremental" -> (simTopKIvfIncremental _),
     "sim_streaming_index" -> (simStreamingIndex _),
     "sim_topk_ivf_clustered" -> (simTopKIvfClustered _),
@@ -1990,6 +2000,67 @@ object Extensions {
       |QUALIFY rank <= 5
       |ORDER BY probe_id, rank""".stripMargin
 
+  /** Two-level IVF: coarse seed cells (first 4 by id), per-cell fine
+    * seeds (first 4 members by id), nested deterministic argmins, probe
+    * routes 2 coarse → 3 fine — replayed in full. */
+  private val ivf2Sql: String = vecCte +
+    """, cents AS (
+      |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+      |  FROM n ORDER BY vec_id LIMIT 4
+      |), ca AS (
+      |  SELECT c_id, c_e, c_nrm, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY c_id
+      |      ORDER BY cos DESC, cell) AS rn FROM (
+      |      SELECT a.vec_id AS c_id, a.e AS c_e, a.nrm AS c_nrm,
+      |        b.cent_id AS cell,
+      |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+      |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+      |      FROM n a CROSS JOIN cents b))
+      |  WHERE rn = 1
+      |), fcents AS (
+      |  SELECT cell AS f_coarse, c_id AS f_id, c_e AS f_e, c_nrm AS f_nrm
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY c_id) AS rn
+      |    FROM ca)
+      |  WHERE rn <= 4
+      |), fa AS (
+      |  SELECT c_id, c_e, c_nrm, cell, fine FROM (
+      |    SELECT ca.c_id, ca.c_e, ca.c_nrm, ca.cell, f.f_id AS fine,
+      |      row_number() OVER (PARTITION BY ca.c_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(ca.c_e)+1), i -> ca.c_e[i]*f.f_e[i]),
+      |          (x,y) -> x+y) / (ca.c_nrm * f.f_nrm) DESC, f.f_id) AS rn
+      |    FROM ca JOIN fcents f ON f.f_coarse = ca.cell)
+      |  WHERE rn = 1
+      |), pcoarse AS (
+      |  SELECT p_id, p_e, p_nrm, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_id
+      |      ORDER BY cos DESC, cell) AS rn FROM (
+      |      SELECT a.vec_id AS p_id, a.e AS p_e, a.nrm AS p_nrm,
+      |        b.cent_id AS cell,
+      |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+      |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+      |      FROM n a CROSS JOIN cents b WHERE a.vec_id < 10))
+      |  WHERE rn <= 2
+      |), pf AS (
+      |  SELECT p_id, p_e, p_nrm, cell, fine FROM (
+      |    SELECT pc.p_id, pc.p_e, pc.p_nrm, pc.cell, f.f_id AS fine,
+      |      row_number() OVER (PARTITION BY pc.p_id ORDER BY
+      |        list_reduce(list_transform(range(1, len(pc.p_e)+1), i -> pc.p_e[i]*f.f_e[i]),
+      |          (x,y) -> x+y) / (pc.p_nrm * f.f_nrm) DESC, f.f_id) AS rn
+      |    FROM pcoarse pc JOIN fcents f ON f.f_coarse = pc.cell)
+      |  WHERE rn <= 3
+      |)
+      |SELECT probe_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      |FROM (
+      |  SELECT pf.p_id AS probe_id, fa.c_id AS neighbor_id,
+      |    list_reduce(list_transform(range(1, len(pf.p_e)+1), i -> pf.p_e[i]*fa.c_e[i]),
+      |      (x,y) -> x+y) / (pf.p_nrm * fa.c_nrm) AS cosine
+      |  FROM pf JOIN fa USING (cell, fine) WHERE pf.p_id <> fa.c_id)
+      |QUALIFY rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin
+
   /** Connected-component closure over the exact Jaccard-0.8 pair set as
     * a recursive CTE ending in a `canon(doc_id, canonical_id)` relation —
     * shared by the one-shot (`dedup_canonical`), incremental-fold
@@ -2158,6 +2229,7 @@ object Extensions {
     // operator is oracle-checkable with the same sequential-fold recipe
     // as sim_topk_exact.
     "sim_topk_ivf" -> ivfSql,
+    "sim_topk_ivf2" -> ivf2Sql,
     // the per-batch index-accumulation fold must converge to the one-shot
     // build — same search SQL, with the centroid generation seeded from
     // the FIRST batch (vec_id % 3 = 0), exactly as the deployment would

@@ -9,6 +9,28 @@ class DedupSimilaritySpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, sf0001, "documents")
   private lazy val embs = Tables.load(spark, sf0001, "embeddings")
 
+  test("two-level IVF: one coarse cell degenerates to flat IVF; default config ranks exactly") {
+    val probes = embs.filter($"vec_id" < 10)
+    // nCoarse=1 → every vector shares the coarse cell, the fine seeds
+    // are the corpus's first-by-id — EXACTLY a flat IVF with
+    // nCells=nFinePerCell, nProbe=nProbeFine
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val twoLevel = rows(Similarity.ivfTwoLevelTopK(embs, probes,
+      "vec_id", "embedding", k = 5, nCoarse = 1, nFinePerCell = 16,
+      nProbeCoarse = 1, nProbeFine = 3))
+    val flat = rows(Similarity.ivfTopK(embs, probes,
+      "vec_id", "embedding", k = 5, nCells = 16, nProbe = 3))
+    assert(twoLevel === flat)
+    // default config: deterministic, k rows per probe, exact rerank
+    val d = Similarity.ivfTwoLevelTopK(embs, probes, "vec_id", "embedding", k = 5)
+    assert(d.groupBy("probe_id").count()
+      .filter($"count" =!= 5L).count() == 0, "k rows per probe")
+    assert(rows(d) === rows(
+      Similarity.ivfTwoLevelTopK(embs, probes, "vec_id", "embedding", k = 5)))
+  }
+
   test("Lloyd-refined IVF centroids preserve recall and per-probe result size") {
     val probes = embs.filter($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding", 5)
