@@ -112,6 +112,45 @@ object Graph {
   def incrementalTriangles(prevState: DataFrame, prevEdges: DataFrame,
                            batch: DataFrame, srcCol: String,
                            dstCol: String): (DataFrame, DataFrame) = {
+    val (fresh, degDelta, triDelta) =
+      triangleDeltas(prevEdges, batch, srcCol, dstCol)
+    val state = prevState
+      .join(degDelta, Seq("id"), "full_outer")
+      .join(triDelta, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("degree"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+          .as("degree"),
+        (coalesce(col("tri_count"), lit(0L)) + coalesce(col("dt"), lit(0L)))
+          .as("tri_count"))
+    (state, prevEdges.unionByName(fresh))
+  }
+
+  /** DELTA form of [[incrementalTriangles]] — only the TOUCHED nodes'
+    * advanced rows (O(changes) output, for per-epoch delta commits; the
+    * full state is a latest-wins read over the delta epochs, exactly
+    * the canonical-map contract). A node can gain a triangle without
+    * gaining degree — the new edge closes a wedge whose far corner has
+    * two OLD legs — so touched = degree-touched ∪ triangle-touched. */
+  def incrementalTrianglesDelta(prevState: DataFrame, prevEdges: DataFrame,
+                                batch: DataFrame, srcCol: String,
+                                dstCol: String): DataFrame = {
+    val (_, degDelta, triDelta) =
+      triangleDeltas(prevEdges, batch, srcCol, dstCol)
+    degDelta.join(triDelta, Seq("id"), "full_outer")
+      .join(prevState, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("degree"), lit(0L)) + coalesce(col("dd"), lit(0L)))
+          .as("degree"),
+        (coalesce(col("tri_count"), lit(0L)) + coalesce(col("dt"), lit(0L)))
+          .as("tri_count"))
+  }
+
+  /** Shared delta engine: (fresh canonical edges, per-node degree
+    * delta, per-node triangle delta) for a batch against the
+    * accumulated edge set. */
+  private def triangleDeltas(prevEdges: DataFrame, batch: DataFrame,
+                             srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val fresh = undirected(batch, srcCol, dstCol)
       .join(prevEdges, Seq("u", "v"), "left_anti")
     // directed adjacency over old + fresh, each leg carrying its
@@ -140,15 +179,7 @@ object Graph {
     val degDelta = fresh
       .select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("dd"))
-    val state = prevState
-      .join(degDelta, Seq("id"), "full_outer")
-      .join(triDelta, Seq("id"), "left")
-      .select(col("id"),
-        (coalesce(col("degree"), lit(0L)) + coalesce(col("dd"), lit(0L)))
-          .as("degree"),
-        (coalesce(col("tri_count"), lit(0L)) + coalesce(col("dt"), lit(0L)))
-          .as("tri_count"))
-    (state, prevEdges.unionByName(fresh))
+    (fresh, degDelta, triDelta)
   }
 
   /** [[triangles]]-shaped read of an [[incrementalTriangles]] state:

@@ -1007,6 +1007,40 @@ object Extensions {
       .orderBy("vec_id")
   }
 
+  /** STREAMING graph-metric maintenance gate — the deployment form of
+    * [[graphIncrementalMetrics]]: the k-NN edge set arrives as three
+    * COMMITTED PAIR-LOG EPOCHS (the StreamingDedup artifact layout),
+    * `StreamingDedup.maintainGraphMetrics` advances the per-node
+    * (degree, tri_count) by an O(touched)-row delta commit per epoch,
+    * a second maintenance pass must apply ZERO epochs (replay/cadence
+    * no-op), and the latest-wins state read must equal the one-shot
+    * enumeration — the same SQL oracle as `graph_triangles`. */
+  def graphStreamingMetrics(s: SparkSession, d: String): DataFrame = {
+    import graft.streaming.StreamingDedup
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/gsm_$tag"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val edges = Similarity.knnGraphIvf(embs(s, d), "vec_id", "embedding",
+      k = 3, nCells = 16)
+      .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val slice = abs(xxhash64(col("id_a") + col("id_b"))) % 3
+    (0 until 3).foreach(i =>
+      graft.sources.TransactionalLake.commitEpoch(
+        edges.filter(slice === i), StreamingDedup.pairsRoot(base),
+        i.toLong, partitionCols = Nil))
+    val applied = StreamingDedup.maintainGraphMetrics(s, base)
+    require(applied == Seq(0L, 1L, 2L),
+      s"maintenance must apply the three pair epochs, got $applied")
+    require(StreamingDedup.maintainGraphMetrics(s, base).isEmpty,
+      "a second maintenance pass must be a no-op")
+    graft.operators.Graph.triangleStateView(
+      StreamingDedup.graphMetricState(s, base))
+      .select(col("id").as("vec_id"), col("degree"), col("tri_count"),
+        col("clustering"))
+      .orderBy("vec_id")
+  }
+
   /** 2-core of the exact-Jaccard near-dup graph — the density filter
     * that separates CYCLIC duplicate structure (template families,
     * mutual-copy rings) from mere pairwise matches: isolated pairs and
@@ -1548,6 +1582,7 @@ object Extensions {
     "graph_lpa" -> (graphLpa _),
     "graph_triangles" -> (graphTriangles _),
     "graph_incremental_metrics" -> (graphIncrementalMetrics _),
+    "graph_streaming_metrics" -> (graphStreamingMetrics _),
     "dedup_blocking_report" -> (dedupBlockingReport _),
     "graph_kcore" -> (graphKcore _),
     "graph_ktruss" -> (graphKtruss _),
@@ -2805,6 +2840,7 @@ object Extensions {
     // the incremental fold must converge to the one-shot enumeration —
     // the IDENTICAL oracle gates both
     "graph_incremental_metrics" -> triangleOracleSql,
+    "graph_streaming_metrics" -> triangleOracleSql,
     "sample_split" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -195,6 +195,70 @@ object StreamingDedup {
                     root: String): DataFrame =
     TransactionalLake.readCommitted(spark, quarantineRoot(root)).drop("epoch")
 
+  def graphMetricsRoot(root: String): String = s"$root/graphmetrics"
+
+  /** POST-COMMIT incremental GRAPH-METRIC maintenance — the graph twin
+    * of [[maintainCanonical]]: every committed pair-log epoch not yet
+    * applied advances maintained per-node (degree, tri_count) by a
+    * [[graft.operators.Graph.incrementalTrianglesDelta]] — per epoch
+    * that is O(batch edges · avg degree) work and an O(touched
+    * nodes)-row delta commit, never a re-enumeration of the pair
+    * graph. Same exactly-once shape: deltas commit under the SAME
+    * epoch id as the pair epoch they consume, inputs are
+    * already-committed artifacts strictly below it, a re-delivered
+    * epoch is skipped by the committed-set check. Returns the epoch
+    * ids applied this call. */
+  def maintainGraphMetrics(spark: org.apache.spark.sql.SparkSession,
+                           root: String): Seq[Long] = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    val groot = graphMetricsRoot(root)
+    val done = TransactionalLake.committedEpochs(spark, groot).toSet ++
+      TransactionalLake.foldState(spark, groot).map(_._2).getOrElse(Seq.empty)
+    val pairEpochs = (TransactionalLake.committedEpochs(spark, pairsRoot(root)) ++
+      TransactionalLake.foldState(spark, pairsRoot(root)).map(_._2).getOrElse(Seq.empty))
+      .distinct.sorted
+    val todo = pairEpochs.filterNot(done)
+    todo.foreach { e =>
+      val pairsAll = TransactionalLake.readCommitted(spark, pairsRoot(root))
+      val batch = pairsAll.filter(col("epoch").cast("long") === e)
+        .select(col("id_a"), col("id_b"))
+      val prevEdges = pairsAll.filter(col("epoch").cast("long") < e)
+        .select(least(col("id_a"), col("id_b")).as("u"),
+          greatest(col("id_a"), col("id_b")).as("v"))
+        .distinct()
+      val anyPrior = (TransactionalLake.committedEpochs(spark, groot) ++
+        TransactionalLake.foldState(spark, groot).map(_._2).getOrElse(Seq.empty))
+        .exists(_ < e)
+      val prevState =
+        if (anyPrior) graphMetricStateAsOf(spark, root, e - 1)
+        else batch.select(col("id_a").as("id"))
+          .withColumn("degree", lit(0L)).withColumn("tri_count", lit(0L))
+          .filter(lit(false))
+      val delta = graft.operators.Graph.incrementalTrianglesDelta(
+        prevState, prevEdges, batch, "id_a", "id_b")
+      TransactionalLake.commitEpoch(delta, groot, e, Nil)
+    }
+    todo
+  }
+
+  /** The maintained per-node (id, degree, tri_count): latest-entry-wins
+    * over the committed delta epochs — the O(state) read consumers pay
+    * when they ask, never the per-epoch maintenance write path (same
+    * contract as [[canonicalMap]]). */
+  def graphMetricState(spark: org.apache.spark.sql.SparkSession,
+                       root: String): DataFrame =
+    graphMetricStateAsOf(spark, root, Long.MaxValue)
+
+  private def graphMetricStateAsOf(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, epoch: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("epoch").cast("long").desc)
+    val all = TransactionalLake.readCommitted(spark, graphMetricsRoot(root))
+    all.filter(col("epoch").cast("long") <= epoch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "epoch")
+  }
+
   /** Retention for the stage's artifact lakes — they gain one epoch per
     * micro-batch forever otherwise: fold all but the newest `keepLast`
     * epochs of corpus, index, pair log, and (when the decontamination

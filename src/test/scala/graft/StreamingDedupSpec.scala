@@ -16,6 +16,43 @@ class StreamingDedupSpec extends SparkSpec {
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  test("graph-metric maintenance: O(touched) deltas, crash-resume, state equals one-shot") {
+    val base = tmpDir("gsm_spec")
+    // K4 {1,2,3,4} + pendant, delivered as three pair epochs
+    val eps = Seq(
+      Seq(1L -> 2L, 3L -> 4L),
+      Seq(2L -> 3L, 1L -> 4L),
+      Seq(1L -> 3L, 2L -> 4L, 4L -> 5L))
+    eps.zipWithIndex.foreach { case (pairs, i) =>
+      TransactionalLake.commitEpoch(pairs.toDF("id_a", "id_b"),
+        StreamingDedup.pairsRoot(base), i.toLong, partitionCols = Nil)
+    }
+    assert(StreamingDedup.maintainGraphMetrics(spark, base) === Seq(0L, 1L, 2L))
+    assert(StreamingDedup.maintainGraphMetrics(spark, base).isEmpty)
+    // delta commits are O(touched): epoch 0's delta carries exactly the
+    // 4 endpoint nodes, not the whole eventual node set
+    val e0 = TransactionalLake.readCommitted(spark,
+      StreamingDedup.graphMetricsRoot(base))
+      .filter(col("epoch") === "0")
+    assert(e0.count() === 4)
+    val state = StreamingDedup.graphMetricState(spark, base)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val oneShot = graft.operators.Graph.triangles(
+      eps.flatten.toDF("src", "dst"), "src", "dst")
+      .select("id", "degree", "tri_count")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(state === oneShot)
+    // crash between pair commit and metric commit: a new pair epoch with
+    // no metric epoch — resume applies exactly the missing one
+    TransactionalLake.commitEpoch(Seq(5L -> 6L).toDF("id_a", "id_b"),
+      StreamingDedup.pairsRoot(base), 3L, partitionCols = Nil)
+    assert(StreamingDedup.maintainGraphMetrics(spark, base) === Seq(3L))
+    val after = StreamingDedup.graphMetricState(spark, base)
+      .filter(col("id").isin(5L, 6L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(after === Map(5L -> ((2L, 0L)), 6L -> ((1L, 0L))))
+  }
+
   test("streaming pair log equals one-shot pairs; index accumulates; replay is exactly-once") {
     val base = tmpDir("sdedup")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
