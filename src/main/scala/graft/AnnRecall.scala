@@ -113,12 +113,26 @@ object AnnRecall {
       Point("nProbe", p, scanned, r)
     }
 
+    // ---- IVF→PQ→exact rerank: same sweep; ADC shortlist (5k per
+    //      probe) then exact top-k — recall the composed index's coarse
+    //      codes cap is recovered by the rerank tail ----
+    val ivfpqR = Seq(1, 2, 3, 4, 6, 8).map { p =>
+      val r = recallOf(Similarity.ivfPqTopKReranked(cents, assigns, codes16,
+        e, probes, "vec_id", "embedding", cb16, k, nProbe = p,
+        shortlist = 50))
+      val scanned = Similarity.probeCells(cents, probes, "vec_id", "embedding", p)
+        .select(col("p_id"), col("cell")).join(cellSizes, "cell")
+        .agg(sum(col("cell_n"))).head().getLong(0) / allPairs
+      Point("nProbe", p, scanned, r)
+    }
+
     def curve(ps: Seq[Point]): String = ps.map(p =>
       s"""{"${p.knob}":${p.value},"scanned":${f(p.scanned)},"recall":${f(p.recall)}}""")
       .mkString("[", ",", "]")
     s"""{"sf":"$sfDir","corpus":$nCorpus,"probes":$nProbes,"k":$k,""" +
       s""""curves":{"lsh":${curve(lsh)},"ivf":${curve(ivf)},""" +
-      s""""pq":${curve(pq)},"ivfpq":${curve(ivfpq)}}}"""
+      s""""pq":${curve(pq)},"ivfpq":${curve(ivfpq)},""" +
+      s""""ivfpq_rerank":${curve(ivfpqR)}}}"""
   }
 
   private def f(d: Double): String = "%.6f".format(d)

@@ -681,9 +681,18 @@ object Similarity {
     * ADC shortlist — the shortlist depth is the recall/cost knob. */
   def pqTopKReranked(codes: DataFrame, corpus: DataFrame, probes: DataFrame,
                      idCol: String, vecCol: String, codebooks: DataFrame,
-                     k: Int, shortlist: Int = 50): DataFrame = {
-    val short = pqTopK(codes, probes, idCol, vecCol, codebooks, shortlist)
-      .select(col("probe_id"), col("neighbor_id"))
+                     k: Int, shortlist: Int = 50): DataFrame =
+    exactRerank(
+      pqTopK(codes, probes, idCol, vecCol, codebooks, shortlist)
+        .select(col("probe_id"), col("neighbor_id")),
+      corpus, probes, idCol, vecCol, k)
+
+  /** Exact-cosine re-rank of a (probe_id, neighbor_id) shortlist: only
+    * the survivors fetch their true vectors — shared tail of every
+    * quantized-shortlist → exact-rerank composition. */
+  private def exactRerank(short: DataFrame, corpus: DataFrame,
+                          probes: DataFrame, idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
     val c = withNormed(corpus, idCol, vecCol, "c")
     val p = withNormed(probes, idCol, vecCol, "p")
     val w = Window.partitionBy(col("probe_id"))
@@ -696,6 +705,25 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** IVF→PQ→EXACT-RERANK — the full production billion-scale recipe:
+    * IVF prunes to nProbe cells, ADC ranks the survivors entirely in
+    * the compressed domain to a `shortlist`, and only probes×shortlist
+    * rows fetch true vectors for the exact top-k. Fixes IVF-PQ's recall
+    * ceiling (ADC's coarse codes cap it regardless of nProbe — the
+    * measured flat ~0.23 curve in target/ann_recall.json) at the cost
+    * of one id-equi-join against the vector lake; shortlist depth is
+    * the recall/cost knob exactly as in [[pqTopKReranked]]. */
+  def ivfPqTopKReranked(cents: DataFrame, assignments: DataFrame,
+                        codes: DataFrame, corpus: DataFrame,
+                        probes: DataFrame, idCol: String, vecCol: String,
+                        codebooks: DataFrame, k: Int, nProbe: Int = 3,
+                        shortlist: Int = 50): DataFrame =
+    exactRerank(
+      ivfPqTopK(cents, assignments, codes, probes, idCol, vecCol,
+        codebooks, shortlist, nProbe)
+        .select(col("probe_id"), col("neighbor_id")),
+      corpus, probes, idCol, vecCol, k)
 
   /** IVF→PQ — the canonical billion-scale ANN composition: the IVF
     * assignment index PRUNES the corpus to each probe's nProbe cells,

@@ -627,6 +627,20 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** IVF→PQ→exact-rerank — the recall fix for the composed index's ADC
+    * ceiling; see `Similarity.ivfPqTopKReranked`. */
+  def simTopKIvfPqRerank(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", nCells = 16)
+    val assigns = Similarity.ivfAssignments(cents, e, "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    Similarity.ivfPqTopKReranked(cents, assigns, codes, e,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", cb,
+      k = 5, nProbe = 3, shortlist = 50)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Split-phase gated: the LSH-blocked candidate pairs persist and the
     * cosine + threshold half reruns over the read-back artifact. */
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
@@ -1613,6 +1627,7 @@ object Extensions {
     "sim_topk_sq" -> (simTopKSq _),
     "sim_topk_pq" -> (simTopKPq _),
     "sim_topk_ivfpq" -> (simTopKIvfPq _),
+    "sim_topk_ivfpq_rerank" -> (simTopKIvfPqRerank _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_asof_join" -> (asofClickPurchase _),
     "dedup_source_similarity" -> (dedupSourceSimilarity _),
@@ -2000,6 +2015,64 @@ object Extensions {
     * probe fan-out → exact rerank) — shared by the one-shot and the
     * incremental-fold oracles (the fold differs only in which rows seed
     * the centroid generation). */
+  /** Compressed-domain machinery shared by the IVF-PQ oracles: coarse
+    * cells, assignments, probe routing, seeded codebooks, encodes, and
+    * per-probe ADC tables — the rerank variant appends an exact tail. */
+  private val ivfPqCtes: String = vecCte +
+      """, cents AS (
+        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
+        |  FROM n ORDER BY vec_id LIMIT 16
+        |), ca0 AS (
+        |  SELECT a.vec_id AS c_id, b.cent_id AS cell,
+        |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |      (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+        |  FROM n a CROSS JOIN cents b
+        |), ca AS (
+        |  SELECT c_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_id
+        |      ORDER BY cos DESC, cell) AS rn FROM ca0)
+        |  WHERE rn = 1
+        |), pa AS (
+        |  SELECT p_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY p_id
+        |      ORDER BY cos DESC, cell) AS rn FROM (
+        |      SELECT a.vec_id AS p_id, b.cent_id AS cell,
+        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
+        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
+        |      FROM n a CROSS JOIN cents b WHERE a.vec_id < 10))
+        |  WHERE rn <= 3
+        |), seeds AS (
+        |  SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
+        |  FROM v ORDER BY vec_id LIMIT 16
+        |), cbs AS (
+        |  SELECT s.s AS sub, r.rnk AS code,
+        |    list_slice(r.e, s.s*8 + 1, s.s*8 + 8) AS cv
+        |  FROM seeds r, (SELECT unnest(range(0, 8)) AS s) s
+        |), cbflat AS (
+        |  SELECT list(cv ORDER BY sub, code) AS cb FROM cbs
+        |), enc AS (
+        |  SELECT vec_id,
+        |    list_transform(range(0, 8), s ->
+        |      CAST(list_position(
+        |        list_transform(range(0, 16), c ->
+        |          list_reduce(list_transform(range(1, 9),
+        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
+        |            (x,y) -> x+y)),
+        |        list_min(list_transform(range(0, 16), c ->
+        |          list_reduce(list_transform(range(1, 9),
+        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
+        |            (x,y) -> x+y)))) - 1 AS INT)) AS codes
+        |  FROM v, cbflat
+        |), pt AS (
+        |  SELECT p.vec_id AS p_id,
+        |    flatten(list_transform(range(0, 8), s ->
+        |      list_transform(range(0, 16), c ->
+        |        list_reduce(list_transform(range(1, 9),
+        |          i -> (p.e[s*8+i] - cb[s*16+c+1][i]) * (p.e[s*8+i] - cb[s*16+c+1][i])),
+        |          (x,y) -> x+y)))) AS ptab
+        |  FROM v p, cbflat WHERE p.vec_id < 10
+      |)""".stripMargin
+
   private val ivfSql: String = vecCte +
     """, cents AS (
       |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
@@ -2329,61 +2402,8 @@ object Extensions {
     // IVF→PQ composition: ivfSql's cell routing (cents/ca0/ca/pa CTEs,
     // verbatim) prunes the candidates; sim_topk_pq's codebook/encode/ADC
     // CTEs (verbatim) rank them — the two verified halves composed
-    "sim_topk_ivfpq" -> (vecCte +
-      """, cents AS (
-        |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
-        |  FROM n ORDER BY vec_id LIMIT 16
-        |), ca0 AS (
-        |  SELECT a.vec_id AS c_id, b.cent_id AS cell,
-        |    list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
-        |      (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
-        |  FROM n a CROSS JOIN cents b
-        |), ca AS (
-        |  SELECT c_id, cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY c_id
-        |      ORDER BY cos DESC, cell) AS rn FROM ca0)
-        |  WHERE rn = 1
-        |), pa AS (
-        |  SELECT p_id, cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY p_id
-        |      ORDER BY cos DESC, cell) AS rn FROM (
-        |      SELECT a.vec_id AS p_id, b.cent_id AS cell,
-        |        list_reduce(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.cent_e[i]),
-        |          (x,y) -> x+y) / (a.nrm * b.cent_nrm) AS cos
-        |      FROM n a CROSS JOIN cents b WHERE a.vec_id < 10))
-        |  WHERE rn <= 3
-        |), seeds AS (
-        |  SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS rnk
-        |  FROM v ORDER BY vec_id LIMIT 16
-        |), cbs AS (
-        |  SELECT s.s AS sub, r.rnk AS code,
-        |    list_slice(r.e, s.s*8 + 1, s.s*8 + 8) AS cv
-        |  FROM seeds r, (SELECT unnest(range(0, 8)) AS s) s
-        |), cbflat AS (
-        |  SELECT list(cv ORDER BY sub, code) AS cb FROM cbs
-        |), enc AS (
-        |  SELECT vec_id,
-        |    list_transform(range(0, 8), s ->
-        |      CAST(list_position(
-        |        list_transform(range(0, 16), c ->
-        |          list_reduce(list_transform(range(1, 9),
-        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
-        |            (x,y) -> x+y)),
-        |        list_min(list_transform(range(0, 16), c ->
-        |          list_reduce(list_transform(range(1, 9),
-        |            i -> (e[s*8+i] - cb[s*16+c+1][i]) * (e[s*8+i] - cb[s*16+c+1][i])),
-        |            (x,y) -> x+y)))) - 1 AS INT)) AS codes
-        |  FROM v, cbflat
-        |), pt AS (
-        |  SELECT p.vec_id AS p_id,
-        |    flatten(list_transform(range(0, 8), s ->
-        |      list_transform(range(0, 16), c ->
-        |        list_reduce(list_transform(range(1, 9),
-        |          i -> (p.e[s*8+i] - cb[s*16+c+1][i]) * (p.e[s*8+i] - cb[s*16+c+1][i])),
-        |          (x,y) -> x+y)))) AS ptab
-        |  FROM v p, cbflat WHERE p.vec_id < 10
-        |)
-        |SELECT probe_id, neighbor_id, adc_dist,
+    "sim_topk_ivfpq" -> (ivfPqCtes +
+      """SELECT probe_id, neighbor_id, adc_dist,
         |  CAST(row_number() OVER (PARTITION BY probe_id
         |    ORDER BY adc_dist ASC, neighbor_id) AS INT) AS rank
         |FROM (
@@ -2394,6 +2414,33 @@ object Extensions {
         |  JOIN enc ON enc.vec_id = ca.c_id
         |  JOIN pt ON pt.p_id = pa.p_id
         |  WHERE ca.c_id <> pa.p_id)
+        |QUALIFY rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin),
+    // IVF-prune -> ADC shortlist (depth 50) -> exact-cosine re-rank:
+    // the same compressed-domain machinery, one exact tail
+    "sim_topk_ivfpq_rerank" -> (ivfPqCtes +
+      """, short AS (
+        |  SELECT probe_id, neighbor_id FROM (
+        |    SELECT pa.p_id AS probe_id, ca.c_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY pa.p_id ORDER BY
+        |        list_reduce(list_transform(range(0, 8),
+        |          s -> ptab[s*16 + codes[s+1] + 1]), (x,y) -> x+y) ASC,
+        |        ca.c_id) AS srank
+        |    FROM pa JOIN ca USING (cell)
+        |    JOIN enc ON enc.vec_id = ca.c_id
+        |    JOIN pt ON pt.p_id = pa.p_id
+        |    WHERE ca.c_id <> pa.p_id)
+        |  WHERE srank <= 50
+        |)
+        |SELECT probe_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |FROM (
+        |  SELECT s.probe_id, s.neighbor_id,
+        |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+        |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
+        |  FROM short s JOIN n c ON c.vec_id = s.neighbor_id
+        |  JOIN n p ON p.vec_id = s.probe_id)
         |QUALIFY rank <= 5
         |ORDER BY probe_id, rank""".stripMargin),
     // scalar quantization is pure IEEE arithmetic + floor → the full

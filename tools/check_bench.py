@@ -74,7 +74,8 @@ def check_recall(path):
 
     Floors (recall@k at a probe budget, from the round-9 curves with
     slack for sampling noise): IVF >= 0.70 by 50% scanned and >= 0.50
-    by 25%; LSH >= 0.30 by 30% scanned; PQ whole-corpus scan >= 0.10
+    by 25%; LSH >= 0.30 by 30% scanned; PQ whole-corpus scan >= 0.10;
+    IVF-PQ+rerank >= 0.40 by 25% scanned
     (coarse codes trade recall for 32x compression — the floor catches
     a broken codebook, not a tuning drift). A recall regression should
     fail the round as loudly as a perf one.
@@ -101,6 +102,7 @@ def check_recall(path):
     floor_at("ivf", 0.25, 0.50)
     floor_at("lsh", 0.30, 0.30)
     floor_at("pq", 1.00, 0.10)
+    floor_at("ivfpq_rerank", 0.25, 0.40)
     if bad:
         print(f"RECALL REGRESSIONS: {bad}")
         return 1
