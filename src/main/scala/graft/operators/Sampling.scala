@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions => TF}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling/splitting for training-data pipelines.
@@ -57,6 +58,39 @@ object Sampling {
       when(col(strataCol) === s, lit(w)).otherwise(acc)
     }
     downsampleToWeights(df, strataCol, textCol, wt)
+  }
+
+  /** TOKEN-BUDGET mixture: keep, per stratum, the deterministic
+    * content-hash-ordered prefix of documents whose CUMULATIVE
+    * whitespace-token count stays under that stratum's budget — the
+    * training-mix primitive when the recipe is "N tokens of source X",
+    * not "p% of its documents" (token budgets are how real mixes are
+    * specified; doc-rate sampling over-represents long-doc sources).
+    * A document is kept iff the tokens BEFORE it (md5(text), id order —
+    * content-keyed, so re-shards and engines agree; id breaks hash
+    * ties) are under budget, so each stratum overshoots by at most one
+    * document. Strata absent from `budgets` are DROPPED (a mix is an
+    * explicit allowlist). One scan + one per-stratum running-sum window
+    * — shuffle keyed on the stratum, scan-speed otherwise. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, strataCol: String,
+                        textCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSample: budgets must be non-empty")
+    val toks = filter(split(lower(col(textCol)), " "), x => length(x) > 0)
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(strataCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("__h", md5(col(textCol)))
+      .withColumn("__budget", budget)
+      .filter(col("__budget").isNotNull)
+      .withColumn("__cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("__cum_before") < col("__budget"))
+      .drop("__h", "__budget", "__cum_before")
   }
 
   /** TEMPERATURE sampling: rebalance strata toward relative weight

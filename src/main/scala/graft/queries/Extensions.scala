@@ -1150,6 +1150,17 @@ object Extensions {
       .select(col("doc_id"), col("source"), col("keep_permille"))
       .orderBy("doc_id")
 
+  /** Token-budget mixture gate: "800 tokens of src0, 400 of src1, 200
+    * of src2, nothing else" — the budgets bind at every SF (each
+    * source carries ≥ ~1.1k tokens from sf0.01 up), so the kept set is
+    * a strict content-ordered prefix per source. */
+  def sampleTokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.tokenBudgetSample(docs(s, d), "doc_id",
+      "source", "text",
+      Map("src0" -> 800L, "src1" -> 400L, "src2" -> 200L))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .orderBy("doc_id")
+
   /** Unicode normalization gate: the fixture text is pure ASCII (NFC
     * no-op), so the query PLANTS the dirt it must clean — a soft hyphen
     * (Cf), a decomposed e+U+0301 (NFC composes to é), doubled spaces, a
@@ -1662,6 +1673,7 @@ object Extensions {
     "dedup_semantic" -> (dedupSemantic _),
     "sim_topk_pq_rerank" -> (simTopKPqRerank _),
     "sample_mixture" -> (sampleMixture _),
+    "sample_token_budget" -> (sampleTokenBudget _),
     "text_normalize" -> (textNormalize _),
     "text_line_dedup" -> (textLineDedup _),
     "sample_temperature" -> (sampleTemperature _),
@@ -3192,6 +3204,23 @@ object Extensions {
     // domain-mixture sampling: per-stratum keep-rates from counts and
     // weights (same double arithmetic order), selection by the modular
     // content-hash per-mille bucket
+    "sample_token_budget" -> (tokensCte +
+      """, t AS (
+        |  SELECT w.doc_id, d.source,
+        |    CAST(len(w.toks) AS BIGINT) AS n_tokens, md5(d.text) AS h
+        |  FROM w JOIN documents d ON d.doc_id = w.doc_id
+        |), r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens AS cum_before
+        |  FROM t WHERE source IN ('src0', 'src1', 'src2')
+        |)
+        |SELECT doc_id, source, n_tokens FROM r
+        |WHERE (source = 'src0' AND cum_before < 800)
+        |   OR (source = 'src1' AND cum_before < 400)
+        |   OR (source = 'src2' AND cum_before < 200)
+        |ORDER BY doc_id""".stripMargin),
     "sample_mixture" ->
       """WITH b AS (
         |  SELECT doc_id, source,

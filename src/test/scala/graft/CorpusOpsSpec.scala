@@ -134,6 +134,31 @@ class CorpusOpsSpec extends SparkSpec {
 
   // ---- domain-mixture sampling ----
 
+  test("tokenBudgetSample: per-stratum prefix under budget + <=1 overshoot doc; absent strata drop") {
+    val docs = Tables.load(spark, sf0001, "documents")
+    val budgets = Map("src0" -> 300L, "src1" -> 1L)
+    val kept = Sampling.tokenBudgetSample(docs, "doc_id", "source", "text", budgets)
+    // only budgeted strata survive
+    assert(kept.select("source").distinct().as[String].collect().toSet
+      .subsetOf(budgets.keySet))
+    val sums = kept.groupBy("source")
+      .agg(sum(col("n_tokens")).as("t"), max(col("n_tokens")).as("mx"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // budget honored up to at most one overshooting document
+    sums.foreach { case (src, (total, mx, _)) =>
+      assert(total < budgets(src) + mx,
+        s"$src kept $total tokens against budget ${budgets(src)}")
+    }
+    // budget 1 -> exactly the first content-ordered doc survives
+    assert(sums("src1")._3 === 1L)
+    // deterministic: a re-run keeps the identical set
+    val again = Sampling.tokenBudgetSample(docs, "doc_id", "source", "text", budgets)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("mixtureSample: binding stratum keeps everything, others downsample toward weights") {
     val docs = Tables.load(spark, sf0001, "documents")
     val weights = Map("src0" -> 3.0, "src1" -> 1.0)
