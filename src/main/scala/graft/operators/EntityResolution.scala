@@ -117,7 +117,8 @@ object EntityResolution {
                 k: Int = 3, threshold: Double = 0.8,
                 stopGramFraction: Double = 0.25,
                 maxDensePairs: Long = 10000000L,
-                broadcastRight: Boolean = false): DataFrame = {
+                broadcastRight: Boolean = false,
+                candidateSink: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "fuzzyJoin: threshold must be in (0, 1]")
     require(stopGramFraction > 0.0 && stopGramFraction <= 1.0,
@@ -175,7 +176,16 @@ object EntityResolution {
           dr.select(col("id").as("id_b"), col("n").as("n_b"))))
         .filter(lenOk).select("id_a", "id_b")
 
-    val candidates = candPrefix.unionByName(candDense).distinct()
+    val candidates0 = candPrefix.unionByName(candDense).distinct()
+    // candidateSink: persist the blocked candidate-pair set so callers
+    // (and the blocking-budget spec) can AUDIT the fan-out the prefix
+    // filter actually produced — blocking quality asserted, not hoped
+    val candidates = candidateSink match {
+      case None => candidates0
+      case Some(path) =>
+        candidates0.write.mode("overwrite").parquet(path)
+        left.sparkSession.read.parquet(path)
+    }
     // exact verification — blocking never decides membership. The
     // intersection lands behind a projection alias so the interpreted
     // set op evaluates once per candidate, not once per reference.

@@ -52,6 +52,31 @@ class EntityResolutionSpec extends SparkSpec {
     assert(blocked.nonEmpty)
   }
 
+  test("blocking budget: candidate pairs stay far under all-pairs at gate scale") {
+    // Exact blocking at threshold 0.32 IMPROVES with scale: grams grow
+    // relatively rarer, so the candidate fraction falls — measured
+    // 100% of all-pairs at sf0.001 (150×10: any name pair shares some
+    // rare digit trigram; no sub-quadratic exact answer exists there),
+    // 53% at sf0.01, 15% at sf0.1. This pins the sf0.01 point: a
+    // regression of the prefix/stop-gram machinery back toward
+    // all-pairs trips it, while the bench pins the sf0.1 cost.
+    val dir = "/root/testdata/sf0.01"
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+    val sink = tmpDir("er_cands")
+    val matches = EntityResolution.fuzzyJoin(cust, "id", "name",
+      supp, "id", "name", k = 3, threshold = 0.32,
+      candidateSink = Some(sink)).count()
+    val candidates = spark.read.parquet(sink).count()
+    val allPairs = cust.count() * supp.count()
+    info(s"candidates=$candidates of allPairs=$allPairs (matches=$matches)")
+    assert(candidates < (allPairs * 6) / 10,
+      s"blocking produced $candidates of $allPairs possible pairs")
+    assert(matches > 0 && matches <= candidates)
+  }
+
   test("threshold 1.0 keeps only exact gram-set matches") {
     val m = pairs(t(1L -> "alpha beta"), t(2L -> "alpha beta", 3L -> "alpha bet"), 1.0)
     assert(m == Set((1L, 2L)))
