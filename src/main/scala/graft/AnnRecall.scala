@@ -113,7 +113,7 @@ object AnnRecall {
       Point("nProbe", p, scanned, r)
     }
 
-    // ---- IVF→PQ→exact rerank: same sweep; ADC shortlist (5k per
+    // ---- IVF→PQ→exact rerank: same sweep; ADC shortlist (50 per
     //      probe) then exact top-k — recall the composed index's coarse
     //      codes cap is recovered by the rerank tail ----
     val ivfpqR = Seq(1, 2, 3, 4, 6, 8).map { p =>

@@ -127,8 +127,12 @@ object EntityResolution {
       df.select(col(id).as("id"), charGrams(col(text), k).as("g"))
         .withColumn("n", size(col("g")))
         .filter(col("n") > 0)
-    val cntL = rawSets(left, leftId, leftText).count()
-    val cntR = rawSets(right, rightId, rightText).count()
+    // cap sizing uses RAW row counts (no gram extraction): the cap is a
+    // heuristic cut point — exactness never depends on it (any cap only
+    // shifts grams between the prefix and dense handling, both exact) —
+    // so two cheap metadata-ish counts beat two full gram-pipeline jobs
+    val cntL = left.count()
+    val cntR = right.count()
     val cap = math.max(2L, math.ceil(stopGramFraction * (cntL + cntR)).toLong)
     // one pass over both sides' postings → per-gram (df_l, df_r);
     // vocab-scale (char-k-grams are alphabet-bounded), copied out once

@@ -83,7 +83,11 @@ object Sampling {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", size(toks).cast("long"))
+    // NULL text carries no tokens and no hash order — dropped outright
+    // (size(split(NULL)) is -1 in Spark: left in, each null row would
+    // DECREMENT the running sum and silently extend the stratum budget)
+    df.filter(col(textCol).isNotNull)
+      .withColumn("n_tokens", size(toks).cast("long"))
       .withColumn("__h", md5(col(textCol)))
       .withColumn("__budget", budget)
       .filter(col("__budget").isNotNull)

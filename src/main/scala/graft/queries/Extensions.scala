@@ -1822,12 +1822,6 @@ object Extensions {
          |SELECT id AS vec_id, dist FROM d$depth ORDER BY vec_id""".stripMargin
   }
 
-  /** k-truss oracle: the same canonical-edge frame as [[kcoreSql]],
-    * then `rounds` unrolled support-peels, each re-enumerating
-    * triangles with the degree-ordered orientation (the
-    * `graph_triangles` construction) and dropping edges below k−2
-    * supports. Monotone + Spark-side converge-or-fail ⇒ any fixed
-    * depth ≥ the convergence depth replays it exactly. */
   /** One-shot per-node triangle metrics over the k-NN graph — shared by
     * `graph_triangles` AND `graph_incremental_metrics` (the fold must
     * converge to exactly the one-shot enumeration). */
@@ -1868,6 +1862,12 @@ object Extensions {
       |FROM dgr LEFT JOIN tcnt ON tcnt.id = dgr.id
       |ORDER BY vec_id""".stripMargin
 
+  /** k-truss oracle: the same canonical-edge frame as [[kcoreSql]],
+    * then `rounds` unrolled support-peels, each re-enumerating
+    * triangles with the degree-ordered orientation (the
+    * `graph_triangles` construction) and dropping edges below k−2
+    * supports. Monotone + Spark-side converge-or-fail ⇒ any fixed
+    * depth ≥ the convergence depth replays it exactly. */
   private def kTrussSql: String = {
     val k = 3; val rounds = 4
     val base = shingleCte +
@@ -2023,10 +2023,6 @@ object Extensions {
       |    ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac
       |  FROM w)""".stripMargin
 
-  /** The full IVF lifecycle in SQL (centroid seed → cell assignment →
-    * probe fan-out → exact rerank) — shared by the one-shot and the
-    * incremental-fold oracles (the fold differs only in which rows seed
-    * the centroid generation). */
   /** Compressed-domain machinery shared by the IVF-PQ oracles: coarse
     * cells, assignments, probe routing, seeded codebooks, encodes, and
     * per-probe ADC tables — the rerank variant appends an exact tail. */
@@ -2085,6 +2081,10 @@ object Extensions {
         |  FROM v p, cbflat WHERE p.vec_id < 10
       |)""".stripMargin
 
+  /** The full IVF lifecycle in SQL (centroid seed → cell assignment →
+    * probe fan-out → exact rerank) — shared by the one-shot and the
+    * incremental-fold oracles (the fold differs only in which rows seed
+    * the centroid generation). */
   private val ivfSql: String = vecCte +
     """, cents AS (
       |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm

@@ -157,16 +157,16 @@ object KeyedView {
         .unionByName(delta.filter(col("_op") === "u").select("k", "g", "v"))
         .withColumn("kb", kb(col("k"), buckets))
       val staging = s"$viewRoot/.staging_v$head"
-      val f0 = fs(spark, viewRoot)
-      f0.delete(new Path(staging), true)
+      val f = fs(spark, viewRoot)
+      f.delete(new Path(staging), true)
       newBucketRows.write.partitionBy("kb").parquet(staging)
       touched.foreach { b =>
         val target = new Path(bucketDir(viewRoot, b, head))
-        f0.delete(target, true) // a crashed prior attempt's partial dir
-        f0.mkdirs(target.getParent)
+        f.delete(target, true) // a crashed prior attempt's partial dir
+        f.mkdirs(target.getParent)
         val staged = new Path(s"$staging/kb=$b")
-        if (f0.exists(staged)) {
-          if (!f0.rename(staged, target))
+        if (f.exists(staged)) {
+          if (!f.rename(staged, target))
             throw new java.io.IOException(
               s"keyed view bucket stage failed for $target")
         } else
@@ -176,9 +176,8 @@ object KeyedView {
           newBucketRows.filter(lit(false)).select("k", "g", "v")
             .write.mode("overwrite").parquet(target.toString)
       }
-      f0.delete(new Path(staging), true)
+      f.delete(new Path(staging), true)
       // COMMIT: one marker file flips state + every touched bucket
-      val f = fs(spark, viewRoot)
       f.mkdirs(cursorDir(viewRoot))
       val tmp = new Path(s"${cursorDir(viewRoot)}/.tmp-$head")
       val fin = new Path(s"${cursorDir(viewRoot)}/$head")

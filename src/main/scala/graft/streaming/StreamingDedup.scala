@@ -218,6 +218,7 @@ object StreamingDedup {
       TransactionalLake.foldState(spark, pairsRoot(root)).map(_._2).getOrElse(Seq.empty))
       .distinct.sorted
     val todo = pairEpochs.filterNot(done)
+    var applied = done
     todo.foreach { e =>
       val pairsAll = TransactionalLake.readCommitted(spark, pairsRoot(root))
       val batch = pairsAll.filter(col("epoch").cast("long") === e)
@@ -226,9 +227,10 @@ object StreamingDedup {
         .select(least(col("id_a"), col("id_b")).as("u"),
           greatest(col("id_a"), col("id_b")).as("v"))
         .distinct()
-      val anyPrior = (TransactionalLake.committedEpochs(spark, groot) ++
-        TransactionalLake.foldState(spark, groot).map(_._2).getOrElse(Seq.empty))
-        .exists(_ < e)
+      // derivable from the entry scan + this call's own progress — no
+      // per-epoch re-listing of the metric lake (listings are the
+      // expensive op on object stores)
+      val anyPrior = applied.exists(_ < e)
       val prevState =
         if (anyPrior) graphMetricStateAsOf(spark, root, e - 1)
         else batch.select(col("id_a").as("id"))
@@ -237,6 +239,7 @@ object StreamingDedup {
       val delta = graft.operators.Graph.incrementalTrianglesDelta(
         prevState, prevEdges, batch, "id_a", "id_b")
       TransactionalLake.commitEpoch(delta, groot, e, Nil)
+      applied = applied + e
     }
     todo
   }
