@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   * witness gram inside both rare prefixes of length m − ρ + 1
   * (clamping ρ to ≥ 1 only lengthens a prefix). When both ρ ≤ 0 the
   * pair is dense×dense and the cross path covers it. The PPJoin
-  * length filter (⌈t·n_x⌉ ≤ n_y ≤ ⌊n_x/t⌋) prunes both paths.
+  * length filter (⌈t·n_x⌉ ≤ n_y ≤ ⌊n_x/t⌋) prunes both paths, and the
+  * candidate join applies the PPJoin+ POSITIONAL filter on top: a
+  * gram match at rare positions (p_x, p_y) bounds the rare overlap by
+  * min(m_x−p_x, m_y−p_y)+1, so matches that cannot reach ρ generate
+  * no candidate (exact — see the inline proof at the join).
   *
   * At 100 TB the shape is: two scans, one vocab-scale df aggregate
   * (char-k-gram vocab is alphabet-bounded), a candidate join whose
@@ -88,11 +92,13 @@ object EntityResolution {
     // clamped rho only lengthens the prefix (exactness preserved); the
     // partner-present cut (other side's df > 0) drops postings that
     // cannot produce a cross pair AFTER positions are assigned, so the
-    // global order the lemma needs is undisturbed
+    // global order the lemma needs is undisturbed. rn/m/rho ride along
+    // for the PPJoin+ positional filter at the candidate join.
     val prefix = rare
       .filter(col("rn") <= col("m") - greatest(lit(1), col("rho_raw")) + 1)
       .filter(col(dfOther) > 0)
-      .select(col("id"), col("n"), col("gram"))
+      .select(col("id"), col("n"), col("gram"), col("rn"), col("m"),
+        greatest(lit(1), col("rho_raw")).as("rho"))
     val dense = enriched.filter(col("rho_raw") <= 0)
       .select(col("id"), col("n")).distinct()
     Side(sets, prefix, dense)
@@ -156,11 +162,23 @@ object EntityResolution {
       ceilT(threshold, col("n_a")),
       floor(col("n_a") / threshold + lit(1e-9)).cast("int"))
     val pl = lhs.prefix.select(col("id").as("id_a"), col("n").as("n_a"),
-      col("gram"))
+      col("gram"), col("rn").as("rn_a"), col("m").as("m_a"),
+      col("rho").as("rho_a"))
     val pr0 = rhs.prefix.select(col("id").as("id_b"), col("n").as("n_b"),
-      col("gram"))
+      col("gram"), col("rn").as("rn_b"), col("m").as("m_b"),
+      col("rho").as("rho_b"))
     val pr = if (broadcastRight) broadcast(pr0) else pr0
-    val candPrefix = pl.join(pr, Seq("gram")).filter(lenOk)
+    // PPJoin+ positional filter: a match on this gram can contribute at
+    // most the rare grams from its position onward on EACH side, so the
+    // rare overlap is ≤ min(m−rn)+1 — below the pair's rho requirement,
+    // the match cannot witness a qualifying pair. Exact: a qualifying
+    // pair's FIRST shared rare gram is inside both prefixes (positions
+    // are monotone in the one global order) and every shared gram sits
+    // at or after it, so that match's bound ≥ the true overlap ≥ rho —
+    // the pair always survives via its first witness.
+    val positionalOk = least(col("m_a") - col("rn_a"),
+      col("m_b") - col("rn_b")) + 1 >= greatest(col("rho_a"), col("rho_b"))
+    val candPrefix = pl.join(pr, Seq("gram")).filter(lenOk && positionalOk)
       .select("id_a", "id_b")
 
     // dense×dense: small by construction on natural corpora (records

@@ -687,6 +687,76 @@ object PipelineQueries {
       .orderBy("event_type")
   }
 
+  /** MIN/MAX-MAINTAINING keyed view, driver-gated end-to-end: the
+    * aggregate family count/sum deltas cannot maintain (deleting a
+    * group's min forgets the runner-up), maintained by
+    * [[graft.sources.KeyedView.refreshExtrema]]'s K-extreme buffers
+    * through three merge epochs that exercise BOTH paths:
+    *
+    *  - epoch 1 tombstones every 'click' below 30 (ALL of click's K
+    *    smallest → its lo-buffer exhausts → the rare group-recompute)
+    *    and every 'view' above 100 with NO view upserts (its hi-buffer
+    *    exhausts the same way), alongside the %7 cross-group deletes
+    *    and +1000 value upserts every other group absorbs on the
+    *    O(changes) fast path (the upserted values sit past the ceil —
+    *    the admission filter must reject them or the min would
+    *    overstate);
+    *  - epoch 2's group-moves ('promo') delete buffered entries from
+    *    every origin group and build a brand-new group's buffers from
+    *    the delta alone.
+    *
+    * The oracle recomputes cnt/total/min/max from the resolved final
+    * state, so the gate is "buffered incremental extrema ≡ full
+    * recompute". */
+  def extremaView(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/exlake_$tag"
+    val view = s"/root/repo/target/tmp/exview_$tag"
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(root), true)
+    f.delete(new org.apache.hadoop.fs.Path(view), true)
+    val T = graft.sources.TransactionalLake
+    val K = graft.sources.KeyedView
+    val base = events(spark, dir).filter(col("event_id") <= 3000)
+      .select("event_id", "event_type", "value")
+    val none = base.filter(lit(false)).select("event_id")
+    def refresh(): Long =
+      K.refreshExtrema(spark, root, view, "event_id", "event_type", "value")
+    val exhaustLo = col("event_type") === "click" && col("value") < 30.0
+    val exhaustHi = col("event_type") === "view" && col("value") > 100.0
+    // epoch 0: base load
+    T.mergeCommit(base, none, root, 0L, Seq("event_id"))
+    require(refresh() == 0L)
+    // epoch 1: value upserts (no view rows — its hi-exhaustion must not
+    // be rescued by fresh maxima) + buffer-exhausting and %7 tombstones
+    T.mergeCommit(
+      base.filter(col("event_id") % 5 === 0 && col("event_id") % 7 =!= 0 &&
+          !exhaustLo && col("event_type") =!= "view")
+        .withColumn("value", col("value") + 1000.0),
+      base.filter(col("event_id") % 7 === 0 || exhaustLo || exhaustHi)
+        .select("event_id"),
+      root, 1L, Seq("event_id"))
+    require(refresh() == 1L)
+    // epoch 2: group-MOVING upserts (event_type → 'promo') that also
+    // re-insert epoch-1-deleted keys; a retention fold of the already-
+    // applied epochs lands first
+    require(T.foldCommittedEpochs(spark, root, upTo = 1L,
+      partitionCols = Nil) == 2)
+    T.mergeCommit(
+      base.filter(col("event_id") % 3 === 0)
+        .withColumn("event_type", lit("promo"))
+        .withColumn("value", col("value") + 2000.0),
+      none, root, 2L, Seq("event_id"))
+    require(refresh() == 2L)
+    require(refresh() == 2L) // head unchanged — refresh is a no-op
+    K.readExtrema(spark, view)
+      .select(col("g").as("event_type"), col("cnt"),
+        col("total").cast("double").as("total_value"),
+        col("min_v"), col("max_v"))
+      .orderBy("event_type")
+  }
+
   /** GROUP-RECOMPUTE merged view, driver-gated end-to-end: the same
     * three merge epochs and fold as [[keyedView]], maintained by
     * [[graft.sources.MaterializedView.refreshMerged]] instead — the
@@ -1706,6 +1776,28 @@ object PipelineQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM final GROUP BY 1
         |ORDER BY event_type""".stripMargin,
+    // buffered incremental extrema vs a full min/max recompute of the
+    // resolved final state (epoch-1 exhaustion predicates mirrored)
+    "pipe_extrema_view" ->
+      """WITH final AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 'promo' ELSE event_type END AS g,
+        |    CASE WHEN event_id % 3 = 0 THEN value + 2000.0
+        |         WHEN event_id % 5 = 0 AND event_id % 7 <> 0
+        |              AND NOT (event_type = 'click' AND value < 30.0)
+        |              AND event_type <> 'view' THEN value + 1000.0
+        |         ELSE value END AS value
+        |  FROM events
+        |  WHERE event_id <= 3000
+        |    AND NOT ((event_id % 7 = 0
+        |              OR (event_type = 'click' AND value < 30.0)
+        |              OR (event_type = 'view' AND value > 100.0))
+        |             AND event_id % 3 <> 0))
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM final GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     // group-recompute strategy over the identical fixture — same
     // resolved-state ground truth as the keyed variant
     "pipe_merged_view" ->
@@ -1754,6 +1846,7 @@ object PipelineQueries {
     "pipe_epoch_changes" -> (epochChanges _),
     "pipe_incremental_view" -> (incrementalView _),
     "pipe_keyed_view" -> (keyedView _),
+    "pipe_extrema_view" -> (extremaView _),
     "pipe_merged_view" -> (mergedView _),
     "pipe_streaming_view" -> (streamingView _),
     "pipe_masked_view" -> (maskedView _),

@@ -92,7 +92,38 @@ object KeyedView {
     * epoch. Returns the new cursor. */
   def refresh(spark: SparkSession, lakeRoot: String, viewRoot: String,
               keyCol: String, groupCol: String, valueCol: String,
-              buckets: Int = DefaultBuckets): Long = {
+              buckets: Int = DefaultBuckets): Long =
+    advanceWith(spark, lakeRoot, viewRoot, keyCol, groupCol, valueCol,
+      buckets) { (cur, delta, changedOld) =>
+      // group deltas: remove every changed key's old contribution, add
+      // the new one for upserts (tombstones add nothing)
+      val minus = changedOld.select(col("g"),
+        lit(-1L).as("dc"), (col("v").cast("decimal(18,2)") * -1).as("dv"))
+      val plus = delta.filter(col("_op") === "u").select(col("g"),
+        lit(1L).as("dc"), col("v").cast("decimal(18,2)").as("dv"))
+      val groupDelta = minus.unionByName(plus)
+        .groupBy("g").agg(sum(col("dc")).cast("long").as("cnt"),
+          sum(col("dv")).cast("decimal(28,2)").as("total"))
+      val prev =
+        if (cur < 0) groupDelta.limit(0)
+        else read(spark, viewRoot)
+      prev.unionByName(groupDelta)
+        .groupBy("g").agg(sum(col("cnt")).cast("long").as("cnt"),
+          sum(col("total")).cast("decimal(28,2)").as("total"))
+        .filter(col("cnt") > 0)
+    }
+
+  /** Shared advance machinery for every keyed-view strategy: resolve the
+    * change delta (one winner per key), read the touched buckets' old
+    * rows, hand `(cursor, delta, changedOld)` to `stateFn` for the
+    * strategy-specific new state, then rewrite only the touched buckets
+    * and flip the commit marker. `stateFn` runs with the view still
+    * committed at the old cursor, so it may read the committed state
+    * (`read`) or key index (`readKeyIndex`). */
+  private def advanceWith(spark: SparkSession, lakeRoot: String,
+      viewRoot: String, keyCol: String, groupCol: String, valueCol: String,
+      buckets: Int)(
+      stateFn: (Long, DataFrame, DataFrame) => DataFrame): Long = {
     val cur = cursor(spark, viewRoot)
     val epochs = TransactionalLake.committedEpochs(spark, lakeRoot) ++
       TransactionalLake.foldView(spark, lakeRoot).map(_._2.flatMap(_._2))
@@ -129,22 +160,7 @@ object KeyedView {
         else spark.read.parquet(oldDirs: _*).select("k", "g", "v")
       val changedOld = oldRows.join(delta.select("k").distinct(), Seq("k"),
         "left_semi")
-      // group deltas: remove every changed key's old contribution, add
-      // the new one for upserts (tombstones add nothing)
-      val minus = changedOld.select(col("g"),
-        lit(-1L).as("dc"), (col("v").cast("decimal(18,2)") * -1).as("dv"))
-      val plus = delta.filter(col("_op") === "u").select(col("g"),
-        lit(1L).as("dc"), col("v").cast("decimal(18,2)").as("dv"))
-      val groupDelta = minus.unionByName(plus)
-        .groupBy("g").agg(sum(col("dc")).cast("long").as("cnt"),
-          sum(col("dv")).cast("decimal(28,2)").as("total"))
-      val prev =
-        if (cur < 0) groupDelta.limit(0)
-        else read(spark, viewRoot)
-      val state = prev.unionByName(groupDelta)
-        .groupBy("g").agg(sum(col("cnt")).cast("long").as("cnt"),
-          sum(col("total")).cast("decimal(28,2)").as("total"))
-        .filter(col("cnt") > 0)
+      val state = stateFn(cur, delta, changedOld)
       state.write.mode("overwrite").parquet(stateDir(viewRoot, head))
       // rewrite ONLY the touched buckets: old rows minus changed keys,
       // plus the new upsert rows. ONE partitioned write job computes the
@@ -195,5 +211,203 @@ object KeyedView {
       }
       head
     } finally graft.operators.Blocks.release(delta)
+  }
+
+  /** Buffer width for [[refreshExtrema]]: each group keeps its
+    * `ExtremaBufferK` smallest and largest live (value, key) pairs. */
+  val ExtremaBufferK = 8
+
+  /** MIN/MAX-MAINTAINING keyed view — the aggregate family count/sum
+    * deltas CANNOT maintain: deleting (or group-moving) the row that
+    * holds a group's min forces a lookup of the runner-up, which a
+    * (group → min) state has already forgotten. The classic answer
+    * (Flink retract streams, DBSP z-set min) is per-group sorted state;
+    * the lake-friendly rendition here is a K-EXTREME BUFFER per group in
+    * the view state itself:
+    *
+    *  - state rows are `(g, cnt, total, lobuf, hibuf, lo_ceil,
+    *    hi_floor)` where `lobuf` holds the group's ≤K smallest live
+    *    (v, k) pairs sorted ascending and every UNBUFFERED live value is
+    *    ≥ `lo_ceil` (null ceil = the buffer covers the whole group);
+    *    `hibuf`/`hi_floor` mirror it from above;
+    *  - a refresh drops the changed keys from the buffers, merges the
+    *    delta's K smallest/largest upserts (incoming values past the
+    *    ceil/floor are NOT admitted — an unbuffered survivor could
+    *    undercut them), re-tightens the ceil from whatever the merge
+    *    truncated, and reads min/max off the buffer heads — O(changes)
+    *    like [[refresh]], no key-index scan;
+    *  - only when a refresh exhausts a buffer (every one of the K
+    *    smallest deleted at once) does that GROUP recompute from the
+    *    key index — a windowed top-K over the group's live rows, the
+    *    documented rare path (and how the buffer re-fills to width K).
+    *
+    * Same lake protocol, bucket index, and commit semantics as
+    * [[refresh]]; a view root is maintained by exactly ONE of the two
+    * strategies (their state schemas differ). Read with
+    * [[readExtrema]]. */
+  def refreshExtrema(spark: SparkSession, lakeRoot: String,
+      viewRoot: String, keyCol: String, groupCol: String, valueCol: String,
+      buckets: Int = DefaultBuckets,
+      bufferK: Int = ExtremaBufferK): Long = {
+    require(bufferK >= 1, "refreshExtrema: bufferK must be >= 1")
+    advanceWith(spark, lakeRoot, viewRoot, keyCol, groupCol, valueCol,
+      buckets)(extremaState(spark, viewRoot, buckets, bufferK))
+  }
+
+  /** The committed extrema view: `(g, cnt, total, min_v, max_v)` read
+    * off the buffer heads. */
+  def readExtrema(spark: SparkSession, root: String): DataFrame =
+    read(spark, root).select(col("g"), col("cnt"), col("total"),
+      element_at(col("lobuf"), 1).getField("v").as("min_v"),
+      element_at(col("hibuf"), size(col("hibuf"))).getField("v").as("max_v"))
+
+  private def extremaState(spark: SparkSession, viewRoot: String,
+      buckets: Int, bufK: Int)(
+      cur: Long, delta: DataFrame, changedOld: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val keyT = delta.schema("k").dataType
+    val bufT = ArrayType(StructType(Seq(
+      StructField("v", DoubleType), StructField("k", keyT))))
+    val emptyKeys = array().cast(ArrayType(keyT))
+    val emptyBuf = array().cast(bufT)
+    val kLit = lit(bufK)
+
+    val removed = changedOld.groupBy("g").agg(
+      collect_set(col("k")).as("gone"),
+      count(lit(1)).as("rcnt"),
+      sum(col("v").cast("decimal(18,2)")).as("rsum"))
+    // upsert aggregates + the delta's own K smallest / K largest per
+    // group (window-trimmed BEFORE collect_list so a million-upsert
+    // refresh never materializes a million-element array in one row);
+    // values the trim drops are accounted into the ceil/floor below
+    val up = delta.filter(col("_op") === "u")
+      .select(col("g"), col("k"), col("v").cast("double").as("v"))
+    val pair = struct(col("v"), col("k"))
+    val trimmed = up
+      .withColumn("rna", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").asc, col("k").asc)))
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("k").desc)))
+      .filter(col("rna") <= kLit || col("rnd") <= kLit)
+      .groupBy("g").agg(
+        sort_array(collect_list(when(col("rna") <= kLit, pair))).as("addlo"),
+        sort_array(collect_list(when(col("rnd") <= kLit, pair))).as("addhi"))
+    val added = up.groupBy("g").agg(
+        count(lit(1)).as("acnt"),
+        sum(col("v").cast("decimal(18,2)")).as("asum"))
+      .join(trimmed, Seq("g"))
+    val prev =
+      if (cur >= 0) read(spark, viewRoot)
+      else added.select(col("g"), lit(0L).as("cnt"),
+        lit(null).cast("decimal(28,2)").as("total"),
+        emptyBuf.as("lobuf"), emptyBuf.as("hibuf"),
+        lit(null).cast("double").as("lo_ceil"),
+        lit(null).cast("double").as("hi_floor")).limit(0)
+
+    // Stage 1 (from the three-way join): counts, totals, merged buffers.
+    val gone = coalesce(col("gone"), emptyKeys)
+    def surv(buf: String) = filter(coalesce(col(buf), emptyBuf),
+      e => !array_contains(gone, e.getField("k")))
+    val s1 = prev
+      .join(removed, Seq("g"), "full_outer")
+      .join(added, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("cnt"), lit(0L)) - coalesce(col("rcnt"), lit(0L))
+          + coalesce(col("acnt"), lit(0L))).as("cnt"),
+        (coalesce(col("total"), lit(0).cast("decimal(28,2)"))
+          - coalesce(col("rsum"), lit(0).cast("decimal(18,2)"))
+          + coalesce(col("asum"), lit(0).cast("decimal(18,2)")))
+          .cast("decimal(28,2)").as("total"),
+        col("lo_ceil"), col("hi_floor"),
+        coalesce(col("acnt"), lit(0L)).as("acnt"),
+        coalesce(col("addlo"), emptyBuf).as("addlo"),
+        coalesce(col("addhi"), emptyBuf).as("addhi"),
+        array_sort(concat(surv("lobuf"),
+          coalesce(col("addlo"), emptyBuf))).as("mergedLo"),
+        array_sort(concat(surv("hibuf"),
+          coalesce(col("addhi"), emptyBuf))).as("mergedHi"))
+      .filter(col("cnt") > 0)
+    // Stage 2: the kept buffers. keptLo is a PREFIX of mergedLo (the
+    // K-cut keeps the head, the ceil-cut removes a tail), so "first
+    // value the merge truncated" is simply the next element — it
+    // lower-bounds everything dropped. keptHi mirrors as a suffix.
+    val s2 = s1
+      .withColumn("keptLo", filter(slice(col("mergedLo"), 1, bufK), e =>
+        col("lo_ceil").isNull || e.getField("v") <= col("lo_ceil")))
+      .withColumn("keptHi", filter(
+        slice(col("mergedHi"),
+          greatest(lit(1), size(col("mergedHi")) - kLit + 1), kLit),
+        e => col("hi_floor").isNull || e.getField("v") >= col("hi_floor")))
+    // Stage 3: re-tighten the envelope. New ceil = tightest lower bound
+    // over everything now unbuffered: old unbuffered survivors (≥ old
+    // ceil), merge-truncated entries (≥ the first truncated value),
+    // window-trimmed upserts (≥ the K-th smallest upsert); least()
+    // skips null non-contributors. A buffer holding the ENTIRE group
+    // (size == cnt) covers it: null ceil. The floor mirrors with
+    // greatest(). A group whose buffer came out EMPTY while rows remain
+    // is flagged for recompute (`__rc`).
+    val merged0 = s2.select(col("g"), col("cnt"), col("total"),
+      col("keptLo").as("lobuf"), col("keptHi").as("hibuf"),
+      when(size(col("keptLo")) === col("cnt"), lit(null).cast("double"))
+        .otherwise(least(col("lo_ceil"),
+          when(size(col("mergedLo")) > size(col("keptLo")),
+            element_at(col("mergedLo"), size(col("keptLo")) + 1)
+              .getField("v")),
+          when(col("acnt") > kLit,
+            element_at(col("addlo"), bufK).getField("v"))))
+        .as("lo_ceil"),
+      when(size(col("keptHi")) === col("cnt"), lit(null).cast("double"))
+        .otherwise(greatest(col("hi_floor"),
+          when(size(col("mergedHi")) > size(col("keptHi")),
+            element_at(col("mergedHi"),
+              size(col("mergedHi")) - size(col("keptHi")))
+              .getField("v")),
+          when(col("acnt") > kLit,
+            element_at(col("addhi"), 1).getField("v"))))
+        .as("hi_floor"),
+      ((size(col("keptLo")) === 0) || (size(col("keptHi")) === 0))
+        .as("__rc"))
+    // small state (O(groups)); the copy-out feeds the `__rc` probe, the
+    // kept half, and the upstream state write without re-evaluation
+    val state0 = graft.operators.Blocks.copyOut(merged0, singleEval = true)
+    // rare path: a buffer some refresh fully exhausted (every one of
+    // the K extremes changed at once) recomputes ITS group from the
+    // key index — a distributed windowed top-K over that group's live
+    // rows (old index minus changed keys plus this delta's upserts)
+    val rcGroups = state0.filter(col("__rc")).select("g")
+      .collect().map(_.get(0))
+    val keep = state0.filter(!col("__rc")).drop("__rc")
+    if (rcGroups.isEmpty) keep
+    else {
+      val rcLive = readKeyIndex(spark, viewRoot, buckets)
+        .filter(col("g").isin(rcGroups: _*))
+        .join(delta.select("k").distinct(), Seq("k"), "left_anti")
+        .select("k", "g", "v")
+        .unionByName(up.filter(col("g").isin(rcGroups: _*))
+          .select("k", "g", "v"))
+        .withColumn("v", col("v").cast("double"))
+      val ranked = rcLive
+        .withColumn("rna", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").asc, col("k").asc)))
+        .withColumn("rnd", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("k").desc)))
+      val bufs = ranked.filter(col("rna") <= kLit + 1 ||
+          col("rnd") <= kLit + 1)
+        .groupBy("g").agg(
+          sort_array(collect_list(when(col("rna") <= kLit, pair)))
+            .as("lobuf"),
+          sort_array(collect_list(when(col("rnd") <= kLit, pair)))
+            .as("hibuf"),
+          max(when(col("rna") === kLit + 1, col("v"))).as("lo_ceil"),
+          max(when(col("rnd") === kLit + 1, col("v"))).as("hi_floor"))
+      val aggs = rcLive.groupBy("g").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,2)")).cast("decimal(28,2)")
+          .as("total"))
+      keep.unionByName(aggs.join(bufs, Seq("g"))
+        .select("g", "cnt", "total", "lobuf", "hibuf",
+          "lo_ceil", "hi_floor"))
+    }
   }
 }
