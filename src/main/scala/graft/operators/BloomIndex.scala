@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** FILE-LEVEL BLOOM FILTERS: a per-file membership sketch over a
+  * high-cardinality key column, and point/IN reads that prune at the
+  * FILE-LISTING level against it. The equality-predicate complement of
+  * [[ZoneMap]]: zone maps prune RANGE predicates but only on a
+  * range-clustered layout — on a hash-scattered layout every file's
+  * [min, max] envelope straddles any probe key and nothing prunes.
+  * Blooms prune EQUALITY probes on ANY layout, because membership is a
+  * content property, not a layout property. Delta keeps the same sketch
+  * class in its file-skipping metadata; parquet-mr keeps one per
+  * row-group (consulted only after the file is opened — this index
+  * skips the open).
+  *
+  * Hashing: Kirsch–Mitzenmacher double hashing — k probe positions
+  * `(h1 + i*h2) mod m` from two xxhash64 draws with distinct salts.
+  * Both the build side and the lookup side evaluate the SAME Catalyst
+  * expression ([[probePositions]]), so build/probe agreement is by
+  * construction, not by a re-implementation that could drift.
+  *
+  * Guarantee: NO FALSE NEGATIVES — a file containing the probe key is
+  * always listed (asserted in BloomIndexSpec against the brute-force
+  * read). False positives cost one wasted file open, bounded by
+  * (1 - e^(-k*n/m))^k per file (~4e-4 at n=8k keys, m=128Ki bits, k=7).
+  *
+  * Scale shape: the build is ONE scan with a map-side-partial
+  * `collect_set` per file (sets bounded by m bits, exchange carries
+  * ≤ |files| * m-bit sets); membership filtering runs DISTRIBUTED over
+  * the index (the probe's k positions are literals folded into an
+  * `array_contains` conjunction), and only the SURVIVING file names —
+  * small by construction for point probes — reach the driver for the
+  * read-path listing. The driver never holds the bitsets. */
+object BloomIndex {
+
+  /** Bits per file (power of two). 128Ki bits = ≤16 KiB/file stored as
+    * a distinct-position int array; sized for ~10k keys/file at <1e-3
+    * false-positive rate. Files packing far more keys than m/10 degrade
+    * toward keep-everything — never toward wrong answers. */
+  val MBits = 131072
+  /** Probes per key. */
+  val K = 7
+
+  /** The k probe bit positions of `key` as an int array column.
+    * xxhash64 of a NULL child degenerates to hashing the salt alone, so
+    * all-null key files collapse to one constant pattern; NULL probes
+    * are rejected in [[prunedPointRead]] (`x = NULL` selects nothing). */
+  def probePositions(key: Column): Column = {
+    // reduce mod m BEFORE the multiply-add: identical mod-m arithmetic,
+    // but operands stay < K*MBits so ANSI mode can never see an overflow
+    val h1 = pmod(xxhash64(key, lit("graft-bloom-h1")), lit(MBits.toLong))
+    val h2 = pmod(xxhash64(key, lit("graft-bloom-h2")), lit(MBits.toLong))
+    transform(sequence(lit(0), lit(K - 1)),
+      i => pmod(h1 + i.cast("long") * h2, lit(MBits.toLong)).cast("int"))
+  }
+
+  /** One (file, bits, n) row per parquet file under `path`: `bits` is
+    * the sorted distinct probe-position set of every key in the file,
+    * `n` the row count. Append-only layouts only ever ADD rows here —
+    * see [[appendEpochIndex]] for the per-epoch form. */
+  def buildIndex(spark: SparkSession, path: String, keyCol: String): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        explode(probePositions(col(keyCol))).as("bit"))
+      .groupBy(col("file"))
+      .agg(sort_array(collect_set(col("bit"))).as("bits"),
+        // every row explodes to exactly K elements (duplicate VALUES
+        // within one key's probe array still yield K exploded rows)
+        (count(lit(1)) / K).cast("long").as("n"))
+
+  /** INCREMENTAL index maintenance for a [[graft.sources
+    * .TransactionalLake]]-backed table — the bloom twin of
+    * [[ZoneMap.appendEpochStats]]: per committed data epoch the index
+    * rows are computed from THAT EPOCH'S files alone (O(batch), never
+    * O(lake)) and committed to an index lake under the SAME epoch id,
+    * inheriting the data lake's idempotent-replay contract. */
+  def appendEpochIndex(spark: SparkSession, lakeRoot: String,
+                       indexRoot: String, epoch: Long, keyCol: String): Unit = {
+    val idx = buildIndex(spark, s"$lakeRoot/data/epoch=$epoch", keyCol)
+    graft.sources.TransactionalLake.commitEpoch(idx, indexRoot, epoch,
+      partitionCols = Nil)
+  }
+
+  /** The accumulated per-file index across all committed maintenance
+    * epochs (bookkeeping epoch column dropped — consumers key on file). */
+  def index(spark: SparkSession, indexRoot: String): DataFrame =
+    graft.sources.TransactionalLake.readCommitted(spark, indexRoot)
+      .drop("epoch")
+
+  /** Files that MAY contain any of `values`, resolved distributed: the
+    * probe positions fold to literals, the conjunction runs as an
+    * `array_contains` filter over the index, and only surviving file
+    * names are collected. */
+  private def candidateFiles(spark: SparkSession, index: DataFrame,
+                             values: Seq[Any]): (Array[String], Long) = {
+    require(values.nonEmpty && values.forall(_ != null),
+      "bloom probe values must be non-null and non-empty — an equality " +
+        "predicate on NULL selects nothing; filter it out before planning")
+    val idx = index.select(col("file"), col("bits")).cache()
+    try {
+      val total = idx.count()
+      require(total > 0,
+        "bloom index is empty — nothing has been indexed; run " +
+          "buildIndex/appendEpochIndex before planning point reads against it")
+      // all probe arrays in ONE local 1-row job, not one per value
+      val probeRow = spark.range(1).select(values.zipWithIndex.map {
+        case (v, i) => probePositions(lit(v)).as(s"p$i")
+      }: _*).head
+      val anyValue = values.indices.map { i =>
+        probeRow.getSeq[Int](i).distinct
+          .map(p => array_contains(col("bits"), p)).reduce(_ && _)
+      }.reduce(_ || _)
+      (idx.filter(anyValue).select(col("file")).collect().map(_.getString(0)),
+        total)
+    } finally idx.unpersist()
+  }
+
+  /** Point read `keyCol = value` planned against the index: only files
+    * whose bloom admits the probe are LISTED, then the exact predicate
+    * re-filters inside them (blooms prune membership, they never answer
+    * predicates — a false positive costs a file open, never a wrong
+    * row). `requirePruned` fails loud if nothing pruned — on a point
+    * probe that means the index is saturated (files pack >> m/10 keys)
+    * and needs a bigger m or smaller files. */
+  def prunedPointRead(spark: SparkSession, index: DataFrame, keyCol: String,
+                      value: Any, requirePruned: Boolean = false): DataFrame =
+    prunedInRead(spark, index, keyCol, Seq(value), requirePruned)
+
+  /** IN-list read: files admitting ANY probe survive, then the exact
+    * `isin` re-filters. */
+  def prunedInRead(spark: SparkSession, index: DataFrame, keyCol: String,
+                   values: Seq[Any], requirePruned: Boolean = false): DataFrame = {
+    val (keep, total) = candidateFiles(spark, index, values)
+    if (requirePruned)
+      require(keep.length < total,
+        s"bloom pruning eliminated nothing ($total files all admit the " +
+          s"probe set) — the index is saturated for '$keyCol'; raise MBits " +
+          "or write smaller files")
+    if (keep.isEmpty)
+      // provably no file contains any probe (no-false-negative guarantee)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(index.select(col("file")).head.getString(0)).schema)
+    else
+      spark.read.parquet(keep.toSeq: _*)
+        .filter(col(keyCol).isin(values: _*))
+  }
+}

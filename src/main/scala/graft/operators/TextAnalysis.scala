@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions => TF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over a document table: language-ID, quality
@@ -597,5 +597,55 @@ object TextAnalysis {
       // double collides only if two distinct decimal sums round together;
       // the id tie-break keeps the order total either way)
       .orderBy(col("score").desc, col(idCol))
+  }
+
+  /** URL CANONICALIZATION — the unification step before URL-keyed corpus
+    * dedup (the C4/CommonCrawl prep step upstream of
+    * [[Dedup.exactByHostKey]]): syntactically different URLs that name
+    * the same resource collapse to one canonical string. Rules, applied
+    * as one pure column-expression pipeline (whole-stage-codegen'd, no
+    * UDF, no shuffle):
+    *   1. drop the fragment (`#...` — client-side only),
+    *   2. lowercase scheme and authority (host names are
+    *      case-insensitive; paths are NOT touched),
+    *   3. strip a leading `www.` and the scheme's default port
+    *      (`:80` http / `:443` https),
+    *   4. strip trailing `/` runs from the path (`/p/1/` ≡ `/p/1`),
+    *   5. drop tracking params (`utm_*`, `gclid`, `fbclid`, `ref`) and
+    *      BYTE-SORT the survivors (param order is transport noise).
+    * Inputs without a `scheme://` prefix pass through steps 1/4/5 with
+    * an empty scheme/authority — garbage stays stable, never null. */
+  def urlCanonicalize(df: DataFrame, urlCol: String,
+                      out: String = "url_canon"): DataFrame = {
+    val (scheme, host, path, qs) = urlParts(col(urlCol))
+    df.withColumn(out, concat(
+      when(scheme === "", lit("")).otherwise(concat(scheme, lit("://"))),
+      host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs))))
+  }
+
+  /** The normalized host of a URL — the blocklist/dedup key (same rules
+    * as [[urlCanonicalize]]: lowercase, `www.` and default port
+    * stripped). */
+  def urlHost(url: Column): Column = urlParts(url)._2
+
+  /** (scheme, host, path, sorted-query) under the canonicalization
+    * rules; every output is non-null for non-null input (no-match
+    * regexp_extract is `''`, so garbage degrades, never nulls). */
+  private def urlParts(url: Column): (Column, Column, Column, Column) = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth = regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]*)", 1)), "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)="))
+    (scheme, host, path, array_join(array_sort(params), "&"))
   }
 }

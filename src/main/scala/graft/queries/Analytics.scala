@@ -1351,6 +1351,31 @@ object Analytics {
       .orderBy("l_orderkey")
   }
 
+  /** FILE-LEVEL BLOOM DATA SKIPPING ([[graft.operators.BloomIndex]]) —
+    * the equality complement of [[zoneMapScan]]: the layout here is
+    * HASH-scattered (the case where every file's [min,max] envelope
+    * straddles any probe and zone maps keep everything), yet the
+    * per-file bloom prunes the point-lookup IN-list to the few owning
+    * files (`requirePruned` asserts it). The exact `isin` re-filter
+    * inside the survivors makes false positives a cost, never a wrong
+    * row — so the DuckDB full-scan oracle certifies the whole
+    * build/probe hash agreement. */
+  def bloomScan(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/bloom_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(root)
+    val idx = graft.operators.BloomIndex.buildIndex(spark, root, "doc_id")
+    graft.operators.BloomIndex.prunedInRead(spark, idx, "doc_id",
+      Seq(7L, 123L, 400L), requirePruned = true)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** K-ANONYMITY RISK REPORT — the re-identification audit run before
     * releasing a "de-identified" extract (complements the masked-view
     * RLS/pseudonymization surface): rows are grouped by their
@@ -1436,6 +1461,7 @@ object Analytics {
     "q_scan_agg_pushdown" -> (scanAggPushdown _),
     "q_salted_agg" -> (saltedAgg _),
     "q_zonemap_scan" -> (zoneMapScan _),
+    "q_bloom_scan" -> (bloomScan _),
     "q_kanonymity" -> (kAnonymity _),
     "q_federated_join" -> (federatedJoin _)))
 
@@ -1453,6 +1479,9 @@ object Analytics {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_bloom_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (7, 123, 400) ORDER BY doc_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,

@@ -1176,6 +1176,52 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** URL-canonicalization gate ([[graft.operators.TextAnalysis
+    * .urlCanonicalize]]): two differently-mangled variants of each
+    * document's URL — uppercase scheme/host + `www.` + default port +
+    * a `utm_` param + fragment, vs lowercase + trailing slash + an
+    * `fbclid` param + shuffled param order — must collapse to ONE
+    * canonical URL per doc. `n_variants = 2` certifies the collapse;
+    * the canonical string itself is hash-matched byte-for-byte against
+    * DuckDB's independent re-derivation. */
+  def textUrlCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("source"))
+    val id = col("doc_id").cast("string")
+    val m7 = pmod(col("doc_id"), lit(7)).cast("string")
+    val varA = base.select(col("doc_id"), concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/p/"), id,
+      lit("?b=2&a="), m7, lit("&utm_source=feed#frag"), id).as("url"))
+    val varB = base.select(col("doc_id"), concat(
+      lit("https://"), col("source"), lit(".example.com/p/"), id,
+      lit("/?a="), m7, lit("&fbclid=Q&b=2")).as("url"))
+    graft.operators.TextAnalysis.urlCanonicalize(varA.unionByName(varB), "url")
+      .groupBy(col("url_canon"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+      .select("doc_id", "url_canon", "n_variants")
+      .orderBy("doc_id")
+  }
+
+  /** Host-blocklist filter ([[graft.operators.TextAnalysis.urlHost]]) —
+    * the domain-level exclusion pass every web-corpus prep runs before
+    * content filtering: the doc's host is derived from its (mangled) URL
+    * through the full canonicalization machinery, then blocklisted
+    * domains drop via a BROADCAST anti-join (the blocklist is always
+    * dim-sized; the corpus never shuffles). The oracle re-derives the
+    * host directly from `source`, cross-checking the extraction path. */
+  def textUrlFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val id = col("doc_id").cast("string")
+    val urls = docs(s, d).select(col("doc_id"), concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/p/"), id,
+      lit("?utm_source=feed#f")).as("url"))
+    val blocklist = Seq("src2.example.com", "src7.example.com").toDF("host")
+    urls.withColumn("host", graft.operators.TextAnalysis.urlHost(col("url")))
+      .join(broadcast(blocklist), Seq("host"), "left_anti")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy("host")
+  }
+
   /** Line-dedup gate: the fixture docs are single-line, so the query
     * derives the multi-line structure — a corpus-wide header line, a
     * per-source section line, a blank line, the (unique) body, a
@@ -1675,6 +1721,8 @@ object Extensions {
     "sample_mixture" -> (sampleMixture _),
     "sample_token_budget" -> (sampleTokenBudget _),
     "text_normalize" -> (textNormalize _),
+    "text_url_canonicalize" -> (textUrlCanonicalize _),
+    "text_url_filter" -> (textUrlFilter _),
     "text_line_dedup" -> (textLineDedup _),
     "sample_temperature" -> (sampleTemperature _),
     "sim_knn_graph" -> (simKnnGraph _),
@@ -3404,6 +3452,57 @@ object Extensions {
         |      '\s+', ' ', 'g')) AS clean_text
         |  FROM d)
         |ORDER BY doc_id""".stripMargin,
+    // url canonicalization: DuckDB re-derives the canonical form with its
+    // own regex/list engine (RE2 + list_* lambdas); NOTE
+    // array_to_string([]) is NULL in DuckDB → coalesce to '' to mirror
+    // Spark's array_join
+    "text_url_canonicalize" ->
+      """WITH base AS (SELECT doc_id, source FROM documents),
+        |raw AS (
+        |  SELECT doc_id, 'HTTPS://WWW.' || source || '.Example.COM:443/p/'
+        |    || doc_id || '?b=2&a=' || (doc_id % 7)
+        |    || '&utm_source=feed#frag' || doc_id AS url FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'https://' || source || '.example.com/p/' || doc_id
+        |    || '/?a=' || (doc_id % 7) || '&fbclid=Q&b=2' AS url FROM base),
+        |c1 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM raw),
+        |c2 AS (
+        |  SELECT doc_id, scheme,
+        |    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
+        |      '^www\.', '') AS auth,
+        |    regexp_replace(rest, '^[^/?]*', '') AS pathq
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |         ELSE auth END AS host,
+        |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[^=]*|gclid|fbclid|ref)='))), '&'), '') AS qs
+        |  FROM c2),
+        |c4 AS (
+        |  SELECT doc_id, scheme || '://' || host || path ||
+        |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_canon
+        |  FROM c3)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, url_canon,
+        |  count(*) AS n_variants
+        |FROM c4 GROUP BY url_canon ORDER BY doc_id""".stripMargin,
+    // host blocklist: oracle derives the host directly from source —
+    // the Spark side must land on the same string via URL extraction
+    "text_url_filter" ->
+      """SELECT source || '.example.com' AS host,
+        |  count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM documents WHERE source NOT IN ('src2', 'src7')
+        |GROUP BY host ORDER BY host""".stripMargin,
     // line dedup: oracle elects first occurrence on the line STRING (the
     // engine shuffles xxhash64 of it); blanks exempt both sides
     "text_line_dedup" ->

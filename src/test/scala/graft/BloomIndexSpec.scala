@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{BloomIndex, ZoneMap}
+import org.apache.spark.sql.functions._
+
+class BloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hash-scattered layout: the case zone maps CANNOT prune
+  private def writeScattered(root: String): Unit =
+    (1L to 2000L).toDF("k").withColumn("v", col("k") * 3)
+      .repartition(8, col("k"))
+      .write.mode("overwrite").parquet(root)
+
+  test("no false negatives: every present key's pruned read ≡ brute force") {
+    val root = tmpDir("bl_exact")
+    writeScattered(root)
+    val idx = BloomIndex.buildIndex(spark, root, "k")
+    assert(idx.count() === 8)
+    (1L to 2000L by 97L).foreach { k =>
+      val got = BloomIndex.prunedPointRead(spark, idx, "k", k)
+        .select("k", "v").as[(Long, Long)].collect().toSeq
+      assert(got === Seq((k, k * 3)), s"key $k")
+    }
+  }
+
+  test("prunes equality on a hash layout where zone maps keep everything") {
+    val root = tmpDir("bl_vs_zm")
+    writeScattered(root)
+    val idx = BloomIndex.buildIndex(spark, root, "k")
+    // zone maps: every file's [min,max] envelope straddles the probe —
+    // a degenerate range read [k,k] keeps all 8 files
+    val zm = ZoneMap.buildStats(spark, root, "k")
+    intercept[IllegalArgumentException] {
+      ZoneMap.prunedRangeRead(spark, zm, "k", 777L, 777L, requirePruned = true)
+        .count()
+    }
+    // blooms: content-based membership admits the one owning file (+FP)
+    val got = BloomIndex.prunedPointRead(spark, idx, "k", 777L,
+      requirePruned = true).select("v").as[Long].collect().toSeq
+    assert(got === Seq(777L * 3))
+  }
+
+  test("IN-list read unions candidates and answers exactly; absent keys empty") {
+    val root = tmpDir("bl_in")
+    writeScattered(root)
+    val idx = BloomIndex.buildIndex(spark, root, "k")
+    val got = BloomIndex.prunedInRead(spark, idx, "k",
+      Seq(5L, 500L, 1999L, 999999L), requirePruned = true)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got === Seq(5L, 500L, 1999L))
+    // a provably-absent probe: empty frame with the table schema
+    val none = BloomIndex.prunedPointRead(spark, idx, "k", -42L)
+    assert(none.columns.toSeq === Seq("k", "v"))
+    assert(none.count() === 0L)
+  }
+
+  test("string keys: same build/probe expression, same guarantee") {
+    val root = tmpDir("bl_str")
+    (1 to 500).map(i => s"doc-$i").toDF("id")
+      .withColumn("payload", length(col("id")))
+      .repartition(6, col("id"))
+      .write.mode("overwrite").parquet(root)
+    val idx = BloomIndex.buildIndex(spark, root, "id")
+    val got = BloomIndex.prunedPointRead(spark, idx, "id", "doc-321",
+      requirePruned = true).select("id").as[String].collect().toSeq
+    assert(got === Seq("doc-321"))
+  }
+
+  test("incremental maintenance: O(batch) epoch appends; replay no-op; probes span epochs") {
+    val root = tmpDir("bl_incr")
+    val indexRoot = s"$root/bloomidx"
+    val T = graft.sources.TransactionalLake
+    (0 until 2).foreach { i =>
+      T.commitEpoch((1L to 400L).filter(_ % 2 == i).toDF("k")
+        .repartition(2, col("k")), root, i.toLong, partitionCols = Nil)
+      BloomIndex.appendEpochIndex(spark, root, indexRoot, i.toLong, "k")
+    }
+    val idx = BloomIndex.index(spark, indexRoot)
+    assert(idx.count() === 4) // 2 epochs x 2 files
+    // replayed maintenance pass: same epoch id -> idempotent no-op
+    BloomIndex.appendEpochIndex(spark, root, indexRoot, 1L, "k")
+    assert(BloomIndex.index(spark, indexRoot).count() === 4)
+    // one probe per epoch parity — both resolved against the union index
+    val got = BloomIndex.prunedInRead(spark, idx, "k", Seq(100L, 101L),
+      requirePruned = true).select("k").as[Long].collect().sorted.toSeq
+    assert(got === Seq(100L, 101L))
+  }
+
+  test("guards: empty index, null probe, empty probe set fail loud") {
+    val root = tmpDir("bl_guard")
+    writeScattered(root)
+    val idx = BloomIndex.buildIndex(spark, root, "k")
+    assert(intercept[IllegalArgumentException] {
+      BloomIndex.prunedPointRead(spark, idx.filter(lit(false)), "k", 1L)
+    }.getMessage.contains("empty"))
+    assert(intercept[IllegalArgumentException] {
+      BloomIndex.prunedPointRead(spark, idx, "k", null)
+    }.getMessage.contains("non-null"))
+    assert(intercept[IllegalArgumentException] {
+      BloomIndex.prunedInRead(spark, idx, "k", Seq.empty)
+    }.getMessage.contains("non-empty"))
+  }
+}

@@ -361,4 +361,29 @@ class TextOpsSpec extends SparkSpec {
     assert(b._3 == 1L && b._2 == 9L && !b._5,
       s"doc B must share 1/9 grams and stay unflagged: $b")
   }
+
+  test("urlCanonicalize: case, ports, www, fragments, tracking params, param order") {
+    val cases = Seq(
+      // equivalent mangled pairs collapse
+      ("HTTP://WWW.Ex.COM:80/A/b/?z=1&utm_medium=m&a=2#frag",
+        "http://ex.com/A/b?a=2&z=1"),
+      ("http://ex.com/A/b?a=2&z=1", "http://ex.com/A/b?a=2&z=1"),
+      // https default port; ref + gclid + fbclid dropped; byte sort
+      ("https://Site.org:443/?ref=r&b=1&gclid=g&fbclid=f&a=9",
+        "https://site.org?a=9&b=1"),
+      // non-default port survives; path case preserved
+      ("https://site.org:8443/Path/", "https://site.org:8443/Path"),
+      // no scheme: stable pass-through of the steps that still apply
+      ("www.ex.com/x/?utm_source=s", "ex.com/x"),
+      // utm_ prefix only matches as a PARAM KEY, not a value
+      ("https://ex.com/q?k=utm_source", "https://ex.com/q?k=utm_source"),
+      // fragment-only and query-only degenerate forms
+      ("https://ex.com#only-frag", "https://ex.com"),
+      ("https://ex.com/?utm_source=x", "https://ex.com"))
+    val got = graft.operators.TextAnalysis.urlCanonicalize(
+        cases.map(_._1).toDF("url"), "url")
+      .select("url", "url_canon").as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"input $in") }
+  }
 }
