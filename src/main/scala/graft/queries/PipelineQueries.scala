@@ -924,6 +924,36 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** EPOCH-INCREMENTAL BLOOM-INDEX gate — [[graft.operators.BloomIndex]]
+    * under the same transactional-lake maintenance lifecycle as
+    * [[zoneMapIncremental]], but on a HASH-scattered layout (the one
+    * zone maps cannot serve): three committed epochs each indexed
+    * O(batch) at commit time, a replayed maintenance pass contracts to
+    * a no-op, and an IN-list probe spanning all three epoch parities
+    * prunes at the file level (asserted) while answering exactly. */
+  def bloomIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/bli_$tag"
+    val indexRoot = s"$root/bloom"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = events(spark, dir).filter(col("event_id") <= 2000)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val T = graft.sources.TransactionalLake
+    val B = graft.operators.BloomIndex
+    (0 until 3).foreach { i =>
+      T.commitEpoch(base.filter(col("event_id") % 3 === i)
+        .repartition(4, col("event_id")), root, i.toLong, partitionCols = Nil)
+      B.appendEpochIndex(spark, root, indexRoot, i.toLong, "event_id")
+    }
+    // replayed maintenance pass: same epoch id → idempotent no-op
+    B.appendEpochIndex(spark, root, indexRoot, 1L, "event_id")
+    B.prunedInRead(spark, B.index(spark, indexRoot), "event_id",
+      Seq(123L, 457L, 791L), requirePruned = true)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** FOLD-AWARE ZONE-MAP gate — the index-survives-retention lifecycle:
     * three statted epochs, then a RANGE-CLUSTERED retention fold
     * rewrites the two aged epochs into a generation (deleting their
@@ -1617,6 +1647,10 @@ object PipelineQueries {
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id BETWEEN 100 AND 500
         |ORDER BY event_id""".stripMargin,
+    "pipe_bloom_incremental" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id IN (123, 457, 791)
+        |ORDER BY event_id""".stripMargin,
     // retention must be invisible to answers: identical range oracle
     "pipe_zonemap_refold" ->
       """SELECT event_id, event_type, value FROM events
@@ -1840,6 +1874,7 @@ object PipelineQueries {
     "pipe_dq_epochs" -> (dqEpochs _),
     "pipe_vacuum" -> (vacuumGate _),
     "pipe_zonemap_incremental" -> (zoneMapIncremental _),
+    "pipe_bloom_incremental" -> (bloomIncremental _),
     "pipe_zonemap_refold" -> (zoneMapRefold _),
     "pipe_schema_evolution" -> (schemaEvolution _),
     "pipe_error_replay" -> (errorReplay _),
