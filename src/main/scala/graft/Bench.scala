@@ -94,6 +94,49 @@ object Bench {
     // SPARK_GRAFT_ONLY=a,b,c — time just those queries (isolated-number
     // debugging; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_PROFILE=1 — per-rep stderr forensics for the spread
+    // gate: wall, GC delta, job count/coverage, and the slowest jobs
+    // with their start offsets (gaps between jobs = driver-side time:
+    // planning, AQE, broadcast builds, checkpoint bookkeeping). Used to
+    // pin WHICH rep of a spread-weak entry stalls and WHERE.
+    // SPARK_GRAFT_REPS=n overrides the timed-rep count (debugging only).
+    val profiling = sys.env.contains("SPARK_GRAFT_PROFILE")
+    val nReps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    val jobLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
+    val jobStarts =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    if (profiling)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(js.stageInfos.lastOption.map(_.name)).getOrElse("")
+          jobStarts.put(js.jobId, (js.time, desc)); ()
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(jobStarts.remove(je.jobId)).foreach { case (t0, d) =>
+            jobLog.add((je.jobId, t0, je.time, d)) }; ()
+        }
+      })
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def profileRep(name: String, wallSec: Double, gcDeltaMs: Long,
+                   repT0Ms: Long): Unit = {
+      import scala.jdk.CollectionConverters._
+      val jobs = jobLog.asScala.toSeq.sortBy(_._2)
+      val jobSec = jobs.map(j => (j._3 - j._2) / 1e3).sum
+      System.err.println(f"[prof] $name wall=$wallSec%.2f gc=${gcDeltaMs / 1e3}%.2f " +
+        f"jobs=${jobs.size} jobtime=$jobSec%.2f driverGap=${wallSec - jobSec}%.2f")
+      jobs.sortBy(j => -(j._3 - j._2)).take(10).foreach { case (id, t0, t1, d) =>
+        System.err.println(f"[prof]   job#$id +${(t0 - repT0Ms) / 1e3}%7.2f " +
+          f"dur=${(t1 - t0) / 1e3}%6.2f  ${d.take(110)}")
+      }
+      jobLog.clear()
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Each entry is timed THREE times and the MEDIAN is reported; HEAVY
@@ -115,10 +158,15 @@ object Bench {
       case (name, fn) =>
         def once(): Either[String, Double] = {
           quiesce()
+          if (profiling) jobLog.clear()
+          val gc0 = if (profiling) gcMillis() else 0L
+          val wall0 = System.currentTimeMillis()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            Right((System.nanoTime() - t0) / 1e9)
+            val w = (System.nanoTime() - t0) / 1e9
+            if (profiling) profileRep(name, w, gcMillis() - gc0, wall0)
+            Right(w)
           } catch {
             case e: Throwable =>
               Left(e.getClass.getSimpleName + ": " +
@@ -129,7 +177,7 @@ object Bench {
         val runs = probe match {
           case Left(_) => Seq(probe)
           case Right(t) if t < 1.0 => Seq(probe, once(), once())
-          case Right(_) => Seq(once(), once(), once()) // probe = warm-up
+          case Right(_) => (1 to nReps).map(_ => once()) // probe = warm-up
         }
         val firstErr = runs.collectFirst { case Left(msg) => msg }
         name -> firstErr.toLeft(runs.collect { case Right(s) => s }.sorted)

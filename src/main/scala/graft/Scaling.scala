@@ -85,20 +85,27 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect() // JVM warm
-    val json = run(spark)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/target/scaling.json"), json + "\n")
+    val json = run(spark, if (args.isEmpty) None else Some(args.toSet))
+    // a filtered run is an iteration aid — never clobber the artifact
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/target/scaling.json"), json + "\n")
     println(json)
     spark.stop()
   }
 
   /** Measure every exponent and return the artifact JSON (stderr-only
     * progress) — factored out so Bench can regenerate the artifact each
-    * round inside its own session without clobbering its stdout line. */
-  def run(spark: SparkSession): String = {
+    * round inside its own session without clobbering its stdout line.
+    * `only`: optional query-name filter (CLI args) for fast iteration on
+    * one operator's exponent without the full ~20 min sweep. */
+  def run(spark: SparkSession, only: Option[Set[String]] = None): String = {
     val sfSmall = "/root/testdata/sf0.01"
     val sfBig = "/root/testdata/sf0.1"
-    val synthDir = "/root/repo/target/sf_synth"
+    // v2: per-word replica tagging (true shingle decorrelation) — new
+    // dir so a stale v1 corpus left by an earlier round never satisfies
+    // the _SYNTH_OK check
+    val synthDir = "/root/repo/target/sf_synth_v2"
     ensureSynth(spark, sfBig, synthDir)
 
     def quiesce(): Unit = {
@@ -115,7 +122,7 @@ object Scaling {
     // measures it at nBits+3 — the same discipline a deployment follows —
     // while every other query runs its gated form unchanged.
     def fnFor(name: String, dir: String): (SparkSession, String) => DataFrame =
-      if (name == "dedup_embedding_lsh" && dir.endsWith("sf_synth"))
+      if (name == "dedup_embedding_lsh" && dir.contains("sf_synth"))
         (s, d) => graft.operators.Dedup.embeddingNearDupPairsLsh(
           Tables.load(s, d, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, nBits = 9)
@@ -131,7 +138,7 @@ object Scaling {
       ts(1) // median of 3
     }
 
-    val entries = smallSubset.map { q =>
+    val entries = smallSubset.filter(q => only.forall(_.contains(q))).map { q =>
       val t1 = time(q, sfSmall)
       val t2 = time(q, sfBig)
       val aSmall = math.log(t2 / t1) / math.log(10.0)
@@ -164,10 +171,19 @@ object Scaling {
     val reps = spark.range(SynthReplicas).select(col("id").cast("int").as("rep"))
     docs.crossJoin(reps)
       .withColumn("doc_id", col("doc_id") + col("rep") * idOffset)
-      // the tag lands in every shingle window's tail, not mid-text:
-      // within-replica dup/near-dup structure is preserved verbatim,
-      // cross-replica shingles never collide
-      .withColumn("text", concat(col("text"), lit(" zrep"), col("rep")))
+      // EVERY word carries the replica tag — a per-replica BIJECTION on
+      // the vocabulary, so within-replica shingle/dup structure is
+      // preserved verbatim while cross-replica shingle sets are fully
+      // disjoint. (A tag merely APPENDED to the text — the previous
+      // form — leaves all mid-text shingles shared across replicas:
+      // replica clones sit at word-shingle Jaccard ≈ (s−1)/(s+1) ≈ 0.96,
+      // so the "decorrelated" corpus actually carried 5000 cross-replica
+      // 8-cliques ≈ 150k extra near-dup pairs and shingle dfs that grow
+      // ×replicas — the workload itself was super-linear and the
+      // measured α was blamed on the plan.)
+      .withColumn("text",
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1zr"), col("rep"))))
       .drop("rep")
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

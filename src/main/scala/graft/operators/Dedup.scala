@@ -71,8 +71,8 @@ object Dedup {
       .select("cluster_size", "n_clusters", "n_docs", "min_canonical_id")
 
   /** Shingle sets per doc: (id, shingles array, size). */
-  private def withShingleSets(docs: DataFrame, idCol: String, textCol: String,
-                              k: Int): DataFrame =
+  private[graft] def withShingleSets(docs: DataFrame, idCol: String, textCol: String,
+                                     k: Int): DataFrame =
     docs.select(col(idCol),
       TF.shingleSet(col(textCol), k).as("sh"))
       .withColumn("sh_n", size(col("sh")))
@@ -98,15 +98,24 @@ object Dedup {
     * not re-persist or re-checkpoint it. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8,
-                        maxShinglePostings: Int = 100000): DataFrame = {
+                        stopShingleFraction: Double = 0.05,
+                        maxDensePairs: Long = 10000000L): DataFrame = {
     val sets = withShingleSets(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try
       Blocks.copyOut(
-        ngramJaccardPairsFromSets(sets, idCol, threshold, maxShinglePostings),
+        ngramJaccardPairsFromSets(sets, idCol, threshold,
+          stopShingleFraction, maxDensePairs),
         singleEval = true)
     finally { sets.unpersist(blocking = true); () }
   }
+
+  /** ⌈t·n⌉ guarded against float round-up (0.8·35 = 28.000…004 must not
+    * become 29 — a too-large bound would shrink a prefix below what the
+    * lemma needs). Rounding DOWN by ε only lengthens prefixes / widens
+    * the length filter — always safe. */
+  private def ceilT(t: Double, n: Column): Column =
+    ceil(n * t - lit(1e-9)).cast("int")
 
   /** Same as [[ngramJaccardPairs]] but over an ALREADY-COMPUTED shingle-set
     * frame `(idCol, sh, sh_n)` — the caller can materialize it once and
@@ -115,37 +124,139 @@ object Dedup {
     * pass over the corpus. */
   private[operators] def ngramJaccardPairsFromSets(
       sets: DataFrame, idCol: String, threshold: Double,
-      maxShinglePostings: Int): DataFrame = {
-    val postings = sets.select(col(idCol).as("id"), col("sh_n"),
-      explode(col("sh")).as("shingle"))
-    // Prefix filtering (PPJoin lemma): under a global shingle order, two
-    // sets with J >= t must share an element within their first
-    // |x| - ceil(t|x|) + 1 elements. Ordering by ascending document
-    // frequency puts the RAREST shingles in the prefix, so the candidate
-    // join only fans out on low-df keys — at 100 TB this is the
-    // difference between a join on long-tail keys and a quadratic blowup.
-    // Stop-shingle cut: df > maxShinglePostings keys are dropped before
-    // ranking (cannot discriminate; bounds worst-case skew).
-    // Frequency pre-filter: a df=1 shingle exists in exactly one document,
-    // so it can never produce a candidate pair — drop its postings BEFORE
-    // the per-doc window rank and the self-join (on long-tail corpora the
-    // singleton shingles are the bulk of the postings list). Exactness
-    // survives because removals only move surviving shingles EARLIER in
-    // the doc's df-order: prefixLen still uses the full set size |x|, so
-    // every shared shingle that sat in the original prefix still does.
-    val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxShinglePostings)
-    val ranked = postings.join(dfreq, "shingle")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
-    val prefixLen = col("sh_n") - ceil(lit(threshold) * col("sh_n")).cast("int") + 1
-    val prefix = ranked.filter(col("rn") <= prefixLen)
-    val l = prefix.select(col("id").as("id_a"), col("shingle"))
-    val r = prefix.select(col("id").as("id_b"), col("shingle"))
-    val candidates = l.join(r, "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      stopShingleFraction: Double = 0.05,
+      maxDensePairs: Long = 10000000L): DataFrame = {
+    val candidates = ngramJaccardCandidates(sets, idCol, threshold,
+      stopShingleFraction, maxDensePairs)
     verifyPairs(candidates, sets, idCol, threshold)
+  }
+
+  /** Candidate (id_a, id_b) pairs of the stop-shingle-aware PPJoin+
+    * self-join — factored out so the blocking-budget spec can AUDIT the
+    * fan-out blocking actually produces (candidates ≪ all-pairs),
+    * mirroring `EntityResolution.fuzzyJoin`'s candidate sink.
+    *
+    * Blocking design (exact at every threshold — candidates only bound
+    * cost, verification decides membership):
+    *  - STOP-SHINGLE cut, SCALE-INVARIANT: shingles whose df exceeds
+    *    `stopShingleFraction` of the corpus are COMMON and excluded from
+    *    candidate generation. A fixed absolute df cap is scale-variant:
+    *    growing the corpus N× grows every df N× while staying under the
+    *    cap, so per-shingle join fan-out grows N² — measured quadratic
+    *    at the ×8 synth corpus before this rewrite. With a fractional
+    *    cut the classification is invariant under corpus growth, and the
+    *    number of common shingles is bounded by avgShingles/fraction
+    *    regardless of corpus size.
+    *  - Per doc, u = its common-shingle count; a qualifying partner must
+    *    still produce ρ = ⌈t·n⌉ − u overlap among RARE shingles. Docs
+    *    with ρ ≥ 1 keep a rare-shingle PREFIX of length m − ρ + 1 (m =
+    *    rare count), ordered by ascending df — the PPJoin lemma puts a
+    *    shared rare shingle of any qualifying pair inside both prefixes.
+    *    Docs with ρ ≤ 0 ("dense": could match on stop-shingles alone)
+    *    are cross-checked pairwise behind the fail-loud `maxDensePairs`
+    *    budget; their rare prefixes stay in play (clamped ρ = 1 ⇒ full
+    *    rare set), so dense×non-dense pairs are caught by the prefix
+    *    join (the non-dense side has ρ ≥ 1 ⇒ witness in both prefixes).
+    *  - df=1 postings drop before the per-doc rank (they can never be
+    *    shared): survivors only move EARLIER in the order, and m / the
+    *    prefix bound use the full rare count, so every original-prefix
+    *    shingle is still kept — exactness survives, and on long-tail
+    *    corpora the singleton shingles are the bulk of the postings.
+    *  - Candidate join applies the symmetric PPJoin LENGTH filter
+    *    (min(n) ≥ ⌈t·max(n)⌉) and the PPJoin+ POSITIONAL filter: a match
+    *    at rare ranks (rn_a, rn_b) bounds the rare overlap by
+    *    min(m−rn)+1; below max(ρ_a, ρ_b) the match cannot witness a
+    *    qualifying pair. Exact: the pair's FIRST shared rare shingle has
+    *    every shared shingle at-or-after it on both sides, so that
+    *    match's bound ≥ true rare overlap ≥ ρ — the pair always survives
+    *    via its first witness. (Ranks are computed after the df=1 cut,
+    *    which only shrinks rn — the bound gets looser, never unsound.)
+    *
+    * 100 TB shape: one postings aggregate (shingle-vocab-scale), one
+    * rank shuffle on id, a candidate join whose per-shingle fan-out is
+    * df² only for df ≤ fraction·N prefix survivors, and a dense cross
+    * that REFUSES (require) past the budget instead of running a silent
+    * quadratic. */
+  private[graft] def ngramJaccardCandidates(
+      sets: DataFrame, idCol: String, threshold: Double,
+      stopShingleFraction: Double = 0.05,
+      maxDensePairs: Long = 10000000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "ngramJaccard: threshold must be in (0, 1]")
+    require(stopShingleFraction > 0.0 && stopShingleFraction <= 1.0,
+      "ngramJaccard: stopShingleFraction must be in (0, 1]")
+    // corpus size for the fractional cut — the caller persists `sets`,
+    // so this count is the materialization job it pays anyway
+    val nDocs = sets.count()
+    val cap = math.max(2L, math.ceil(stopShingleFraction * nDocs).toLong)
+    val postings = sets.select(col(idCol).as("id"), col("sh_n").as("n"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .withColumn("is_common", col("df") > cap)
+    val byId = Window.partitionBy(col("id"))
+    // u rides a window over the SAME id partition the rank needs — no
+    // extra shuffle; df=1 postings (inner-join losses) count into m via
+    // n − u, never via surviving row count
+    val enriched = postings.join(dfreq, "shingle")
+      .withColumn("u", sum(when(col("is_common"), 1).otherwise(0)).over(byId))
+      .withColumn("rho_raw", ceilT(threshold, col("n")) - col("u"))
+      .withColumn("m", col("n") - col("u"))
+    val rare = enriched.filter(!col("is_common"))
+      .withColumn("rn", row_number().over(
+        byId.orderBy(col("df"), col("shingle"))))
+    val prefix = rare
+      .filter(col("rn") <= col("m") - greatest(lit(1), col("rho_raw")) + 1)
+      .select(col("id"), col("n"), col("shingle"), col("rn"), col("m"),
+        greatest(lit(1), col("rho_raw")).as("rho"))
+
+    val lenOk = least(col("n_a"), col("n_b")) >=
+      ceilT(threshold, greatest(col("n_a"), col("n_b")))
+    val positionalOk = least(col("m_a") - col("rn_a"),
+      col("m_b") - col("rn_b")) + 1 >= greatest(col("rho_a"), col("rho_b"))
+    val pl = prefix.select(col("id").as("id_a"), col("n").as("n_a"),
+      col("shingle"), col("rn").as("rn_a"), col("m").as("m_a"),
+      col("rho").as("rho_a"))
+    val pr = prefix.select(col("id").as("id_b"), col("n").as("n_b"),
+      col("shingle"), col("rn").as("rn_b"), col("m").as("m_b"),
+      col("rho").as("rho_b"))
+    // identical subplans both shuffling on `shingle` — AQE reuses the
+    // exchange, so the window pipeline evaluates once, not twice
+    val candPrefix = pl.join(pr, Seq("shingle"))
+      .filter(col("id_a") < col("id_b") && lenOk && positionalOk)
+      .select("id_a", "id_b")
+
+    // dense docs (could match on stop-shingles alone): u ≥ ⌈t·n⌉ needs
+    // only the COMMON postings, and the common-shingle set is bounded by
+    // avgShingles/fraction rows at ANY corpus size — so this is a cheap
+    // broadcast-semi-join aggregate over the cached sets, NOT another
+    // run of the window pipeline. Empty on natural corpora at near-dup
+    // thresholds (a dense doc is ≥ t stop-shingles by mass), so the
+    // common case pays one light count job and skips the checkpoint.
+    val dense = postings
+      .join(broadcast(dfreq.filter(col("is_common")).select("shingle")),
+        "shingle")
+      .groupBy("id", "n").agg(count(lit(1)).as("u"))
+      .filter(ceilT(threshold, col("n")) <= col("u"))
+      .select(col("id"), col("n"))
+    val nD = dense.count()
+    require(nD * math.max(0L, nD - 1) / 2 <= maxDensePairs,
+      s"ngramJaccard: dense-record cross of $nD docs exceeds " +
+        s"maxDensePairs=$maxDensePairs — raise the threshold, lower " +
+        "stopShingleFraction, or raise the budget explicitly")
+    val candDense =
+      if (nD <= 1L) candPrefix.limit(0)
+      else {
+        // fail-loud budget passed: materialize once, cross the small set
+        val dl = Blocks.copyOut(dense, singleEval = true)
+        dl.select(col("id").as("id_a"), col("n").as("n_a"))
+          .crossJoin(broadcast(
+            dl.select(col("id").as("id_b"), col("n").as("n_b"))))
+          .filter(col("id_a") < col("id_b") && lenOk)
+          .select("id_a", "id_b")
+      }
+
+    candPrefix.unionByName(candDense).distinct()
   }
 
   /** Connected components over near-dup pairs → cluster labels: each node

@@ -242,6 +242,90 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.agg(sum($"n_copies")).as[Long].head() == 7)
   }
 
+  test("ngram jaccard blocking is exact when stop-shingle and dense paths engage") {
+    // Fixture engineered so EVERY branch of the stop-shingle-aware
+    // blocking fires: a ubiquitous template (df = all docs ≫ 5% cut) so
+    // template shingles classify COMMON; template-dominated docs whose
+    // ρ = ⌈t·n⌉ − u ≤ 0 (dense path); planted pairs sharing RARE
+    // shingles (df=2 prefix path); and unique-tail docs (df=1 cut).
+    val template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = (0 until 40).map { i =>
+      val p = i / 2
+      // partners differ ONLY in the last word: 13 of 14 shingles shared
+      // → J = 13/15 ≈ 0.87 ≥ 0.8, and the shared pair-shingles have df=2
+      val last = if (i % 2 == 0) s"u$i" else s"x$i"
+      (i.toLong, s"$template pair${p}a pair${p}b pair${p}c pair${p}d $last")
+    } ++ (100 until 110).map(i => (i.toLong, s"solo$i only$i words$i here$i"))
+    val fixture = rows.toDF("doc_id", "text")
+    // brute force over all pairs (50 docs — fine in a test)
+    val sets = Dedup.withShingleSets(fixture, "doc_id", "text", 3)
+    val a = sets.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = sets.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    def pairsAt(t: Double): Set[(Long, Long)] =
+      a.join(b, $"id_a" < $"id_b")
+        .withColumn("j", graft.functions.TextFunctions.jaccard($"sh_a", $"sh_b"))
+        .filter($"j" >= t).select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+    for (t <- Seq(0.5, 0.8)) {
+      val blocked = Dedup.ngramJaccardPairs(fixture, "doc_id", "text", 3, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = pairsAt(t)
+      assert(brute.nonEmpty, s"fixture must contain pairs at t=$t")
+      assert(blocked == brute,
+        s"t=$t lost ${brute -- blocked} / invented ${blocked -- brute}")
+    }
+    // the dense path genuinely engaged at t=0.5 (template-dominated docs
+    // have ρ ≤ 0) — prove it by watching the budget refuse
+    val densePairs = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(fixture, "doc_id", "text", 3, 0.5,
+        maxDensePairs = 0L)
+    }
+    assert(densePairs.getMessage.contains("dense-record cross"))
+  }
+
+  test("blocking budget: ngram/minhash/simhash candidates stay far under all-pairs") {
+    // The cross-table path audits its blocking fan-out via candidateSink
+    // (EntityResolutionSpec); same discipline for the self-join family at
+    // gate scale (sf0.01 documents): each blocker's candidate-pair count
+    // must stay well under all-pairs, so blocking quality is ASSERTED,
+    // not hoped.
+    val d = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val n = d.count()
+    val allPairs = n * (n - 1) / 2
+    // ngram: the stop-shingle-aware PPJoin+ prefix join
+    val sets = Dedup.withShingleSets(d, "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ngramCands = Dedup.ngramJaccardCandidates(sets, "doc_id", 0.8).count()
+    sets.unpersist(blocking = true)
+    // minhash: band-bucket collisions
+    val idx = Dedup.minhashBandIndex(d, "doc_id", "text")
+    val mhCands = idx.select($"id".as("id_a"), $"band", $"bucket")
+      .join(idx.select($"id".as("id_b"), $"band", $"bucket"), Seq("band", "bucket"))
+      .filter($"id_a" < $"id_b").select("id_a", "id_b").distinct().count()
+    // simhash: chunk-key collisions at the scale-default radius
+    val sigs = Dedup.simhashSignatures(d, "doc_id", "text", 2)
+    val sims = Dedup.simhashPairsFromSigs(sigs, "doc_id", 3)
+    // simhashPairsFromSigs filters exactly; audit the PRE-filter collision
+    // count via a raw chunk join on the same 4-chunk split
+    val chunkW = Seq(16, 16, 16, 16)
+    val offs = chunkW.scanLeft(0)(_ + _)
+    val banded = sigs.select($"doc_id".as("id"), $"simhash",
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned($"simhash", offs(c))
+          .bitwiseAND(lit((1L << chunkW(c)) - 1))): _*)))
+    val shCands = banded.select($"id".as("id_a"), $"pos", $"col")
+      .join(banded.select($"id".as("id_b"), $"pos", $"col"), Seq("pos", "col"))
+      .filter($"id_a" < $"id_b").select("id_a", "id_b").distinct().count()
+    info(s"allPairs=$allPairs ngram=$ngramCands minhash=$mhCands simhash=$shCands")
+    assert(sims.count() >= 0) // force the exact path too (plan sanity)
+    assert(ngramCands < (allPairs * 6) / 10,
+      s"ngram blocking produced $ngramCands of $allPairs")
+    assert(mhCands < (allPairs * 6) / 10,
+      s"minhash blocking produced $mhCands of $allPairs")
+    assert(shCands < (allPairs * 6) / 10,
+      s"simhash blocking produced $shCands of $allPairs")
+  }
+
   test("minhash+LSH near-dup pairs equal exact n-gram jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
