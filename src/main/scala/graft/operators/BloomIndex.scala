@@ -56,12 +56,20 @@ object BloomIndex {
       i => pmod(h1 + i.cast("long") * h2, lit(MBits.toLong)).cast("int"))
   }
 
-  /** One (file, bits, n) row per parquet file under `path`: `bits` is
-    * the sorted distinct probe-position set of every key in the file,
-    * `n` the row count. Append-only layouts only ever ADD rows here —
-    * see [[appendEpochIndex]] for the per-epoch form. */
-  def buildIndex(spark: SparkSession, path: String, keyCol: String): DataFrame =
-    spark.read.parquet(path)
+  /** One (file, bits, n, key_type) row per parquet file under `path`:
+    * `bits` is the sorted distinct probe-position set of every key in
+    * the file, `n` the row count, `key_type` the key column's DataType
+    * in DDL form. xxhash64 is TYPE-SENSITIVE (an IntegerType 7 and a
+    * LongType 7 hash differently), so the probe side must hash the
+    * probe value AS the build-side type — recording it in the index
+    * makes that cast automatic and makes a non-castable probe fail
+    * loud instead of silently missing files. Append-only layouts only
+    * ever ADD rows here — see [[appendEpochIndex]] for the per-epoch
+    * form. */
+  def buildIndex(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    val data = spark.read.parquet(path)
+    val keyType = data.schema(keyCol).dataType
+    data
       .select(input_file_name().as("file"),
         explode(probePositions(col(keyCol))).as("bit"))
       .groupBy(col("file"))
@@ -69,13 +77,28 @@ object BloomIndex {
         // every row explodes to exactly K elements (duplicate VALUES
         // within one key's probe array still yield K exploded rows)
         (count(lit(1)) / K).cast("long").as("n"))
+      .withColumn("key_type", lit(keyType.sql))
+  }
 
   /** INCREMENTAL index maintenance for a [[graft.sources
     * .TransactionalLake]]-backed table — the bloom twin of
     * [[ZoneMap.appendEpochStats]]: per committed data epoch the index
     * rows are computed from THAT EPOCH'S files alone (O(batch), never
     * O(lake)) and committed to an index lake under the SAME epoch id,
-    * inheriting the data lake's idempotent-replay contract. */
+    * inheriting the data lake's idempotent-replay contract.
+    *
+    * Fold interaction (same contract [[ZoneMap.appendEpochStats]]
+    * documents): a retention fold (`TransactionalLake
+    * .foldCommittedEpochs`) rewrites live epochs into `data_folded/
+    * gen=*` and DELETES the originals — index rows for folded epochs
+    * then point at dead files, and a later [[prunedInRead]] fails AT
+    * READ TIME (loud, never a silent wrong answer: pruning only ever
+    * narrows the listing, so a stale row can only name a missing file,
+    * not hide a live one). After a fold, re-index the surviving
+    * generation with [[buildIndex]] over the folded root — blooms have
+    * no refold shortcut analogous to [[ZoneMap.refoldStats]]'s
+    * stat-merge because folding REWRITES file boundaries, and per-file
+    * membership must be recomputed from the new files' contents. */
   def appendEpochIndex(spark: SparkSession, lakeRoot: String,
                        indexRoot: String, epoch: Long, keyCol: String): Unit = {
     val idx = buildIndex(spark, s"$lakeRoot/data/epoch=$epoch", keyCol)
@@ -93,23 +116,64 @@ object BloomIndex {
     * probe positions fold to literals, the conjunction runs as an
     * `array_contains` filter over the index, and only surviving file
     * names are collected. */
+  /** The key DataType the index was built with, parsed from its
+    * `key_type` column. A pre-key_type index (legacy) yields None —
+    * probes then hash untyped and the caller owns type agreement. */
+  private def indexKeyType(index: DataFrame): Option[org.apache.spark.sql.types.DataType] =
+    if (!index.columns.contains("key_type")) None
+    else {
+      val types = index.select(col("key_type")).distinct().collect()
+        .map(_.getString(0))
+      // empty index: defer to candidateFiles' empty-index guard
+      if (types.isEmpty) None
+      else {
+        require(types.length == 1,
+          s"bloom index mixes key types [${types.mkString(", ")}] — it was " +
+            "appended with different key columns; rebuild one index per key")
+        Some(org.apache.spark.sql.types.DataType.fromDDL(types.head))
+      }
+    }
+
   private def candidateFiles(spark: SparkSession, index: DataFrame,
                              values: Seq[Any]): (Array[String], Long) = {
     require(values.nonEmpty && values.forall(_ != null),
       "bloom probe values must be non-null and non-empty — an equality " +
         "predicate on NULL selects nothing; filter it out before planning")
+    // xxhash64 is type-sensitive: cast every probe to the BUILD-side key
+    // type before hashing (an Int 7 probed against a bigint-keyed index
+    // would otherwise hash to different positions and silently miss the
+    // owning files — a false negative, the one failure class this index
+    // promises away). A probe that does not survive the cast fails loud.
+    val keyType = indexKeyType(index)
+    // try_cast, not cast: under ANSI mode a malformed cast THROWS a raw
+    // CAST_INVALID_INPUT from inside the probe job — try_cast yields
+    // NULL instead, which the explicit require below turns into the
+    // index's own fail-loud message naming the probe and the key type
+    def typed(v: Any): Column = keyType match {
+      case Some(t) => lit(v).try_cast(t)
+      case None => lit(v)
+    }
     val idx = index.select(col("file"), col("bits")).cache()
     try {
       val total = idx.count()
       require(total > 0,
         "bloom index is empty — nothing has been indexed; run " +
           "buildIndex/appendEpochIndex before planning point reads against it")
-      // all probe arrays in ONE local 1-row job, not one per value
-      val probeRow = spark.range(1).select(values.zipWithIndex.map {
-        case (v, i) => probePositions(lit(v)).as(s"p$i")
+      // all probe arrays (and cast-validity flags) in ONE local 1-row
+      // job, not one per value
+      val probeRow = spark.range(1).select(values.zipWithIndex.flatMap {
+        case (v, i) => Seq(probePositions(typed(v)).as(s"p$i"),
+          typed(v).isNull.as(s"null$i"))
       }: _*).head
+      values.indices.foreach { i =>
+        require(!probeRow.getBoolean(probeRow.fieldIndex(s"null$i")),
+          s"bloom probe value '${values(i)}' (${values(i).getClass.getSimpleName}) " +
+            s"is not castable to the index key type ${keyType.fold("?")(_.sql)} — " +
+            "a mistyped probe would silently miss files; pass a value of the " +
+            "key column's type")
+      }
       val anyValue = values.indices.map { i =>
-        probeRow.getSeq[Int](i).distinct
+        probeRow.getSeq[Int](probeRow.fieldIndex(s"p$i")).distinct
           .map(p => array_contains(col("bits"), p)).reduce(_ && _)
       }.reduce(_ || _)
       (idx.filter(anyValue).select(col("file")).collect().map(_.getString(0)),
@@ -142,9 +206,21 @@ object BloomIndex {
       // provably no file contains any probe (no-false-negative guarantee)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        spark.read.parquet(index.select(col("file")).head.getString(0)).schema)
-    else
-      spark.read.parquet(keep.toSeq: _*)
-        .filter(col(keyCol).isin(values: _*))
+        spark.read.parquet(FileListing.readablePath(
+          index.select(col("file")).head.getString(0))).schema)
+    else {
+      // re-filter with probes cast to the indexed key type — the same
+      // type discipline the hash probe uses (isin's implicit coercion
+      // covers the common cases but not, e.g., a string probe against a
+      // numeric key)
+      val keyType = indexKeyType(index)
+      val exact = keyType match {
+        case Some(t) => values.map(v => col(keyCol) === lit(v).cast(t))
+          .reduce(_ || _)
+        case None => col(keyCol).isin(values: _*)
+      }
+      spark.read.parquet(keep.toSeq.map(FileListing.readablePath): _*)
+        .filter(exact)
+    }
   }
 }

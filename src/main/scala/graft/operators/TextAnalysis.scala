@@ -636,8 +636,13 @@ object TextAnalysis {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val auth = regexp_replace(
-      lower(regexp_extract(rest, "^([^/?]*)", 1)), "^www\\.", "")
+    // strip userinfo (everything up to the LAST `@` in the authority —
+    // the defensive parse) BEFORE www./port normalization: otherwise
+    // `https://anything@blocked.example.com/` yields host
+    // `anything@blocked.example.com` and sails past a blocklist entry
+    // for `blocked.example.com` — the classic host-blocklist bypass
+    val auth = regexp_replace(regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]*)", 1)), "^.*@", ""), "^www\\.", "")
     val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
       .when(scheme === "https", regexp_replace(auth, ":443$", ""))
       .otherwise(auth)

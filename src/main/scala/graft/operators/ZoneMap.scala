@@ -155,11 +155,14 @@ object ZoneMap {
           "intersect the range) — the layout is not range-clustered on " +
           s"'$statCol'; repartitionByRange/zOrder the table first")
     if (keep.isEmpty) {
-      val schema = spark.read.parquet(all.head.getString(0)).schema
+      val schema = spark.read.parquet(
+        FileListing.readablePath(all.head.getString(0))).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
     } else
-      spark.read.parquet(keep.toSeq: _*)
+      // file names came from input_file_name() (URI-encoded) and the
+      // reader treats them as globs — decode/escape for an exact re-read
+      spark.read.parquet(keep.toSeq.map(FileListing.readablePath): _*)
         .filter(col(statCol).between(lo, hi))
   }
 }

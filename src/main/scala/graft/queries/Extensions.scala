@@ -3474,8 +3474,9 @@ object Extensions {
         |  FROM raw),
         |c2 AS (
         |  SELECT doc_id, scheme,
-        |    regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)),
-        |      '^www\.', '') AS auth,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(rest, '^([^/?]*)', 1)),
+        |      '^.*@', ''), '^www\.', '') AS auth,
         |    regexp_replace(rest, '^[^/?]*', '') AS pathq
         |  FROM c1),
         |c3 AS (

@@ -55,6 +55,29 @@ class BloomIndexSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("probes are cast to the indexed key type; uncastable probes fail loud") {
+    // xxhash64 is type-sensitive: an Int 7 and a Long 7 hash differently.
+    // The index records the build-side key type, so an Int probe against
+    // a bigint-keyed index must still find the owning file (pre-fix this
+    // silently returned zero files — a false negative).
+    val root = tmpDir("bl_typed")
+    writeScattered(root)
+    val idx = BloomIndex.buildIndex(spark, root, "k")
+    assert(idx.columns.contains("key_type"))
+    val viaInt = BloomIndex.prunedPointRead(spark, idx, "k", 777)
+      .select("v").as[Long].collect().toSeq
+    assert(viaInt === Seq(777L * 3), "Int probe against bigint key")
+    // string probe of a numeric literal: castable, same result
+    val viaStr = BloomIndex.prunedPointRead(spark, idx, "k", "777")
+      .select("v").as[Long].collect().toSeq
+    assert(viaStr === Seq(777L * 3), "castable String probe")
+    // an uncastable probe must refuse, not silently miss every file
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.prunedPointRead(spark, idx, "k", "not-a-number").count()
+    }
+    assert(e.getMessage.contains("not castable"))
+  }
+
   test("string keys: same build/probe expression, same guarantee") {
     val root = tmpDir("bl_str")
     (1 to 500).map(i => s"doc-$i").toDF("id")

@@ -379,7 +379,13 @@ class TextOpsSpec extends SparkSpec {
       ("https://ex.com/q?k=utm_source", "https://ex.com/q?k=utm_source"),
       // fragment-only and query-only degenerate forms
       ("https://ex.com#only-frag", "https://ex.com"),
-      ("https://ex.com/?utm_source=x", "https://ex.com"))
+      ("https://ex.com/?utm_source=x", "https://ex.com"),
+      // userinfo stripped (blocklist-bypass guard): user@, user:pass@,
+      // and a doubled @ all resolve to the real host
+      ("https://alice@Blocked.Example.COM/x", "https://blocked.example.com/x"),
+      ("https://u:p@www.blocked.example.com:443/x",
+        "https://blocked.example.com/x"),
+      ("https://a@b@blocked.example.com/x", "https://blocked.example.com/x"))
     val got = graft.operators.TextAnalysis.urlCanonicalize(
         cases.map(_._1).toDF("url"), "url")
       .select("url", "url_canon").as[(String, String)].collect().toMap
