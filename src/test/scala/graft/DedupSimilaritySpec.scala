@@ -275,12 +275,18 @@ class DedupSimilaritySpec extends SparkSpec {
         s"t=$t lost ${brute -- blocked} / invented ${blocked -- brute}")
     }
     // the dense path genuinely engaged at t=0.5 (template-dominated docs
-    // have ρ ≤ 0) — prove it by watching the budget refuse
-    val densePairs = intercept[IllegalArgumentException] {
+    // have ρ ≤ 0) — prove it by watching the budget refuse. The refusal
+    // is a raise_error INSIDE the plan (no driver-side count action), so
+    // it surfaces as a SparkException chain around the budget message.
+    val densePairs = intercept[Exception] {
       Dedup.ngramJaccardPairs(fixture, "doc_id", "text", 3, 0.5,
         maxDensePairs = 0L)
     }
-    assert(densePairs.getMessage.contains("dense-record cross"))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(densePairs).exists(_.contains("dense-record cross")),
+      s"expected the dense-budget refusal, got: ${chain(densePairs)}")
   }
 
   test("blocking budget: ngram/minhash/simhash candidates stay far under all-pairs") {
