@@ -44,14 +44,25 @@ object ZOrder {
 
   /** df + `z_key`, globally ordered along the Z-curve (range repartition
     * + in-task sort), ready for a clustered write. The min/max aggregate
-    * collects exactly 4 longs — metadata-scale. */
-  def zOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int = 8): DataFrame = {
+    * collects exactly 4 longs — metadata-scale.
+    *
+    * `numFiles`: when set, the range repartition targets exactly that
+    * many partitions (= output files for a direct write). An EXPLICIT
+    * count also disables AQE's small-partition coalescing for this
+    * shuffle — at gate scale AQE otherwise folds the whole curve into
+    * one file and there is nothing left for file-level stats to prune;
+    * writers that want file-level zone-map skipping should size this to
+    * their target file count. Default keeps the session's planning
+    * (fine when only the key order matters). */
+  def zOrdered(df: DataFrame, xCol: String, yCol: String, bits: Int = 8,
+               numFiles: Option[Int] = None): DataFrame = {
     val Row(xLo: Long, xHi: Long, yLo: Long, yHi: Long) = df.agg(
       min(col(xCol).cast("long")), max(col(xCol).cast("long")),
       min(col(yCol).cast("long")), max(col(yCol).cast("long"))).head()
-    df.withColumn("z_key",
-        zKey(col(xCol), xLo, xHi, col(yCol), yLo, yHi, bits))
-      .repartitionByRange(col("z_key"))
+    val keyed = df.withColumn("z_key",
+      zKey(col(xCol), xLo, xHi, col(yCol), yLo, yHi, bits))
+    numFiles.fold(keyed.repartitionByRange(col("z_key")))(
+        n => keyed.repartitionByRange(n, col("z_key")))
       .sortWithinPartitions("z_key")
   }
 }

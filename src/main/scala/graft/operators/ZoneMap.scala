@@ -129,6 +129,67 @@ object ZoneMap {
     else liveEpochStats.unionByName(spark.read.parquet(genDirs: _*))
   }
 
+  /** MULTI-COLUMN stats: one (file, min_<c>, max_<c>…, n) row per parquet
+    * file under `path`, for box pruning over a Z-ordered layout
+    * ([[ZOrder.zOrdered]]) — a linear sort gives near-disjoint envelopes
+    * on ONE column; the Morton layout keeps BOTH columns' envelopes tight
+    * at once, so [[prunedBoxRead]] skips files on either dimension. Same
+    * single map-side-aggregated scan as [[buildStats]]. */
+  def buildStatsMulti(spark: SparkSession, path: String,
+                      statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "zone-map stats need at least one column")
+    val aggs = statCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("n")
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** BOX read `AND_i (lo_i <= col_i <= hi_i)` planned against a
+    * [[buildStatsMulti]] index: a file survives only if EVERY
+    * dimension's [min, max] envelope intersects that dimension's range —
+    * the payoff of a Z-ordered layout, where a selective box prunes on
+    * both dimensions simultaneously (a linearly-sorted layout prunes on
+    * the sort column only; the other dimension's envelopes straddle
+    * everything). Exact for the same reason the 1-D read is: pruning
+    * only narrows the listing (a NULL envelope means all-NULL values,
+    * which can never satisfy a BETWEEN), and the exact predicate
+    * re-filters inside the survivors. `requirePruned` fails loud when
+    * the layout skipped nothing. */
+  def prunedBoxRead(spark: SparkSession, stats: DataFrame,
+                    box: Seq[(String, Long, Long)],
+                    requirePruned: Boolean = false): DataFrame = {
+    require(box.nonEmpty, "zone-map box read needs at least one dimension")
+    val cols = Seq(col("file")) ++
+      box.flatMap { case (c, _, _) => Seq(col(s"min_$c"), col(s"max_$c")) }
+    val all = stats.select(cols: _*).collect()
+    require(all.nonEmpty,
+      "zone-map stats index is empty — nothing has been indexed; run " +
+        "buildStatsMulti before planning box reads against it")
+    val keep = all.filter { r =>
+      box.zipWithIndex.forall { case ((_, lo, hi), i) =>
+        !r.isNullAt(2 * i + 1) && !r.isNullAt(2 * i + 2) &&
+          r.getLong(2 * i + 2) >= lo && r.getLong(2 * i + 1) <= hi
+      }
+    }.map(_.getString(0))
+    if (requirePruned)
+      require(keep.length < all.length,
+        s"zone-map box pruning eliminated nothing (${all.length} files all " +
+          s"intersect the box on every dimension) — the layout is not " +
+          s"clustered on (${box.map(_._1).mkString(", ")}); zOrder the " +
+          "table first")
+    val exact = box.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _)
+    if (keep.isEmpty) {
+      val schema = spark.read.parquet(
+        FileListing.readablePath(all.head.getString(0))).schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    } else
+      spark.read.parquet(keep.toSeq.map(FileListing.readablePath): _*)
+        .filter(exact)
+  }
+
   /** Range read `lo <= statCol <= hi` planned against the stats index:
     * only files whose [min, max] envelope intersects the range are
     * LISTED, then the exact predicate re-filters inside them (zone maps

@@ -1351,6 +1351,50 @@ object Analytics {
       .orderBy("l_orderkey")
   }
 
+  /** Z-ORDER × ZONE-MAP TWO-DIMENSIONAL PRUNING gated end-to-end:
+    * lineitem rewritten along the Morton curve over (l_partkey,
+    * l_suppkey) ([[graft.operators.ZOrder.zOrdered]]), per-file (min,
+    * max) envelopes built for BOTH columns in one scan, and a selective
+    * 2-D box query planned against them — files are skipped when EITHER
+    * dimension's envelope misses its range, which only a bit-interleaved
+    * layout delivers (a linear sort prunes on the sort column alone;
+    * the other column's envelopes straddle every file).
+    * `requirePruned = true` gates the skipping itself; the
+    * both-dimensions claim (each single-dimension range already prunes
+    * files on this layout) is asserted in ZOrderSpec. The oracle is the
+    * plain filtered aggregate — layout and index must never change
+    * answers, only I/O. */
+  def zOrderZoneMapScan(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/zzmap_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    graft.operators.ZOrder.zOrdered(li, "l_partkey", "l_suppkey", bits = 8,
+        numFiles = Some(16))
+      .drop("z_key")
+      .write.mode("overwrite").parquet(root)
+    val Seq(pLo, pHi, sLo, sHi) = li.agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head().toSeq
+      .map(_.asInstanceOf[Number].longValue)
+    // a ~quarter-width box on each dimension: selective on both at once
+    val box = Seq(
+      ("l_partkey", pLo, pLo + (pHi - pLo) / 4),
+      ("l_suppkey", sLo, sLo + (sHi - sLo) / 4))
+    val stats = graft.operators.ZoneMap.buildStatsMulti(spark, root,
+      Seq("l_partkey", "l_suppkey"))
+    graft.operators.ZoneMap.prunedBoxRead(spark, stats, box,
+      requirePruned = true)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("l_suppkey")
+  }
+
   /** FILE-LEVEL BLOOM DATA SKIPPING ([[graft.operators.BloomIndex]]) —
     * the equality complement of [[zoneMapScan]]: the layout here is
     * HASH-scattered (the case where every file's [min,max] envelope
@@ -1461,6 +1505,7 @@ object Analytics {
     "q_scan_agg_pushdown" -> (scanAggPushdown _),
     "q_salted_agg" -> (saltedAgg _),
     "q_zonemap_scan" -> (zoneMapScan _),
+    "q_zorder_zonemap_scan" -> (zOrderZoneMapScan _),
     "q_bloom_scan" -> (bloomScan _),
     "q_kanonymity" -> (kAnonymity _),
     "q_federated_join" -> (federatedJoin _)))
@@ -1479,6 +1524,20 @@ object Analytics {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 500
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_zorder_zonemap_scan" ->
+      """WITH b AS (
+        |  SELECT min(l_partkey) AS p_lo,
+        |    min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 4 AS p_hi,
+        |    min(l_suppkey) AS s_lo,
+        |    min(l_suppkey) + (max(l_suppkey) - min(l_suppkey)) // 4 AS s_hi
+        |  FROM lineitem)
+        |SELECT l_suppkey, count(*) AS n_lines,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem, b
+        |WHERE l_partkey BETWEEN p_lo AND p_hi
+        |  AND l_suppkey BETWEEN s_lo AND s_hi
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     "q_bloom_scan" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (7, 123, 400) ORDER BY doc_id""".stripMargin,

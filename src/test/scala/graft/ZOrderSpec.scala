@@ -88,4 +88,49 @@ class ZOrderSpec extends SparkSpec {
       assert(yZ * 2 < yX, s"z-order y-range scan $yZ should be <1/2 of x-sorted $yX")
     } finally pts.unpersist()
   }
+
+  test("zone-map box read skips FILES on both dimensions of a z-ordered layout") {
+    import graft.operators.ZoneMap
+    val base = tmpDir("zorder_zonemap")
+    val pts = points.cache()
+    try {
+      // many files so file-level pruning is observable (range repartition
+      // of the Morton key into 16 near-disjoint key ranges)
+      ZOrder.zOrdered(pts, "x", "y", bits = 8, numFiles = Some(16))
+        .drop("z_key").write.parquet(s"$base/z")
+      val stats = ZoneMap.buildStatsMulti(spark, s"$base/z", Seq("x", "y"))
+        .cache()
+      val total = stats.count()
+      assert(total >= 8, s"fixture must produce several files, got $total")
+      def kept(box: Seq[(String, Long, Long)]): Long =
+        stats.filter(box.map { case (c, lo, hi) =>
+          col(s"max_$c") >= lo && col(s"min_$c") <= hi
+        }.reduce(_ && _)).count()
+      val box = Seq(("x", 50L, 60L), ("y", 100L, 110L))
+      val keptBox = kept(box)
+      val keptX = kept(box.take(1))
+      val keptY = kept(box.drop(1))
+      info(s"files: total=$total box=$keptBox x-only=$keptX y-only=$keptY")
+      // EACH dimension alone skips files — the property a linear sort
+      // only has on its sort column — and the box compounds them
+      assert(keptX < total, s"x-range should skip files ($keptX of $total)")
+      assert(keptY < total, s"y-range should skip files ($keptY of $total)")
+      assert(keptBox <= math.min(keptX, keptY),
+        "box pruning must be at least as strong as each dimension alone")
+      assert(keptBox * 2 <= total,
+        s"a quarter-width box should keep at most half the files " +
+          s"($keptBox of $total)")
+      // pruning never changes answers: pruned read ≡ brute force
+      val brute = pts.filter(col("x").between(50, 60) &&
+        col("y").between(100, 110))
+        .groupBy("x", "y").count().collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val pruned = ZoneMap.prunedBoxRead(spark, stats, box,
+        requirePruned = true)
+        .groupBy("x", "y").count().collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pruned == brute)
+      stats.unpersist()
+    } finally { pts.unpersist(); () }
+  }
 }
