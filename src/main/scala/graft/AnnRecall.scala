@@ -126,13 +126,64 @@ object AnnRecall {
       Point("nProbe", p, scanned, r)
     }
 
+    // ---- SYNTH ×8 SCALE POINT: the same two headline tiers measured on
+    //      the decorrelated replica corpus (Scaling.ensureSynth — 16k
+    //      vectors vs sf0.1's 2k), with the index sized the way a
+    //      deployment sizes it (nCells ~ √n, nProbe swept to the same
+    //      scanned-fraction budgets). Pins that recall does NOT collapse
+    //      as nCells/nProbe scale with the corpus — the one failure mode
+    //      the fixed-sf curves cannot see. ----
+    Scaling.ensureSynth(spark, "/root/testdata/sf0.1", Scaling.SynthDir)
+    val es = spark.read.parquet(s"${Scaling.SynthDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val sProbes = es.filter(col("vec_id") < nProbesProbe)
+    val nS = es.count()
+    val nSProbes = sProbes.count()
+    val sAllPairs = (nSProbes * (nS - 1)).toDouble
+    val sExact = topKSets(Similarity.bruteForceTopK(es, sProbes,
+      "vec_id", "embedding", k))
+    def sRecallOf(approx: DataFrame): Double = {
+      val got = topKSets(approx)
+      val per = sExact.map { case (p, truth) =>
+        got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      if (per.isEmpty) 0.0 else per.sum / per.size
+    }
+    val sCells = math.max(16, math.sqrt(nS.toDouble).toInt) // √n discipline
+    val sCents = Similarity.seedCentroids(es, "vec_id", "embedding", sCells)
+    val sCellSizes = Similarity.ivfAssignments(sCents, es, "vec_id", "embedding")
+      .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    def sScanned(p: Int): Double =
+      Similarity.probeCells(sCents, sProbes, "vec_id", "embedding", p)
+        .select(col("p_id"), col("cell")).join(sCellSizes, "cell")
+        .agg(sum(col("cell_n"))).head().getLong(0) / sAllPairs
+    val sProbeSweep = Seq(4, 8, 16, 32, 64).filter(_ <= sCells)
+    val ivfS = sProbeSweep.map { p =>
+      val r = sRecallOf(Similarity.ivfTopKWith(sCents, es, sProbes,
+        "vec_id", "embedding", k, nProbe = p))
+      Point("nProbe", p, sScanned(p), r)
+    }
+    val sCb = Similarity.pqCodebooks(es, "vec_id", "embedding", nSub = 8,
+      nCodes = 16)
+    val sCodes = Similarity.pqEncode(es, "vec_id", "embedding", sCb)
+    val sAssigns = Similarity.ivfAssignments(sCents, es, "vec_id", "embedding")
+    val ivfpqRS = sProbeSweep.map { p =>
+      val r = sRecallOf(Similarity.ivfPqTopKReranked(sCents, sAssigns, sCodes,
+        es, sProbes, "vec_id", "embedding", sCb, k, nProbe = p,
+        shortlist = 50))
+      Point("nProbe", p, sScanned(p), r)
+    }
+
     def curve(ps: Seq[Point]): String = ps.map(p =>
       s"""{"${p.knob}":${p.value},"scanned":${f(p.scanned)},"recall":${f(p.recall)}}""")
       .mkString("[", ",", "]")
     s"""{"sf":"$sfDir","corpus":$nCorpus,"probes":$nProbes,"k":$k,""" +
       s""""curves":{"lsh":${curve(lsh)},"ivf":${curve(ivf)},""" +
       s""""pq":${curve(pq)},"ivfpq":${curve(ivfpq)},""" +
-      s""""ivfpq_rerank":${curve(ivfpqR)}}}"""
+      s""""ivfpq_rerank":${curve(ivfpqR)}},""" +
+      s""""synth":{"corpus":$nS,"probes":$nSProbes,"n_cells":$sCells,""" +
+      s""""curves":{"ivf":${curve(ivfS)},""" +
+      s""""ivfpq_rerank":${curve(ivfpqRS)}}}}"""
   }
 
   private def f(d: Double): String = "%.6f".format(d)

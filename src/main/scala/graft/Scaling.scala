@@ -105,7 +105,7 @@ object Scaling {
     // v2: per-word replica tagging (true shingle decorrelation) — new
     // dir so a stale v1 corpus left by an earlier round never satisfies
     // the _SYNTH_OK check
-    val synthDir = "/root/repo/target/sf_synth_v2"
+    val synthDir = SynthDir
     ensureSynth(spark, sfBig, synthDir)
 
     def quiesce(): Unit = {
@@ -160,9 +160,14 @@ object Scaling {
 
   private def fmt(d: Double): String = "%.4f".format(d)
 
+  /** The decorrelated ×8 corpus dir, shared with [[AnnRecall]]'s
+    * synth-scale recall point (both instruments must measure the SAME
+    * corpus or the scale claims stop composing). */
+  private[graft] val SynthDir = "/root/repo/target/sf_synth_v2"
+
   /** Build the decorrelated ×N replica corpus (documents + embeddings)
     * once; replicas are deterministic functions of (replica, row). */
-  private def ensureSynth(spark: SparkSession, sfBig: String, dir: String): Unit = {
+  private[graft] def ensureSynth(spark: SparkSession, sfBig: String, dir: String): Unit = {
     val done = new java.io.File(s"$dir/_SYNTH_OK")
     if (done.exists) return
     val docs = Tables.load(spark, sfBig, "documents")
