@@ -94,11 +94,9 @@ object BloomIndex {
     * then point at dead files, and a later [[prunedInRead]] fails AT
     * READ TIME (loud, never a silent wrong answer: pruning only ever
     * narrows the listing, so a stale row can only name a missing file,
-    * not hide a live one). After a fold, re-index the surviving
-    * generation with [[buildIndex]] over the folded root — blooms have
-    * no refold shortcut analogous to [[ZoneMap.refoldStats]]'s
-    * stat-merge because folding REWRITES file boundaries, and per-file
-    * membership must be recomputed from the new files' contents. */
+    * not hide a live one). After a fold, run [[refoldIndex]] and read
+    * through [[indexFoldAware]] — the bloom twins of
+    * [[ZoneMap.refoldStats]]/[[ZoneMap.statsIndexFoldAware]]. */
   def appendEpochIndex(spark: SparkSession, lakeRoot: String,
                        indexRoot: String, epoch: Long, keyCol: String): Unit = {
     val idx = buildIndex(spark, s"$lakeRoot/data/epoch=$epoch", keyCol)
@@ -111,6 +109,72 @@ object BloomIndex {
   def index(spark: SparkSession, indexRoot: String): DataFrame =
     graft.sources.TransactionalLake.readCommitted(spark, indexRoot)
       .drop("epoch")
+
+  /** FOLD-AWARE index maintenance — the bloom twin of
+    * [[ZoneMap.refoldStats]]: a retention fold rewrites aged epochs
+    * into a generation dir and deletes their files, staling every index
+    * row keyed on those paths. This hook re-INDEXES exactly the
+    * generations that lack one. Unlike zone-map stats there is no
+    * merge shortcut — folding rewrites FILE BOUNDARIES and per-file
+    * membership must be recomputed from the new files' contents — but
+    * the cost bound is the same O(fresh) one scan per new generation
+    * the fold itself already paid. Idempotent via the generation dir's
+    * _SUCCESS marker; absorbed generations' index dirs are dropped.
+    * Returns the number of generations indexed this call. */
+  def refoldIndex(spark: SparkSession, lakeRoot: String, indexRoot: String,
+                  keyCol: String): Int = {
+    val T = graft.sources.TransactionalLake
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexRoot), spark.sparkContext.hadoopConfiguration)
+    val gens = T.foldView(spark, lakeRoot).map(_._2).getOrElse(Seq.empty)
+      .filter(_._2.nonEmpty).map(_._1)
+    var indexed = 0
+    gens.foreach { g =>
+      val out = s"$indexRoot/gen/v=$g"
+      if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS"))) {
+        buildIndex(spark, T.foldGenDataDir(lakeRoot, g), keyCol)
+          .write.mode("overwrite").parquet(out)
+        indexed += 1
+      }
+    }
+    val genRoot = new org.apache.hadoop.fs.Path(s"$indexRoot/gen")
+    if (fsys.exists(genRoot)) {
+      val live = gens.map(g => s"v=$g").toSet
+      fsys.listStatus(genRoot).map(_.getPath)
+        .filter(p => p.getName.startsWith("v=") && !live.contains(p.getName))
+        .foreach(p => fsys.delete(p, true))
+    }
+    indexed
+  }
+
+  /** The bloom index of a lake that has been through retention folds:
+    * per-epoch rows for LIVE epochs plus the per-generation index
+    * [[refoldIndex]] maintains. Fails loud if a fold happened but its
+    * generation was never re-indexed — a silently stale index is the
+    * failure mode this layer exists to prevent. */
+  def indexFoldAware(spark: SparkSession, lakeRoot: String,
+                     indexRoot: String): DataFrame = {
+    val T = graft.sources.TransactionalLake
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexRoot), spark.sparkContext.hadoopConfiguration)
+    val foldedIds = T.foldState(spark, lakeRoot).map(_._2)
+      .getOrElse(Seq.empty).toSet
+    val liveEpochIndex = T.readCommitted(spark, indexRoot)
+      .filter(!col("epoch").cast("long")
+        .isin(foldedIds.toSeq.map(Long.box): _*))
+      .drop("epoch")
+    val gens = T.foldView(spark, lakeRoot).map(_._2).getOrElse(Seq.empty)
+      .filter(_._2.nonEmpty).map(_._1)
+    val genDirs = gens.map { g =>
+      val d = s"$indexRoot/gen/v=$g"
+      require(fsys.exists(new org.apache.hadoop.fs.Path(s"$d/_SUCCESS")),
+        s"bloom index missing for fold generation $g of $lakeRoot — " +
+          "run BloomIndex.refoldIndex after every foldCommittedEpochs")
+      d
+    }
+    if (genDirs.isEmpty) liveEpochIndex
+    else liveEpochIndex.unionByName(spark.read.parquet(genDirs: _*))
+  }
 
   /** Files that MAY contain any of `values`, resolved distributed: the
     * probe positions fold to literals, the conjunction runs as an

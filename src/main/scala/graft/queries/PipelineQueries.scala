@@ -954,6 +954,45 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** FOLD-AWARE BLOOM-INDEX gate — [[bloomIncremental]]'s lifecycle
+    * continued through retention: three indexed epochs, a retention
+    * fold rewrites the two aged epochs into a generation (deleting
+    * their files and staling their index rows),
+    * `BloomIndex.refoldIndex` re-indexes exactly that generation (one
+    * O(fresh) scan — folding rewrites file boundaries, so per-file
+    * membership is recomputed, not merged), and the fold-aware index
+    * must (a) never point at a deleted file and (b) still prune the
+    * IN-probe at the file level. Same probe set, same oracle as the
+    * pre-fold gate: retention must be invisible to answers. */
+  def bloomRefold(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/blr_$tag"
+    val indexRoot = s"$root/bloom"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val base = events(spark, dir).filter(col("event_id") <= 2000)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val T = graft.sources.TransactionalLake
+    val B = graft.operators.BloomIndex
+    (0 until 3).foreach { i =>
+      T.commitEpoch(base.filter(col("event_id") % 3 === i)
+        .repartition(4, col("event_id")), root, i.toLong, partitionCols = Nil)
+      B.appendEpochIndex(spark, root, indexRoot, i.toLong, "event_id")
+    }
+    val folded = T.foldCommittedEpochs(spark, root, upTo = 1L,
+      partitionCols = Nil)
+    require(folded == 2, s"retention fold must absorb epochs 0-1, got $folded")
+    require(B.refoldIndex(spark, root, indexRoot, "event_id") == 1,
+      "exactly the new generation must be re-indexed")
+    // replayed maintenance pass: generation already indexed → no-op
+    require(B.refoldIndex(spark, root, indexRoot, "event_id") == 0,
+      "a replayed refold pass must contract to a no-op")
+    B.prunedInRead(spark, B.indexFoldAware(spark, root, indexRoot),
+      "event_id", Seq(123L, 457L, 791L), requirePruned = true)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
   /** FOLD-AWARE ZONE-MAP gate — the index-survives-retention lifecycle:
     * three statted epochs, then a RANGE-CLUSTERED retention fold
     * rewrites the two aged epochs into a generation (deleting their
@@ -1651,6 +1690,11 @@ object PipelineQueries {
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id IN (123, 457, 791)
         |ORDER BY event_id""".stripMargin,
+    // retention must be invisible to answers: identical IN-probe oracle
+    "pipe_bloom_refold" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id IN (123, 457, 791)
+        |ORDER BY event_id""".stripMargin,
     // retention must be invisible to answers: identical range oracle
     "pipe_zonemap_refold" ->
       """SELECT event_id, event_type, value FROM events
@@ -1875,6 +1919,7 @@ object PipelineQueries {
     "pipe_vacuum" -> (vacuumGate _),
     "pipe_zonemap_incremental" -> (zoneMapIncremental _),
     "pipe_bloom_incremental" -> (bloomIncremental _),
+    "pipe_bloom_refold" -> (bloomRefold _),
     "pipe_zonemap_refold" -> (zoneMapRefold _),
     "pipe_schema_evolution" -> (schemaEvolution _),
     "pipe_error_replay" -> (errorReplay _),

@@ -110,6 +110,31 @@ class BloomIndexSpec extends SparkSpec {
     assert(got === Seq(100L, 101L))
   }
 
+  test("refold: stale generation fails loud; refoldIndex restores pruning reads") {
+    val root = tmpDir("bl_refold")
+    val indexRoot = s"$root/bloomidx"
+    val T = graft.sources.TransactionalLake
+    (0 until 3).foreach { i =>
+      T.commitEpoch((1L to 600L).filter(_ % 3 == i).toDF("k")
+        .repartition(2, col("k")), root, i.toLong, partitionCols = Nil)
+      BloomIndex.appendEpochIndex(spark, root, indexRoot, i.toLong, "k")
+    }
+    assert(T.foldCommittedEpochs(spark, root, upTo = 1L,
+      partitionCols = Nil) === 2)
+    // pre-refold: the fold-aware view refuses (generation un-indexed) —
+    // a stale index must fail loud, never silently drop folded files
+    assert(intercept[IllegalArgumentException] {
+      BloomIndex.indexFoldAware(spark, root, indexRoot)
+    }.getMessage.contains("refoldIndex"))
+    assert(BloomIndex.refoldIndex(spark, root, indexRoot, "k") === 1)
+    assert(BloomIndex.refoldIndex(spark, root, indexRoot, "k") === 0) // replay
+    val idx = BloomIndex.indexFoldAware(spark, root, indexRoot)
+    // probes spanning folded (100, 101) and live (2) parities read exactly
+    val got = BloomIndex.prunedInRead(spark, idx, "k", Seq(100L, 101L, 102L),
+      requirePruned = true).select("k").as[Long].collect().sorted.toSeq
+    assert(got === Seq(100L, 101L, 102L))
+  }
+
   test("guards: empty index, null probe, empty probe set fail loud") {
     val root = tmpDir("bl_guard")
     writeScattered(root)
