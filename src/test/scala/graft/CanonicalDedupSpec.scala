@@ -10,19 +10,27 @@ class CanonicalDedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id_a", "id_b")
     val nodes = (1L to 12L).toDF("id")
-    val labels = Dedup.connectedComponents(pairs, nodes, "id")
-      .as[(Long, Long)].collect().toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L))
-    assert(labels(10L) == 10L && labels(11L) == 10L)
-    assert(labels(12L) == 12L) // isolated node is its own canonical
+    // both paths — the driver union-find fast path (default budget) and
+    // the distributed doubling loop (budget 0) — must agree exactly
+    Seq(100000L, 0L).foreach { budget =>
+      val labels = Dedup.connectedComponents(pairs, nodes, "id",
+        driverMaxEdges = budget)
+        .as[(Long, Long)].collect().toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"budget=$budget")
+      assert(labels(10L) == 10L && labels(11L) == 10L, s"budget=$budget")
+      assert(labels(12L) == 12L, s"budget=$budget") // isolated node
+    }
   }
 
   test("pointer doubling converges on a 300-hop chain within the default round cap") {
     // one-hop-only propagation would need ~300 rounds here; doubling
-    // needs ~log2(300) ≈ 9 — must fit in the default maxIter=10
+    // needs ~log2(300) ≈ 9 — must fit in the default maxIter=10.
+    // driverMaxEdges = 0 forces the DISTRIBUTED loop (the small fixture
+    // would otherwise take the driver fast path and prove nothing).
     val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val nodes = (0L to 300L).toDF("id")
-    val labels = Dedup.connectedComponents(pairs, nodes, "id")
+    val labels = Dedup.connectedComponents(pairs, nodes, "id",
+      driverMaxEdges = 0L)
       .as[(Long, Long)].collect()
     assert(labels.forall(_._2 == 0L), "every chain node must reach the min label")
   }
@@ -31,7 +39,8 @@ class CanonicalDedupSpec extends SparkSpec {
     val pairs = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val nodes = (0L to 50L).toDF("id")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(pairs, nodes, "id", maxIter = 2)
+      Dedup.connectedComponents(pairs, nodes, "id", maxIter = 2,
+        driverMaxEdges = 0L)
     }
   }
 
