@@ -114,10 +114,18 @@ object Sampling {
     * feature map (Xie et al. 2023: importance resampling over hashed
     * n-gram features). OCCURRENCES, not the distinct set: the importance
     * model is a bag-of-buckets multinomial. Same modular polynomial
-    * char hash as [[contentBucket]], so any engine replays it. */
+    * char hash as [[contentBucket]], so any engine replays it.
+    *
+    * Routed through the codegen'd single-pass expression
+    * ([[graft.plans.HashedShingleBuckets]]); the declarative form —
+    * `transform(TF.shingles(TF.words(text), 2), bg =>
+    * pmod(TF.rollingFingerprint(bg), buckets))` — documents the exact
+    * semantics the expression (and the DuckDB oracle) reproduces. The
+    * nested interpreted lambdas made `explode` over this column
+    * re-evaluate the whole chain per output row (measured 28× on the
+    * importance-model count pass). */
   def bigramBuckets(textCol: Column, buckets: Int): Column =
-    transform(TF.shingles(TF.words(textCol), 2),
-      bg => pmod(TF.rollingFingerprint(bg), lit(buckets.toLong)).cast("int"))
+    graft.plans.ShingleExpressions.hashedShingleBuckets(textCol, 2, buckets)
 
   /** DSIR-style IMPORTANCE SCORING: rank raw documents by how much more
     * likely their hashed-bigram features are under a TARGET domain's
