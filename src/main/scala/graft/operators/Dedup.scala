@@ -307,10 +307,18 @@ object Dedup {
     if (idType == org.apache.spark.sql.types.LongType) {
       val undirected = pairs.select(col("id_a"), col("id_b")).distinct()
         .persist()
-      val nEdges = undirected.count()
+      // try/finally: the pairs lineage may carry a caller's fail-loud
+      // raise_error (e.g. canonicalizeIncremental's unlabeled-endpoint
+      // guard) that fires DURING these actions — the persist must not
+      // outlive the throw (BpeSpec's residual-blocks assert caught it)
+      val (nEdges, es) =
+        try {
+          val n = undirected.count()
+          (n, if (n <= driverMaxEdges)
+            undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+          else Array.empty[(Long, Long)])
+        } finally undirected.unpersist(blocking = true)
       if (nEdges <= driverMaxEdges) {
-        val es = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
-        undirected.unpersist(blocking = true)
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -345,7 +353,6 @@ object Dedup {
           .select(col("id"), col("id").as("label"))
           .unionByName(endpointLabels)
       }
-      undirected.unpersist(blocking = true)
     }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
