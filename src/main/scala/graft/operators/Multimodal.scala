@@ -145,9 +145,29 @@ object Multimodal {
 
   /** The fixture PNGs as a media table (Spark's binaryFile source: at
     * scale this is the "parquet of blobs" scan — here, the file-per-blob
-    * variant). Width/height are -1: unknown until decode. */
-  def pngMediaTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("binaryFile").load(s"$dir/png/*.png")
+    * variant). Width/height are -1: unknown until decode.
+    *
+    * Load shape: DIRECTORY + pathGlobFilter, not a `*`-glob in the path
+    * — globStatus routes through a parent-dir listing that was observed
+    * failing transiently under suite load (the star-glob reported "does
+    * not exist" with 200 files demonstrably on disk), and a glob error is
+    * indistinguishable from a genuinely-missing fixture. The directory
+    * form lists the path directly; a bounded retry covers the transient
+    * window, and a java.io existence probe makes the real-missing case
+    * fail with its own message instead of the reader's. */
+  def pngMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val pngDir = new java.io.File(dir, "png")
+    require(pngDir.isDirectory && Option(pngDir.list()).exists(_.nonEmpty),
+      s"multimodal fixture missing or empty at $pngDir — run ensurePngFixture")
+    def load(attempt: Int): DataFrame =
+      try spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(pngDir.toString)
+      catch {
+        case e: Throwable if attempt < 3 &&
+            Option(e.getMessage).exists(_.contains("does not exist")) =>
+          Thread.sleep(200L * (attempt + 1)); load(attempt + 1)
+      }
+    load(0)
       .select(
         regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long").as("media_id"),
         col("content").as("payload"),
@@ -156,6 +176,7 @@ object Multimodal {
           lit(-1).as("width"),
           lit(-1).as("height"),
           col("length").as("n_bytes")).as("media_meta"))
+  }
 
   // ---- batch operators ----
 
