@@ -198,8 +198,8 @@ object BloomIndex {
       }
     }
 
-  private def candidateFiles(spark: SparkSession, index: DataFrame,
-                             values: Seq[Any]): (Array[String], Long) = {
+  private[graft] def candidateFiles(spark: SparkSession, index: DataFrame,
+                                        values: Seq[Any]): (Array[String], Long) = {
     require(values.nonEmpty && values.forall(_ != null),
       "bloom probe values must be non-null and non-empty — an equality " +
         "predicate on NULL selects nothing; filter it out before planning")
@@ -272,19 +272,20 @@ object BloomIndex {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(FileListing.readablePath(
           index.select(col("file")).head.getString(0))).schema)
-    else {
-      // re-filter with probes cast to the indexed key type — the same
-      // type discipline the hash probe uses (isin's implicit coercion
-      // covers the common cases but not, e.g., a string probe against a
-      // numeric key)
-      val keyType = indexKeyType(index)
-      val exact = keyType match {
-        case Some(t) => values.map(v => col(keyCol) === lit(v).cast(t))
-          .reduce(_ || _)
-        case None => col(keyCol).isin(values: _*)
-      }
+    else
       spark.read.parquet(keep.toSeq.map(FileListing.readablePath): _*)
-        .filter(exact)
-    }
+        .filter(exactInPredicate(index, keyCol, values))
   }
+
+  /** The exact IN re-filter with probes cast to the indexed key type —
+    * the same type discipline the hash probe uses (isin's implicit
+    * coercion covers the common cases but not, e.g., a string probe
+    * against a numeric key). Shared with [[ComposedScan]]. */
+  private[operators] def exactInPredicate(index: DataFrame, keyCol: String,
+                                          values: Seq[Any]): Column =
+    indexKeyType(index) match {
+      case Some(t) => values.map(v => col(keyCol) === lit(v).cast(t))
+        .reduce(_ || _)
+      case None => col(keyCol).isin(values: _*)
+    }
 }

@@ -197,9 +197,11 @@ object ZoneMap {
     * surviving file count alongside so callers can assert/monitor the
     * skipping rate (`requirePruned` fails loud if the layout gave no
     * pruning — the misconfiguration this index exists to surface). */
-  def prunedRangeRead(spark: SparkSession, stats: DataFrame, statCol: String,
-                      lo: Long, hi: Long,
-                      requirePruned: Boolean = false): DataFrame = {
+  /** Files whose [min, max] envelope intersects [lo, hi], plus the
+    * total file count — the listing step of [[prunedRangeRead]],
+    * factored for [[ComposedScan]]'s index intersection. */
+  private[graft] def candidateFilesRange(stats: DataFrame, lo: Long,
+                                             hi: Long): (Array[String], Long) = {
     val all = stats.select(col("file"), col("min_v"), col("max_v")).collect()
     require(all.nonEmpty,
       "zone-map stats index is empty — nothing has been indexed; run " +
@@ -207,17 +209,23 @@ object ZoneMap {
     // a null [min, max] envelope means the file's stat column is all
     // NULL: no row there can satisfy `statCol BETWEEN lo AND hi`
     // (comparisons with NULL never hold), so pruning it is exact
-    val keep = all.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+    (all.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
         r.getLong(2) >= lo && r.getLong(1) <= hi)
-      .map(_.getString(0))
+      .map(_.getString(0)), all.length.toLong)
+  }
+
+  def prunedRangeRead(spark: SparkSession, stats: DataFrame, statCol: String,
+                      lo: Long, hi: Long,
+                      requirePruned: Boolean = false): DataFrame = {
+    val (keep, nAll) = candidateFilesRange(stats, lo, hi)
     if (requirePruned)
-      require(keep.length < all.length,
-        s"zone-map pruning eliminated nothing (${all.length} files all " +
+      require(keep.length < nAll,
+        s"zone-map pruning eliminated nothing ($nAll files all " +
           "intersect the range) — the layout is not range-clustered on " +
           s"'$statCol'; repartitionByRange/zOrder the table first")
     if (keep.isEmpty) {
-      val schema = spark.read.parquet(
-        FileListing.readablePath(all.head.getString(0))).schema
+      val schema = spark.read.parquet(FileListing.readablePath(
+        stats.select(col("file")).head.getString(0))).schema
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
     } else

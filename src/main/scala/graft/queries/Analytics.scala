@@ -1420,6 +1420,38 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  /** COMPOSED BLOOM × ZONE-MAP SKIPPING gated end-to-end
+    * ([[graft.operators.ComposedScan]]): events rewritten range-clustered
+    * on event_id (zone maps serve the range cut), a per-file bloom built
+    * on user_id (membership cut, independent of layout), and a
+    * conjunctive `user_id IN (…) AND event_id BETWEEN …` read planned
+    * against the INTERSECTION of both candidate sets — the lakehouse
+    * metadata-stacking pattern as an explicit operator. The oracle is
+    * the plain filtered aggregate; ComposedScanSpec asserts the
+    * intersection strictly beats each index alone at this layout. */
+  def composedScan(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/cmps_$tag"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    // layout: range-clustered on the user COHORT (zone maps serve the
+    // range cut); the bloom indexes the near-unique event_id (membership
+    // pruning needs key cardinality >> rows-per-file — the ~150-user
+    // column would appear in every file and blooms would keep all)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartitionByRange(16, col("user_id"))
+      .write.mode("overwrite").parquet(root)
+    val bloom = graft.operators.BloomIndex.buildIndex(spark, root, "event_id")
+    val stats = graft.operators.ZoneMap.buildStats(spark, root, "user_id")
+    graft.operators.ComposedScan.bloomZoneRead(spark, bloom, "event_id",
+      Seq(123L, 457L, 7891L, 2222L, 5005L), stats, "user_id",
+      lo = 10L, hi = 60L, requirePruned = true)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .orderBy("event_id")
+  }
+
   /** K-ANONYMITY RISK REPORT — the re-identification audit run before
     * releasing a "de-identified" extract (complements the masked-view
     * RLS/pseudonymization surface): rows are grouped by their
@@ -1507,6 +1539,7 @@ object Analytics {
     "q_zonemap_scan" -> (zoneMapScan _),
     "q_zorder_zonemap_scan" -> (zOrderZoneMapScan _),
     "q_bloom_scan" -> (bloomScan _),
+    "q_composed_scan" -> (composedScan _),
     "q_kanonymity" -> (kAnonymity _),
     "q_federated_join" -> (federatedJoin _)))
 
@@ -1541,6 +1574,12 @@ object Analytics {
     "q_bloom_scan" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (7, 123, 400) ORDER BY doc_id""".stripMargin,
+    "q_composed_scan" ->
+      """SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+        |FROM events
+        |WHERE event_id IN (123, 457, 7891, 2222, 5005)
+        |  AND user_id BETWEEN 10 AND 60
+        |ORDER BY event_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type,
         |  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
