@@ -173,6 +173,17 @@ object AnnRecall {
         shortlist = 50))
       Point("nProbe", p, sScanned(p), r)
     }
+    // the FIXED 50-candidate shortlist dilutes as probed candidates grow
+    // (more ADC-misranked impostors compete for the same slots) — the
+    // scaled variant keeps shortlist ∝ probed cells, which should hold
+    // recall flat across the sweep. Both curves in the artifact make the
+    // knob's effect measurable instead of folklore.
+    val ivfpqRScaled = sProbeSweep.map { p =>
+      val r = sRecallOf(Similarity.ivfPqTopKReranked(sCents, sAssigns, sCodes,
+        es, sProbes, "vec_id", "embedding", sCb, k, nProbe = p,
+        shortlist = math.min(800, 50 * p)))
+      Point("nProbe", p, sScanned(p), r)
+    }
 
     def curve(ps: Seq[Point]): String = ps.map(p =>
       s"""{"${p.knob}":${p.value},"scanned":${f(p.scanned)},"recall":${f(p.recall)}}""")
@@ -183,7 +194,8 @@ object AnnRecall {
       s""""ivfpq_rerank":${curve(ivfpqR)}},""" +
       s""""synth":{"corpus":$nS,"probes":$nSProbes,"n_cells":$sCells,""" +
       s""""curves":{"ivf":${curve(ivfS)},""" +
-      s""""ivfpq_rerank":${curve(ivfpqRS)}}}}"""
+      s""""ivfpq_rerank":${curve(ivfpqRS)},""" +
+      s""""ivfpq_rerank_scaled":${curve(ivfpqRScaled)}}}}"""
   }
 
   private def f(d: Double): String = "%.6f".format(d)

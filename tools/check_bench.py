@@ -120,6 +120,9 @@ def check_recall(path):
         curves = {f"synth_{k}": v for k, v in synth["curves"].items()}
         floor_at("synth_ivf", 0.25, 0.80)
         floor_at("synth_ivfpq_rerank", 0.25, 0.35)
+        # shortlist ~ probed cells holds recall flat where the fixed-50
+        # shortlist dilutes (r11 measured 0.93 at 12.5% scanned vs 0.33)
+        floor_at("synth_ivfpq_rerank_scaled", 0.25, 0.70)
     if bad:
         print(f"RECALL REGRESSIONS: {bad}")
         return 1
