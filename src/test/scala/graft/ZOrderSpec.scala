@@ -133,4 +133,21 @@ class ZOrderSpec extends SparkSpec {
       stats.unpersist()
     } finally { pts.unpersist(); () }
   }
+
+  test("box read works over int-typed stat columns (envelopes cast, not assumed)") {
+    import graft.operators.ZoneMap
+    val base = tmpDir("zorder_zonemap_int")
+    spark.range(4000).select(
+      (col("id") % 100).cast("int").as("x"),
+      (col("id") % 61).cast("int").as("y"))
+      .repartitionByRange(8, col("x"))
+      .write.parquet(s"$base/z")
+    val stats = ZoneMap.buildStatsMulti(spark, s"$base/z", Seq("x", "y"))
+    val got = ZoneMap.prunedBoxRead(spark, stats,
+      Seq(("x", 10L, 30L), ("y", 0L, 60L)))
+      .count()
+    val brute = spark.read.parquet(s"$base/z")
+      .filter(col("x").between(10, 30) && col("y").between(0, 60)).count()
+    assert(got == brute && got > 0)
+  }
 }
