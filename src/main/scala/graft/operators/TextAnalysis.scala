@@ -629,6 +629,38 @@ object TextAnalysis {
     * stripped). */
   def urlHost(url: Column): Column = urlParts(url)._2
 
+  /** BOILERPLATE-PREFIX REPORT — the CCNet/RefinedWeb-style shared-
+    * navigation cut: within each group (host, source, template id…),
+    * documents that OPEN with the same k words are carrying group
+    * boilerplate (nav bars, cookie banners, headers), not content —
+    * exact and near dedup both miss them when the bodies differ. One
+    * row per (group, prefix) shared by ≥ `minDocs` docs, with the
+    * multiplicity and a spot-check doc id. Curation acts on the report
+    * (strip the prefix, or down-weight the group).
+    *
+    * Docs with fewer than k words are excluded — a 1-word doc "sharing"
+    * its whole text with another is length noise, not boilerplate.
+    *
+    * Scale shape: one projection (first-k-words, scan-side) + one hash
+    * aggregate on (group, prefix) with map-side partials; output is
+    * bounded by the number of SHARED prefixes, metadata-scale on any
+    * real corpus. */
+  def boilerplatePrefixes(docs: DataFrame, idCol: String, textCol: String,
+                          groupCol: String, k: Int = 3,
+                          minDocs: Long = 2L): DataFrame = {
+    require(k >= 1 && minDocs >= 2,
+      "boilerplatePrefixes: need k >= 1 and minDocs >= 2 (a prefix " +
+        "shared by one doc is just that doc)")
+    val toks = TF.words(col(textCol))
+    docs.select(col(groupCol).as("grp"), col(idCol).as("__id"),
+        when(size(toks) >= k, concat_ws(" ", slice(toks, 1, k)))
+          .as("prefix"))
+      .filter(col("prefix").isNotNull)
+      .groupBy(col("grp"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("min_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** (scheme, host, path, sorted-query) under the canonicalization
     * rules; every output is non-null for non-null input (no-match
     * regexp_extract is `''`, so garbage degrades, never nulls). */

@@ -706,6 +706,16 @@ object Extensions {
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprints(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
+  /** Boilerplate-prefix report over the per-source corpus — groups of
+    * docs opening with the same 3 words within one source (the
+    * shared-navigation signal exact/near dedup both miss). */
+  def textBoilerplate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.boilerplatePrefixes(docs(s, d), "doc_id", "text",
+      "source", k = 3, minDocs = 2L)
+      .select(col("grp").as("source"), col("prefix"), col("n_docs"),
+        col("min_doc_id"))
+      .orderBy("source", "prefix")
+
   /** Benchmark decontamination gate: eval set = every 10th doc, train =
     * the rest; train docs sharing any 8-gram with an eval doc are
     * flagged (the standard pre-training hygiene pass). The eval postings
@@ -1714,6 +1724,7 @@ object Extensions {
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_repetition" -> (textRepetition _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_boilerplate" -> (textBoilerplate _),
     "text_decontaminate" -> (textDecontaminate _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_quality_classifier" -> (textQualityClassifier _),
@@ -2862,6 +2873,17 @@ object Extensions {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, array_to_string(toks[1:3], ' ') AS prefix
+        |  FROM w WHERE len(toks) >= 3)
+        |SELECT source, prefix, count(*) AS n_docs, min(doc_id) AS min_doc_id
+        |FROM p GROUP BY source, prefix HAVING count(*) >= 2
+        |ORDER BY source, prefix""".stripMargin,
     // DSIR importance resampling: the oracle rebuilds the hashed-bigram
     // bucket model (exact integer counts, add-one smoothing) and replays
     // each document's sequential log-ratio fold over the same list.

@@ -392,4 +392,29 @@ class TextOpsSpec extends SparkSpec {
     cases.foreach { case (in, want) =>
       assert(got(in) === want, s"input $in") }
   }
+
+  test("boilerplate prefixes: shared openings per group; short docs excluded") {
+    val docs = Seq(
+      // hostA: three docs share a cookie-banner opening, bodies differ
+      (1L, "hostA", "we use cookies to improve your experience alpha beta"),
+      (2L, "hostA", "we use cookies to improve nothing at all gamma"),
+      (3L, "hostA", "we use cookies on this site delta"),
+      // same opening on hostB: different group, only ONE doc -> no row
+      (4L, "hostB", "we use cookies here too"),
+      // hostB pair sharing a different opening
+      (5L, "hostB", "breaking news today stocks fell"),
+      (6L, "hostB", "breaking news today weather was fine"),
+      // short docs (< k words) never group, even when identical
+      (7L, "hostC", "hi there"),
+      (8L, "hostC", "hi there"),
+      (9L, "hostA", "unique opening words entirely different")
+    ).toDF("doc_id", "host", "text")
+    val got = graft.operators.TextAnalysis.boilerplatePrefixes(
+        docs, "doc_id", "text", "host", k = 3, minDocs = 2L)
+      .select("grp", "prefix", "n_docs", "min_doc_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("hostA", "we use cookies", 3L, 1L),
+      ("hostB", "breaking news today", 2L, 5L)))
+  }
 }
