@@ -38,16 +38,22 @@ object AnnRecall {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val json = run(spark, sfDir, nProbesProbe = 50, k = 10)
+    val json = run(spark, sfDir, nProbesProbe = 50, k = 10,
+      includeSynth = true)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()
   }
 
   /** Compute all curves; returns the artifact JSON. Factored out so the
-    * spec can run it at a small scale factor. */
+    * spec can run it at a small scale factor. `includeSynth` gates the
+    * ×8-synth scale section (16k-vector brute-force ground truth plus
+    * three index sweeps) — unconditional, it made every small-sf caller
+    * pay the full synth cost regardless of the requested sfDir. The
+    * per-round artifact (Bench) passes true; check_bench --recall fails
+    * loud if the section is absent from that artifact. */
   def run(spark: SparkSession, sfDir: String, nProbesProbe: Int,
-          k: Int): String = {
+          k: Int, includeSynth: Boolean = false): String = {
     val e = Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val probes = e.filter(col("vec_id") < nProbesProbe)
@@ -126,13 +132,19 @@ object AnnRecall {
       Point("nProbe", p, scanned, r)
     }
 
-    // ---- SYNTH ×8 SCALE POINT: the same two headline tiers measured on
-    //      the decorrelated replica corpus (Scaling.ensureSynth — 16k
-    //      vectors vs sf0.1's 2k), with the index sized the way a
-    //      deployment sizes it (nCells ~ √n, nProbe swept to the same
-    //      scanned-fraction budgets). Pins that recall does NOT collapse
-    //      as nCells/nProbe scale with the corpus — the one failure mode
-    //      the fixed-sf curves cannot see. ----
+    def curve(ps: Seq[Point]): String = ps.map(p =>
+      s"""{"${p.knob}":${p.value},"scanned":${f(p.scanned)},"recall":${f(p.recall)}}""")
+      .mkString("[", ",", "]")
+
+    // ---- SYNTH ×8 SCALE POINT (includeSynth only): the same two
+    //      headline tiers measured on the decorrelated replica corpus
+    //      (Scaling.ensureSynth — 16k vectors vs sf0.1's 2k), with the
+    //      index sized the way a deployment sizes it (nCells ~ √n,
+    //      nProbe swept to the same scanned-fraction budgets). Pins that
+    //      recall does NOT collapse as nCells/nProbe scale with the
+    //      corpus — the one failure mode the fixed-sf curves cannot
+    //      see. ----
+    val synthJson: Option[String] = if (!includeSynth) None else Some {
     Scaling.ensureSynth(spark, "/root/testdata/sf0.1", Scaling.SynthDir)
     val es = spark.read.parquet(s"${Scaling.SynthDir}/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
@@ -184,18 +196,17 @@ object AnnRecall {
         shortlist = math.min(800, 50 * p)))
       Point("nProbe", p, sScanned(p), r)
     }
+    s""""synth":{"corpus":$nS,"probes":$nSProbes,"n_cells":$sCells,""" +
+      s""""curves":{"ivf":${curve(ivfS)},""" +
+      s""""ivfpq_rerank":${curve(ivfpqRS)},""" +
+      s""""ivfpq_rerank_scaled":${curve(ivfpqRScaled)}}}"""
+    }
 
-    def curve(ps: Seq[Point]): String = ps.map(p =>
-      s"""{"${p.knob}":${p.value},"scanned":${f(p.scanned)},"recall":${f(p.recall)}}""")
-      .mkString("[", ",", "]")
     s"""{"sf":"$sfDir","corpus":$nCorpus,"probes":$nProbes,"k":$k,""" +
       s""""curves":{"lsh":${curve(lsh)},"ivf":${curve(ivf)},""" +
       s""""pq":${curve(pq)},"ivfpq":${curve(ivfpq)},""" +
-      s""""ivfpq_rerank":${curve(ivfpqR)}},""" +
-      s""""synth":{"corpus":$nS,"probes":$nSProbes,"n_cells":$sCells,""" +
-      s""""curves":{"ivf":${curve(ivfS)},""" +
-      s""""ivfpq_rerank":${curve(ivfpqRS)},""" +
-      s""""ivfpq_rerank_scaled":${curve(ivfpqRScaled)}}}}"""
+      s""""ivfpq_rerank":${curve(ivfpqR)}}""" +
+      synthJson.fold("")("," + _) + "}"
   }
 
   private def f(d: Double): String = "%.6f".format(d)

@@ -176,7 +176,10 @@ object Bench {
         val probe = once()
         val runs = probe match {
           case Left(_) => Seq(probe)
-          case Right(t) if t < 1.0 => Seq(probe, once(), once())
+          // sub-second entries keep the probe as timed rep 1 (a 4th run
+          // of every tiny entry is pure overhead); SPARK_GRAFT_REPS
+          // applies here too so a rep override is never a silent no-op
+          case Right(t) if t < 1.0 => probe +: (2 to nReps).map(_ => once())
           case Right(_) => (1 to nReps).map(_ => once()) // probe = warm-up
         }
         val firstErr = runs.collectFirst { case Left(msg) => msg }
@@ -184,6 +187,9 @@ object Bench {
     }
     def jsonStr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // ts(size/2) is the exact median for the default odd rep counts; for
+    // an even SPARK_GRAFT_REPS override it is the upper-middle sample —
+    // deliberately a real measured run (conservative), never an average
     val medians: Map[String, Double] = results.collect {
       case (k, Right(ts)) => k -> ts(ts.size / 2)
     }.toMap
@@ -254,7 +260,8 @@ object Bench {
         }
       artifact("scaling", "/root/repo/target/scaling.json")(Scaling.run(spark))
       artifact("ann_recall", "/root/repo/target/ann_recall.json")(
-        AnnRecall.run(spark, "/root/testdata/sf0.01", nProbesProbe = 50, k = 10))
+        AnnRecall.run(spark, "/root/testdata/sf0.01", nProbesProbe = 50,
+          k = 10, includeSynth = true))
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"ingest_records_per_s":$ingestRate,"freshness_sec":$freshness,"sf":"$sfDir"}"""
     // STDOUT gets a COMPACT headline line: the driver keeps only the last

@@ -173,7 +173,12 @@ object BloomIndex {
       d
     }
     if (genDirs.isEmpty) liveEpochIndex
-    else liveEpochIndex.unionByName(spark.read.parquet(genDirs: _*))
+    // allowMissingColumns: live epochs indexed BEFORE the key_type column
+    // existed carry a narrower schema; the legacy rows surface with a
+    // NULL key_type (the untyped case indexKeyType already handles)
+    // instead of the union throwing a column-mismatch error
+    else liveEpochIndex.unionByName(spark.read.parquet(genDirs: _*),
+      allowMissingColumns = true)
   }
 
   /** Files that MAY contain any of `values`, resolved distributed: the
@@ -182,19 +187,26 @@ object BloomIndex {
     * names are collected. */
   /** The key DataType the index was built with, parsed from its
     * `key_type` column. A pre-key_type index (legacy) yields None —
-    * probes then hash untyped and the caller owns type agreement. */
+    * probes then hash untyped and the caller owns type agreement. A
+    * MIXED index (legacy rows unioned with typed rows, e.g. epochs
+    * indexed before the column existed plus a post-fold generation)
+    * uses the one recorded type: all rows were built from the same key
+    * column of the same lake, so the legacy rows hashed that column's
+    * natural type — exactly what the recorded DDL names. */
   private def indexKeyType(index: DataFrame): Option[org.apache.spark.sql.types.DataType] =
     if (!index.columns.contains("key_type")) None
     else {
       val types = index.select(col("key_type")).distinct().collect()
-        .map(_.getString(0))
-      // empty index: defer to candidateFiles' empty-index guard
-      if (types.isEmpty) None
+        .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      val typed = types.filter(_ != null)
+      // empty/legacy-only index: untyped probes (caller owns agreement);
+      // an empty index defers to candidateFiles' empty-index guard
+      if (typed.isEmpty) None
       else {
-        require(types.length == 1,
-          s"bloom index mixes key types [${types.mkString(", ")}] — it was " +
+        require(typed.length == 1,
+          s"bloom index mixes key types [${typed.mkString(", ")}] — it was " +
             "appended with different key columns; rebuild one index per key")
-        Some(org.apache.spark.sql.types.DataType.fromDDL(types.head))
+        Some(org.apache.spark.sql.types.DataType.fromDDL(typed.head))
       }
     }
 
@@ -224,10 +236,20 @@ object BloomIndex {
         "bloom index is empty — nothing has been indexed; run " +
           "buildIndex/appendEpochIndex before planning point reads against it")
       // all probe arrays (and cast-validity flags) in ONE local 1-row
-      // job, not one per value
+      // job, not one per value. `lossy` round-trips the cast probe back
+      // to the probe's own type: try_cast admits value-CHANGING casts
+      // (7.5 → bigint 7) that a castability check alone misses — the
+      // hash probe and the exact re-filter would then both match key 7
+      // and return rows that do not equal the caller's probe. A probe
+      // the key type cannot represent exactly must fail loud, same as
+      // an uncastable one. (Null-safe <=>: the null case has its own
+      // message above; a failed round-trip parse counts as lossy.)
       val probeRow = spark.range(1).select(values.zipWithIndex.flatMap {
         case (v, i) => Seq(probePositions(typed(v)).as(s"p$i"),
-          typed(v).isNull.as(s"null$i"))
+          typed(v).isNull.as(s"null$i"),
+          (!(typed(v).try_cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(v).dataType)
+            <=> lit(v))).as(s"lossy$i"))
       }: _*).head
       values.indices.foreach { i =>
         require(!probeRow.getBoolean(probeRow.fieldIndex(s"null$i")),
@@ -235,6 +257,12 @@ object BloomIndex {
             s"is not castable to the index key type ${keyType.fold("?")(_.sql)} — " +
             "a mistyped probe would silently miss files; pass a value of the " +
             "key column's type")
+        require(!probeRow.getBoolean(probeRow.fieldIndex(s"lossy$i")),
+          s"bloom probe value '${values(i)}' (${values(i).getClass.getSimpleName}) " +
+            s"does not survive the cast to the index key type " +
+            s"${keyType.fold("?")(_.sql)} round-trip — the cast changes the " +
+            "value, so the read would return rows that do not equal the " +
+            "probe; pass a value the key column's type represents exactly")
       }
       val anyValue = values.indices.map { i =>
         probeRow.getSeq[Int](probeRow.fieldIndex(s"p$i")).distinct

@@ -42,10 +42,23 @@ object ComposedScan {
                     requirePruned: Boolean = false): DataFrame = {
     val (bloomKeep, total) = BloomIndex.candidateFiles(spark, bloomIndex, values)
     val (zoneKeep, zTotal) = ZoneMap.candidateFilesRange(stats, lo, hi)
-    require(total == zTotal,
-      s"bloom index covers $total files but zone-map stats cover $zTotal — " +
-        "the two indexes describe different snapshots of the lake; " +
-        "rebuild/refresh them from the same committed state")
+    // snapshot agreement on the file-name SETS, not their counts: two
+    // indexes built over different snapshots with equal file counts
+    // (a rewrite preserving partition count) would pass a count check
+    // and stale zone stats could then false-negatively prune live
+    // files. An order-insensitive xor-of-hashes signature over the
+    // distinct names costs one metadata-scale aggregate per index —
+    // the full name sets never reach the driver.
+    def fileSetSig(idx: DataFrame): Long = {
+      val r = idx.select(col("file")).distinct()
+        .agg(expr("bit_xor(xxhash64(file))")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    require(total == zTotal && fileSetSig(bloomIndex) == fileSetSig(stats),
+      s"bloom index ($total files) and zone-map stats ($zTotal files) " +
+        "describe different file sets — the two indexes were built from " +
+        "different snapshots of the lake; rebuild/refresh them from the " +
+        "same committed state")
     val keep = bloomKeep.toSet.intersect(zoneKeep.toSet).toSeq.sorted
     if (requirePruned)
       require(keep.length < total,

@@ -44,8 +44,19 @@ import org.apache.spark.sql.functions._
   * (char-k-gram vocab is alphabet-bounded), a candidate join whose
   * fan-out is Σ_rare df_L·df_R — every per-gram factor below the
   * fractional cap — and a dense cross bounded by `maxDensePairs`
-  * (require-failed, never silently quadratic). No unbounded cross
-  * product anywhere. */
+  * (refused in-plan, never silently quadratic). No unbounded cross
+  * product anywhere.
+  *
+  * Everything — the two table counts behind the fractional cap, the
+  * dense budget check — lives in ONE lazy plan, mirroring
+  * [[Dedup.ngramJaccardCandidates]]: counts ride broadcast single-row
+  * aggregates, the budget refusal is a `raise_error` branch on the
+  * dense rows, and no driver-side action runs inside this method. The
+  * count-then-checkpoint-then-plan form this replaced ran ~8 eager
+  * actions (32 scheduler jobs at the sf0.1 gate) per call — every one
+  * a synchronization point that magnified transient machine
+  * contention into the entry's tail latency (r10/r11 spread-gate
+  * outliers), and at scale a full extra pass per auxiliary count. */
 object EntityResolution {
 
   /** Distinct character k-grams of a normalized (lowercased) string;
@@ -99,8 +110,16 @@ object EntityResolution {
       .filter(col(dfOther) > 0)
       .select(col("id"), col("n"), col("gram"), col("rn"), col("m"),
         greatest(lit(1), col("rho_raw")).as("rho"))
-    val dense = enriched.filter(col("rho_raw") <= 0)
-      .select(col("id"), col("n")).distinct()
+    // dense (ρ ≤ 0 ⟺ u ≥ ⌈t·n⌉) needs only the COMMON postings — a
+    // broadcast-join aggregate, NOT another run of the window pipeline:
+    // this frame is evaluated four times inside the final plan (budget
+    // count + cross rows, both sides) and the common-gram set is
+    // vocab-capped, so each evaluation is one cheap scan-side aggregate
+    val dense = sets.select(col("id"), col("n"), explode(col("g")).as("gram"))
+      .join(broadcast(dfreq.filter(col("is_common")).select("gram")), "gram")
+      .groupBy("id", "n").agg(count(lit(1)).as("u"))
+      .filter(ceilT(threshold, col("n")) <= col("u"))
+      .select(col("id"), col("n"))
     Side(sets, prefix, dense)
   }
 
@@ -135,14 +154,20 @@ object EntityResolution {
         .filter(col("n") > 0)
     // cap sizing uses RAW row counts (no gram extraction): the cap is a
     // heuristic cut point — exactness never depends on it (any cap only
-    // shifts grams between the prefix and dense handling, both exact) —
-    // so two cheap metadata-ish counts beat two full gram-pipeline jobs
-    val cntL = left.count()
-    val cntR = right.count()
-    val cap = math.max(2L, math.ceil(stopGramFraction * (cntL + cntR)).toLong)
+    // shifts grams between the prefix and dense handling, both exact).
+    // Both counts ride ONE broadcast 1×1-row aggregate inside the plan
+    // instead of two driver-side count() jobs.
+    val nRow = broadcast(left.agg(count(lit(1)).as("cnt_l"))
+      .crossJoin(right.agg(count(lit(1)).as("cnt_r"))))
     // one pass over both sides' postings → per-gram (df_l, df_r);
-    // vocab-scale (char-k-grams are alphabet-bounded), copied out once
-    // because prefixes, dense sets, and the guard all reuse it
+    // vocab-scale (char-k-grams are alphabet-bounded). MATERIALIZED
+    // once (the one eager action left in this method): six downstream
+    // consumers — both prepares' broadcasts, both dense subtrees, the
+    // dense-count guard — would otherwise each re-run this two-corpus
+    // aggregate (a fully-lazy form measured 2.6× SLOWER at the sf0.1
+    // gate: with two DIFFERENT input tables the exchange-reuse sharing
+    // that makes the self-join ngram plan one-pass never fires). At
+    // 100 TB this is one metadata-scale artifact, same as an index.
     val postAll = rawSets(left, leftId, leftText)
       .select(explode(col("g")).as("gram")).withColumn("side", lit("L"))
       .unionByName(rawSets(right, rightId, rightText)
@@ -151,8 +176,12 @@ object EntityResolution {
         sum(when(col("side") === "L", 1L).otherwise(0L)).as("df_l"),
         sum(when(col("side") === "R", 1L).otherwise(0L)).as("df_r"))
       .withColumn("df_total", col("df_l") + col("df_r"))
+      .crossJoin(nRow)
       .withColumn("is_common",
-        col("df_l") > 0 && col("df_r") > 0 && col("df_total") > cap))
+        col("df_l") > 0 && col("df_r") > 0 && col("df_total") >
+          greatest(lit(2L), ceil(lit(stopGramFraction) *
+            (col("cnt_l") + col("cnt_r"))).cast("long")))
+      .drop("cnt_l", "cnt_r"))
     val lhs = prepare(left, leftId, leftText, k, threshold,
       broadcast(dfreq), "df_r")
     val rhs = prepare(right, rightId, rightText, k, threshold,
@@ -182,21 +211,27 @@ object EntityResolution {
       .select("id_a", "id_b")
 
     // dense×dense: small by construction on natural corpora (records
-    // made mostly of stop-grams); copied out so the budget counts and
-    // the cross read materialized rows, not the whole gram pipeline
-    val dl = Blocks.copyOut(lhs.dense, singleEval = true)
-    val dr = Blocks.copyOut(rhs.dense, singleEval = true)
-    val (nDl, nDr) = (dl.count(), dr.count())
-    require(nDl * nDr <= maxDensePairs,
-      s"fuzzyJoin: dense-record cross of $nDl x $nDr exceeds " +
-        s"maxDensePairs=$maxDensePairs — raise the threshold, lower " +
-        "stopGramFraction, or raise the budget explicitly")
-    val candDense =
-      if (nDl == 0L || nDr == 0L) candPrefix.limit(0)
-      else dl.select(col("id").as("id_a"), col("n").as("n_a"))
-        .crossJoin(broadcast(
-          dr.select(col("id").as("id_b"), col("n").as("n_b"))))
-        .filter(lenOk).select("id_a", "id_b")
+    // made mostly of stop-grams). Budget refusal INSIDE the plan: each
+    // left dense row is checked against the broadcast dense counts
+    // before it may cross — past the budget the job fails with the
+    // message below instead of running a silent quadratic. An empty
+    // left dense set never evaluates the check (no rows), and an empty
+    // right side crosses to zero pairs — both exactly right.
+    val denseCounts = broadcast(
+      lhs.dense.agg(count(lit(1)).as("n_dl"))
+        .crossJoin(rhs.dense.agg(count(lit(1)).as("n_dr"))))
+    val budgetOk = col("n_dl") * col("n_dr") <= maxDensePairs
+    val candDense = lhs.dense.crossJoin(denseCounts)
+      .filter(when(budgetOk, lit(true)).otherwise(raise_error(concat(
+        lit("fuzzyJoin: dense-record cross of "), col("n_dl"),
+        lit(" x "), col("n_dr"),
+        lit(s" exceeds maxDensePairs=$maxDensePairs — raise the " +
+          "threshold, lower stopGramFraction, or raise the budget " +
+          "explicitly")))))
+      .select(col("id").as("id_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(
+        rhs.dense.select(col("id").as("id_b"), col("n").as("n_b"))))
+      .filter(lenOk).select("id_a", "id_b")
 
     val candidates0 = candPrefix.unionByName(candDense).distinct()
     // candidateSink: persist the blocked candidate-pair set so callers

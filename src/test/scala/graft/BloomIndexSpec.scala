@@ -78,6 +78,46 @@ class BloomIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("not castable"))
   }
 
+  test("value-changing casts fail loud; value-preserving casts still probe") {
+    // try_cast admits lossy casts (Double 7.5 → bigint 7): both the hash
+    // probe and the exact re-filter would then match key 7 and return
+    // rows that do not equal the caller's probe. The round-trip check
+    // refuses such probes; an exactly-representable 7.0 still works.
+    val root = tmpDir("bl_lossy")
+    writeScattered(root)
+    val idx = BloomIndex.buildIndex(spark, root, "k")
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.prunedPointRead(spark, idx, "k", 7.5).count()
+    }
+    assert(e.getMessage.contains("round-trip"))
+    val viaDouble = BloomIndex.prunedPointRead(spark, idx, "k", 7.0)
+      .select("v").as[Long].collect().toSeq
+    assert(viaDouble === Seq(21L), "exactly-representable Double probe")
+  }
+
+  test("legacy rows without key_type union and probe via the recorded type") {
+    // epochs indexed before the key_type column existed surface with a
+    // NULL key_type after the fold-aware union — the index must neither
+    // throw a column-mismatch nor a mixed-type error, and probes use the
+    // one recorded type (all rows came from the same key column)
+    val root = tmpDir("bl_legacy")
+    writeScattered(root)
+    val typed = BloomIndex.buildIndex(spark, root, "k")
+    val legacy = typed.drop("key_type")
+    // disjoint file subsets, as a real live-epochs ∪ fold-generation is
+    val f0 = typed.select("file").head.getString(0)
+    val mixed = typed.filter(col("file") === f0)
+      .unionByName(legacy.filter(col("file") =!= f0),
+        allowMissingColumns = true)
+    val got = BloomIndex.prunedPointRead(spark, mixed, "k", 777L)
+      .select("v").as[Long].collect().toSeq
+    assert(got === Seq(777L * 3))
+    // legacy-only index: untyped probes (the pre-key_type contract)
+    val gotLegacy = BloomIndex.prunedPointRead(spark, legacy, "k", 777L)
+      .select("v").as[Long].collect().toSeq
+    assert(gotLegacy === Seq(777L * 3))
+  }
+
   test("string keys: same build/probe expression, same guarantee") {
     val root = tmpDir("bl_str")
     (1 to 500).map(i => s"doc-$i").toDF("id")

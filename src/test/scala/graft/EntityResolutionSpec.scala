@@ -77,6 +77,28 @@ class EntityResolutionSpec extends SparkSpec {
     assert(matches > 0 && matches <= candidates)
   }
 
+  test("dense budget refuses in-plan, never runs a silent quadratic") {
+    // records made entirely of one stop-gram: every row is dense at a
+    // low threshold, so the dense cross must refuse past the budget —
+    // the refusal is a raise_error INSIDE the plan (no driver-side
+    // count job), so it surfaces when the query runs
+    val left = t(1L -> "aaaa", 2L -> "aaaa", 3L -> "aaaa")
+    val right = t(10L -> "aaaa", 11L -> "aaaa")
+    val e = intercept[Exception] {
+      EntityResolution.fuzzyJoin(left, "id", "name", right, "id", "name",
+        k = 3, threshold = 0.5, stopGramFraction = 0.1,
+        maxDensePairs = 1L).count()
+    }
+    assert(e.getMessage.contains("maxDensePairs"))
+    // same corpus inside the budget: the dense cross finds every pair
+    val ok = EntityResolution.fuzzyJoin(left, "id", "name", right, "id",
+      "name", k = 3, threshold = 0.5, stopGramFraction = 0.1,
+      maxDensePairs = 10L)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(ok === Set(1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 11L,
+      3L -> 10L, 3L -> 11L))
+  }
+
   test("threshold 1.0 keeps only exact gram-set matches") {
     val m = pairs(t(1L -> "alpha beta"), t(2L -> "alpha beta", 3L -> "alpha bet"), 1.0)
     assert(m == Set((1L, 2L)))
