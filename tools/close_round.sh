@@ -1,18 +1,48 @@
 #!/bin/bash
-# Round-closing gate check: run ALL THREE gate modes against the
+# Round-closing gate check: run ALL FOUR gate modes against the
 # artifacts as committed, and print one summary line whose content is
 # MECHANICAL - paste it into ROADMAP verbatim. Exists because round 10
 # closed with a hand-written "ALL OK" that the committed artifacts
 # contradicted (VERDICT r10, What's wrong #1): the claim must come from
 # the gates, not from memory of an earlier in-session run.
 #
-# Usage: tools/close_round.sh <prev_bench_json>   (e.g. BENCH_r10.json)
+# Round-12 hardening (VERDICT r11, What's wrong #3): the gate line is
+# only meaningful AT FINAL HEAD, so this script refuses a dirty work
+# tree and refuses a bench record older than the last commit - "last
+# code commit, then gates, then snapshot" is now enforced, not recalled.
+# It also diffs the FULL per-entry record (bench_full_r{N-1}.json, all
+# ~209 entries) alongside the headline diff, so a non-headline entry
+# regressing 2.15s -> 9.9s trips the gate instead of hiding
+# (VERDICT r11, What's missing #3).
+#
+# Usage: tools/close_round.sh <prev_bench_json> [prev_full_bench_json]
+#   e.g. tools/close_round.sh BENCH_r11.json bench_full_r11.json
 set -u
 cd "$(dirname "$0")/.."
-PREV="${1:?usage: close_round.sh <prev BENCH_rN.json>}"
+PREV="${1:?usage: close_round.sh <prev BENCH_rN.json> [prev bench_full_rN.json]}"
+PREV_FULL="${2:-}"
+
+if [ -n "$(git status --porcelain)" ]; then
+  echo "REFUSED: work tree dirty - commit (or stash) everything first;"
+  echo "the gate line must describe FINAL HEAD, nothing in between."
+  git status --porcelain | head -10
+  exit 2
+fi
+HEAD_T=$(git log -1 --format=%ct)
+BENCH_T=$(stat -c %Y target/bench_last.json 2>/dev/null || echo 0)
+if [ "$BENCH_T" -le "$HEAD_T" ]; then
+  echo "REFUSED: target/bench_last.json predates HEAD ($(git rev-parse --short HEAD))"
+  echo "- rerun the full bench AT this commit, then close."
+  exit 2
+fi
 
 python3 tools/check_bench.py target/bench_last.json "$PREV" > target/gate_bench.txt 2>&1
 B=$?
+F=0
+if [ -n "$PREV_FULL" ]; then
+  python3 tools/check_bench.py target/bench_last.json "$PREV_FULL" > target/gate_full.txt 2>&1
+  F=$?
+fi
 python3 tools/check_bench.py --scaling target/scaling.json > target/gate_scaling.txt 2>&1
 S=$?
 python3 tools/check_bench.py --recall target/ann_recall.json > target/gate_recall.txt 2>&1
@@ -20,9 +50,12 @@ R=$?
 
 st() { if [ "$1" -eq 0 ]; then echo OK; else echo FAIL; fi; }
 RATIO=$(grep -oE 'total: .*\(([0-9.]+)x\)' target/gate_bench.txt | grep -oE '[0-9.]+x' | tail -1)
-echo "gates @ $(git rev-parse --short HEAD): BENCH $(st $B) vs $PREV ${RATIO:-?}, SCALING $(st $S), RECALL $(st $R)"
-for f in gate_bench gate_scaling gate_recall; do
+FULLPART=""
+if [ -n "$PREV_FULL" ]; then FULLPART=", FULL $(st $F) vs $PREV_FULL"; fi
+echo "gates @ $(git rev-parse --short HEAD): BENCH $(st $B) vs $PREV ${RATIO:-?}${FULLPART}, SCALING $(st $S), RECALL $(st $R)"
+for f in gate_bench gate_full gate_scaling gate_recall; do
+  [ -f "target/$f.txt" ] || continue
   echo "--- $f"
-  grep -E 'REGRESS|SUPER|VAR |LOW |MISS|RECALL OK|SCALING OK|OK$' "target/$f.txt" | tail -8
+  grep -E 'REGRESS|SUPER|VAR |SLOW |GONE |LOW |MISS|RECALL OK|SCALING OK|OK$' "target/$f.txt" | tail -8
 done
-exit $(( B + S + R ))
+exit $(( B + F + S + R ))
