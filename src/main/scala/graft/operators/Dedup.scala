@@ -564,6 +564,74 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** CONTAINMENT near-superset pairs — the ASYMMETRIC complement of
+    * [[ngramJaccardPairs]]: ordered pairs (a, b), a ≠ b, where
+    * C(a, b) = |Sₐ ∩ S_b| / |Sₐ| ≥ `threshold` over word k-shingles.
+    * Jaccard misses the quote-expansion shape (a short page fully
+    * quoted inside a long one scores J = nₐ/n_b, arbitrarily low, but
+    * C = 1): crawl dedup wants "a is mostly inside b" as its own
+    * signal, and C(a,b) ≥ J(a,b) always, so this catches strictly more
+    * than the symmetric join at equal threshold.
+    *
+    * Blocking is the containment prefix filter, exact at every
+    * threshold: C ≥ t ⟹ overlap ≥ ⌈t·nₐ⌉ ⟹ at most nₐ − ⌈t·nₐ⌉ of
+    * a's shingles miss b, so among a's (nₐ − ⌈t·nₐ⌉ + 1) RAREST
+    * shingles (one global df order) at least one is in b — and b keeps
+    * ALL its shingles as postings (the contained side cannot cut b's
+    * tail: b's size never bounds the overlap requirement). The
+    * first-witness positional filter (nₐ − rnₐ + 1 ≥ ⌈t·nₐ⌉ at the
+    * matched prefix position) prunes on top, and the length filter
+    * n_b ≥ ⌈t·nₐ⌉ (overlap ≤ n_b) cuts pairs no b could satisfy.
+    * Candidates verify EXACTLY — blocking affects cost, never results.
+    *
+    * 100 TB shape: one shingle-df aggregate (vocab-scale), one
+    * prefix×postings join whose per-shingle fan-out is dfprefixₐ·df —
+    * the a-side prefix prefers RARE shingles, so ubiquitous shingles
+    * enter only through docs made almost entirely of them (the same
+    * corpora where no sub-quadratic exact containment join exists),
+    * and one verify join over the candidate set. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containmentPairs: threshold must be in (0, 1]")
+    val sets = withShingleSets(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = sets.select(col(idCol).as("id"), col("sh_n").as("n"),
+        explode(col("sh")).as("shingle"))
+      val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val byId = Window.partitionBy(col("id"))
+      val ranked = postings.join(dfreq, "shingle")
+        .withColumn("rn", row_number().over(
+          byId.orderBy(col("df"), col("shingle"))))
+      val need = ceilT(threshold, col("n")) // ⌈t·nₐ⌉, float-guarded
+      val prefixA = ranked
+        .filter(col("rn") <= col("n") - need + 1)
+        // first-witness positional bound: a qualifying pair's FIRST
+        // shared shingle at position rnₐ still has nₐ − rnₐ + 1 a-side
+        // shingles in play, which must cover the required overlap
+        .filter(col("n") - col("rn") + 1 >= need)
+        .select(col("id").as("id_a"), col("n").as("n_a"), col("shingle"))
+      val fullB = postings
+        .select(col("id").as("id_b"), col("n").as("n_b"), col("shingle"))
+      val candidates = prefixA.join(fullB, Seq("shingle"))
+        .filter(col("id_a") =!= col("id_b") &&
+          col("n_b") >= ceilT(threshold, col("n_a")))
+        .select("id_a", "id_b").distinct()
+      val a = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+        col("sh_n").as("n_a"))
+      val b = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+      Blocks.copyOut(
+        candidates.join(a, "id_a").join(b, "id_b")
+          .withColumn("containment",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              col("n_a").cast("double"))
+          .filter(col("containment") >= threshold)
+          .select(col("id_a"), col("id_b"), col("containment")),
+        singleEval = true)
+    } finally { sets.unpersist(blocking = true); () }
+  }
+
   /** MinHash signatures: one codegen'd pass per row (no explode, no
     * shuffle) — one xxhash per shingle + universal-hash permutations per
     * hash index (graft.plans.MinHashSignature). */

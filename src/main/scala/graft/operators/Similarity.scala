@@ -44,6 +44,44 @@ object Similarity {
         col("cosine"), col("rank"))
   }
 
+  /** CONTRASTIVE HARD-NEGATIVE MINING — the training-pair sampler for
+    * embedding/reranker training: for each anchor (probe), the k most
+    * similar corpus vectors that are NOT near-duplicates of it. The
+    * `posThreshold` cut excludes candidates at cosine ≥ threshold —
+    * those are (near-)positives, and keeping them in the negative set
+    * is the classic false-negative poisoning failure of contrastive
+    * batches. What remains at the top of the ranking is exactly the
+    * "hard" band: similar enough to be informative, distinct enough to
+    * be true negatives.
+    *
+    * Exact form (this method): one corpus stream against broadcast
+    * anchors, filter, per-anchor window top-k — the same shape and
+    * determinism contract as [[bruteForceTopK]] (rank by cosine desc,
+    * id asc). At 100 TB compose with an ANN tier instead: any
+    * `*TopK` method in this file with `k + expected positives`
+    * headroom, then apply the same `cosine < posThreshold` cut and
+    * re-rank — the cut is a post-filter, so every index tier already
+    * supports it unchanged. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    vecCol: String, k: Int,
+                    posThreshold: Double): DataFrame = {
+    require(posThreshold > -1.0 && posThreshold <= 1.0,
+      "hardNegatives: posThreshold must be a cosine in (-1, 1]")
+    val c = withNormed(corpus, idCol, vecCol, "c")
+    val p = withNormed(probes, idCol, vecCol, "p")
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        VF.cosineWithNorms(col("p_e"), col("c_e"), col("p_nrm"), col("c_nrm")))
+      .filter(col("cosine") < posThreshold)
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("neighbor_id"),
+        col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k. Multi-probe: each probe also searches
     * buckets within `probeHamming` bit flips of its own, recovering
     * boundary-split neighbors. (nBits, probeHamming) sets the scanned

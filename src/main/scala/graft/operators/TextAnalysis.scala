@@ -661,6 +661,40 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** N-GRAM NOVELTY — per-document originality score: the fraction of
+    * a doc's distinct word k-shingles that appear NOWHERE else in the
+    * corpus (corpus df = 1). High novelty marks original prose worth
+    * upweighting in a training mix; near-zero novelty marks template/
+    * boilerplate documents whose every shingle is shared — the
+    * corpus-level complement of the per-doc repetition score
+    * ([[repetitionScore]] sees within-doc copying, this sees
+    * across-doc commonness).
+    *
+    * Scale shape: the df=1 cut folds into ONE vocab-scale aggregate —
+    * a df-1 shingle has exactly one owner, so `min(id)` IS that owner
+    * and the postings never join back against the corpus: explode →
+    * groupBy(shingle) with map-side partials → filter df=1 →
+    * groupBy(owner) → one small left join onto per-doc counts. No
+    * corpus-sized shuffle beyond the shingle aggregate every df-based
+    * operator already pays. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+        TF.shingleSet(col(textCol), k).as("sh"))
+      .withColumn("n_shingles", size(col("sh")))
+      .filter(col("n_shingles") > 0)
+    val novel = sets.select(col("id"), explode(col("sh")).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"), min(col("id")).as("id"))
+      .filter(col("df") === 1)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))
+    sets.select(col("id").as(idCol), col("n_shingles").cast("long").as("n_shingles"))
+      .join(novel.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** (scheme, host, path, sorted-query) under the canonicalization
     * rules; every output is non-null for non-null input (no-match
     * regexp_extract is `''`, so garbage degrades, never nulls). */

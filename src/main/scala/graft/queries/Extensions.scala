@@ -1670,8 +1670,36 @@ object Extensions {
       .orderBy("probe_id", "rank")
   }
 
+  /** Containment near-superset gate: ordered (a, b) pairs where ≥ 80 %
+    * of a's 3-word shingles appear in b — the quote-expansion shape
+    * Jaccard under-scores. The oracle is the naive cross product; the
+    * engine's prefix-blocked form must return the identical pair set. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d), "doc_id", "text", k = 3,
+      threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** Hard-negative mining gate: per anchor (vec_id < 10), exact top-5
+    * most-similar vectors below the cosine-0.98 positive cut — the
+    * contrastive-batch sampler with near-dup false negatives excluded. */
+  def simHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, posThreshold = 0.98)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Corpus-uniqueness gate: per doc, the fraction of its distinct
+    * 3-word shingles with corpus df = 1 (novel prose vs template). */
+  def textNgramNovelty(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.ngramNovelty(docs(s, d), "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Entries.toMapUnique("Extensions.queries", Seq(
+    "dedup_containment" -> (dedupContainment _),
+    "sim_hard_negatives" -> (simHardNegatives _),
+    "text_ngram_novelty" -> (textNgramNovelty _),
     "multimodal_resize" -> (multimodalResize _),
     "sample_split" -> (sampleSplit _),
     "sample_importance" -> (sampleImportance _),
@@ -2347,6 +2375,48 @@ object Extensions {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    // containment is ASYMMETRIC (|A∩B| / |A|): ordered pairs, a ≠ b —
+    // the naive cross product is the oracle for the prefix-blocked join
+    "dedup_containment" -> (shingleCte +
+      """
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |    CAST(len(a.sh) AS DOUBLE) AS containment
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE containment >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin),
+    "sim_hard_negatives" -> (vecCte +
+      """
+        |SELECT probe_id, neighbor_id, cosine,
+        |  CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |FROM (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(1, len(p.e)+1), i -> p.e[i]*c.e[i]),
+        |      (x,y) -> x+y) / (p.nrm * c.nrm) AS cosine
+        |  FROM n p JOIN n c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10)
+        |WHERE cosine < 0.98
+        |QUALIFY rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin),
+    "text_ngram_novelty" -> (shingleCte +
+      """, post AS (
+        |  SELECT doc_id, unnest(sh) AS shingle FROM s WHERE len(sh) > 0
+        |), novel AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS df
+        |  FROM post GROUP BY shingle HAVING count(*) = 1
+        |)
+        |SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_shingles,
+        |  coalesce(nv.n_novel, 0) AS n_novel,
+        |  CAST(coalesce(nv.n_novel, 0) AS DOUBLE) /
+        |    CAST(len(s.sh) AS DOUBLE) AS novelty
+        |FROM s LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_novel FROM novel GROUP BY doc_id
+        |) nv USING (doc_id)
+        |WHERE len(s.sh) > 0
+        |ORDER BY s.doc_id""".stripMargin),
     // the fold over arriving batches must reproduce the one-shot
     // full-corpus pair set exactly — same oracle as the batch operator
     "dedup_incremental_fold" -> ngramJaccardSql,

@@ -9,6 +9,63 @@ class DedupSimilaritySpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, sf0001, "documents")
   private lazy val embs = Tables.load(spark, sf0001, "embeddings")
 
+  test("containment: blocked join equals brute force; catches the quote-expansion shape Jaccard misses") {
+    // blocked ≡ brute on the fixture corpus (the prefix lemma loses nothing)
+    val blocked = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 3, threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = graft.functions.TextFunctions.shingleSet(col("text"), 3)
+    val sets = docs.select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast("double") / size(col("sh_a")).cast("double"))
+      .filter(col("c") >= 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked === brute)
+    // quote-expansion: a short doc fully quoted inside a long one —
+    // containment fires (C = 1.0) where Jaccard stays far below 0.8
+    val quote = "the original short statement about spark shuffles"
+    val expansion = "as one commentator put it " + quote +
+      " which deserves a much longer discussion of partitioning " +
+      "strategies broadcast joins and adaptive execution at scale"
+    val two = Seq((1L, quote), (2L, expansion)).toDF("doc_id", "text")
+    val cPairs = Dedup.containmentPairs(two, "doc_id", "text",
+      k = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cPairs === Seq((1L, 2L, 1.0)), "short-in-long, one direction")
+    val jPairs = Dedup.ngramJaccardPairs(two, "doc_id", "text",
+      k = 3, threshold = 0.8).count()
+    assert(jPairs === 0L, "Jaccard at the same threshold misses it")
+  }
+
+  test("hard negatives: top-k below the positive cut, exactly brute force minus positives") {
+    val probes = embs.filter($"vec_id" < 10)
+    val hard = Similarity.hardNegatives(embs, probes, "vec_id", "embedding",
+      k = 5, posThreshold = 0.98)
+    val rows = hard.select("probe_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(rows.forall(_._3 < 0.98), "no near-positive leaks into the negatives")
+    assert(rows.groupBy(_._1).forall(_._2.map(_._4).sorted == (1 to 5)),
+      "k contiguous ranks per anchor")
+    // reference: exhaustively rank with a big-k brute force, drop
+    // positives, re-rank — must agree pair-for-pair
+    val n = embs.count().toInt
+    val ref = Similarity.bruteForceTopK(embs, probes, "vec_id", "embedding",
+      k = n)
+      .filter($"cosine" < 0.98)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"probe_id")
+          .orderBy($"cosine".desc, $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select("probe_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(rows.map(r => (r._1, r._2, r._4)).toSet === ref)
+  }
+
   test("two-level IVF: one coarse cell degenerates to flat IVF; default config ranks exactly") {
     val probes = embs.filter($"vec_id" < 10)
     // nCoarse=1 → every vector shares the coarse cell, the fine seeds

@@ -13,6 +13,25 @@ class TextOpsSpec extends SparkSpec {
   private def docsDf(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("ngram novelty: df-1 fraction per doc, hand-computed") {
+    // doc 1: "a b c d" → shingles {a b c, b c d}; doc 2 shares "a b c"
+    // but not "b c d"; doc 3 is fully unique; doc 4 is too short (no
+    // shingles → excluded)
+    val corpus = docsDf(
+      1L -> "a b c d",
+      2L -> "a b c",
+      3L -> "x y z w",
+      4L -> "one two")
+    val out = TextAnalysis.ngramNovelty(corpus, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, 0.5),  // "b c d" is unique, "a b c" shared with doc 2
+      (2L, 1L, 0L, 0.0),  // its one shingle is shared
+      (3L, 2L, 2L, 1.0))) // fully novel
+  }
+
   test("decontaminate flags exactly the train docs sharing a k-gram") {
     val evalSet = docsDf(
       100L -> "the quick brown fox jumps over the lazy dog tonight")
