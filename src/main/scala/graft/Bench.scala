@@ -139,6 +139,22 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // MACHINE-HEALTH CANARY: a fixed CPU-bound probe (no I/O, no
+    // shuffle) timed at the suite start, every 25th entry, and the end.
+    // Round 11's driver bench ran on a machine that degraded mid-round
+    // (byte-identical code measured 357.7 s in-session vs 409.3 s in
+    // the driver run, damage concentrated in driver-bound entries) and
+    // the argument was forensic reconstruction after the fact — the
+    // canary series makes external contention RECORDED EVIDENCE inside
+    // the artifact: code regressions move query times but not the
+    // canary; machine degradation moves both.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * id)").head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def recordCanary(idx: Int): Unit = { canaries += ((idx, canary())); () }
     // Each entry is timed THREE times and the MEDIAN is reported; HEAVY
     // entries (first run >= 1 s) additionally get that first run treated
     // as an UNTIMED warm-up. The warm-up absorbs per-query first-touch
@@ -154,8 +170,9 @@ object Bench {
     // round's grade. A query that throws is recorded under "errors" and
     // EXCLUDED from the total — a crashing query must never make the
     // suite look faster.
-    val results: Seq[(String, Either[String, Seq[Double]])] = ordered.map {
-      case (name, fn) =>
+    val results: Seq[(String, Either[String, Seq[Double]])] = ordered.zipWithIndex.map {
+      case ((name, fn), qIdx) =>
+        if (qIdx % 25 == 0) recordCanary(qIdx)
         def once(): Either[String, Double] = {
           quiesce()
           if (profiling) jobLog.clear()
@@ -185,6 +202,7 @@ object Bench {
         val firstErr = runs.collectFirst { case Left(msg) => msg }
         name -> firstErr.toLeft(runs.collect { case Right(s) => s }.sorted)
     }
+    recordCanary(ordered.size)
     def jsonStr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // ts(size/2) is the exact median for the default odd rep counts; for
@@ -263,7 +281,12 @@ object Bench {
         AnnRecall.run(spark, "/root/testdata/sf0.01", nProbesProbe = 50,
           k = 10, includeSynth = true))
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"ingest_records_per_s":$ingestRate,"freshness_sec":$freshness,"sf":"$sfDir"}"""
+    val canaryJson = canaries.map { case (i, s) => f"[$i,$s%.3f]" }
+      .mkString("[", ",", "]")
+    val canaryDrift =
+      if (canaries.isEmpty) 1.0
+      else canaries.map(_._2).max / math.max(1e-9, canaries.map(_._2).min)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"errors":$errs,"ingest_records_per_s":$ingestRate,"freshness_sec":$freshness,"canary":$canaryJson,"canary_drift":${f"$canaryDrift%.3f"},"sf":"$sfDir"}"""
     // STDOUT gets a COMPACT headline line: the driver keeps only the last
     // ~2000 chars of output, and the full 126-query line (~6 KB) has
     // exceeded that since round 1 — every BENCH_r*.json shows
@@ -285,7 +308,7 @@ object Bench {
     val headErrs = results.collect { case (k, Left(msg)) =>
       jsonStr(k) + ":" + jsonStr(msg.take(60))
     }.take(3).mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$headQs,"n_queries":${medians.size},"errors":$headErrs,"n_errors":${results.count(_._2.isLeft)},"ingest_records_per_s":${f"$ingestRate%.0f"},"freshness_sec":${f"$freshness%.3f"},"sf":"$sfDir","full":"target/bench_last.json"}"""
+    val compact = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$headQs,"n_queries":${medians.size},"errors":$headErrs,"n_errors":${results.count(_._2.isLeft)},"ingest_records_per_s":${f"$ingestRate%.0f"},"freshness_sec":${f"$freshness%.3f"},"canary_drift":${f"$canaryDrift%.3f"},"sf":"$sfDir","full":"target/bench_last.json"}"""
     println(compact)
     // belt-and-braces for log-prefix-mangled stdout: the same line on disk.
     // Every run gets its own timestamped artifact so isolated

@@ -59,14 +59,18 @@ object Scaling {
     // is per-stage by construction; this pins the COMPOSED gate's
     // empirical growth (stream machinery overhead is constant, so the
     // measured exponent should sit well under 1)
-    "dedup_canonical_chain")
+    "dedup_canonical_chain",
+    // round-12: containment is a self-join dedup (the quadratic-risk
+    // class this gate exists for) — its prefix filter keeps NO stop-gram
+    // cut on the b side, so its growth shape must be pinned, not assumed
+    "dedup_containment")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */
   private val synthSubset = Seq(
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_embedding_lsh", "sim_topk_ivf", "sim_topk_pq",
-    "text_quality_filter", "train_corpus_prep_v2")
+    "text_quality_filter", "train_corpus_prep_v2", "dedup_containment")
 
   private val SynthReplicas = 8
 
