@@ -150,11 +150,16 @@ object Bench {
     // canary; machine degradation moves both.
     def canary(): Double = {
       val t0 = System.nanoTime()
-      spark.range(200000000L).selectExpr("sum(id * id)").head()
+      // double arithmetic: a long id*id sum overflows under ANSI.
+      // ~0.6 s at local[32]: long enough that scheduling noise on a
+      // quiet machine stays ~±10%, short enough that 9 samples cost ~5 s
+      spark.range(600000000L)
+        .selectExpr("sum(cast(id as double) * cast(id as double))").head()
       (System.nanoTime() - t0) / 1e9
     }
     val canaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     def recordCanary(idx: Int): Unit = { canaries += ((idx, canary())); () }
+    canary() // untimed warm-up: the first run pays codegen, not the machine
     // Each entry is timed THREE times and the MEDIAN is reported; HEAVY
     // entries (first run >= 1 s) additionally get that first run treated
     // as an UNTIMED warm-up. The warm-up absorbs per-query first-touch
