@@ -149,13 +149,20 @@ object Bench {
     // the artifact: code regressions move query times but not the
     // canary; machine degradation moves both.
     def canary(): Double = {
-      val t0 = System.nanoTime()
-      // double arithmetic: a long id*id sum overflows under ANSI.
-      // ~0.6 s at local[32]: long enough that scheduling noise on a
-      // quiet machine stays ~±10%, short enough that 9 samples cost ~5 s
-      spark.range(600000000L)
-        .selectExpr("sum(cast(id as double) * cast(id as double))").head()
-      (System.nanoTime() - t0) / 1e9
+      // quiesce first and take the MIN of two runs: the canary measures
+      // the MACHINE, so leftover entry state (pending cleaner IO, a GC
+      // landing mid-probe) must not read as external contention — min
+      // is robust to one-off interruptions, and sustained contention
+      // slows both runs
+      quiesce()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // double arithmetic: a long id*id sum overflows under ANSI
+        spark.range(600000000L)
+          .selectExpr("sum(cast(id as double) * cast(id as double))").head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
     }
     val canaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     def recordCanary(idx: Int): Unit = { canaries += ((idx, canary())); () }
