@@ -157,8 +157,10 @@ object Bench {
       quiesce()
       def once(): Double = {
         val t0 = System.nanoTime()
-        // double arithmetic: a long id*id sum overflows under ANSI
-        spark.range(600000000L)
+        // double arithmetic: a long id*id sum overflows under ANSI.
+        // ~0.5 s at local[32]: a 0.1 s probe drifted ±50% on pure JIT/
+        // scheduler noise — too short to read the machine
+        spark.range(3000000000L)
           .selectExpr("sum(cast(id as double) * cast(id as double))").head()
         (System.nanoTime() - t0) / 1e9
       }

@@ -160,12 +160,38 @@ def main():
     # reproducibility GATE: a median whose max is far above it means the
     # entry still has a variance source the quiesce misses (round-4
     # flagship bug; round-7 heavy entries showed 3-10x min-to-max bands).
-    # A grade you can't reproduce is not a grade — fail, don't just warn.
-    for q, tsp in sorted(new.get("spread", {}).items()):
-        lo, med, hi = tsp
-        if med >= noise_floor and hi > 1.5 * med:
-            print(f"VAR  {q}: spread [{lo:.2f}, {med:.2f}, {hi:.2f}]s (max {hi/med:.2f}x median)")
+    # RECURRENCE rule (round 12): with ~40 streaming-fixture entries and
+    # 3 reps each, every full run shows ~0-2 single-rep scheduler blips
+    # on a DIFFERENT entry each time (r12: pipe_masked_view/q21 in one
+    # run, pipe_streaming_epoch_compact — tight in the two adjacent
+    # runs — in the next) while medians hold. A REPRODUCIBLE slow mode
+    # shows up run after run (dedup_cross_er r10->r11) or moves the
+    # median (the SLOW check above catches that immediately). So: a
+    # violation FAILS if the same entry also violated in the previous
+    # record (recurrence), or if >= 3 entries violate in one run (mass
+    # jitter = contaminated run; correlate with the artifact's canary
+    # series). First-occurrence single blips print as watch items.
+    def viol(rec):
+        out = {}
+        for q, tsp in rec.get("spread", {}).items():
+            lo, med, hi = tsp
+            if med >= noise_floor and hi > 1.5 * med:
+                out[q] = (lo, med, hi)
+        return out
+    new_viol = viol(new)
+    prev_viol = viol(prev)
+    for q, (lo, med, hi) in sorted(new_viol.items()):
+        recur = q in prev_viol
+        mark = "VAR " if recur else "var?"
+        note = "RECURRED vs prev" if recur else "first occurrence — watch"
+        print(f"{mark} {q}: spread [{lo:.2f}, {med:.2f}, {hi:.2f}]s "
+              f"(max {hi/med:.2f}x median; {note})")
+        if recur:
             bad.append(f"{q}:spread")
+    if len(new_viol) >= 3:
+        print(f"VAR  {len(new_viol)} entries violated in one run — "
+              "mass jitter; check the canary series")
+        bad.append("spread:mass")
     tot_ratio = new["value"] / prev["value"] if prev.get("value") else 1.0
     print(f"total: {prev.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s ({tot_ratio:.2f}x)")
     if "freshness_sec" in new:
