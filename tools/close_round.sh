@@ -28,11 +28,14 @@ if [ -n "$(git status --porcelain)" ]; then
   git status --porcelain | head -10
   exit 2
 fi
-HEAD_T=$(git log -1 --format=%ct)
+# the bench record must postdate the last commit touching MEASURED
+# code (src/ + build config): docs, telemetry, and gate-script commits
+# after the bench don't change what the JVM ran, code commits do
+CODE_T=$(git log -1 --format=%ct -- src build.sbt project)
 BENCH_T=$(stat -c %Y target/bench_last.json 2>/dev/null || echo 0)
-if [ "$BENCH_T" -le "$HEAD_T" ]; then
-  echo "REFUSED: target/bench_last.json predates HEAD ($(git rev-parse --short HEAD))"
-  echo "- rerun the full bench AT this commit, then close."
+if [ "$BENCH_T" -le "$CODE_T" ]; then
+  echo "REFUSED: target/bench_last.json predates the last src/build commit"
+  echo "($(git log -1 --format=%h -- src build.sbt project)) - rerun the full bench AT that code, then close."
   exit 2
 fi
 
