@@ -131,7 +131,7 @@ object Bench {
       val jobSec = jobs.map(j => (j._3 - j._2) / 1e3).sum
       System.err.println(f"[prof] $name wall=$wallSec%.2f gc=${gcDeltaMs / 1e3}%.2f " +
         f"jobs=${jobs.size} jobtime=$jobSec%.2f driverGap=${wallSec - jobSec}%.2f")
-      jobs.sortBy(j => -(j._3 - j._2)).take(10).foreach { case (id, t0, t1, d) =>
+      jobs.sortBy(j => -(j._3 - j._2)).take(sys.env.get("SPARK_GRAFT_PROFILE_TOP").map(_.toInt).getOrElse(10)).foreach { case (id, t0, t1, d) =>
         System.err.println(f"[prof]   job#$id +${(t0 - repT0Ms) / 1e3}%7.2f " +
           f"dur=${(t1 - t0) / 1e3}%6.2f  ${d.take(110)}")
       }

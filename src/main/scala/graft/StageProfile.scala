@@ -81,9 +81,59 @@ object StageProfile {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
+    def v3(tag: String, dir: String): Unit = {
+      import graft.functions.{TextFunctions => TF}
+      import graft.operators.{Blocks, Dedup, TextAnalysis}
+      val all = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val evalSet = all.filter(col("doc_id") % 10 === 0)
+      val canon = t(tag, "canonicalize")(Blocks.copyOut(
+        Dedup.canonicalize(all, "doc_id", "text"), singleEval = true))
+      val reps = canon.filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id").join(all, "doc_id")
+        .filter(col("doc_id") % 10 =!= 0)
+      val masked = t(tag, "mask-spans")(Blocks.copyOut(
+        Dedup.maskRepeatedSpans(reps, "doc_id", "text", k = 8,
+          minOccurrences = 2)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        singleEval = true))
+      val contaminated = t(tag, "decontaminate")(Blocks.copyOut(
+        Dedup.decontaminate(masked, evalSet, "doc_id", "text", k = 8)
+          .select(col("train_id").as("doc_id")), singleEval = true))
+      val clean = t(tag, "clean-antijoin")(Blocks.copyOut(
+        masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
+        singleEval = true))
+      val metrics = t(tag, "quality-metrics")(Blocks.copyOut(
+        TextAnalysis.qualityFilter(clean, "doc_id", "text"),
+        singleEval = true))
+      val kept = t(tag, "langid")(Blocks.copyOut(
+        metrics.filter(col("keep")).select("doc_id").join(clean, "doc_id")
+          .withColumn("lang", TF.langId(col("text"))),
+        singleEval = true))
+      val sampled = t(tag, "temp-sample")(Blocks.copyOut(
+        graft.operators.Sampling
+          .temperatureSample(kept, "lang", "text", alpha = 0.5)
+          .select(col("doc_id"), col("text"),
+            graft.operators.Sampling.contentSplit(col("text")).as("split")),
+        singleEval = true))
+      val packed = Seq("train", "val", "test").map { sp =>
+        TextAnalysis.packSequences(sampled.filter(col("split") === sp),
+          "doc_id", "text").withColumn("split", lit(sp))
+      }.reduce(_ unionByName _)
+      t(tag, "pack-rollup")(packed.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("shard"), col("seq_id")).as("n_sequences"))
+        .orderBy("split").count())
+      Seq(canon, masked, contaminated, clean, metrics, kept, sampled)
+        .foreach(df => try df.unpersist() catch { case _: Throwable => })
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     val pipeline: (String, String) => Unit = args.headOption match {
       case None | Some("v2") => v2
-      case Some(other) => sys.error(s"unknown pipeline '$other' (have: v2)")
+      case Some("v3") => v3
+      case Some(other) => sys.error(s"unknown pipeline '$other' (have: v2, v3)")
     }
     // two passes per scale: pass 2 is the steady-state number
     pipeline("sf01_1", bigDir)

@@ -186,29 +186,50 @@ object BloomIndex {
     * `array_contains` filter over the index, and only surviving file
     * names are collected. */
   /** The key DataType the index was built with, parsed from its
-    * `key_type` column. A pre-key_type index (legacy) yields None —
-    * probes then hash untyped and the caller owns type agreement. A
-    * MIXED index (legacy rows unioned with typed rows, e.g. epochs
-    * indexed before the column existed plus a post-fold generation)
-    * uses the one recorded type: all rows were built from the same key
-    * column of the same lake, so the legacy rows hashed that column's
-    * natural type — exactly what the recorded DDL names. */
-  private def indexKeyType(index: DataFrame): Option[org.apache.spark.sql.types.DataType] =
-    if (!index.columns.contains("key_type")) None
+    * `key_type` column. A MIXED index (legacy NULL-key_type rows
+    * unioned with typed rows, e.g. epochs indexed before the column
+    * existed plus a post-fold generation) uses the one recorded type —
+    * all rows were built from the same key column of the same lake, so
+    * the legacy rows hashed that column's natural type, exactly what
+    * the recorded DDL names — but WARNS, because that assumption is
+    * trusted, not verified: a key-column type migration between the
+    * legacy epoch and the typed one would false-negative silently. A
+    * LEGACY-ONLY index (no key_type column, or every row NULL) RAISES:
+    * "probes hash untyped and the caller owns type agreement" was the
+    * silent-false-negative contract this index exists to forbid, and
+    * every current writer stamps key_type — the only way to hold one
+    * is a pre-key_type artifact, which a rebuild fixes. None is
+    * returned ONLY for an index with zero rows, which candidateFiles'
+    * empty-index guard rejects with its own message. */
+  private def indexKeyType(index: DataFrame): Option[org.apache.spark.sql.types.DataType] = {
+    val rebuildMsg =
+      "bloom index predates the key_type column — untyped probes hash by " +
+        "the probe VALUE's type, so a probe of a different type than the " +
+        "build-side key column silently misses the owning files (a false " +
+        "negative, the one failure class this index promises away); " +
+        "rebuild the index with buildIndex/appendEpochIndex (they stamp " +
+        "key_type) before planning point reads against it"
+    if (!index.columns.contains("key_type"))
+      throw new IllegalArgumentException(rebuildMsg)
+    val types = index.select(col("key_type")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val typed = types.filter(_ != null)
+    if (types.isEmpty) None // zero rows: candidateFiles' guard owns this
+    else if (typed.isEmpty) throw new IllegalArgumentException(rebuildMsg)
     else {
-      val types = index.select(col("key_type")).distinct().collect()
-        .map(r => if (r.isNullAt(0)) null else r.getString(0))
-      val typed = types.filter(_ != null)
-      // empty/legacy-only index: untyped probes (caller owns agreement);
-      // an empty index defers to candidateFiles' empty-index guard
-      if (typed.isEmpty) None
-      else {
-        require(typed.length == 1,
-          s"bloom index mixes key types [${typed.mkString(", ")}] — it was " +
-            "appended with different key columns; rebuild one index per key")
-        Some(org.apache.spark.sql.types.DataType.fromDDL(typed.head))
-      }
+      require(typed.length == 1,
+        s"bloom index mixes key types [${typed.mkString(", ")}] — it was " +
+          "appended with different key columns; rebuild one index per key")
+      if (types.contains(null))
+        System.err.println("WARN BloomIndex: index mixes legacy (NULL " +
+          s"key_type) rows with '${typed.head}' rows — probing both via " +
+          "the recorded type ASSUMES the legacy epochs were built from " +
+          "the same key column type; if the key column's type migrated " +
+          "since, legacy files can false-negative. Re-index the legacy " +
+          "epochs to verify rather than trust.")
+      Some(org.apache.spark.sql.types.DataType.fromDDL(typed.head))
     }
+  }
 
   private[graft] def candidateFiles(spark: SparkSession, index: DataFrame,
                                         values: Seq[Any]): (Array[String], Long) = {

@@ -578,11 +578,10 @@ object Dedup {
     * a's shingles miss b, so among a's (nₐ − ⌈t·nₐ⌉ + 1) RAREST
     * shingles (one global df order) at least one is in b — and b keeps
     * ALL its shingles as postings (the contained side cannot cut b's
-    * tail: b's size never bounds the overlap requirement). The
-    * first-witness positional filter (nₐ − rnₐ + 1 ≥ ⌈t·nₐ⌉ at the
-    * matched prefix position) prunes on top, and the length filter
-    * n_b ≥ ⌈t·nₐ⌉ (overlap ≤ n_b) cuts pairs no b could satisfy.
-    * Candidates verify EXACTLY — blocking affects cost, never results.
+    * tail: b's size never bounds the overlap requirement). The length
+    * filter n_b ≥ ⌈t·nₐ⌉ (overlap ≤ n_b) cuts pairs no b could
+    * satisfy. Candidates verify EXACTLY — blocking affects cost,
+    * never results.
     *
     * 100 TB shape: one shingle-df aggregate (vocab-scale), one
     * prefix×postings join whose per-shingle fan-out is dfprefixₐ·df —
@@ -605,12 +604,14 @@ object Dedup {
         .withColumn("rn", row_number().over(
           byId.orderBy(col("df"), col("shingle"))))
       val need = ceilT(threshold, col("n")) // ⌈t·nₐ⌉, float-guarded
+      // prefix cut: rnₐ ≤ nₐ − ⌈t·nₐ⌉ + 1. (A PPJoin-style POSITIONAL
+      // filter would prune further, but needs the b-side match position
+      // too — the b side here keeps ALL its postings unranked, so the
+      // candidate join has no b-position to bound with; rephrasing the
+      // same inequality per-row adds nothing and earlier revisions
+      // mistakenly carried it as a second filter.)
       val prefixA = ranked
         .filter(col("rn") <= col("n") - need + 1)
-        // first-witness positional bound: a qualifying pair's FIRST
-        // shared shingle at position rnₐ still has nₐ − rnₐ + 1 a-side
-        // shingles in play, which must cover the required overlap
-        .filter(col("n") - col("rn") + 1 >= need)
         .select(col("id").as("id_a"), col("n").as("n_a"), col("shingle"))
       val fullB = postings
         .select(col("id").as("id_b"), col("n").as("n_b"), col("shingle"))

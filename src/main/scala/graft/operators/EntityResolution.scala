@@ -132,7 +132,14 @@ object EntityResolution {
     * @param maxDensePairs fail-loud budget on the dense×dense cross —
     *   a corpus where many records consist mostly of stop-grams at a
     *   low threshold has no sub-quadratic exact answer; refuse loudly
-    *   rather than run one silently.
+    *   rather than run one silently. The refusal is IN-PLAN (a
+    *   `raise_error` guard): it surfaces when the returned DataFrame
+    *   EXECUTES, wrapped by Spark in a `SparkException` whose message
+    *   contains "maxDensePairs" — not as a plan-time
+    *   IllegalArgumentException at fuzzyJoin() call time (the pre-r12
+    *   behavior, which cost an extra eager count). Callers handling
+    *   the budget should match on the MESSAGE, not the exception
+    *   class.
     * @param broadcastRight pin the plan when the right table is known
     *   small (dimension-sized): its prefix postings and gram sets are
     *   broadcast, making the candidate join and verify shuffle-free on

@@ -76,6 +76,13 @@ object MaterializedView {
     if (epochs.isEmpty) return cur
     val head = epochs.max
     if (head <= cur) return cur // nothing new — refresh is a no-op
+    // additive refresh reads delta epochs + prior state only; size its
+    // shuffles (and drop AQE's per-stage dispatch) to that footprint
+    MaintenanceExec.sizedByBytes(spark,
+      TransactionalLake.changeFootprintBytes(spark, lakeRoot, cur, head) +
+        (if (cur >= 0)
+          MaintenanceExec.dirFootprintBytes(spark, stateDir(viewRoot, cur))
+        else 0L)) {
     val gcols = groupCols.map(col)
     val delta = TransactionalLake.changesBetween(spark, lakeRoot, cur, head)
       .groupBy(gcols: _*)
@@ -89,6 +96,7 @@ object MaterializedView {
         .agg(sum(col("cnt")).cast("long").as("cnt"),
           sum(col("total")).cast("decimal(28,2)").as("total"))
     commitState(spark, viewRoot, state, head, cur)
+    }
   }
 
   /** Aggregate view over a MERGE lake (upserts + delete tombstones) —
@@ -131,6 +139,16 @@ object MaterializedView {
     if (epochs.isEmpty) return cur
     val head = epochs.max
     if (head <= cur) return cur
+    // refreshMerged recomputes touched groups from the FULL as-of
+    // history (readCommittedAsOf scans every epoch <= head), so the
+    // micro-delta bound is the whole lake's footprint + prior state —
+    // a big lake correctly keeps lake-scale settings even for a tiny
+    // delta ((-1, head] = every live epoch and fold generation)
+    MaintenanceExec.sizedByBytes(spark,
+      T.changeFootprintBytes(spark, lakeRoot, -1L, head) +
+        (if (cur >= 0)
+          MaintenanceExec.dirFootprintBytes(spark, stateDir(viewRoot, cur))
+        else 0L)) {
     val gcols = groupCols.map(col)
     val kcols = keyCols.map(col)
     val delta = T.changesBetween(spark, lakeRoot, cur, head)
@@ -173,6 +191,7 @@ object MaterializedView {
     val committed = commitState(spark, viewRoot, state, head, cur)
     graft.operators.Blocks.release(touched)
     committed
+    }
   }
 
   /** Per-key winning upsert rows resolved over epochs <= `epoch`. */

@@ -128,6 +128,33 @@ object TransactionalLake {
       throw new java.io.IOException(s"manifest commit failed for epoch $epochId")
   }
 
+  /** Upper bound on the on-disk bytes holding change rows in
+    * `(fromExclusive, toInclusive]` — the live epoch dirs in range plus
+    * every fold generation containing at least one in-range epoch (a
+    * generation mixes epochs, so its full size bounds from above).
+    * Pure file metadata (no Spark job): what
+    * [[MaintenanceExec.sizedByBytes]] sizes maintenance shuffles with.
+    * A missing dir counts 0 (racing cleanup reads as "small", and the
+    * subsequent data read resolves the truth). */
+  def changeFootprintBytes(spark: SparkSession, root: String,
+                           fromExclusive: Long, toInclusive: Long): Long = {
+    def inRange(e: Long) = e > fromExclusive && e <= toInclusive
+    val live = committedEpochs(spark, root).filter(inRange)
+      .map(e => dirBytes(spark, epochDir(root, e))).sum
+    val gens = foldView(spark, root).map(_._2).getOrElse(Seq.empty)
+      .filter(_._2.exists(inRange))
+      .map { case (g, _) => dirBytes(spark, foldGenDir(root, g)) }.sum
+    live + gens
+  }
+
+  /** On-disk bytes under `d` — 0 when absent or racing a cleanup. */
+  private def dirBytes(spark: SparkSession, d: String): Long = {
+    val p = new Path(d)
+    val f = fs(spark, d)
+    try if (f.exists(p)) f.getContentSummary(p).getLength else 0L
+    catch { case _: java.io.IOException => 0L }
+  }
+
   /** Committed epoch ids, ascending. */
   def committedEpochs(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(manifestDir(root))
@@ -410,6 +437,14 @@ object TransactionalLake {
     val fresh = committedEpochs(spark, root)
       .filterNot(prevIds.toSet).filter(_ <= upTo)
     if (fresh.isEmpty) return 0
+    // the fold reads exactly the fresh epochs + absorbed generations;
+    // size its re-bin shuffle (and drop per-stage AQE dispatch) to that
+    // footprint — a micro-batch retention fold is dispatch-bound
+    val foldInput = fresh.map(e => dirBytes(spark, epochDir(root, e))).sum +
+      (if (gens.size + 1 > maxGenerations)
+        gens.map { case (g, _) => dirBytes(spark, foldGenDir(root, g)) }.sum
+      else 0L)
+    MaintenanceExec.sizedByBytes(spark, foldInput) {
     val v = cur.map(_._1).getOrElse(0L) + 1L
     val stage = foldGenDir(root, v) // the new generation's data dir id = the view number (unique)
     val freshDf = spark.read.option("basePath", s"$root/data")
@@ -457,6 +492,7 @@ object TransactionalLake {
     }
     absorbed.foreach { case (g, _) => f.delete(new Path(foldGenDir(root, g)), true) }
     fresh.size
+    }
   }
 
   // ------------------------------------------------------------------

@@ -112,10 +112,20 @@ class BloomIndexSpec extends SparkSpec {
     val got = BloomIndex.prunedPointRead(spark, mixed, "k", 777L)
       .select("v").as[Long].collect().toSeq
     assert(got === Seq(777L * 3))
-    // legacy-only index: untyped probes (the pre-key_type contract)
-    val gotLegacy = BloomIndex.prunedPointRead(spark, legacy, "k", 777L)
-      .select("v").as[Long].collect().toSeq
-    assert(gotLegacy === Seq(777L * 3))
+    // legacy-ONLY index (every row pre-key_type): RAISES with a rebuild
+    // message instead of silently hashing untyped — "caller owns type
+    // agreement" was the silent-false-negative contract r10 flagged
+    val e = intercept[IllegalArgumentException] {
+      BloomIndex.prunedPointRead(spark, legacy, "k", 777L).count()
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // same for an index that HAS the column but only NULL values in it
+    val allNull = legacy.withColumn("key_type",
+      lit(null).cast("string"))
+    val e2 = intercept[IllegalArgumentException] {
+      BloomIndex.prunedPointRead(spark, allNull, "k", 777L).count()
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
   }
 
   test("string keys: same build/probe expression, same guarantee") {
