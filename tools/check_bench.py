@@ -180,6 +180,25 @@ def main():
         return out
     new_viol = viol(new)
     prev_viol = viol(prev)
+    # the recurrence rule needs the PREV record's spreads: a compact
+    # BENCH_rN.json wrapper carries none, which makes prev_viol vacuously
+    # empty and silently disables the recurrence half of the gate (r12
+    # ADVICE) — warn loudly; close_round.sh now REQUIRES the full-record
+    # baseline so the round gate never runs in this degraded mode
+    if "spread" not in prev:
+        print("WARN prev baseline has no 'spread' key (compact wrapper?) — "
+              "VAR recurrence cannot be evaluated in THIS invocation; the "
+              "round gate must also run against the full bench record "
+              "(bench_full_rN.json)")
+    # contention-retry transparency (r13): entries whose committed series
+    # came from the bench's canary-adjudicated retry carry both series
+    # in the artifact — print them so a retry is visible in gate output
+    for q in sorted(new.get("canary_ratio", {})):
+        raw = new.get("reps_raw", {}).get(q)
+        rtr = new.get("reps_retried", {}).get(q)
+        ratio = new["canary_ratio"][q]
+        rtxt = f"{ratio:.2f}" if isinstance(ratio, (int, float)) else "n/a"
+        print(f"RTRY {q}: raw {raw} retried {rtr} canary_ratio {rtxt}")
     for q, (lo, med, hi) in sorted(new_viol.items()):
         recur = q in prev_viol
         mark = "VAR " if recur else "var?"

@@ -15,12 +15,16 @@
 # regressing 2.15s -> 9.9s trips the gate instead of hiding
 # (VERDICT r11, What's missing #3).
 #
-# Usage: tools/close_round.sh <prev_bench_json> [prev_full_bench_json]
+# Usage: tools/close_round.sh <prev_bench_json> <prev_full_bench_json>
 #   e.g. tools/close_round.sh BENCH_r11.json bench_full_r11.json
+# The full per-entry baseline is MANDATORY (r12 ADVICE): the VAR
+# recurrence rule is vacuous against a compact BENCH_rN.json wrapper
+# (no 'spread' key), so a one-arg invocation silently lost the
+# reproducibility gate.
 set -u
 cd "$(dirname "$0")/.."
-PREV="${1:?usage: close_round.sh <prev BENCH_rN.json> [prev bench_full_rN.json]}"
-PREV_FULL="${2:-}"
+PREV="${1:?usage: close_round.sh <prev BENCH_rN.json> <prev bench_full_rN.json>}"
+PREV_FULL="${2:?usage: close_round.sh <prev BENCH_rN.json> <prev bench_full_rN.json> - the full record is mandatory (VAR recurrence needs its spreads)}"
 
 if [ -n "$(git status --porcelain)" ]; then
   echo "REFUSED: work tree dirty - commit (or stash) everything first;"
@@ -33,6 +37,14 @@ fi
 # after the bench don't change what the JVM ran, code commits do
 CODE_T=$(git log -1 --format=%ct -- src build.sbt project)
 BENCH_T=$(stat -c %Y target/bench_last.json 2>/dev/null || echo 0)
+# an empty/non-numeric CODE_T would make the -le test an arithmetic
+# error whose false result fails OPEN — refuse instead (r12 ADVICE)
+case "$CODE_T" in
+  ''|*[!0-9]*)
+    echo "REFUSED: cannot determine last src/build commit time (git log"
+    echo "returned '$CODE_T') - bench freshness is unverifiable."
+    exit 2;;
+esac
 if [ "$BENCH_T" -le "$CODE_T" ]; then
   echo "REFUSED: target/bench_last.json predates the last src/build commit"
   echo "($(git log -1 --format=%h -- src build.sbt project)) - rerun the full bench AT that code, then close."
