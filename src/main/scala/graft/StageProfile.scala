@@ -67,10 +67,8 @@ object StageProfile {
           .select(col("doc_id"), col("text"),
             graft.operators.Sampling.contentSplit(col("text")).as("split")),
         singleEval = true))
-      val packed = Seq("train", "val", "test").map { sp =>
-        TextAnalysis.packSequences(kept.filter(col("split") === sp),
-          "doc_id", "text").withColumn("split", lit(sp))
-      }.reduce(_ unionByName _)
+      val packed = TextAnalysis.packSequences(kept, "doc_id", "text",
+        extraKeys = Seq("split"))
       t(tag, "pack-rollup")(packed.groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
@@ -116,10 +114,8 @@ object StageProfile {
           .select(col("doc_id"), col("text"),
             graft.operators.Sampling.contentSplit(col("text")).as("split")),
         singleEval = true))
-      val packed = Seq("train", "val", "test").map { sp =>
-        TextAnalysis.packSequences(sampled.filter(col("split") === sp),
-          "doc_id", "text").withColumn("split", lit(sp))
-      }.reduce(_ unionByName _)
+      val packed = TextAnalysis.packSequences(sampled, "doc_id", "text",
+        extraKeys = Seq("split"))
       t(tag, "pack-rollup")(packed.groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),

@@ -358,12 +358,21 @@ object TextAnalysis {
     * you want for the packed output. Requires a numeric `idCol`;
     * deterministic end to end (integer counts, integer division). */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    tokensPerSeq: Int = 512, nShards: Int = 8): DataFrame = {
+                    tokensPerSeq: Int = 512, nShards: Int = 8,
+                    extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    // `extraKeys` pack independent strata (e.g. train/val/test splits)
+    // in ONE window pass: partitioning by (keys..., shard) is row-for-row
+    // identical to running the packer once per stratum — cum_before only
+    // ever sums same-partition rows — but a caller unioning per-stratum
+    // calls re-evaluates the input subtree and shuffles once per stratum
+    // (measured 3x on the flagship pipelines' 3-way split)
+    val parts = extraKeys.map(col) :+ col("shard")
+    val w = Window.partitionBy(parts: _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(idCol), (col(idCol) % nShards).as("shard"),
-        size(TF.words(col(textCol))).cast("long").as("n_tokens"))
+    docs.select(extraKeys.map(col) ++ Seq(col(idCol),
+        (col(idCol) % nShards).as("shard"),
+        size(TF.words(col(textCol))).cast("long").as("n_tokens")): _*)
       .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"cum_before DIV $tokensPerSeq"))
       .withColumn("seq_offset", col("cum_before") % tokensPerSeq)

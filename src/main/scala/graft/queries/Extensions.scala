@@ -1447,10 +1447,8 @@ object Extensions {
       .select(col("doc_id"), col("text"),
         graft.operators.Sampling.contentSplit(col("text")).as("split")),
       singleEval = true)
-    val packed = Seq("train", "val", "test").map { sp =>
-      TextAnalysis.packSequences(kept.filter(col("split") === sp), "doc_id", "text")
-        .withColumn("split", lit(sp))
-    }.reduce(_ unionByName _)
+    val packed = TextAnalysis.packSequences(kept, "doc_id", "text",
+      extraKeys = Seq("split"))
     packed.groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -1504,10 +1502,10 @@ object Extensions {
       .temperatureSample(kept, "lang", "text", alpha = 0.5)
       .select(col("doc_id"), col("text"),
         graft.operators.Sampling.contentSplit(col("text")).as("split"))
-    val packed = Seq("train", "val", "test").map { sp =>
-      TextAnalysis.packSequences(sampled.filter(col("split") === sp), "doc_id", "text")
-        .withColumn("split", lit(sp))
-    }.reduce(_ unionByName _)
+    // one packer over (split, shard) — identical rows to packing each
+    // split separately, one window pass instead of three plan branches
+    val packed = TextAnalysis.packSequences(sampled, "doc_id", "text",
+      extraKeys = Seq("split"))
     packed.groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
@@ -1581,10 +1579,8 @@ object Extensions {
       .temperatureSample(kept, "lang", "text", alpha = 0.5)
       .select(col("doc_id"), col("text"),
         graft.operators.Sampling.contentSplit(col("text")).as("split"))
-    val packed = Seq("train", "val", "test").map { sp =>
-      TextAnalysis.packSequences(sampled.filter(col("split") === sp), "doc_id", "text")
-        .withColumn("split", lit(sp))
-    }.reduce(_ unionByName _)
+    val packed = TextAnalysis.packSequences(sampled, "doc_id", "text",
+      extraKeys = Seq("split"))
     packed.groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
