@@ -1484,11 +1484,15 @@ object Extensions {
       Dedup.maskRepeatedSpans(reps, "doc_id", "text", k = 8, minOccurrences = 2)
         .select(col("doc_id"), col("clean_text").as("text")),
       singleEval = true)
-    val contaminated = Dedup.decontaminate(masked, evalSet, "doc_id", "text", k = 8)
-      .select(col("train_id").as("doc_id"))
-    val clean = Blocks.copyOut(
-      masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
-      singleEval = true)
+    // checkpoint the TINY contaminated-id set (its production — the
+    // 8-gram postings join — is the heavy part), not the text-carrying
+    // anti-join result: `clean` is then a cheap (checkpointed masked ×
+    // broadcast ids) join both consumers re-derive for less than the
+    // full-text checkpoint write+read it replaces
+    val contaminated = Blocks.copyOut(
+      Dedup.decontaminate(masked, evalSet, "doc_id", "text", k = 8)
+        .select(col("train_id").as("doc_id")), singleEval = true)
+    val clean = masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     // checkpoint metrics BEFORE the keep-filter (see v2's note: predicate
     // pushdown by substitution re-derives the HOF quality expressions)
     val metrics = Blocks.copyOut(
