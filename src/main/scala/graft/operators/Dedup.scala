@@ -1026,6 +1026,85 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** LONGEST CROSS-DOC DUPLICATED SUBSTRING per document — the
+    * suffix-array dedup diagnostic (Lee et al. 2021: remove any
+    * substring of length ≥ L appearing more than once in the corpus):
+    * for each doc, the length and start of its longest word-substring
+    * that appears verbatim in ANOTHER doc, considering only substrings
+    * of at least `minWords` words. Complements [[maskRepeatedSpans]]
+    * (which removes the fixed-k-gram COVERAGE) by recovering the
+    * maximal repeat itself — the artifact a curation pipeline reports
+    * and thresholds on.
+    *
+    * Suffix-array-free construction, exact for every repeat ≥ L: a
+    * duplicated substring a[p..p+m) = b[q..q+m) (m ≥ L) is precisely a
+    * run of m−L+1 CONSECUTIVE aligned L-gram matches on the pair's
+    * diagonal p−q, so anchoring on L-gram occurrences and merging
+    * consecutive anchors per (doc pair, diagonal) — gaps-and-islands
+    * over anchor positions — yields every maximal repeat with
+    * len = run + L − 1. This replaces the classic partition-local
+    * suffix sort + fingerprint merge with three declarative steps the
+    * optimizer can place: one L-gram posting pass, one self-join on the
+    * gram key restricted to duplicated grams, one window+aggregate.
+    *
+    * 100 TB shape: the posting pass is token-scale (the 8-byte xxhash64
+    * gram key shuffles, the gram string does not — same compact-key
+    * contract as [[dedupLines]], certified by the string-keyed oracle);
+    * df=1 grams — the overwhelming bulk of any natural corpus — never
+    * reach the join; the anchor join's fan-out Σ df·(df−1) is
+    * budget-checked IN-PLAN (broadcast 1-row aggregate + `raise_error`,
+    * surfacing as an execution-time SparkException whose message
+    * contains "maxAnchorPairs") before a boilerplate-heavy corpus can
+    * run a silent quadratic. Raising `minWords` shrinks df
+    * monotonically. Output: (doc_id, dup_len, dup_start), longest repeat
+    * per doc (ties → smallest start), docs with no repeat ≥ L absent. */
+  def longestDupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                           minWords: Int = 8,
+                           maxAnchorPairs: Long = 10000000L): DataFrame = {
+    require(minWords >= 1, "longestDupSubstrings: minWords must be >= 1")
+    val L = minWords
+    val base = docs.select(col(idCol).as("doc_id"),
+      TF.words(col(textCol)).as("ws"))
+    val kgrams = base.select(col("doc_id"), col("ws"),
+        explode(when(size(col("ws")) >= L, sequence(lit(0), size(col("ws")) - L))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(array_join(slice(col("ws"), col("p") + 1, lit(L)), " "))
+          .as("gkey"))
+    val dupStats = kgrams.groupBy("gkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val pairBudget = broadcast(dupStats.agg(
+      coalesce(sum(col("cnt") * (col("cnt") - 1)), lit(0L)).as("n_pairs")))
+    val dupKeys = dupStats.select(col("gkey")).crossJoin(pairBudget)
+      .filter(when(col("n_pairs") <= maxAnchorPairs, lit(true))
+        .otherwise(raise_error(concat(
+          lit("longestDupSubstrings: anchor join of "), col("n_pairs"),
+          lit(s" gram-occurrence pairs exceeds maxAnchorPairs=" +
+            s"$maxAnchorPairs — raise minWords or the budget")))))
+      .select("gkey")
+    val anchors = kgrams.join(dupKeys, Seq("gkey"))
+    val m = anchors.select(col("gkey"), col("doc_id").as("id_a"),
+        col("p").as("pa"))
+      .join(anchors.select(col("gkey"), col("doc_id").as("id_b"),
+        col("p").as("pb")), Seq("gkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("pa"))
+    val runs = m
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "isl")
+      .agg(count(lit(1)).as("c"), min(col("pa")).as("start"))
+      .select(col("id_a"), (col("c") + (L - 1)).cast("long").as("len"),
+        col("start").cast("long").as("start"))
+    runs.groupBy(col("id_a"))
+      .agg(max(struct(col("len"), (-col("start")).as("ns"))).as("best"))
+      .select(col("id_a").as("doc_id"),
+        col("best.len").as("dup_len"),
+        (-col("best.ns")).cast("long").as("dup_start"))
+  }
+
   /** LINE-level exact dedup — the C4/RefinedWeb curation pass between
     * whole-document dedup and span masking: a line (delimiter-separated
     * unit) duplicated ANYWHERE in the corpus survives only at its first

@@ -1150,6 +1150,14 @@ object Extensions {
     Dedup.maskRepeatedSpans(docs(s, d), "doc_id", "text", k = 8, minOccurrences = 2)
       .orderBy("doc_id")
 
+  /** Suffix-array-class substring dedup gate: per doc, the longest
+    * word-substring (>= 8 words) appearing verbatim in another doc —
+    * anchored L-gram run-merge, string-keyed oracle certifies the
+    * xxhash64 gram key. */
+  def textDedupSubstrings(s: SparkSession, d: String): DataFrame =
+    Dedup.longestDupSubstrings(docs(s, d), "doc_id", "text", minWords = 8)
+      .orderBy("doc_id")
+
   /** SemDeDup gate: seeded centroids (same generation rule as the IVF
     * oracle), cell-blocked pairwise cosine, tau = the fixture's planted
     * near-dup band (matches dedup_embedding). */
@@ -1774,6 +1782,7 @@ object Extensions {
     "train_corpus_prep_v3" -> (trainCorpusPrepV3 _),
     "train_corpus_prep_v4" -> (trainCorpusPrepV4 _),
     "text_dedup_spans" -> (textDedupSpans _),
+    "text_dedup_substrings" -> (textDedupSubstrings _),
     "dedup_semantic" -> (dedupSemantic _),
     "sim_topk_pq_rerank" -> (simTopKPqRerank _),
     "sample_mixture" -> (sampleMixture _),
@@ -3288,6 +3297,35 @@ object Extensions {
         |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p2
         |GROUP BY t.doc_id
         |ORDER BY t.doc_id""".stripMargin),
+    // longest cross-doc duplicated substring: anchors on the 8-gram
+    // STRING (the engine joins on xxhash64 of it — hash-equality of the
+    // per-doc maxima certifies the compact key), runs of consecutive
+    // aligned anchors per (pair, diagonal) via gaps-and-islands.
+    // DuckDB positions are 1-based (range(1, ...)), the engine's are
+    // 0-based sequence(0, ...) — the `- 1` on start aligns them.
+    "text_dedup_substrings" -> (tokensCte +
+      """, kg AS (
+        |  SELECT doc_id, r.p, array_to_string(toks[r.p:r.p+7], ' ') AS g
+        |  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 6, 1))) AS p) r
+        |), m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, a.p - b.p AS diag
+        |  FROM kg a JOIN kg b USING (g)
+        |  WHERE a.doc_id <> b.doc_id
+        |), runs AS (
+        |  SELECT id_a, count(*) + 7 AS len, min(pa) - 1 AS start
+        |  FROM (
+        |    SELECT id_a, id_b, diag, pa,
+        |      pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl
+        |    FROM m)
+        |  GROUP BY id_a, id_b, diag, isl
+        |)
+        |SELECT doc_id, dup_len, dup_start FROM (
+        |  SELECT id_a AS doc_id, CAST(len AS BIGINT) AS dup_len,
+        |    CAST(start AS BIGINT) AS dup_start,
+        |    row_number() OVER (PARTITION BY id_a ORDER BY len DESC, start ASC) AS rnk
+        |  FROM runs)
+        |WHERE rnk = 1
+        |ORDER BY doc_id""".stripMargin),
     // SemDeDup: seeded centroids + argmin cell assignment (the verified
     // IVF CTEs), then within-cell max cosine to any LOWER id — drop list
     "dedup_semantic" -> (vecCte +
