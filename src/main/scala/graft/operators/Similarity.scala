@@ -493,7 +493,13 @@ object Similarity {
     val seeds = embeddings
       .select(col(idCol).as("sid"), VF.toDouble(col(vecCol)).as("e"))
       .orderBy("sid").limit(nCodes)
-      .withColumn("rank", row_number().over(Window.orderBy(col("sid"))) - 1)
+      // constant partition key: input is the nCodes seed rows (bounded);
+      // the single-partition window is deliberate, and keying it keeps
+      // WindowExec's no-partition warning meaningful for real
+      // regressions. sid*0 rather than lit(0): a foldable key is
+      // constant-folded out of the window spec and the warning returns
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("sid") * 0).orderBy(col("sid"))) - 1)
     // geometry guard (one metadata-scale action at build time — codebooks
     // are built once per corpus): a dim count not divisible by nSub would
     // silently misalign every sub-vector slice, and fewer than nCodes

