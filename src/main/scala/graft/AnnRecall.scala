@@ -144,69 +144,84 @@ object AnnRecall {
     //      recall does NOT collapse as nCells/nProbe scale with the
     //      corpus — the one failure mode the fixed-sf curves cannot
     //      see. ----
-    val synthJson: Option[String] = if (!includeSynth) None else Some {
-    Scaling.ensureSynth(spark, "/root/testdata/sf0.1", Scaling.SynthDir)
-    val es = spark.read.parquet(s"${Scaling.SynthDir}/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
-    val sProbes = es.filter(col("vec_id") < nProbesProbe)
-    val nS = es.count()
-    val nSProbes = sProbes.count()
-    val sAllPairs = (nSProbes * (nS - 1)).toDouble
-    val sExact = topKSets(Similarity.bruteForceTopK(es, sProbes,
-      "vec_id", "embedding", k))
-    def sRecallOf(approx: DataFrame): Double = {
-      val got = topKSets(approx)
-      val per = sExact.map { case (p, truth) =>
-        got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+    // One section per synth scale (×8 and ×16): same √n cell discipline,
+    // same three curves. The probe sweep is chosen per scale to land the
+    // same scanned-fraction budgets (~2.5–25 %).
+    def synthSection(key: String, dir: String, sweep: Seq[Int]): String = {
+      val es = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val sProbes = es.filter(col("vec_id") < nProbesProbe)
+      val nS = es.count()
+      val nSProbes = sProbes.count()
+      val sAllPairs = (nSProbes * (nS - 1)).toDouble
+      val sExact = topKSets(Similarity.bruteForceTopK(es, sProbes,
+        "vec_id", "embedding", k))
+      def sRecallOf(approx: DataFrame): Double = {
+        val got = topKSets(approx)
+        val per = sExact.map { case (p, truth) =>
+          got.getOrElse(p, Set.empty).intersect(truth).size.toDouble / truth.size
+        }
+        if (per.isEmpty) 0.0 else per.sum / per.size
       }
-      if (per.isEmpty) 0.0 else per.sum / per.size
+      val sCells = math.max(16, math.sqrt(nS.toDouble).toInt) // √n discipline
+      val sCents = Similarity.seedCentroids(es, "vec_id", "embedding", sCells)
+      val sCellSizes = Similarity.ivfAssignments(sCents, es, "vec_id", "embedding")
+        .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+      def sScanned(p: Int): Double =
+        Similarity.probeCells(sCents, sProbes, "vec_id", "embedding", p)
+          .select(col("p_id"), col("cell")).join(sCellSizes, "cell")
+          .agg(sum(col("cell_n"))).head().getLong(0) / sAllPairs
+      val sProbeSweep = sweep.filter(_ <= sCells)
+      val ivfS = sProbeSweep.map { p =>
+        val r = sRecallOf(Similarity.ivfTopKWith(sCents, es, sProbes,
+          "vec_id", "embedding", k, nProbe = p))
+        Point("nProbe", p, sScanned(p), r)
+      }
+      val sCb = Similarity.pqCodebooks(es, "vec_id", "embedding", nSub = 8,
+        nCodes = 16)
+      val sCodes = Similarity.pqEncode(es, "vec_id", "embedding", sCb)
+      val sAssigns = Similarity.ivfAssignments(sCents, es, "vec_id", "embedding")
+      val ivfpqRS = sProbeSweep.map { p =>
+        val r = sRecallOf(Similarity.ivfPqTopKReranked(sCents, sAssigns, sCodes,
+          es, sProbes, "vec_id", "embedding", sCb, k, nProbe = p,
+          shortlist = 50))
+        Point("nProbe", p, sScanned(p), r)
+      }
+      // the FIXED 50-candidate shortlist dilutes as probed candidates grow
+      // (more ADC-misranked impostors compete for the same slots) — the
+      // scaled variant keeps shortlist ∝ probed cells, which should hold
+      // recall flat across the sweep. Both curves in the artifact make the
+      // knob's effect measurable instead of folklore.
+      val ivfpqRScaled = sProbeSweep.map { p =>
+        val r = sRecallOf(Similarity.ivfPqTopKReranked(sCents, sAssigns, sCodes,
+          es, sProbes, "vec_id", "embedding", sCb, k, nProbe = p,
+          shortlist = math.min(800, 50 * p)))
+        Point("nProbe", p, sScanned(p), r)
+      }
+      s""""$key":{"corpus":$nS,"probes":$nSProbes,"n_cells":$sCells,""" +
+        s""""curves":{"ivf":${curve(ivfS)},""" +
+        s""""ivfpq_rerank":${curve(ivfpqRS)},""" +
+        s""""ivfpq_rerank_scaled":${curve(ivfpqRScaled)}}}"""
     }
-    val sCells = math.max(16, math.sqrt(nS.toDouble).toInt) // √n discipline
-    val sCents = Similarity.seedCentroids(es, "vec_id", "embedding", sCells)
-    val sCellSizes = Similarity.ivfAssignments(sCents, es, "vec_id", "embedding")
-      .groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
-    def sScanned(p: Int): Double =
-      Similarity.probeCells(sCents, sProbes, "vec_id", "embedding", p)
-        .select(col("p_id"), col("cell")).join(sCellSizes, "cell")
-        .agg(sum(col("cell_n"))).head().getLong(0) / sAllPairs
-    val sProbeSweep = Seq(4, 8, 16, 32, 64).filter(_ <= sCells)
-    val ivfS = sProbeSweep.map { p =>
-      val r = sRecallOf(Similarity.ivfTopKWith(sCents, es, sProbes,
-        "vec_id", "embedding", k, nProbe = p))
-      Point("nProbe", p, sScanned(p), r)
+    val synthJson: Option[String] = if (!includeSynth) None else Some {
+      Scaling.ensureSynth(spark, "/root/testdata/sf0.1", Scaling.SynthDir)
+      synthSection("synth", Scaling.SynthDir, Seq(4, 8, 16, 32, 64))
     }
-    val sCb = Similarity.pqCodebooks(es, "vec_id", "embedding", nSub = 8,
-      nCodes = 16)
-    val sCodes = Similarity.pqEncode(es, "vec_id", "embedding", sCb)
-    val sAssigns = Similarity.ivfAssignments(sCents, es, "vec_id", "embedding")
-    val ivfpqRS = sProbeSweep.map { p =>
-      val r = sRecallOf(Similarity.ivfPqTopKReranked(sCents, sAssigns, sCodes,
-        es, sProbes, "vec_id", "embedding", sCb, k, nProbe = p,
-        shortlist = 50))
-      Point("nProbe", p, sScanned(p), r)
-    }
-    // the FIXED 50-candidate shortlist dilutes as probed candidates grow
-    // (more ADC-misranked impostors compete for the same slots) — the
-    // scaled variant keeps shortlist ∝ probed cells, which should hold
-    // recall flat across the sweep. Both curves in the artifact make the
-    // knob's effect measurable instead of folklore.
-    val ivfpqRScaled = sProbeSweep.map { p =>
-      val r = sRecallOf(Similarity.ivfPqTopKReranked(sCents, sAssigns, sCodes,
-        es, sProbes, "vec_id", "embedding", sCb, k, nProbe = p,
-        shortlist = math.min(800, 50 * p)))
-      Point("nProbe", p, sScanned(p), r)
-    }
-    s""""synth":{"corpus":$nS,"probes":$nSProbes,"n_cells":$sCells,""" +
-      s""""curves":{"ivf":${curve(ivfS)},""" +
-      s""""ivfpq_rerank":${curve(ivfpqRS)},""" +
-      s""""ivfpq_rerank_scaled":${curve(ivfpqRScaled)}}}"""
+    // THIRD scale point (r12 verdict stretch): ×16 — n doubles again, √n
+    // cells grow to ~180, and the probe-scaled shortlist must keep
+    // holding recall at the same scanned budgets
+    val synthX16Json: Option[String] = if (!includeSynth) None else Some {
+      Scaling.ensureSynthEmbeddings(spark, "/root/testdata/sf0.1",
+        Scaling.SynthX16Dir, replicas = 16)
+      synthSection("synth_x16", Scaling.SynthX16Dir, Seq(4, 11, 22, 44))
     }
 
     s"""{"sf":"$sfDir","corpus":$nCorpus,"probes":$nProbes,"k":$k,""" +
       s""""curves":{"lsh":${curve(lsh)},"ivf":${curve(ivf)},""" +
       s""""pq":${curve(pq)},"ivfpq":${curve(ivfpq)},""" +
       s""""ivfpq_rerank":${curve(ivfpqR)}}""" +
-      synthJson.fold("")("," + _) + "}"
+      synthJson.fold("")("," + _) +
+      synthX16Json.fold("")("," + _) + "}"
   }
 
   private def f(d: Double): String = "%.6f".format(d)

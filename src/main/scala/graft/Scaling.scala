@@ -169,6 +169,42 @@ object Scaling {
     * corpus or the scale claims stop composing). */
   private[graft] val SynthDir = "/root/repo/target/sf_synth_v2"
 
+  /** The ×16 embeddings-only synth dir — AnnRecall's THIRD recall scale
+    * point (sf0.1 → ×8 → ×16), pinning that the probe-scaled rerank
+    * shortlist holds recall as nCells keeps growing with √n. */
+  private[graft] val SynthX16Dir = "/root/repo/target/sf_synth_x16"
+
+  /** EMBEDDINGS-ONLY decorrelated ×`replicas` synth (the ANN third scale
+    * point needs no documents): same circular-shift construction as
+    * [[ensureSynth]] — norm and within-replica geometry exactly
+    * preserved, distinct shifts mutually decorrelated. `replicas` must
+    * divide the vector dim or the shift step truncates to 0 and replicas
+    * collide (fail loud). */
+  private[graft] def ensureSynthEmbeddings(spark: SparkSession, sfBig: String,
+                                           dir: String, replicas: Int): Unit = {
+    val done = new java.io.File(s"$dir/_SYNTH_OK")
+    if (done.exists) return
+    val embs = Tables.load(spark, sfBig, "embeddings")
+    val idOffset = 100000000L
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    require(dim % replicas == 0 && dim / replicas >= 1,
+      s"ensureSynthEmbeddings: dim=$dim not divisible by replicas=$replicas")
+    val reps = spark.range(replicas).select(col("id").cast("int").as("rep"))
+    embs.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * idOffset)
+      .withColumn("embedding",
+        concat(
+          slice(col("embedding"), col("rep") * (dim / replicas) + 1,
+            lit(dim) - col("rep") * (dim / replicas)),
+          slice(col("embedding"), lit(1), col("rep") * (dim / replicas))))
+      .drop("rep")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+    ()
+  }
+
   /** Build the decorrelated ×N replica corpus (documents + embeddings)
     * once; replicas are deterministic functions of (replica, row). */
   private[graft] def ensureSynth(spark: SparkSession, sfBig: String, dir: String): Unit = {

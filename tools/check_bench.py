@@ -123,6 +123,17 @@ def check_recall(path):
         # shortlist ~ probed cells holds recall flat where the fixed-50
         # shortlist dilutes (r11 measured 0.93 at 12.5% scanned vs 0.33)
         floor_at("synth_ivfpq_rerank_scaled", 0.25, 0.70)
+    # x16 third scale point (r13): n doubles again, sqrt(n) cells ~178 —
+    # the probe-scaled shortlist must keep holding at the same budgets
+    # (r13 measured ivf 0.99 and rerank_scaled 0.88 best-in-budget)
+    synth16 = d.get("synth_x16")
+    if synth16 is None:
+        print("MISS synth_x16: no x16-scale recall section in the artifact")
+        bad.append("synth_x16")
+    else:
+        curves = {f"synth16_{k}": v for k, v in synth16["curves"].items()}
+        floor_at("synth16_ivf", 0.25, 0.80)
+        floor_at("synth16_ivfpq_rerank_scaled", 0.25, 0.70)
     if bad:
         print(f"RECALL REGRESSIONS: {bad}")
         return 1
