@@ -100,6 +100,8 @@ object Dedup {
                         k: Int = 3, threshold: Double = 0.8,
                         stopShingleFraction: Double = 0.05,
                         maxDensePairs: Long = 10000000L): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
     val sets = withShingleSets(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try
@@ -107,7 +109,17 @@ object Dedup {
         ngramJaccardPairsFromSets(sets, idCol, threshold,
           stopShingleFraction, maxDensePairs),
         singleEval = true)
-    finally { sets.unpersist(blocking = true); () }
+    finally {
+      sets.unpersist(blocking = true)
+      // free every block THIS call materialized while building the plan
+      // (the dfreq local checkpoint inside the candidate generator): the
+      // copied-out result reads files, so nothing persisted here is
+      // still needed — the zero-residual contract (BlockRetentionSpec)
+      // stays intact
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) rdd.unpersist(true)
+      }
+    }
   }
 
   /** ⌈t·n⌉ guarded against float round-up (0.8·35 = 28.000…004 must not
@@ -199,12 +211,21 @@ object Dedup {
     val nDocsRow = broadcast(sets.agg(count(lit(1)).as("n_docs")))
     val postings = sets.select(col(idCol).as("id"), col("sh_n").as("n"),
       explode(col("sh")).as("shingle"))
+    // dfreq is VOCAB-scale (df>=2 shingles only) and consumed by four
+    // subtrees (the prefix-join enrichment, the dense broadcast, the
+    // dense budget count, and the dense cross) — the broadcast subtrees
+    // are separate AQE jobs that do NOT share the shuffle exchange, so
+    // without materialization each re-runs the postings aggregate
+    // (measured: 8 concurrent ~1.3 s broadcast-build jobs). One eager
+    // localCheckpoint pins it; the operator's eager copyOut contract
+    // already owns block release at the caller.
     val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .crossJoin(nDocsRow)
       .withColumn("is_common", col("df") > greatest(lit(2L),
         ceil(lit(stopShingleFraction) * col("n_docs")).cast("long")))
       .drop("n_docs")
+      .localCheckpoint(true)
     val byId = Window.partitionBy(col("id"))
     // u rides a window over the SAME id partition the rank needs — no
     // extra shuffle; df=1 postings (inner-join losses) count into m via
