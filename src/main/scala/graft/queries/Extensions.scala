@@ -1451,15 +1451,17 @@ object Extensions {
     // re-deriving every quality expression (interpreted HOFs, no CSE)
     // inside the predicate — measured 16.9 s vs 0.3 s for the one-pass
     // metrics themselves at sf0.1
+    // langid and text ride THROUGH the metrics pass (carryCols): the
+    // kept set is a filter on this one checkpoint — no re-join, no
+    // second checkpoint, and the en-filter composes with `keep`
     val metrics = Blocks.copyOut(
-      TextAnalysis.qualityFilter(clean, "doc_id", "text"), singleEval = true)
-    val kept = Blocks.copyOut(metrics
-      .filter(col("keep")).select("doc_id")
-      .join(clean, "doc_id")
-      .filter(TF.langId(col("text")) === "en")
-      .select(col("doc_id"), col("text"),
-        graft.operators.Sampling.contentSplit(col("text")).as("split")),
+      TextAnalysis.qualityFilter(
+        clean.withColumn("lang", TF.langId(col("text"))),
+        "doc_id", "text", carryCols = Seq("lang", "text")),
       singleEval = true)
+    val kept = metrics.filter(col("keep") && col("lang") === "en")
+      .select(col("doc_id"), col("text"),
+        graft.operators.Sampling.contentSplit(col("text")).as("split"))
     val packed = TextAnalysis.packSequences(kept, "doc_id", "text",
       extraKeys = Seq("split"))
     packed.groupBy(col("split"))
@@ -1507,14 +1509,16 @@ object Extensions {
         .select(col("train_id").as("doc_id")), singleEval = true)
     val clean = masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
     // checkpoint metrics BEFORE the keep-filter (see v2's note: predicate
-    // pushdown by substitution re-derives the HOF quality expressions)
+    // pushdown by substitution re-derives the HOF quality expressions).
+    // langid and the text ride THROUGH the metrics pass (carryCols), so
+    // the kept set is a filter on this checkpoint — no re-join, no
+    // second checkpoint
     val metrics = Blocks.copyOut(
-      TextAnalysis.qualityFilter(clean, "doc_id", "text"), singleEval = true)
-    val kept = Blocks.copyOut(metrics
-      .filter(col("keep")).select("doc_id")
-      .join(clean, "doc_id")
-      .withColumn("lang", TF.langId(col("text"))),
+      TextAnalysis.qualityFilter(
+        clean.withColumn("lang", TF.langId(col("text"))),
+        "doc_id", "text", carryCols = Seq("lang", "text")),
       singleEval = true)
+    val kept = metrics.filter(col("keep")).select("doc_id", "lang", "text")
     val sampled = graft.operators.Sampling
       .temperatureSample(kept, "lang", "text", alpha = 0.5)
       .select(col("doc_id"), col("text"),
@@ -1580,18 +1584,20 @@ object Extensions {
       Dedup.maskRepeatedSpans(reps, "doc_id", "text", k = 8, minOccurrences = 2)
         .select(col("doc_id"), col("clean_text").as("text")),
       singleEval = true)
-    val contaminated = Dedup.decontaminate(masked, evalSet, "doc_id", "text", k = 8)
-      .select(col("train_id").as("doc_id"))
-    val clean = Blocks.copyOut(
-      masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
-      singleEval = true)
+    // tiny contaminated-id checkpoint instead of the text-carrying
+    // anti-join (same reasoning as v3)
+    val contaminated = Blocks.copyOut(
+      Dedup.decontaminate(masked, evalSet, "doc_id", "text", k = 8)
+        .select(col("train_id").as("doc_id")), singleEval = true)
+    val clean = masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    // langid and text ride THROUGH the metrics pass (carryCols) — same
+    // fusion as v3: one checkpoint, kept is a filter on it
     val metrics = Blocks.copyOut(
-      TextAnalysis.qualityFilter(clean, "doc_id", "text"), singleEval = true)
-    val kept = Blocks.copyOut(metrics
-      .filter(col("keep")).select("doc_id")
-      .join(clean, "doc_id")
-      .withColumn("lang", TF.langId(col("text"))),
+      TextAnalysis.qualityFilter(
+        clean.withColumn("lang", TF.langId(col("text"))),
+        "doc_id", "text", carryCols = Seq("lang", "text")),
       singleEval = true)
+    val kept = metrics.filter(col("keep")).select("doc_id", "lang", "text")
     val sampled = graft.operators.Sampling
       .temperatureSample(kept, "lang", "text", alpha = 0.5)
       .select(col("doc_id"), col("text"),
