@@ -52,6 +52,17 @@ object StreamingDedup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         val s = batch.sparkSession // the cloned micro-batch session
+        // micro-delta mode for the whole batch body: a micro-batch's
+        // dedup work reads the batch (file-source plan stats = real
+        // bytes) + the prior artifacts (file metadata); at lake-scale
+        // session settings each sub-step is scheduler-dispatch-bound.
+        // The cloned session isolates the conf flip to this stream.
+        val batchBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong
+        val inputBytes = batchBytes +
+          Seq(corpusRoot(root), indexRoot(root), pairsRoot(root))
+            .map(graft.sources.MaintenanceExec.dirFootprintBytes(s, _)).sum
+        graft.sources.MaintenanceExec.sizedByBytes(s, inputBytes) {
         // pre-batch state: committed epochs EXCLUDING a half-committed
         // copy of THIS epoch (crash replay must recompute from the same
         // inputs it saw the first time)
@@ -81,6 +92,7 @@ object StreamingDedup {
         TransactionalLake.commitEpoch(batch, corpusRoot(root), epochId, Nil)
         TransactionalLake.commitEpoch(batchIndex, indexRoot(root), epochId, Nil)
         TransactionalLake.commitEpoch(pairs, pairsRoot(root), epochId, Nil)
+        }
         ()
       }
       .start()
@@ -118,7 +130,17 @@ object StreamingDedup {
       TransactionalLake.foldState(spark, pairsRoot(root)).map(_._2).getOrElse(Seq.empty))
       .distinct.sorted
     val todo = pairEpochs.filterNot(done)
+    // each epoch's delta maintenance reads: the pair/corpus rows of THIS
+    // epoch (partition-pruned) + the whole canonical map (the as-of
+    // window) — size its shuffles to that footprint (micro-delta mode:
+    // a per-epoch map advance is scheduler-dispatch-bound at lake-scale
+    // settings; a map outgrowing the budget keeps them untouched)
+    def epochFootprint(e: Long): Long =
+      TransactionalLake.changeFootprintBytes(spark, pairsRoot(root), e - 1, e) +
+        TransactionalLake.changeFootprintBytes(spark, corpusRoot(root), e - 1, e) +
+        TransactionalLake.changeFootprintBytes(spark, croot, -1L, Long.MaxValue)
     todo.foreach { e =>
+      graft.sources.MaintenanceExec.sizedByBytes(spark, epochFootprint(e)) {
       val newDocs = TransactionalLake.readCommitted(spark, corpusRoot(root))
         .filter(col("epoch").cast("long") === e).select(col(idCol))
       val pairs = TransactionalLake.readCommitted(spark, pairsRoot(root))
@@ -136,6 +158,7 @@ object StreamingDedup {
           .filter(lit(false))
       val delta = Dedup.canonicalizeIncrementalDelta(prev, newDocs, pairs, idCol)
       TransactionalLake.commitEpoch(delta, croot, e, Nil)
+      }
     }
     todo
   }
