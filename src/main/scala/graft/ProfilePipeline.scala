@@ -50,6 +50,45 @@ object ProfilePipeline {
     time("tenant query again (warm cache)")(
       spark.table("profile_tbl").filter(col("tenant") === "t1").count())
     time("full table scan via table")(spark.table("profile_tbl").count())
+
+    // ---- streaming-roundtrip micro-batch breakdown (r12 stretch #8:
+    // attribute the 22-32 k rec/s clean-run ingest swing). Repeats the
+    // gated entry's exact pipeline with a progress listener splitting
+    // each micro-batch's wall into the engine's phases; rec/s is
+    // events/entry-wall, so the swing must live in one of these. ----
+    val progress =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          progress.add(e.progress); ()
+        }
+        override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+    (1 to 4).foreach { rep =>
+      progress.clear()
+      val df = graft.queries.PipelineQueries.queries("pipe_streaming_roundtrip")(
+        spark, sfDir)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      val ps = progress.asScala.toSeq
+      val rows = ps.map(_.numInputRows).sum
+      def dur(k: String) = ps.map(p =>
+        Option(p.durationMs.get(k)).map(_.toLong).getOrElse(0L)).sum / 1e3
+      println(f"[rt-prof] rep$rep wall=$wall%.2f out=$n rows=$rows " +
+        f"batches=${ps.size} addBatch=${dur("addBatch")}%.2f " +
+        f"trigger=${dur("triggerExecution")}%.2f " +
+        f"getBatch=${dur("getBatch")}%.2f latestOffset=${dur("latestOffset")}%.2f " +
+        f"commit=${dur("commitOffsets")}%.2f walCommit=${dur("walCommit")}%.2f " +
+        f"queryPlanning=${dur("queryPlanning")}%.2f")
+    }
     spark.stop()
   }
 }
