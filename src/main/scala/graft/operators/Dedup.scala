@@ -790,7 +790,12 @@ object Dedup {
     val newNew = l.join(rNew, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val candidates = newCorpus.unionAll(newNew).distinct()
+    // candidate id pairs are batch-collision-scale (small) and consumed
+    // THREE times (the candIds broadcast subtree and both sides of the
+    // verify join) — materialized once so the band-collision joins over
+    // the corpus index run once, not per consumer
+    val candidates = Blocks.copyOut(
+      newCorpus.unionAll(newNew).distinct(), singleEval = true)
     // fetch ONLY candidate docs for verification: the broadcast semi-join
     // filters the corpus scan map-side before any shuffle or shingling,
     // and the candidate shingle sets are materialized ONCE (copied out of
