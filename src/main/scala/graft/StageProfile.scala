@@ -98,16 +98,18 @@ object StageProfile {
       val contaminated = t(tag, "decontaminate")(Blocks.copyOut(
         Dedup.decontaminate(masked, evalSet, "doc_id", "text", k = 8)
           .select(col("train_id").as("doc_id")), singleEval = true))
-      val clean = t(tag, "clean-antijoin")(Blocks.copyOut(
-        masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
+      // mirrors the r13 entry: clean is a cheap anti-join (contaminated
+      // is the checkpoint), langid/text ride the metrics pass, kept is
+      // a filter on it
+      val clean = masked.join(broadcast(contaminated), Seq("doc_id"),
+        "left_anti")
+      val metrics = t(tag, "quality-metrics+langid")(Blocks.copyOut(
+        TextAnalysis.qualityFilter(
+          clean.withColumn("lang", TF.langId(col("text"))),
+          "doc_id", "text", carryCols = Seq("lang", "text")),
         singleEval = true))
-      val metrics = t(tag, "quality-metrics")(Blocks.copyOut(
-        TextAnalysis.qualityFilter(clean, "doc_id", "text"),
-        singleEval = true))
-      val kept = t(tag, "langid")(Blocks.copyOut(
-        metrics.filter(col("keep")).select("doc_id").join(clean, "doc_id")
-          .withColumn("lang", TF.langId(col("text"))),
-        singleEval = true))
+      val kept = metrics.filter(col("keep"))
+        .select("doc_id", "lang", "text")
       val sampled = t(tag, "temp-sample")(Blocks.copyOut(
         graft.operators.Sampling
           .temperatureSample(kept, "lang", "text", alpha = 0.5)
@@ -121,7 +123,7 @@ object StageProfile {
           sum(col("n_tokens")).as("total_tokens"),
           countDistinct(col("shard"), col("seq_id")).as("n_sequences"))
         .orderBy("split").count())
-      Seq(canon, masked, contaminated, clean, metrics, kept, sampled)
+      Seq(canon, masked, contaminated, metrics, sampled)
         .foreach(df => try df.unpersist() catch { case _: Throwable => })
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
