@@ -264,8 +264,19 @@ object Bench {
                   Right(Meas(ts, Some(ts), None, Some(ratio)))
                 case None =>
                   val rts = rruns.collect { case Right(s) => s }.sorted
-                  val chosen =
-                    if (rts(rts.size / 2) <= ts(ts.size / 2)) rts else ts
+                  // choose the series the spread gate should grade:
+                  // prefer a PASSING series (max <= 1.5x median) — a
+                  // tight-but-slower retry beats a fast-median series
+                  // still carrying the contaminated rep; when both pass
+                  // (or neither), the smaller median (contention only
+                  // inflates)
+                  def passes(s: Seq[Double]) = s.last <= 1.5 * s(s.size / 2)
+                  val chosen = (passes(ts), passes(rts)) match {
+                    case (true, false) => ts
+                    case (false, true) => rts
+                    case _ =>
+                      if (rts(rts.size / 2) <= ts(ts.size / 2)) rts else ts
+                  }
                   Right(Meas(chosen, Some(ts), Some(rts), Some(ratio)))
               }
             }
