@@ -78,6 +78,17 @@ object ProfilePipeline {
       val n = df.count()
       val wall = (System.nanoTime() - t0) / 1e9
       import scala.jdk.CollectionConverters._
+      // the listener bus is ASYNC: the final batch's progress event can
+      // arrive after count() returns and misattribute phases to the next
+      // rep — wait until the queue is quiet before reading it
+      var stable = 0
+      var lastSize = -1
+      var waits = 0
+      while (stable < 3 && waits < 100) { // 3 x 100 ms quiet, cap 10 s
+        val s = progress.size
+        if (s == lastSize) stable += 1 else { stable = 0; lastSize = s }
+        Thread.sleep(100); waits += 1
+      }
       val ps = progress.asScala.toSeq
       val rows = ps.map(_.numInputRows).sum
       def dur(k: String) = ps.map(p =>

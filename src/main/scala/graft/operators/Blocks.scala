@@ -107,4 +107,47 @@ object Blocks {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
       case _ => df.unpersist(); ()
     }
+
+  // ---- thread-confined release scopes ----------------------------------
+  // An operator that local-checkpoints intermediates DEEP inside its plan
+  // builder (e.g. the PPJoin candidate generator's dfreq) needs those
+  // blocks freed when the operator returns its copied-out result. The
+  // earlier snapshot-diff sweep (diff sc.getPersistentRDDs before/after)
+  // released every RDD persisted PROCESS-WIDE during the call — correct
+  // only while dedup is driver-single-threaded; a concurrent
+  // localCheckpoint (a streaming micro-batch, a parallel maintenance
+  // thread) would be unrecoverably unpersisted mid-use. A scope is a
+  // ThreadLocal register: only frames explicitly enrolled by code running
+  // on THIS thread are released, concurrency-safe by construction.
+
+  private val scopeReg =
+    new ThreadLocal[java.util.ArrayDeque[
+      scala.collection.mutable.ArrayBuffer[DataFrame]]] {
+      override def initialValue() =
+        new java.util.ArrayDeque[
+          scala.collection.mutable.ArrayBuffer[DataFrame]]()
+    }
+
+  /** Run `body` with a release scope open on the current thread: every
+    * frame [[scoped]] inside it is released (best-effort) when `body`
+    * exits, on any path. Scopes nest; each releases only its own. */
+  def scope[T](body: => T): T = {
+    val stack = scopeReg.get()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    stack.push(buf)
+    try body
+    finally {
+      stack.pop()
+      buf.foreach(f => try release(f) catch { case _: Throwable => () })
+    }
+  }
+
+  /** Enroll an eagerly-materialized frame with the innermost open scope
+    * on this thread (identity no-op when none is open — callers outside
+    * a scope own release themselves) and return it. */
+  def scoped(df: DataFrame): DataFrame = {
+    val stack = scopeReg.get()
+    if (!stack.isEmpty) stack.peek() += df
+    df
+  }
 }

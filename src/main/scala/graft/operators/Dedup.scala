@@ -100,26 +100,22 @@ object Dedup {
                         k: Int = 3, threshold: Double = 0.8,
                         stopShingleFraction: Double = 0.05,
                         maxDensePairs: Long = 10000000L): DataFrame = {
-    val sc = docs.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val sets = withShingleSets(docs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try
+    // the release scope frees the blocks this call materialized while
+    // building the plan (the dfreq local checkpoint inside the candidate
+    // generator, enrolled via Blocks.scoped): the copied-out result reads
+    // files, so nothing persisted here is still needed — the
+    // zero-residual contract (BlockRetentionSpec) stays intact, and ONLY
+    // this thread's enrollments are touched (a concurrent streaming
+    // micro-batch's checkpoints are safe — the earlier process-wide
+    // snapshot-diff sweep was not)
+    try Blocks.scope {
       Blocks.copyOut(
         ngramJaccardPairsFromSets(sets, idCol, threshold,
           stopShingleFraction, maxDensePairs),
         singleEval = true)
-    finally {
-      sets.unpersist(blocking = true)
-      // free every block THIS call materialized while building the plan
-      // (the dfreq local checkpoint inside the candidate generator): the
-      // copied-out result reads files, so nothing persisted here is
-      // still needed — the zero-residual contract (BlockRetentionSpec)
-      // stays intact
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!before.contains(id)) rdd.unpersist(true)
-      }
-    }
+    } finally { sets.unpersist(blocking = true); () }
   }
 
   /** ⌈t·n⌉ guarded against float round-up (0.8·35 = 28.000…004 must not
@@ -217,15 +213,17 @@ object Dedup {
     // are separate AQE jobs that do NOT share the shuffle exchange, so
     // without materialization each re-runs the postings aggregate
     // (measured: 8 concurrent ~1.3 s broadcast-build jobs). One eager
-    // localCheckpoint pins it; the operator's eager copyOut contract
-    // already owns block release at the caller.
-    val dfreq = postings.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-      .crossJoin(nDocsRow)
-      .withColumn("is_common", col("df") > greatest(lit(2L),
-        ceil(lit(stopShingleFraction) * col("n_docs")).cast("long")))
-      .drop("n_docs")
-      .localCheckpoint(true)
+    // localCheckpoint pins it, enrolled with the caller's thread-confined
+    // release scope (Blocks.scope in ngramJaccardPairs) so its blocks are
+    // freed when the copied-out result exists.
+    val dfreq = Blocks.scoped(
+      postings.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .crossJoin(nDocsRow)
+        .withColumn("is_common", col("df") > greatest(lit(2L),
+          ceil(lit(stopShingleFraction) * col("n_docs")).cast("long")))
+        .drop("n_docs")
+        .localCheckpoint(true))
     val byId = Window.partitionBy(col("id"))
     // u rides a window over the SAME id partition the rank needs — no
     // extra shuffle; df=1 postings (inner-join losses) count into m via
@@ -1083,7 +1081,16 @@ object Dedup {
     * contains "maxAnchorPairs") before a boilerplate-heavy corpus can
     * run a silent quadratic. Raising `minWords` shrinks df
     * monotonically. Output: (doc_id, dup_len, dup_start), longest repeat
-    * per doc (ties → smallest start), docs with no repeat ≥ L absent. */
+    * per doc (ties → smallest start), docs with no repeat ≥ L absent.
+    *
+    * EAGER contract (like [[ngramJaccardPairs]]): the token-scale gram
+    * pass is persisted and evaluated ONCE here — its three consumers
+    * (the dup-gram aggregate feeding the budget broadcast, and both
+    * sides of the anchor self-join) would otherwise each re-run the
+    * tokenize+gram scan over the whole corpus. The anchor set (dup-gram
+    * occurrences only, budget-bounded) is copied out of the block
+    * manager, every corpus-scale block is released before returning,
+    * and the in-plan budget refusal therefore surfaces AT CALL TIME. */
   def longestDupSubstrings(docs: DataFrame, idCol: String, textCol: String,
                            minWords: Int = 8,
                            maxAnchorPairs: Long = 10000000L): DataFrame = {
@@ -1091,24 +1098,35 @@ object Dedup {
     val L = minWords
     val base = docs.select(col(idCol).as("doc_id"),
       TF.words(col(textCol)).as("ws"))
-    val kgrams = base.select(col("doc_id"), col("ws"),
+    val kgramsPlan = base.select(col("doc_id"), col("ws"),
         explode(when(size(col("ws")) >= L, sequence(lit(0), size(col("ws")) - L))
           .otherwise(array().cast("array<int>"))).as("p"))
       .select(col("doc_id"), col("p"),
         xxhash64(array_join(slice(col("ws"), col("p") + 1, lit(L)), " "))
           .as("gkey"))
-    val dupStats = kgrams.groupBy("gkey").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-    val pairBudget = broadcast(dupStats.agg(
-      coalesce(sum(col("cnt") * (col("cnt") - 1)), lit(0L)).as("n_pairs")))
-    val dupKeys = dupStats.select(col("gkey")).crossJoin(pairBudget)
-      .filter(when(col("n_pairs") <= maxAnchorPairs, lit(true))
-        .otherwise(raise_error(concat(
-          lit("longestDupSubstrings: anchor join of "), col("n_pairs"),
-          lit(s" gram-occurrence pairs exceeds maxAnchorPairs=" +
-            s"$maxAnchorPairs — raise minWords or the budget")))))
-      .select("gkey")
-    val anchors = kgrams.join(dupKeys, Seq("gkey"))
+    val kgrams = kgramsPlan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchors =
+      try Blocks.scope {
+        // vocab-scale (duplicated grams only); localCheckpoint so the
+        // budget broadcast and the key join don't re-aggregate
+        val dupStats = Blocks.scoped(
+          kgrams.groupBy("gkey").agg(count(lit(1)).as("cnt"))
+            .filter(col("cnt") >= 2)
+            .localCheckpoint(true))
+        val pairBudget = broadcast(dupStats.agg(
+          coalesce(sum(col("cnt") * (col("cnt") - 1)), lit(0L)).as("n_pairs")))
+        val dupKeys = dupStats.select(col("gkey")).crossJoin(pairBudget)
+          .filter(when(col("n_pairs") <= maxAnchorPairs, lit(true))
+            .otherwise(raise_error(concat(
+              lit("longestDupSubstrings: anchor join of "), col("n_pairs"),
+              lit(s" gram-occurrence pairs exceeds maxAnchorPairs=" +
+                s"$maxAnchorPairs — raise minWords or the budget")))))
+          .select("gkey")
+        // file-backed: both self-join sides below read these files, and
+        // the corpus-scale kgrams persist can be dropped immediately
+        Blocks.copyOut(kgrams.join(dupKeys, Seq("gkey")), singleEval = true)
+      } finally { kgrams.unpersist(blocking = true); () }
     val m = anchors.select(col("gkey"), col("doc_id").as("id_a"),
         col("p").as("pa"))
       .join(anchors.select(col("gkey"), col("doc_id").as("id_b"),

@@ -147,13 +147,10 @@ object TransactionalLake {
     live + gens
   }
 
-  /** On-disk bytes under `d` — 0 when absent or racing a cleanup. */
-  private def dirBytes(spark: SparkSession, d: String): Long = {
-    val p = new Path(d)
-    val f = fs(spark, d)
-    try if (f.exists(p)) f.getContentSummary(p).getLength else 0L
-    catch { case _: java.io.IOException => 0L }
-  }
+  /** On-disk bytes under `d` — 0 when absent or racing a cleanup.
+    * One definition lives in [[MaintenanceExec.dirFootprintBytes]]. */
+  private def dirBytes(spark: SparkSession, d: String): Long =
+    MaintenanceExec.dirFootprintBytes(spark, d)
 
   /** Committed epoch ids, ascending. */
   def committedEpochs(spark: SparkSession, root: String): Seq[Long] = {

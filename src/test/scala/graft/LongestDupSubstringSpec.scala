@@ -91,12 +91,16 @@ class LongestDupSubstringSpec extends SparkSpec {
     assert(got(12L) === (8L, 1L))
   }
 
-  test("anchor budget refuses loudly in-plan (execution-time, message-keyed)") {
+  test("anchor budget refuses loudly in-plan (message-keyed, at the eager " +
+      "anchor materialization)") {
     val same = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val docs = (1L to 30L).map(i => i -> same)
-    val df = Dedup.longestDupSubstrings(docs.toDF("doc_id", "text"),
-      "doc_id", "text", minWords = 8, maxAnchorPairs = 10L)
-    val e = intercept[Exception](df.count())
+    // the operator is EAGER (anchors are copied out at call time), so
+    // the in-plan refusal surfaces from the call itself
+    val e = intercept[Exception] {
+      Dedup.longestDupSubstrings(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minWords = 8, maxAnchorPairs = 10L).count()
+    }
     assert(e.getMessage != null && e.getMessage.contains("maxAnchorPairs"),
       s"expected the budget message, got: ${e.getMessage}")
   }
