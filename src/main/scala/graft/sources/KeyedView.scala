@@ -104,7 +104,7 @@ object KeyedView {
               keyCol: String, groupCol: String, valueCol: String,
               buckets: Int = DefaultBuckets): Long =
     advanceWith(spark, lakeRoot, viewRoot, keyCol, groupCol, valueCol,
-      buckets) { (cur, delta, changedOld) =>
+      buckets) { (cur, head, delta, changedOld) =>
       // group deltas: remove every changed key's old contribution, add
       // the new one for upserts (tombstones add nothing)
       val minus = changedOld.select(col("g"),
@@ -127,19 +127,25 @@ object KeyedView {
         .groupBy("g").agg(sum(col("cnt")).cast("long").as("cnt"),
           sum(col("total")).cast("decimal(28,2)").as("total"))
         .filter(col("cnt") > 0)
+        .write.mode("overwrite").parquet(stateDir(viewRoot, head))
     }
 
   /** Shared advance machinery for every keyed-view strategy: resolve the
     * change delta (one winner per key), read the touched buckets' old
-    * rows, hand `(cursor, delta, changedOld)` to `stateFn` for the
-    * strategy-specific new state, then rewrite only the touched buckets
-    * and flip the commit marker. `stateFn` runs with the view still
-    * committed at the old cursor, so it may read the committed state
-    * (`read`) or key index (`readKeyIndex`). */
+    * rows, hand `(cursor, head, delta, changedOld)` to `stateFn`, which
+    * must WRITE the strategy-specific new state to
+    * `stateDir(viewRoot, head)` (owning the write lets a strategy fold
+    * self-probes into the write itself — the extrema `__rc` probe reads
+    * the tiny written file back instead of paying a copy-out plus a
+    * separate final write, 2 fewer driver dispatches per refresh); this
+    * module then rewrites only the touched buckets and flips the commit
+    * marker. `stateFn` runs with the view still committed at the old
+    * cursor, so it may read the committed state (`read`) or key index
+    * (`readKeyIndex`); nothing it writes is visible until the marker. */
   private def advanceWith(spark: SparkSession, lakeRoot: String,
       viewRoot: String, keyCol: String, groupCol: String, valueCol: String,
       buckets: Int)(
-      stateFn: (Long, DataFrame, DataFrame) => DataFrame): Long = {
+      stateFn: (Long, Long, DataFrame, DataFrame) => Unit): Long = {
     val cur = cursor(spark, viewRoot)
     val epochs = TransactionalLake.committedEpochs(spark, lakeRoot) ++
       TransactionalLake.foldView(spark, lakeRoot).map(_._2.flatMap(_._2))
@@ -164,6 +170,11 @@ object KeyedView {
     // highest epoch in range — several epochs can touch the same key)
     val winsW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("epoch").cast("long").desc)
+    // persist, NOT an eager localCheckpoint: the `touched` collect right
+    // below is already a materializing action over the whole delta, so
+    // an eager checkpoint job before it would compute the same rows
+    // twice — one fewer driver dispatch per refresh, and every later
+    // consumer reads the cached blocks either way
     val delta = TransactionalLake.changesBetween(spark, lakeRoot, cur, head)
       .select(col(keyCol).as("k"), col(groupCol).as("g"),
         col(valueCol).as("v"), col(op).as("_op"), col("epoch"))
@@ -171,7 +182,7 @@ object KeyedView {
       .filter(col("__rn") === 1)
       .drop("__rn", "epoch")
       .withColumn("kb", kb(col("k"), buckets))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = delta.select("kb").distinct()
         .collect().map(_.getLong(0)).sorted // ≤ `buckets` values (constant)
@@ -221,8 +232,7 @@ object KeyedView {
         newBucketRows.write.partitionBy("kb").parquet(staging)
       }
       try {
-        val state = stateFn(cur, delta, changedOld)
-        state.write.mode("overwrite").parquet(stateDir(viewRoot, head))
+        stateFn(cur, head, delta, changedOld)
       } catch { case t: Throwable =>
         try Await.ready(stagingF, Duration.Inf)
         catch { case _: Throwable => () }
@@ -326,7 +336,7 @@ object KeyedView {
 
   private def extremaState(spark: SparkSession, viewRoot: String,
       buckets: Int, bufK: Int)(
-      cur: Long, delta: DataFrame, changedOld: DataFrame): DataFrame = {
+      cur: Long, head: Long, delta: DataFrame, changedOld: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val keyT = delta.schema("k").dataType
@@ -442,20 +452,34 @@ object KeyedView {
         .as("hi_floor"),
       ((size(col("keptLo")) === 0) || (size(col("keptHi")) === 0))
         .as("__rc"))
-    // small state (O(groups)); the copy-out feeds the `__rc` probe, the
-    // kept half, and the upstream state write without re-evaluating the
-    // three-way join (measured: lazy double-eval costs MORE than the
-    // checkpoint job it saves — the join plan is dispatch-heavy)
-    val state0 = graft.operators.Blocks.copyOut(merged0, singleEval = true)
+    // the state is written ONCE, carrying the `__rc` flag column, and
+    // the recompute probe reads the tiny written file back — one write
+    // job + one small-scan job, replacing the earlier copy-out (local +
+    // reliable checkpoint jobs) + probe + separate final write (2 fewer
+    // driver dispatches per refresh; the per-refresh job FLOOR times
+    // local-mode dispatch was the whole cost of pipe_extrema_view).
+    // Readers project explicit columns, so the extra __rc column (false
+    // on every committed row outside the rare path below) is inert.
+    merged0.write.mode("overwrite").parquet(stateDir(viewRoot, head))
+    val stateSchema = StructType(Seq(
+      StructField("g", delta.schema("g").dataType),
+      StructField("cnt", LongType),
+      StructField("total", DecimalType(28, 2)),
+      StructField("lobuf", bufT),
+      StructField("hibuf", bufT),
+      StructField("lo_ceil", DoubleType),
+      StructField("hi_floor", DoubleType),
+      StructField("__rc", BooleanType)))
+    val written = spark.read.schema(stateSchema)
+      .parquet(stateDir(viewRoot, head))
     // rare path: a buffer some refresh fully exhausted (every one of
     // the K extremes changed at once) recomputes ITS group from the
     // key index — a distributed windowed top-K over that group's live
     // rows (old index minus changed keys plus this delta's upserts)
-    val rcGroups = state0.filter(col("__rc")).select("g")
+    val rcGroups = written.filter(col("__rc")).select("g")
       .collect().map(_.get(0))
-    val keep = state0.filter(!col("__rc")).drop("__rc")
-    if (rcGroups.isEmpty) keep
-    else {
+    if (rcGroups.nonEmpty) {
+      val keep = written.filter(!col("__rc"))
       val rcLive = readKeyIndex(spark, viewRoot, buckets)
         .filter(col("g").isin(rcGroups: _*))
         .join(delta.select("k").distinct(), Seq("k"), "left_anti")
@@ -481,9 +505,15 @@ object KeyedView {
         count(lit(1)).as("cnt"),
         sum(col("v").cast("decimal(18,2)")).cast("decimal(28,2)")
           .as("total"))
-      keep.unionByName(aggs.join(bufs, Seq("g"))
-        .select("g", "cnt", "total", "lobuf", "hibuf",
-          "lo_ceil", "hi_floor"))
+      val recomputed = aggs.join(bufs, Seq("g"))
+        .select(col("g"), col("cnt"), col("total"), col("lobuf"),
+          col("hibuf"), col("lo_ceil"), col("hi_floor"),
+          lit(false).as("__rc"))
+      // the final state reads the file we are about to overwrite —
+      // materialize out of it first (rare path only, extra jobs fine)
+      val fin = graft.operators.Blocks.copyOut(
+        keep.unionByName(recomputed), singleEval = true)
+      fin.write.mode("overwrite").parquet(stateDir(viewRoot, head))
     }
   }
 }
