@@ -735,6 +735,14 @@ object Extensions {
   def textQualityClassifier(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
+  /** TRAINED quality probe: least-squares GD distillation of the rule
+    * gate into a linear scorer, run as exact-decimal full-batch
+    * iterations on the engine ([[graft.operators.QualityProbe]]); the
+    * oracle replays the identical arithmetic as unrolled CTEs. */
+  def textQualityProbe(s: SparkSession, d: String): DataFrame =
+    graft.operators.QualityProbe.trainAndScore(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Composition-drift gate: per-source mix across 3 id-derived epochs,
     * share movement + per-epoch total-variation distance. */
   def textCompositionDrift(s: SparkSession, d: String): DataFrame =
@@ -1820,7 +1828,8 @@ object Extensions {
     "dedup_cross_er" -> (dedupCrossEr _),
     "text_phrase_search" -> (textPhraseSearch _),
     "graph_pagerank_weighted" -> (graphPagerankWeighted _),
-    "text_cms_incremental" -> (textCmsIncremental _)))
+    "text_cms_incremental" -> (textCmsIncremental _),
+    "text_quality_probe" -> (textQualityProbe _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2124,6 +2133,56 @@ object Extensions {
       |    - 3.5 * round(top_word_frac, 6)
       |    - 4.0 * round(dup_bigram_frac, 6)
       |    - 0.2 * round(abs(mean_word_len - 5.0), 6), 6)""".stripMargin
+
+  /** The trained-probe oracle: DuckDB replays QualityProbe's exact
+    * arithmetic — 6-dp features off the shared `m` frame, then
+    * `iterations` UNROLLED weight CTEs, each one aggregate of 9-dp
+    * DECIMAL(28,9) gradient sums with the scalar weights referenced by
+    * subquery, then the 6-dp scoring pass. Bit-parity holds because
+    * every cross-engine float op is either IEEE-identical on identical
+    * inputs or rounded before reuse (the pageRank recipe). */
+  private def qualityProbeSql(iterations: Int, lr: Double): String = {
+    val scale = lr * 2.0 // exact in IEEE for the default 0.1
+    val scaleSql = s"CAST(${scale.toString} AS DOUBLE)"
+    def wRef(k: Int, j: Int) = s"(SELECT w_$j FROM w$k)"
+    def pred(k: Int, prec: Int) =
+      s"round(${wRef(k, 0)} + ${wRef(k, 1)} * x1 + ${wRef(k, 2)} * x2 + " +
+        s"${wRef(k, 3)} * x3 + ${wRef(k, 4)} * x4 + ${wRef(k, 5)} * x5, $prec)"
+    val featureCte =
+      """, f AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + CAST(n_words AS DOUBLE)), 6) / CAST(10 AS DOUBLE) AS x1,
+        |    round(top_word_frac, 6) AS x2,
+        |    round(dup_bigram_frac, 6) AS x3,
+        |    round(abs(mean_word_len - 5.0), 6) / CAST(10 AS DOUBLE) AS x4,
+        |    CAST(has_stopword AS DOUBLE) AS x5,
+        |    CAST((n_words > 0 AND n_words BETWEEN 20 AND 10000
+        |      AND mean_word_len BETWEEN 3.0 AND 10.0 AND has_stopword
+        |      AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.1) AS DOUBLE) AS y
+        |  FROM m),
+        |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+        |w0 AS (SELECT """.stripMargin +
+        (0 to 5).map(j => s"CAST(0 AS DOUBLE) AS w_$j").mkString(", ") + ")"
+    val iterCtes = (1 to iterations).map { k =>
+      val terms = Seq("r", "x1 * r", "x2 * r", "x3 * r", "x4 * r", "x5 * r")
+      val cols = terms.zipWithIndex.map { case (t, j) =>
+        s"round(${wRef(k - 1, j)} + $scaleSql * " +
+          s"CAST(sum(CAST(round($t, 9) AS DECIMAL(28,9))) AS DOUBLE)" +
+          s" / (SELECT n FROM nn), 9) AS w_$j"
+      }.mkString(",\n    ")
+      s""",
+         |w$k AS MATERIALIZED (
+         |  SELECT $cols
+         |  FROM (SELECT x1, x2, x3, x4, x5,
+         |        y - ${pred(k - 1, 9)} AS r FROM f) t)""".stripMargin
+    }.mkString
+    qualityFeatureCte + featureCte + iterCtes +
+      s"""
+         |SELECT doc_id, y = CAST(1 AS DOUBLE) AS rule_keep,
+         |  ${pred(iterations, 6)} AS probe_score,
+         |  ${pred(iterations, 6)} >= 0.5 AS probe_keep
+         |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** qualityFilter's feature frame (`m`) — shared by the rule-filter and
     * classifier oracles. */
@@ -3828,6 +3887,9 @@ object Extensions {
         |  TRUE AS cms_never_under, TRUE AS cms_within_envelope
         |FROM t GROUP BY term
         |ORDER BY n DESC, term LIMIT 20""".stripMargin),
+    "text_quality_probe" -> qualityProbeSql(
+      graft.operators.QualityProbe.DefaultIterations,
+      graft.operators.QualityProbe.DefaultLr),
     "text_phrase_search" -> (tokensCte +
       """
         |SELECT doc_id, phrase_tf FROM (
