@@ -1149,6 +1149,135 @@ object Dedup {
         (-col("best.ns")).cast("long").as("dup_start"))
   }
 
+  // ---- INCREMENTAL substring-dedup index ---------------------------------
+  // [[longestDupSubstrings]] as a maintained artifact: gram postings
+  // accumulate per ingest batch in a transactional lake (the same epoch/
+  // fold/replay machinery as the BM25 and near-dup indexes), and each
+  // batch updates a per-doc best-repeat state. Correctness hinges on one
+  // fact: every cross-doc aligned anchor pair {a, b} has a LATER side,
+  // and joining the later batch's grams against the whole index computes
+  // that pair's complete diagonal anchor set exactly once — emitting the
+  // run to BOTH docs makes the per-doc max over committed deltas equal
+  // the one-shot answer on the union. Best-deltas are additive and
+  // order-independent (max-merge), so folds and crash replays keep the
+  // read identical.
+
+  private def sgramsRoot(indexRoot: String) = s"$indexRoot/grams"
+  private def sbestRoot(indexRoot: String) = s"$indexRoot/best"
+
+  /** Gram-key hash buckets for the postings lake — the batch⋈index join
+    * is co-partitioned on this at scale. */
+  val SubstringGramBuckets = 16
+
+  /** Commit one document batch into the substring index at `epochId`:
+    * write the batch's L-gram postings epoch, join them against the
+    * WHOLE committed index (budget-guarded in-plan, like the one-shot),
+    * run-merge the new anchor diagonals, and commit the resulting
+    * per-doc best-repeat delta. Exactly-once: both commits are keyed on
+    * `epochId` and a replay of either is a no-op. */
+  def commitSubstringBatch(docs: DataFrame, idCol: String, textCol: String,
+                           indexRoot: String, epochId: Long,
+                           minWords: Int = 8,
+                           maxAnchorPairs: Long = 10000000L,
+                           nBuckets: Int = SubstringGramBuckets): Unit = {
+    require(minWords >= 1, "commitSubstringBatch: minWords must be >= 1")
+    val L = minWords
+    val spark = docs.sparkSession
+    val grams = docs.select(col(idCol).as("doc"),
+        TF.words(col(textCol)).as("ws"))
+      .select(col("doc"), col("ws"),
+        explode(when(size(col("ws")) >= L, sequence(lit(0), size(col("ws")) - L))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc"), col("p"),
+        xxhash64(array_join(slice(col("ws"), col("p") + 1, lit(L)), " "))
+          .as("gkey"))
+      .withColumn("gb", pmod(col("gkey"), lit(nBuckets.toLong)))
+    graft.sources.TransactionalLake.commitEpoch(grams, sgramsRoot(indexRoot), epochId,
+      partitionCols = Seq("gb"))
+    // both join sides read the COMMITTED files (the epoch just written
+    // included) — nothing in this pass recomputes the tokenize scan
+    val allG = graft.sources.TransactionalLake.readCommitted(spark, sgramsRoot(indexRoot))
+      .select(col("doc"), col("p"), col("gkey"),
+        col("epoch").cast("long").as("epoch"))
+    val newG = allG.filter(col("epoch") === epochId).select("doc", "p", "gkey")
+    val all = allG.select("doc", "p", "gkey")
+    // corpus-df >= 2 keys only (a corpus-unique gram cannot anchor a
+    // cross-doc repeat); the batch-df x corpus-df product upper-bounds
+    // the anchor join and refuses IN-PLAN past the budget
+    Blocks.scope {
+      // corpus-df >= 2 keys only, materialized ONCE per batch: the
+      // budget broadcast and the gate key-join would otherwise each
+      // re-run both df aggregates (the dfreq lesson)
+      val dfA = all.groupBy("gkey").agg(count(lit(1)).as("na"))
+        .filter(col("na") >= 2)
+      val dfN = newG.groupBy("gkey").agg(count(lit(1)).as("nn"))
+      val shared = Blocks.scoped(dfN.join(dfA, "gkey").localCheckpoint(true))
+      val budget = broadcast(shared.agg(
+        coalesce(sum(col("nn") * col("na")), lit(0L)).as("n_pairs")))
+      val gate = shared.select(col("gkey")).crossJoin(budget)
+        .filter(when(col("n_pairs") <= maxAnchorPairs, lit(true))
+          .otherwise(raise_error(concat(
+            lit("commitSubstringBatch: anchor join of "), col("n_pairs"),
+            lit(s" gram-occurrence pairs exceeds maxAnchorPairs=" +
+              s"$maxAnchorPairs — raise minWords or the budget")))))
+        .select("gkey")
+      val m = newG.join(gate, Seq("gkey"))
+        .select(col("gkey"), col("doc").as("id_a"), col("p").as("pa"))
+        .join(all.select(col("gkey"), col("doc").as("id_b"), col("p").as("pb")),
+          Seq("gkey"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+          (col("pa") - col("pb")).as("diag"))
+      val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+        .orderBy(col("pa"))
+      // anchor-run-scale (budget-bounded); materialized because BOTH
+      // union sides below read it
+      val runs = Blocks.scoped(m
+        .withColumn("isl", col("pa") - row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "isl")
+        .agg(count(lit(1)).as("c"), min(col("pa")).as("sa"),
+          min(col("pb")).as("sb"))
+        .localCheckpoint(true))
+      // each run updates BOTH sides' best (their starts differ by the
+      // diagonal); both-new pairs are computed in both orders, which the
+      // max-merge absorbs
+      val updates = runs.select(col("id_a").as("doc_id"),
+          (col("c") + (L - 1)).cast("long").as("len"),
+          col("sa").cast("long").as("start"))
+        .unionByName(runs.select(col("id_b").as("doc_id"),
+          (col("c") + (L - 1)).cast("long").as("len"),
+          col("sb").cast("long").as("start")))
+      val bestDelta = updates.groupBy("doc_id")
+        .agg(max(struct(col("len"), (-col("start")).as("ns"))).as("b"))
+        .select(col("doc_id"), col("b.len").as("dup_len"),
+          (-col("b.ns")).cast("long").as("dup_start"))
+      graft.sources.TransactionalLake.commitEpoch(bestDelta,
+        sbestRoot(indexRoot), epochId, partitionCols = Nil)
+    }
+  }
+
+  /** The maintained answer: per doc, the longest cross-doc repeat over
+    * every committed batch — max-merge of the best-deltas, identical to
+    * [[longestDupSubstrings]] on the union corpus. */
+  def longestDupSubstringsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                                    indexRoot: String): DataFrame =
+    graft.sources.TransactionalLake.readCommitted(spark, sbestRoot(indexRoot))
+      .groupBy("doc_id")
+      .agg(max(struct(col("dup_len").as("len"),
+        (-col("dup_start")).as("ns"))).as("b"))
+      .select(col("doc_id"), col("b.len").as("dup_len"),
+        (-col("b.ns")).cast("long").as("dup_start"))
+
+  /** Fold aged index epochs (postings + best-deltas) — bin-packed
+    * retention with unchanged reads, same as the BM25 index. */
+  def foldSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexRoot: String, upTo: Long,
+                         nBuckets: Int = SubstringGramBuckets): (Int, Int) =
+    (graft.sources.TransactionalLake.foldCommittedEpochs(spark, sgramsRoot(indexRoot),
+      upTo, partitionCols = Seq("gb")),
+      graft.sources.TransactionalLake.foldCommittedEpochs(spark, sbestRoot(indexRoot),
+        upTo, partitionCols = Nil))
+
   /** LINE-level exact dedup — the C4/RefinedWeb curation pass between
     * whole-document dedup and span masking: a line (delimiter-separated
     * unit) duplicated ANYWHERE in the corpus survives only at its first

@@ -1171,6 +1171,26 @@ object Extensions {
     Dedup.longestDupSubstrings(docs(s, d), "doc_id", "text", minWords = 8)
       .orderBy("doc_id")
 
+  /** Incremental substring-dedup index lifecycle gate: gram postings
+    * and per-doc best-repeat deltas accumulate over three disjoint
+    * batches, survive a retention fold of the aged epochs, and the
+    * index-served answer must equal the one-shot whole-corpus
+    * [[Dedup.longestDupSubstrings]] — the oracle is literally
+    * `text_dedup_substrings`' SQL, so the gate is "index-served ≡
+    * one-shot ≡ DuckDB" with nothing recomputed from raw text at
+    * query time. */
+  def textDedupSubstringsIncremental(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/ssidx_$tag"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val all = docs(s, d)
+    (0 until 3).foreach(i => Dedup.commitSubstringBatch(
+      all.filter(col("doc_id") % 3 === i), "doc_id", "text", root, i.toLong))
+    require(Dedup.foldSubstringIndex(s, root, upTo = 1L) == ((2, 2)))
+    Dedup.longestDupSubstringsFromIndex(s, root).orderBy("doc_id")
+  }
+
   /** SemDeDup gate: seeded centroids (same generation rule as the IVF
     * oracle), cell-blocked pairwise cosine, tau = the fixture's planted
     * near-dup band (matches dedup_embedding). */
@@ -1829,7 +1849,8 @@ object Extensions {
     "text_phrase_search" -> (textPhraseSearch _),
     "graph_pagerank_weighted" -> (graphPagerankWeighted _),
     "text_cms_incremental" -> (textCmsIncremental _),
-    "text_quality_probe" -> (textQualityProbe _)))
+    "text_quality_probe" -> (textQualityProbe _),
+    "text_dedup_substrings_incremental" -> (textDedupSubstringsIncremental _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2133,6 +2154,34 @@ object Extensions {
       |    - 3.5 * round(top_word_frac, 6)
       |    - 4.0 * round(dup_bigram_frac, 6)
       |    - 0.2 * round(abs(mean_word_len - 5.0), 6), 6)""".stripMargin
+
+  /** Longest-dup-substring replay (anchored 8-gram run-merge on the
+    * gram STRING — certifying the engine's compact xxhash64 key) —
+    * shared by the one-shot and incremental-index gates, which must
+    * serve identical answers. */
+  private val dedupSubstringsSql: String = tokensCte +
+    """, kg AS (
+      |  SELECT doc_id, r.p, array_to_string(toks[r.p:r.p+7], ' ') AS g
+      |  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 6, 1))) AS p) r
+      |), m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, a.p - b.p AS diag
+      |  FROM kg a JOIN kg b USING (g)
+      |  WHERE a.doc_id <> b.doc_id
+      |), runs AS (
+      |  SELECT id_a, count(*) + 7 AS len, min(pa) - 1 AS start
+      |  FROM (
+      |    SELECT id_a, id_b, diag, pa,
+      |      pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl
+      |    FROM m)
+      |  GROUP BY id_a, id_b, diag, isl
+      |)
+      |SELECT doc_id, dup_len, dup_start FROM (
+      |  SELECT id_a AS doc_id, CAST(len AS BIGINT) AS dup_len,
+      |    CAST(start AS BIGINT) AS dup_start,
+      |    row_number() OVER (PARTITION BY id_a ORDER BY len DESC, start ASC) AS rnk
+      |  FROM runs)
+      |WHERE rnk = 1
+      |ORDER BY doc_id""".stripMargin
 
   /** The trained-probe oracle: DuckDB replays QualityProbe's exact
     * arithmetic — 6-dp features off the shared `m` frame, then
@@ -3373,29 +3422,10 @@ object Extensions {
     // aligned anchors per (pair, diagonal) via gaps-and-islands.
     // DuckDB positions are 1-based (range(1, ...)), the engine's are
     // 0-based sequence(0, ...) — the `- 1` on start aligns them.
-    "text_dedup_substrings" -> (tokensCte +
-      """, kg AS (
-        |  SELECT doc_id, r.p, array_to_string(toks[r.p:r.p+7], ' ') AS g
-        |  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 6, 1))) AS p) r
-        |), m AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, a.p - b.p AS diag
-        |  FROM kg a JOIN kg b USING (g)
-        |  WHERE a.doc_id <> b.doc_id
-        |), runs AS (
-        |  SELECT id_a, count(*) + 7 AS len, min(pa) - 1 AS start
-        |  FROM (
-        |    SELECT id_a, id_b, diag, pa,
-        |      pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl
-        |    FROM m)
-        |  GROUP BY id_a, id_b, diag, isl
-        |)
-        |SELECT doc_id, dup_len, dup_start FROM (
-        |  SELECT id_a AS doc_id, CAST(len AS BIGINT) AS dup_len,
-        |    CAST(start AS BIGINT) AS dup_start,
-        |    row_number() OVER (PARTITION BY id_a ORDER BY len DESC, start ASC) AS rnk
-        |  FROM runs)
-        |WHERE rnk = 1
-        |ORDER BY doc_id""".stripMargin),
+    "text_dedup_substrings" -> dedupSubstringsSql,
+    // the incremental index must serve the IDENTICAL whole-corpus answer
+    "text_dedup_substrings_incremental" -> dedupSubstringsSql,
+
     // SemDeDup: seeded centroids + argmin cell assignment (the verified
     // IVF CTEs), then within-cell max cosine to any LOWER id — drop list
     "dedup_semantic" -> (vecCte +
