@@ -63,14 +63,22 @@ object Scaling {
     // round-12: containment is a self-join dedup (the quadratic-risk
     // class this gate exists for) — its prefix filter keeps NO stop-gram
     // cut on the b side, so its growth shape must be pinned, not assumed
-    "dedup_containment")
+    "dedup_containment",
+    // round-13 continuation: the substring run-merge is an anchor
+    // SELF-JOIN (Σ df·(df−1) fan-out — quadratic-risk, budget-guarded);
+    // its incremental index must additionally keep per-batch cost
+    // tracking the batch; the trained probe is fixed-iteration
+    // aggregates over a per-doc frame and must stay linear
+    "text_dedup_substrings", "text_dedup_substrings_incremental",
+    "text_quality_probe")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */
   private val synthSubset = Seq(
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
     "dedup_embedding_lsh", "sim_topk_ivf", "sim_topk_pq",
-    "text_quality_filter", "train_corpus_prep_v2", "dedup_containment")
+    "text_quality_filter", "train_corpus_prep_v2", "dedup_containment",
+    "text_dedup_substrings")
 
   private val SynthReplicas = 8
 
