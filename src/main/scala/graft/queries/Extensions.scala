@@ -140,6 +140,36 @@ object Extensions {
     graft.streaming.StreamingDedup.pairLog(s, base).orderBy("id_a", "id_b")
   }
 
+  /** STREAMING substring-index gate: the documents replayed as a 3-file
+    * json stream into [[graft.streaming.StreamingDedup.startSubstringIndex]],
+    * with a FORCED crash replay of the final epoch (stream commit
+    * deleted, batch re-delivered). The served per-doc longest repeat
+    * must equal the one-shot whole-corpus answer — the oracle is
+    * literally `text_dedup_substrings`' SQL. */
+  def dedupStreamingSubstrings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/ssub_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+    (0 until 3).foreach(i => all.filter(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").json(s"$base/in"))
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingDedup.startSubstringIndex(
+        s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+          .option("maxFilesPerTrigger", 1).json(s"$base/in"),
+        "doc_id", "text", s"$base/idx", s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    run()
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
+    run()
+    Dedup.longestDupSubstringsFromIndex(s, s"$base/idx").orderBy("doc_id")
+  }
+
   /** STREAMING decontamination gate: the train docs (doc_id % 10 != 0)
     * replayed as a 3-file json stream, each micro-batch flagged against
     * the static eval set, with a FORCED crash replay of the final epoch.
@@ -1850,7 +1880,8 @@ object Extensions {
     "graph_pagerank_weighted" -> (graphPagerankWeighted _),
     "text_cms_incremental" -> (textCmsIncremental _),
     "text_quality_probe" -> (textQualityProbe _),
-    "text_dedup_substrings_incremental" -> (textDedupSubstringsIncremental _)))
+    "text_dedup_substrings_incremental" -> (textDedupSubstringsIncremental _),
+    "dedup_streaming_substrings" -> (dedupStreamingSubstrings _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -3423,8 +3454,10 @@ object Extensions {
     // DuckDB positions are 1-based (range(1, ...)), the engine's are
     // 0-based sequence(0, ...) — the `- 1` on start aligns them.
     "text_dedup_substrings" -> dedupSubstringsSql,
-    // the incremental index must serve the IDENTICAL whole-corpus answer
+    // the incremental index and the streamed index must both serve the
+    // IDENTICAL whole-corpus answer
     "text_dedup_substrings_incremental" -> dedupSubstringsSql,
+    "dedup_streaming_substrings" -> dedupSubstringsSql,
 
     // SemDeDup: seeded centroids + argmin cell assignment (the verified
     // IVF CTEs), then within-cell max cosine to any LOWER id — drop list

@@ -218,6 +218,37 @@ object StreamingDedup {
                     root: String): DataFrame =
     TransactionalLake.readCommitted(spark, quarantineRoot(root)).drop("epoch")
 
+  /** STREAMING substring-dedup index maintenance: every micro-batch
+    * advances the gram-postings lake and the per-doc best-repeat state
+    * through [[Dedup.commitSubstringBatch]] — both commits are keyed on
+    * the micro-batch epoch, so a crash-replayed batch recomputes from
+    * the identical committed state (the grams epoch read INCLUDES the
+    * batch's own, already-idempotent epoch) and rewrites the same
+    * directories: the served answer stays exactly the one-shot
+    * [[Dedup.longestDupSubstrings]] of everything ingested. Micro-delta
+    * execution sizing, like the near-dup stream: per-batch cost scales
+    * with the batch and its gram collisions, never the corpus scan. */
+  def startSubstringIndex(docs: DataFrame, idCol: String, textCol: String,
+                          root: String, checkpoint: String, trigger: Trigger,
+                          minWords: Int = 8,
+                          maxAnchorPairs: Long = 10000000L): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val s = batch.sparkSession
+        val batchBytes = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong
+        val inputBytes = batchBytes +
+          graft.sources.MaintenanceExec.dirFootprintBytes(s, root)
+        graft.sources.MaintenanceExec.sizedByBytes(s, inputBytes) {
+          Dedup.commitSubstringBatch(batch, idCol, textCol, root, epochId,
+            minWords, maxAnchorPairs)
+        }
+        ()
+      }
+      .start()
+
   def graphMetricsRoot(root: String): String = s"$root/graphmetrics"
 
   /** POST-COMMIT incremental GRAPH-METRIC maintenance — the graph twin

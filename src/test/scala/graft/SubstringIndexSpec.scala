@@ -75,6 +75,32 @@ class SubstringIndexSpec extends SparkSpec {
     assert(served(root) === before)
   }
 
+  test("streamed index (with forced crash replay) == one-shot") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val base = tmpDir("ssub_stream_")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach(i => corpus.filter(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").json(s"$base/in"))
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingDedup.startSubstringIndex(
+        spark.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+          .option("maxFilesPerTrigger", 1).json(s"$base/in"),
+        "doc_id", "text", s"$base/idx", s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    run()
+    // crash: drop the final stream commit; the replayed epoch must be
+    // absorbed by the idempotent grams/best commits
+    val commits = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$base/ckpt/commits/${commits.last}"), false)
+    run()
+    assert(served(s"$base/idx") === oneShot)
+  }
+
   test("anchor budget refuses loudly at commit time") {
     val root = freshRoot()
     val same = (1 to 10).map(i => s"b$i").mkString(" ")
