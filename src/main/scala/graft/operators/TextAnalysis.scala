@@ -369,6 +369,80 @@ object TextAnalysis {
           .as("mean_bigram_surprisal"))
   }
 
+  /** PERPLEXITY quality filter — the CCNet shape: a smoothed bigram LM
+    * trained on a REFERENCE slice scores every document's mean
+    * per-bigram surprisal, and high-perplexity (reference-unlike) docs
+    * are gated out. Differs from [[bigramLogProb]] (self-corpus MLE
+    * diagnostic) in the three ways that make it a quality FILTER:
+    * the LM is trained on `ref` only, unseen events are smoothed
+    * instead of undefined (interpolated absolute discounting with an
+    * add-one unigram backoff, so every bigram has P > 0), and the
+    * output carries a keep gate.
+    *
+    *   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·) + D·k(w1)/c(w1·)·Pu(w2)
+    *   Pu(w2)   = (c(w2) + 1)/(N + V)        (w1 unseen → P = Pu(w2))
+    *
+    * Scale shape: LM statistics are VOCAB-scale aggregates of the
+    * reference (materialized once, copied out); scoring is one corpus
+    * bigram pass joined against them. Determinism: probabilities are
+    * rational double arithmetic in a FIXED operation order (identical
+    * in any engine), each bigram's −ln rounds to 6 dp into
+    * DECIMAL(18,6) — per-doc sums exact in any order (the
+    * unigram/bigram-surprisal recipe). */
+  def perplexityFilter(docs: DataFrame, ref: DataFrame, idCol: String,
+                       textCol: String, discount: Double = 0.75,
+                       threshold: Double = 8.0): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      "perplexityFilter: discount must be in (0,1)")
+    val refBigrams = ref
+      .select(TF.words(col(textCol)).as("__toks"))
+      .select(explode(TF.shingles(col("__toks"), 2)).as("bg"))
+    val bc = Blocks.copyOut(
+      refBigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12")),
+      singleEval = true)
+    val pref = bc.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("k1"))
+    val uni = Blocks.copyOut(
+      ref.select(explode(TF.words(col(textCol))).as("w2"))
+        .groupBy("w2").agg(count(lit(1)).as("cu")),
+      singleEval = true)
+    val nv = broadcast(uni.agg(sum(col("cu")).as("N"), count(lit(1)).as("V")))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(TF.shingles(col("__toks"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val scored = grams
+      .join(bc, Seq("bg"), "left")
+      .join(pref, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(nv)
+      // pu projected ONCE so both branches read the identical value
+      .withColumn("pu",
+        (coalesce(col("cu"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("N") + col("V")).cast("double"))
+      .withColumn("p", when(col("c1").isNull, col("pu"))
+        .otherwise(
+          greatest(coalesce(col("c12"), lit(0L)).cast("double") -
+            lit(discount), lit(0.0)) / col("c1").cast("double") +
+            lit(discount) * col("k1").cast("double") /
+              col("c1").cast("double") * col("pu")))
+      .withColumn("nlp", round(-log(col("p")), 6).cast("decimal(18,6)"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nlp")).as("__s"))
+      .withColumn("mean_nlp",
+        round(col("__s").cast("double") / col("n_bigrams").cast("double"), 6))
+    // docs with fewer than 2 tokens score no bigram: pinned to
+    // (0, 0.0, keep=false) so the gate is deterministic, never null
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("mean_nlp"), lit(0.0)).as("mean_neg_logprob"),
+        (col("n_bigrams").isNotNull &&
+          col("mean_nlp") <= lit(threshold)).as("keep"))
+  }
+
   /** Training-SEQUENCE PACKING: assign each document a position in a
     * stream of fixed-token-budget training sequences — the step between
     * a clean corpus and a batched pre-training run. Contiguous packing

@@ -780,6 +780,17 @@ object Extensions {
       nEpochs = 3)
       .orderBy("epoch", "source")
 
+  /** CCNet-shape perplexity gate: a smoothed bigram LM trained on the
+    * doc_id % 10 == 1 reference slice scores EVERY document; docs whose
+    * mean surprisal exceeds the threshold are gated out. */
+  def textPerplexityFilter(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    TextAnalysis.perplexityFilter(all,
+      all.filter(col("doc_id") % 10 === 1), "doc_id", "text",
+      threshold = 3.8) // cuts the reference-unlike tail (~1% at sf0.01)
+      .orderBy("doc_id")
+  }
+
   def textUnigramLogProb(s: SparkSession, d: String): DataFrame =
     TextAnalysis.unigramLogProb(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
@@ -1881,7 +1892,8 @@ object Extensions {
     "text_cms_incremental" -> (textCmsIncremental _),
     "text_quality_probe" -> (textQualityProbe _),
     "text_dedup_substrings_incremental" -> (textDedupSubstringsIncremental _),
-    "dedup_streaming_substrings" -> (dedupStreamingSubstrings _)))
+    "dedup_streaming_substrings" -> (dedupStreamingSubstrings _),
+    "text_perplexity_filter" -> (textPerplexityFilter _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -3950,6 +3962,47 @@ object Extensions {
         |  TRUE AS cms_never_under, TRUE AS cms_within_envelope
         |FROM t GROUP BY term
         |ORDER BY n DESC, term LIMIT 20""".stripMargin),
+    "text_perplexity_filter" -> (tokensCte + """
+        |, refw AS (SELECT toks FROM w WHERE doc_id % 10 = 1),
+        |rbg AS MATERIALIZED (
+        |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |    FROM refw) GROUP BY 1),
+        |pref AS MATERIALIZED (
+        |  SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS k1
+        |  FROM rbg GROUP BY 1),
+        |uni AS MATERIALIZED (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS cu FROM (
+        |    SELECT unnest(toks) AS w2 FROM refw) GROUP BY 1),
+        |nv AS MATERIALIZED (SELECT CAST(sum(cu) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM uni),
+        |g AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |    FROM w)),
+        |sc AS (
+        |  SELECT doc_id, CAST(round(-ln(p), 6) AS DECIMAL(18,6)) AS nlp FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN c1 IS NULL THEN pu ELSE
+        |        greatest(CAST(coalesce(c12, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * CAST(k1 AS DOUBLE) / CAST(c1 AS DOUBLE) * pu END AS p
+        |    FROM (
+        |      SELECT doc_id, c12, c1, k1,
+        |        (CAST(coalesce(cu, 0) AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(N + V AS DOUBLE) AS pu
+        |      FROM g LEFT JOIN rbg USING (bg) LEFT JOIN pref USING (w1)
+        |        LEFT JOIN uni USING (w2), nv))),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(CAST(sum(nlp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nlp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  coalesce(mean_nlp, CAST(0 AS DOUBLE)) AS mean_neg_logprob,
+        |  (n_bigrams IS NOT NULL AND mean_nlp <= CAST(3.8 AS DOUBLE)) AS keep
+        |FROM w LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
     "text_quality_probe" -> qualityProbeSql(
       graft.operators.QualityProbe.DefaultIterations,
       graft.operators.QualityProbe.DefaultLr),
