@@ -97,6 +97,42 @@ object Sampling {
       .drop("__h", "__budget", "__cum_before")
   }
 
+  /** QUALITY-FIRST token budget — the production curation chain
+    * (train a quality scorer, rank, spend the budget on the best):
+    * [[tokenBudgetSample]]'s per-stratum running-sum cut, but ordered
+    * by the TRAINED probe's score ([[QualityProbe.trainAndScore]] —
+    * descending, id tiebreak) instead of the neutral content hash, so
+    * each stratum's token budget goes to its highest-quality documents.
+    * Same budget contract: kept iff the tokens BEFORE it are under
+    * budget (≤ 1 doc overshoot); strata without a budget are dropped.
+    * Scale shape: the probe adds one feature pass + per-iteration
+    * scalar aggregates; the cut stays one stratum-keyed window. The
+    * probe's 6-dp score is engine-stable, so the ordering (and the
+    * oracle) reproduce exactly. */
+  def probeBudgetSample(docs: DataFrame, idCol: String, strataCol: String,
+                        textCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "probeBudgetSample: budgets must be non-empty")
+    val scored = QualityProbe.trainAndScore(docs, idCol, textCol)
+      .select(col("doc_id").as("__pid"), col("probe_score"))
+    val toks = filter(split(lower(col(textCol)), " "), x => length(x) > 0)
+    val budget = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(strataCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("probe_score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .join(scored, col(idCol) === col("__pid"))
+      .withColumn("__budget", budget)
+      .filter(col("__budget").isNotNull)
+      .withColumn("__cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("__cum_before") < col("__budget"))
+      .select(col(idCol), col(strataCol), col("probe_score"), col("n_tokens"))
+  }
+
   /** TEMPERATURE sampling: rebalance strata toward relative weight
     * n_s^alpha (alpha in (0,1) flattens the natural distribution, the
     * multilingual/multi-domain "temperature" trick — alpha=1 is identity,

@@ -780,6 +780,15 @@ object Extensions {
       nEpochs = 3)
       .orderBy("epoch", "source")
 
+  /** Quality-first token budget: the trained probe ranks each source's
+    * documents and the per-source budget is spent best-first (id
+    * tiebreak, <= 1 doc overshoot; unbudgeted sources dropped). */
+  def sampleProbeBudget(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.probeBudgetSample(docs(s, d), "doc_id",
+      "source", "text",
+      Map("src0" -> 800L, "src1" -> 800L, "src2" -> 800L))
+      .orderBy("doc_id")
+
   /** CCNet-shape perplexity gate: a smoothed bigram LM trained on the
     * doc_id % 10 == 1 reference slice scores EVERY document; docs whose
     * mean surprisal exceeds the threshold are gated out. */
@@ -1893,7 +1902,8 @@ object Extensions {
     "text_quality_probe" -> (textQualityProbe _),
     "text_dedup_substrings_incremental" -> (textDedupSubstringsIncremental _),
     "dedup_streaming_substrings" -> (dedupStreamingSubstrings _),
-    "text_perplexity_filter" -> (textPerplexityFilter _)))
+    "text_perplexity_filter" -> (textPerplexityFilter _),
+    "sample_probe_budget" -> (sampleProbeBudget _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2233,7 +2243,15 @@ object Extensions {
     * subquery, then the 6-dp scoring pass. Bit-parity holds because
     * every cross-engine float op is either IEEE-identical on identical
     * inputs or rounded before reuse (the pageRank recipe). */
-  private def qualityProbeSql(iterations: Int, lr: Double): String = {
+  private def qualityProbeSql(iterations: Int, lr: Double): String =
+    qualityProbeCtes(iterations, lr) + """
+      |SELECT doc_id, y = CAST(1 AS DOUBLE) AS rule_keep, probe_score,
+      |  probe_score >= 0.5 AS probe_keep
+      |FROM scores ORDER BY doc_id""".stripMargin
+
+  /** The probe CTE chain ending in a `scores` CTE — shared by the probe
+    * gate and the probe-budget sampler oracle. */
+  private def qualityProbeCtes(iterations: Int, lr: Double): String = {
     val scale = lr * 2.0 // exact in IEEE for the default 0.1
     val scaleSql = s"CAST(${scale.toString} AS DOUBLE)"
     def wRef(k: Int, j: Int) = s"(SELECT w_$j FROM w$k)"
@@ -2269,11 +2287,9 @@ object Extensions {
          |        y - ${pred(k - 1, 9)} AS r FROM f) t)""".stripMargin
     }.mkString
     qualityFeatureCte + featureCte + iterCtes +
-      s"""
-         |SELECT doc_id, y = CAST(1 AS DOUBLE) AS rule_keep,
-         |  ${pred(iterations, 6)} AS probe_score,
-         |  ${pred(iterations, 6)} >= 0.5 AS probe_keep
-         |FROM f ORDER BY doc_id""".stripMargin
+      s""",
+         |scores AS MATERIALIZED (
+         |  SELECT doc_id, y, ${pred(iterations, 6)} AS probe_score FROM f)""".stripMargin
   }
 
   /** qualityFilter's feature frame (`m`) — shared by the rule-filter and
@@ -4003,6 +4019,25 @@ object Extensions {
         |  (n_bigrams IS NOT NULL AND mean_nlp <= CAST(3.8 AS DOUBLE)) AS keep
         |FROM w LEFT JOIN pd USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+    "sample_probe_budget" -> (qualityProbeCtes(
+      graft.operators.QualityProbe.DefaultIterations,
+      graft.operators.QualityProbe.DefaultLr) + """
+        |, t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT * FROM (VALUES ('src0', 800), ('src1', 800),
+        |  ('src2', 800)) v(source, budget)),
+        |r AS (
+        |  SELECT t.doc_id, t.source, s.probe_score, t.n_tokens,
+        |    sum(t.n_tokens) OVER (PARTITION BY t.source
+        |      ORDER BY s.probe_score DESC, t.doc_id
+        |      ROWS UNBOUNDED PRECEDING) - t.n_tokens AS cum_before,
+        |    budget
+        |  FROM t JOIN scores s USING (doc_id) JOIN b USING (source))
+        |SELECT doc_id, source, probe_score, n_tokens
+        |FROM r WHERE cum_before < budget ORDER BY doc_id""".stripMargin),
     "text_quality_probe" -> qualityProbeSql(
       graft.operators.QualityProbe.DefaultIterations,
       graft.operators.QualityProbe.DefaultLr),

@@ -88,6 +88,41 @@ class QualityProbeSpec extends SparkSpec {
       s"probe failed to separate: good min ${good.min} <= bad max ${bad.max}")
   }
 
+  test("probeBudgetSample spends each stratum's budget best-first") {
+    // one budgeted stratum holding good and garbage docs, one budgeted
+    // stratum fully covered, one unbudgeted stratum (must vanish)
+    val rows = corpus.collect().map { r =>
+      val id = r.getLong(0)
+      val stratum = if (id <= 20) "A" else if (id <= 22) "B" else "C"
+      (id, stratum, r.getString(1))
+    }.toSeq
+    val df = rows.toDF("doc_id", "source", "text")
+    val kept = graft.operators.Sampling.probeBudgetSample(
+        df, "doc_id", "source", "text", Map("A" -> 120L, "B" -> 100000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(kept.forall(_._2 != "C"), "unbudgeted stratum must be dropped")
+    assert(kept.count(_._2 == "B") === rows.count(_._2 == "B"),
+      "an ample budget keeps the whole stratum")
+    val keptA = kept.filter(_._2 == "A")
+    assert(keptA.nonEmpty && keptA.length < rows.count(_._2 == "A"),
+      "the tight budget must bind")
+    // best-first: every kept A doc outscores (or ties at lower id) every
+    // dropped A doc — with the good/garbage corpus, kept are good docs
+    val scoresA = graft.operators.QualityProbe
+      .trainAndScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val keptIds = keptA.map(_._1).toSet
+    val droppedA = rows.filter(_._2 == "A").map(_._1).filterNot(keptIds)
+    assert(keptA.map(x => scoresA(x._1)).min >=
+      droppedA.map(scoresA).max,
+      "budget must be spent on the highest-scoring docs first")
+    // cum-before rule: the kept prefix (score desc, id) stays under 120
+    val prefix = keptA.sortBy(x => (-x._3, x._1))
+    val cumBefore = prefix.scanLeft(0L)(_ + _._4).init
+    assert(cumBefore.forall(_ < 120L))
+  }
+
   test("lr outside the stability bound is refused") {
     intercept[IllegalArgumentException] {
       QualityProbe.trainAndScore(corpus, "doc_id", "text", lr = 0.5)
