@@ -443,6 +443,29 @@ object TextAnalysis {
           col("mean_nlp") <= lit(threshold)).as("keep"))
   }
 
+  /** Per-source DUPLICATION REPORT — the curation dashboard over
+    * [[Dedup.longestDupSubstrings]]: for each source, how many docs
+    * carry a cross-doc verbatim repeat ≥ L, the longest one, and the
+    * repeat-token mass as a fraction of the source's tokens — the
+    * number a curation run thresholds to decide which sources need
+    * aggressive span-level dedup before training. One substring pass +
+    * one source-keyed aggregate; ratios are exact-integer divisions
+    * rounded to 6 dp (engine-stable). */
+  def duplicationReport(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, minWords: Int = 8): DataFrame = {
+    val dups = Dedup.longestDupSubstrings(docs, idCol, textCol, minWords)
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"),
+      size(TF.words(col(textCol))).cast("long").as("n_tokens"))
+    base.join(dups, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dup_len")).as("n_dup_docs"),
+        coalesce(max(col("dup_len")), lit(0L)).as("max_dup_len"),
+        round(coalesce(sum(col("dup_len")), lit(0L)).cast("double") /
+          sum(col("n_tokens")).cast("double"), 6).as("dup_token_frac"))
+  }
+
   /** Training-SEQUENCE PACKING: assign each document a position in a
     * stream of fixed-token-budget training sequences — the step between
     * a clean corpus and a batched pre-training run. Contiguous packing

@@ -780,6 +780,11 @@ object Extensions {
       nEpochs = 3)
       .orderBy("epoch", "source")
 
+  /** Per-source duplication dashboard over the substring-repeat pass. */
+  def textDupReport(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.duplicationReport(docs(s, d), "doc_id", "text", "source",
+      minWords = 8).orderBy("source")
+
   /** Quality-first token budget: the trained probe ranks each source's
     * documents and the per-source budget is spent best-first (id
     * tiebreak, <= 1 doc overshoot; unbudgeted sources dropped). */
@@ -1903,7 +1908,8 @@ object Extensions {
     "text_dedup_substrings_incremental" -> (textDedupSubstringsIncremental _),
     "dedup_streaming_substrings" -> (dedupStreamingSubstrings _),
     "text_perplexity_filter" -> (textPerplexityFilter _),
-    "sample_probe_budget" -> (sampleProbeBudget _)))
+    "sample_probe_budget" -> (sampleProbeBudget _),
+    "text_dup_report" -> (textDupReport _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2212,7 +2218,16 @@ object Extensions {
     * gram STRING — certifying the engine's compact xxhash64 key) —
     * shared by the one-shot and incremental-index gates, which must
     * serve identical answers. */
-  private val dedupSubstringsSql: String = tokensCte +
+  // lazy: textual order puts the CTE chain below this definition
+  private lazy val dedupSubstringsSql: String = dedupSubstringsCtes +
+    """
+      |SELECT doc_id, dup_len, dup_start FROM perdoc
+      |ORDER BY doc_id""".stripMargin
+
+  /** The substring-repeat CTE chain ending in a per-doc `perdoc` CTE —
+    * shared by the one-shot/incremental/streaming gates and the
+    * per-source duplication report. */
+  private val dedupSubstringsCtes: String = tokensCte +
     """, kg AS (
       |  SELECT doc_id, r.p, array_to_string(toks[r.p:r.p+7], ' ') AS g
       |  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 6, 1))) AS p) r
@@ -2227,14 +2242,13 @@ object Extensions {
       |      pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS isl
       |    FROM m)
       |  GROUP BY id_a, id_b, diag, isl
-      |)
-      |SELECT doc_id, dup_len, dup_start FROM (
-      |  SELECT id_a AS doc_id, CAST(len AS BIGINT) AS dup_len,
-      |    CAST(start AS BIGINT) AS dup_start,
-      |    row_number() OVER (PARTITION BY id_a ORDER BY len DESC, start ASC) AS rnk
-      |  FROM runs)
-      |WHERE rnk = 1
-      |ORDER BY doc_id""".stripMargin
+      |), perdoc AS (
+      |  SELECT doc_id, dup_len, dup_start FROM (
+      |    SELECT id_a AS doc_id, CAST(len AS BIGINT) AS dup_len,
+      |      CAST(start AS BIGINT) AS dup_start,
+      |      row_number() OVER (PARTITION BY id_a ORDER BY len DESC, start ASC) AS rnk
+      |    FROM runs)
+      |  WHERE rnk = 1)""".stripMargin
 
   /** The trained-probe oracle: DuckDB replays QualityProbe's exact
     * arithmetic — 6-dp features off the shared `m` frame, then
@@ -4038,6 +4052,17 @@ object Extensions {
         |  FROM t JOIN scores s USING (doc_id) JOIN b USING (source))
         |SELECT doc_id, source, probe_score, n_tokens
         |FROM r WHERE cum_before < budget ORDER BY doc_id""".stripMargin),
+    "text_dup_report" -> (dedupSubstringsCtes + """
+        |, t AS (
+        |  SELECT w.doc_id, d.source, CAST(len(w.toks) AS BIGINT) AS n_tokens
+        |  FROM w JOIN documents d USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(dup_len) AS BIGINT) AS n_dup_docs,
+        |  coalesce(max(dup_len), CAST(0 AS BIGINT)) AS max_dup_len,
+        |  round(CAST(coalesce(sum(dup_len), 0) AS DOUBLE)
+        |    / CAST(sum(n_tokens) AS DOUBLE), 6) AS dup_token_frac
+        |FROM t LEFT JOIN perdoc USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin),
     "text_quality_probe" -> qualityProbeSql(
       graft.operators.QualityProbe.DefaultIterations,
       graft.operators.QualityProbe.DefaultLr),

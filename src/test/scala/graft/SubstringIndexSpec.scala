@@ -101,6 +101,29 @@ class SubstringIndexSpec extends SparkSpec {
     assert(served(s"$base/idx") === oneShot)
   }
 
+  test("duplicationReport aggregates per-doc repeats by source") {
+    val df = corpus.withColumn("source",
+      when(col("doc_id") <= 6, "sA").otherwise("sB"))
+    val got = graft.operators.TextAnalysis
+      .duplicationReport(df, "doc_id", "text", "source", minWords = 8)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    val tokens = corpus.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")
+        .count(_.nonEmpty).toLong).toMap
+    def expect(ids: Seq[Long]) = {
+      val dups = ids.flatMap(id => oneShot.get(id).map(_._1))
+      (ids.size.toLong, dups.size.toLong,
+        if (dups.isEmpty) 0L else dups.max,
+        java.math.BigDecimal.valueOf(
+          dups.sum.toDouble / ids.map(tokens).sum.toDouble)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+    }
+    assert(got("sA") === expect(Seq(1L, 2L, 3L, 6L)))
+    assert(got("sB") === expect(Seq(9L, 10L)))
+  }
+
   test("anchor budget refuses loudly at commit time") {
     val root = freshRoot()
     val same = (1 to 10).map(i => s"b$i").mkString(" ")
