@@ -70,7 +70,10 @@ object Scaling {
     // tracking the batch; the trained probe is fixed-iteration
     // aggregates over a per-doc frame and must stay linear
     "text_dedup_substrings", "text_dedup_substrings_incremental",
-    "text_quality_probe")
+    "text_quality_probe",
+    // weighted Jaccard is the same budget-guarded postings self-join
+    // class as the substring anchors
+    "dedup_weighted_jaccard")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */

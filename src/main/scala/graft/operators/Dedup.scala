@@ -1149,6 +1149,63 @@ object Dedup {
         (-col("best.ns")).cast("long").as("dup_start"))
   }
 
+  /** WEIGHTED (multiset) Jaccard near-dup pairs — tf-weighted shingle
+    * bags instead of shingle sets: J_w(A,B) = Σ_s min(a_s,b_s) /
+    * Σ_s max(a_s,b_s). The measure the SET Jaccard family misses:
+    * boilerplate-stuffed or repetition-heavy docs share the same
+    * shingle TYPES as their source (set J ≈ 1) while their
+    * occurrence profiles differ — and conversely a doc padded with
+    * 100 copies of one line keeps set J high against the original
+    * while J_w collapses. For integer weights this is the classic
+    * replicated-element weighted Jaccard, computed EXACTLY:
+    * Σ max = |A| + |B| − Σ min, so one postings self-join on shared
+    * types (min(a,b) summed per pair) plus per-doc totals gives the
+    * exact score — no hash family, no estimate.
+    *
+    * Scale shape: postings are (8-byte xxhash64 type key, id, tf) —
+    * the string never shuffles (the string-keyed oracle certifies the
+    * compact key); df=1 types never join; the Σ df·(df−1) pair fan-out
+    * refuses IN-PLAN past `maxCandidatePairs` (a J_w ≥ t > 0 pair
+    * shares ≥ 1 type, so the df≥2 join loses nothing). */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, threshold: Double = 0.8,
+                           maxCandidatePairs: Long = 10000000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "weightedJaccardPairs: threshold must be in (0, 1]")
+    val bags = docs
+      .select(col(idCol).as("id"), TF.words(col(textCol)).as("__toks"))
+      .select(col("id"), explode(TF.shingles(col("__toks"), k)).as("sh"))
+      .groupBy(col("id"), xxhash64(col("sh")).as("skey"))
+      .agg(count(lit(1)).as("w"))
+    val totals = bags.groupBy("id").agg(sum(col("w")).as("tot"))
+    val dfreq = bags.groupBy("skey").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    val budget = broadcast(dfreq.agg(
+      coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("n_pairs")))
+    val gate = dfreq.select(col("skey")).crossJoin(budget)
+      .filter(when(col("n_pairs") <= maxCandidatePairs, lit(true))
+        .otherwise(raise_error(concat(
+          lit("weightedJaccardPairs: type join of "), col("n_pairs"),
+          lit(s" posting pairs exceeds maxCandidatePairs=" +
+            s"$maxCandidatePairs — raise k or the budget")))))
+      .select("skey")
+    val shared = bags.join(gate, Seq("skey"))
+    val inter = shared.select(col("skey"), col("id").as("id_a"),
+        col("w").as("wa"))
+      .join(shared.select(col("skey"), col("id").as("id_b"),
+        col("w").as("wb")), Seq("skey"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("wa"), col("wb"))).as("inter"))
+    inter
+      .join(totals.select(col("id").as("id_a"), col("tot").as("ta")), "id_a")
+      .join(totals.select(col("id").as("id_b"), col("tot").as("tb")), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("ta") + col("tb") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ---- INCREMENTAL substring-dedup index ---------------------------------
   // [[longestDupSubstrings]] as a maintained artifact: gram postings
   // accumulate per ingest batch in a transactional lake (the same epoch/

@@ -44,6 +44,13 @@ object Extensions {
     Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  /** tf-WEIGHTED (multiset) Jaccard near-dup pairs — exact, no hash
+    * family; the string-keyed oracle certifies the xxhash64 type key. */
+  def dedupWeightedJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.weightedJaccardPairs(docs(s, d), "doc_id", "text",
+      k = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
@@ -1909,7 +1916,8 @@ object Extensions {
     "dedup_streaming_substrings" -> (dedupStreamingSubstrings _),
     "text_perplexity_filter" -> (textPerplexityFilter _),
     "sample_probe_budget" -> (sampleProbeBudget _),
-    "text_dup_report" -> (textDupReport _)))
+    "text_dup_report" -> (textDupReport _),
+    "dedup_weighted_jaccard" -> (dedupWeightedJaccard _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -4063,6 +4071,23 @@ object Extensions {
         |    / CAST(sum(n_tokens) AS DOUBLE), 6) AS dup_token_frac
         |FROM t LEFT JOIN perdoc USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin),
+    "dedup_weighted_jaccard" -> (tokensCte + """
+        |, sb AS (
+        |  SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS w FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+        |    FROM w) GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tot FROM sb GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(sum(least(a.w, b.w)) AS BIGINT) AS i
+        |  FROM sb a JOIN sb b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    round(CAST(i AS DOUBLE) / CAST(ta.tot + tb.tot - i AS DOUBLE), 6) AS jaccard
+        |  FROM inter JOIN tt ta ON ta.doc_id = id_a JOIN tt tb ON tb.doc_id = id_b)
+        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin),
     "text_quality_probe" -> qualityProbeSql(
       graft.operators.QualityProbe.DefaultIterations,
       graft.operators.QualityProbe.DefaultLr),
