@@ -400,12 +400,21 @@ object TextAnalysis {
     val bc = Blocks.copyOut(
       refBigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12")),
       singleEval = true)
-    val pref = bc.withColumn("w1", substring_index(col("bg"), " ", 1))
-      .groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("k1"))
     val uni = Blocks.copyOut(
       ref.select(explode(TF.words(col(textCol))).as("w2"))
         .groupBy("w2").agg(count(lit(1)).as("cu")),
       singleEval = true)
+    scoreAgainstLm(docs, idCol, textCol, bc, uni, discount, threshold)
+  }
+
+  /** Score `docs` against LM count tables `bc` (bg, c12) and `uni`
+    * (w2, cu) — the arithmetic shared by the one-shot and maintained
+    * forms (both hand the SAME count values, so scores are identical). */
+  private def scoreAgainstLm(docs: DataFrame, idCol: String, textCol: String,
+                             bc: DataFrame, uni: DataFrame,
+                             discount: Double, threshold: Double): DataFrame = {
+    val pref = bc.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"), count(lit(1)).as("k1"))
     val nv = broadcast(uni.agg(sum(col("cu")).as("N"), count(lit(1)).as("V")))
     val grams = docs
       .select(col(idCol).as("doc_id"), TF.words(col(textCol)).as("__toks"))
@@ -441,6 +450,60 @@ object TextAnalysis {
         coalesce(col("mean_nlp"), lit(0.0)).as("mean_neg_logprob"),
         (col("n_bigrams").isNotNull &&
           col("mean_nlp") <= lit(threshold)).as("keep"))
+  }
+
+  // ---- INCREMENTAL reference-LM maintenance ------------------------------
+  // [[perplexityFilter]]'s LM statistics are pure counts — additive
+  // across disjoint reference batches and mergeable in any order — so
+  // the reference model is maintainable exactly like the BM25/CMS/
+  // substring indexes: per batch, commit the batch's bigram and unigram
+  // count deltas as transactional epochs; reading the LM is a SUM over
+  // committed epochs (fold- and replay-invariant). Scoring with the
+  // accumulated LM is bit-identical to training on the union corpus.
+
+  private def lmBigramRoot(root: String) = s"$root/bigrams"
+  private def lmUnigramRoot(root: String) = s"$root/unigrams"
+
+  /** Commit one reference batch's LM count deltas at `epochId`
+    * (exactly-once; a replay is a no-op). */
+  def commitLmBatch(ref: DataFrame, textCol: String, lmRoot: String,
+                    epochId: Long): Unit = {
+    val bg = ref.select(TF.words(col(textCol)).as("__toks"))
+      .select(explode(TF.shingles(col("__toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    graft.sources.TransactionalLake.commitEpoch(bg, lmBigramRoot(lmRoot),
+      epochId, partitionCols = Nil)
+    val uni = ref.select(explode(TF.words(col(textCol))).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("cu"))
+    graft.sources.TransactionalLake.commitEpoch(uni, lmUnigramRoot(lmRoot),
+      epochId, partitionCols = Nil)
+  }
+
+  /** Fold aged LM epochs — counts re-aggregate after any fold. */
+  def foldLm(spark: org.apache.spark.sql.SparkSession, lmRoot: String,
+             upTo: Long): (Int, Int) =
+    (graft.sources.TransactionalLake.foldCommittedEpochs(spark,
+      lmBigramRoot(lmRoot), upTo, partitionCols = Nil),
+      graft.sources.TransactionalLake.foldCommittedEpochs(spark,
+        lmUnigramRoot(lmRoot), upTo, partitionCols = Nil))
+
+  /** [[perplexityFilter]] served from the MAINTAINED LM: identical
+    * arithmetic, with the reference statistics summed over committed
+    * epochs instead of recomputed from reference text. */
+  def perplexityFilterFromLm(docs: DataFrame, idCol: String,
+                             textCol: String, lmRoot: String,
+                             discount: Double = 0.75,
+                             threshold: Double = 8.0): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      "perplexityFilterFromLm: discount must be in (0,1)")
+    val spark = docs.sparkSession
+    val bc = Blocks.copyOut(
+      graft.sources.TransactionalLake.readCommitted(spark, lmBigramRoot(lmRoot))
+        .groupBy("bg").agg(sum(col("c12")).as("c12")), singleEval = true)
+    val uni = Blocks.copyOut(
+      graft.sources.TransactionalLake.readCommitted(spark, lmUnigramRoot(lmRoot))
+        .groupBy("w2").agg(sum(col("cu")).as("cu")), singleEval = true)
+    scoreAgainstLm(docs, idCol, textCol, bc, uni, discount, threshold)
   }
 
   /** Per-source DUPLICATION REPORT — the curation dashboard over

@@ -812,6 +812,28 @@ object Extensions {
       .orderBy("doc_id")
   }
 
+  /** Maintained-LM perplexity gate: the reference slice's LM count
+    * deltas accumulate over three epochs (replay of the middle epoch is
+    * a no-op), survive a retention fold, and the maintained-LM scoring
+    * must equal the one-shot — the oracle is literally
+    * `text_perplexity_filter`'s SQL. */
+  def textPerplexityIncremental(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val root = s"/root/repo/target/tmp/lm_$tag"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val all = docs(s, d)
+    val ref = all.filter(col("doc_id") % 10 === 1)
+    (0 until 3).foreach(i => TextAnalysis.commitLmBatch(
+      ref.filter(col("doc_id") % 3 === i), "text", root, i.toLong))
+    // crash replay: a re-delivered epoch must not double-count
+    TextAnalysis.commitLmBatch(ref.filter(col("doc_id") % 3 === 1), "text",
+      root, 1L)
+    require(TextAnalysis.foldLm(s, root, upTo = 1L) == ((2, 2)))
+    TextAnalysis.perplexityFilterFromLm(all, "doc_id", "text", root,
+      threshold = 3.8).orderBy("doc_id")
+  }
+
   def textUnigramLogProb(s: SparkSession, d: String): DataFrame =
     TextAnalysis.unigramLogProb(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
@@ -1917,7 +1939,8 @@ object Extensions {
     "text_perplexity_filter" -> (textPerplexityFilter _),
     "sample_probe_budget" -> (sampleProbeBudget _),
     "text_dup_report" -> (textDupReport _),
-    "dedup_weighted_jaccard" -> (dedupWeightedJaccard _)))
+    "dedup_weighted_jaccard" -> (dedupWeightedJaccard _),
+    "text_perplexity_incremental" -> (textPerplexityIncremental _)))
 
   private val tokensCte =
     """WITH w AS (
@@ -2265,6 +2288,49 @@ object Extensions {
     * subquery, then the 6-dp scoring pass. Bit-parity holds because
     * every cross-engine float op is either IEEE-identical on identical
     * inputs or rounded before reuse (the pageRank recipe). */
+  /** Perplexity replay shared by the one-shot and maintained-LM gates. */
+  private lazy val perplexityFilterSql: String = tokensCte + """
+        |, refw AS (SELECT toks FROM w WHERE doc_id % 10 = 1),
+        |rbg AS MATERIALIZED (
+        |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (
+        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |    FROM refw) GROUP BY 1),
+        |pref AS MATERIALIZED (
+        |  SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS k1
+        |  FROM rbg GROUP BY 1),
+        |uni AS MATERIALIZED (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS cu FROM (
+        |    SELECT unnest(toks) AS w2 FROM refw) GROUP BY 1),
+        |nv AS MATERIALIZED (SELECT CAST(sum(cu) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM uni),
+        |g AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg
+        |    FROM w)),
+        |sc AS (
+        |  SELECT doc_id, CAST(round(-ln(p), 6) AS DECIMAL(18,6)) AS nlp FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN c1 IS NULL THEN pu ELSE
+        |        greatest(CAST(coalesce(c12, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)
+        |          + CAST(0.75 AS DOUBLE) * CAST(k1 AS DOUBLE) / CAST(c1 AS DOUBLE) * pu END AS p
+        |    FROM (
+        |      SELECT doc_id, c12, c1, k1,
+        |        (CAST(coalesce(cu, 0) AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(N + V AS DOUBLE) AS pu
+        |      FROM g LEFT JOIN rbg USING (bg) LEFT JOIN pref USING (w1)
+        |        LEFT JOIN uni USING (w2), nv))),
+        |pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(CAST(sum(nlp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nlp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  coalesce(mean_nlp, CAST(0 AS DOUBLE)) AS mean_neg_logprob,
+        |  (n_bigrams IS NOT NULL AND mean_nlp <= CAST(3.8 AS DOUBLE)) AS keep
+        |FROM w LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   private def qualityProbeSql(iterations: Int, lr: Double): String =
     qualityProbeCtes(iterations, lr) + """
       |SELECT doc_id, y = CAST(1 AS DOUBLE) AS rule_keep, probe_score,
@@ -4000,47 +4066,9 @@ object Extensions {
         |  TRUE AS cms_never_under, TRUE AS cms_within_envelope
         |FROM t GROUP BY term
         |ORDER BY n DESC, term LIMIT 20""".stripMargin),
-    "text_perplexity_filter" -> (tokensCte + """
-        |, refw AS (SELECT toks FROM w WHERE doc_id % 10 = 1),
-        |rbg AS MATERIALIZED (
-        |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (
-        |    SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
-        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg
-        |    FROM refw) GROUP BY 1),
-        |pref AS MATERIALIZED (
-        |  SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1,
-        |    CAST(count(*) AS BIGINT) AS k1
-        |  FROM rbg GROUP BY 1),
-        |uni AS MATERIALIZED (
-        |  SELECT w2, CAST(count(*) AS BIGINT) AS cu FROM (
-        |    SELECT unnest(toks) AS w2 FROM refw) GROUP BY 1),
-        |nv AS MATERIALIZED (SELECT CAST(sum(cu) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM uni),
-        |g AS (
-        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
-        |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS bg
-        |    FROM w)),
-        |sc AS (
-        |  SELECT doc_id, CAST(round(-ln(p), 6) AS DECIMAL(18,6)) AS nlp FROM (
-        |    SELECT doc_id,
-        |      CASE WHEN c1 IS NULL THEN pu ELSE
-        |        greatest(CAST(coalesce(c12, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / CAST(c1 AS DOUBLE)
-        |          + CAST(0.75 AS DOUBLE) * CAST(k1 AS DOUBLE) / CAST(c1 AS DOUBLE) * pu END AS p
-        |    FROM (
-        |      SELECT doc_id, c12, c1, k1,
-        |        (CAST(coalesce(cu, 0) AS DOUBLE) + CAST(1 AS DOUBLE)) / CAST(N + V AS DOUBLE) AS pu
-        |      FROM g LEFT JOIN rbg USING (bg) LEFT JOIN pref USING (w1)
-        |        LEFT JOIN uni USING (w2), nv))),
-        |pd AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    round(CAST(sum(nlp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nlp
-        |  FROM sc GROUP BY doc_id)
-        |SELECT w.doc_id,
-        |  coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
-        |  coalesce(mean_nlp, CAST(0 AS DOUBLE)) AS mean_neg_logprob,
-        |  (n_bigrams IS NOT NULL AND mean_nlp <= CAST(3.8 AS DOUBLE)) AS keep
-        |FROM w LEFT JOIN pd USING (doc_id)
-        |ORDER BY doc_id""".stripMargin),
+    "text_perplexity_filter" -> perplexityFilterSql,
+    // the maintained LM must serve the IDENTICAL scoring
+    "text_perplexity_incremental" -> perplexityFilterSql,
     "sample_probe_budget" -> (qualityProbeCtes(
       graft.operators.QualityProbe.DefaultIterations,
       graft.operators.QualityProbe.DefaultLr) + """

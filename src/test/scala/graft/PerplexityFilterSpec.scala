@@ -55,6 +55,28 @@ class PerplexityFilterSpec extends SparkSpec {
     got.values.foreach { case (_, m, _) => assert(!m.isNaN && !m.isInfinite) }
   }
 
+  test("maintained LM == one-shot through replay and fold") {
+    val root = tmpDir("lm_")
+    val refDocs = Seq((100L, "a b a c"), (101L, "b a c a"), (102L, "c a b"))
+    val refDf = refDocs.toDF("doc_id", "text")
+    val score = Seq((1L, "a b a"), (2L, "z b c"), (3L, "q"))
+    (0 until 3).foreach(i => TextAnalysis.commitLmBatch(
+      refDf.filter(col("doc_id") % 3 === i), "text", root, i.toLong))
+    // replayed epoch must not double-count
+    TextAnalysis.commitLmBatch(refDf.filter(col("doc_id") % 3 === 1),
+      "text", root, 1L)
+    assert(TextAnalysis.foldLm(spark, root, upTo = 1L) === ((2, 2)))
+    val inc = TextAnalysis.perplexityFilterFromLm(score.toDF("doc_id", "text"),
+        "doc_id", "text", root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val one = TextAnalysis.perplexityFilter(score.toDF("doc_id", "text"),
+        refDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(inc === one)
+  }
+
   test("short docs pin to (0, 0.0, keep=false); gate splits by likeness") {
     val got = run(Seq(
       (1L, "a"),                       // no bigram
