@@ -445,6 +445,7 @@ object Bench {
       "train_corpus_prep_v4",
       "dedup_exact", "dedup_minhash", "dedup_canonical",
       "dedup_streaming_index", "text_dedup_spans", "dedup_semantic",
+      "text_dedup_substrings", "text_quality_probe",
       "sim_topk_exact", "sim_topk_ivf", "sim_topk_pq", "sim_topk_ivfpq",
       "sim_topk_pq_rerank", "sim_streaming_index",
       "q1_pricing_summary", "q9_product_profit", "q18_large_orders",
