@@ -1172,38 +1172,50 @@ object Dedup {
                            maxCandidatePairs: Long = 10000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "weightedJaccardPairs: threshold must be in (0, 1]")
+    // the bag frame feeds four subtrees (totals, dfreq, both self-join
+    // sides) — persist the corpus tokenize+group pass ONCE (the
+    // ngramJaccardPairs/dfreq lesson); the small pair result is copied
+    // out and every corpus-scale block released before returning.
+    // EAGER contract: materializes at call time; the budget refusal
+    // surfaces here, and the returned frame is file-backed.
     val bags = docs
       .select(col(idCol).as("id"), TF.words(col(textCol)).as("__toks"))
       .select(col("id"), explode(TF.shingles(col("__toks"), k)).as("sh"))
       .groupBy(col("id"), xxhash64(col("sh")).as("skey"))
       .agg(count(lit(1)).as("w"))
-    val totals = bags.groupBy("id").agg(sum(col("w")).as("tot"))
-    val dfreq = bags.groupBy("skey").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-    val budget = broadcast(dfreq.agg(
-      coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("n_pairs")))
-    val gate = dfreq.select(col("skey")).crossJoin(budget)
-      .filter(when(col("n_pairs") <= maxCandidatePairs, lit(true))
-        .otherwise(raise_error(concat(
-          lit("weightedJaccardPairs: type join of "), col("n_pairs"),
-          lit(s" posting pairs exceeds maxCandidatePairs=" +
-            s"$maxCandidatePairs — raise k or the budget")))))
-      .select("skey")
-    val shared = bags.join(gate, Seq("skey"))
-    val inter = shared.select(col("skey"), col("id").as("id_a"),
-        col("w").as("wa"))
-      .join(shared.select(col("skey"), col("id").as("id_b"),
-        col("w").as("wb")), Seq("skey"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(least(col("wa"), col("wb"))).as("inter"))
-    inter
-      .join(totals.select(col("id").as("id_a"), col("tot").as("ta")), "id_a")
-      .join(totals.select(col("id").as("id_b"), col("tot").as("tb")), "id_b")
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (col("ta") + col("tb") - col("inter")).cast("double"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Blocks.scope {
+      val totals = bags.groupBy("id").agg(sum(col("w")).as("tot"))
+      // vocab-scale, two consumers (budget broadcast + gate key join)
+      val dfreq = Blocks.scoped(
+        bags.groupBy("skey").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .localCheckpoint(true))
+      val budget = broadcast(dfreq.agg(
+        coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).as("n_pairs")))
+      val gate = dfreq.select(col("skey")).crossJoin(budget)
+        .filter(when(col("n_pairs") <= maxCandidatePairs, lit(true))
+          .otherwise(raise_error(concat(
+            lit("weightedJaccardPairs: type join of "), col("n_pairs"),
+            lit(s" posting pairs exceeds maxCandidatePairs=" +
+              s"$maxCandidatePairs — raise k or the budget")))))
+        .select("skey")
+      val shared = bags.join(gate, Seq("skey"))
+      val inter = shared.select(col("skey"), col("id").as("id_a"),
+          col("w").as("wa"))
+        .join(shared.select(col("skey"), col("id").as("id_b"),
+          col("w").as("wb")), Seq("skey"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(least(col("wa"), col("wb"))).as("inter"))
+      Blocks.copyOut(inter
+        .join(totals.select(col("id").as("id_a"), col("tot").as("ta")), "id_a")
+        .join(totals.select(col("id").as("id_b"), col("tot").as("tb")), "id_b")
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (col("ta") + col("tb") - col("inter")).cast("double"), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"), singleEval = true)
+    } finally { bags.unpersist(blocking = true); () }
   }
 
   // ---- INCREMENTAL substring-dedup index ---------------------------------
