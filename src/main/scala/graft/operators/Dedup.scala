@@ -1233,6 +1233,7 @@ object Dedup {
 
   private def sgramsRoot(indexRoot: String) = s"$indexRoot/grams"
   private def sbestRoot(indexRoot: String) = s"$indexRoot/best"
+  private def sdfRoot(indexRoot: String) = s"$indexRoot/df"
 
   /** Gram-key hash buckets for the postings lake — the batch⋈index join
     * is co-partitioned on this at scale. */
@@ -1242,8 +1243,24 @@ object Dedup {
     * write the batch's L-gram postings epoch, join them against the
     * WHOLE committed index (budget-guarded in-plan, like the one-shot),
     * run-merge the new anchor diagonals, and commit the resulting
-    * per-doc best-repeat delta. Exactly-once: both commits are keyed on
-    * `epochId` and a replay of either is a no-op. */
+    * per-doc best-repeat delta. Exactly-once: all commits are keyed on
+    * `epochId` and a replay of any is a no-op.
+    *
+    * Batch contract: each `doc_id` is ingested in EXACTLY ONE epoch
+    * (the streaming integration's micro-batches satisfy this by
+    * construction). Re-delivering a doc_id in a *different* epoch would
+    * duplicate its gram rows in the committed index — duplicate `pa` on
+    * a diagonal shifts the gaps-and-islands row_number and silently
+    * corrupts run lengths. Same-epoch replays are safe (the commit is a
+    * no-op).
+    *
+    * Corpus document-frequency is MAINTAINED, not recomputed: each
+    * epoch commits a vocab-scale `(gkey, cnt)` delta (the batch's
+    * occurrence counts — additive, like the perplexity LM's counts), so
+    * the df≥2 gate reads Σ-epochs-vocab instead of re-aggregating the
+    * token-scale gram index every batch; per-batch maintenance input is
+    * bounded by vocab + batch regardless of corpus age. The anchor join
+    * itself remains the standard O(index) gram-key shuffle. */
   def commitSubstringBatch(docs: DataFrame, idCol: String, textCol: String,
                            indexRoot: String, epochId: Long,
                            minWords: Int = 8,
@@ -1270,16 +1287,30 @@ object Dedup {
         col("epoch").cast("long").as("epoch"))
     val newG = allG.filter(col("epoch") === epochId).select("doc", "p", "gkey")
     val all = allG.select("doc", "p", "gkey")
+    // per-epoch df delta: the batch's occurrence count per gram key,
+    // computed from the just-committed (file-backed) batch epoch — no
+    // re-tokenize — and committed to the vocab-scale df lake. Replay of
+    // this epoch is a no-op like the other two commits.
+    graft.sources.TransactionalLake.commitEpoch(
+      newG.groupBy("gkey").agg(count(lit(1)).as("cnt")),
+      sdfRoot(indexRoot), epochId, partitionCols = Nil)
     // corpus-df >= 2 keys only (a corpus-unique gram cannot anchor a
     // cross-doc repeat); the batch-df x corpus-df product upper-bounds
     // the anchor join and refuses IN-PLAN past the budget
     Blocks.scope {
-      // corpus-df >= 2 keys only, materialized ONCE per batch: the
-      // budget broadcast and the gate key-join would otherwise each
-      // re-run both df aggregates (the dfreq lesson)
-      val dfA = all.groupBy("gkey").agg(count(lit(1)).as("na"))
+      // corpus df from the MAINTAINED artifact (vocab-scale merge of
+      // additive per-epoch counts, including this epoch's) — not an
+      // O(index) re-aggregation of the gram postings
+      val dfLake = graft.sources.TransactionalLake.readCommitted(
+        spark, sdfRoot(indexRoot))
+      val dfA = dfLake.groupBy("gkey").agg(sum(col("cnt")).as("na"))
         .filter(col("na") >= 2)
-      val dfN = newG.groupBy("gkey").agg(count(lit(1)).as("nn"))
+      // the batch's own counts re-read from its committed df delta
+      val dfN = dfLake.filter(col("epoch").cast("long") === epochId)
+        .select(col("gkey"), col("cnt").as("nn"))
+      // materialized ONCE per batch: the budget broadcast and the gate
+      // key-join would otherwise each re-run both df reads (the dfreq
+      // lesson)
       val shared = Blocks.scoped(dfN.join(dfA, "gkey").localCheckpoint(true))
       val budget = broadcast(shared.agg(
         coalesce(sum(col("nn") * col("na")), lit(0L)).as("n_pairs")))
@@ -1337,15 +1368,20 @@ object Dedup {
       .select(col("doc_id"), col("b.len").as("dup_len"),
         (-col("b.ns")).cast("long").as("dup_start"))
 
-  /** Fold aged index epochs (postings + best-deltas) — bin-packed
-    * retention with unchanged reads, same as the BM25 index. */
+  /** Fold aged index epochs (postings + best-deltas + df counts) —
+    * bin-packed retention with unchanged reads, same as the BM25 index.
+    * The df rows are additive (reads Σ over epochs), so file-level
+    * folding is semantics-preserving. */
   def foldSubstringIndex(spark: org.apache.spark.sql.SparkSession,
                          indexRoot: String, upTo: Long,
-                         nBuckets: Int = SubstringGramBuckets): (Int, Int) =
+                         nBuckets: Int = SubstringGramBuckets): (Int, Int) = {
+    graft.sources.TransactionalLake.foldCommittedEpochs(spark,
+      sdfRoot(indexRoot), upTo, partitionCols = Nil)
     (graft.sources.TransactionalLake.foldCommittedEpochs(spark, sgramsRoot(indexRoot),
       upTo, partitionCols = Seq("gb")),
       graft.sources.TransactionalLake.foldCommittedEpochs(spark, sbestRoot(indexRoot),
         upTo, partitionCols = Nil))
+  }
 
   /** LINE-level exact dedup — the C4/RefinedWeb curation pass between
     * whole-document dedup and span masking: a line (delimiter-separated

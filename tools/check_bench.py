@@ -209,7 +209,8 @@ def main():
         rtr = new.get("reps_retried", {}).get(q)
         ratio = new["canary_ratio"][q]
         rtxt = f"{ratio:.2f}" if isinstance(ratio, (int, float)) else "n/a"
-        print(f"RTRY {q}: raw {raw} retried {rtr} canary_ratio {rtxt}")
+        kind = new.get("retry_kind", {}).get(q, "spread")
+        print(f"RTRY {q} [{kind}]: raw {raw} retried {rtr} canary_ratio {rtxt}")
     for q, (lo, med, hi) in sorted(new_viol.items()):
         recur = q in prev_viol
         mark = "VAR " if recur else "var?"
