@@ -44,20 +44,26 @@ object QualityProbe {
     java.math.BigDecimal.valueOf(v)
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
 
-  /** The per-doc feature/label frame `(doc_id, x1..x5, y)` — one
-    * corpus-scale pass, returned FILE-BACKED (eager copy-out). */
-  private def featureFrame(docs: DataFrame, idCol: String,
-                           textCol: String): DataFrame = {
+  /** The per-doc feature/label frame `(doc_id, x1..x5, y)` — LAZY plan;
+    * callers materialize once (copy-out) before the GD loop. */
+  private def featureFrameRaw(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
     val m = TextAnalysis.qualityFilter(docs, idCol, textCol)
-    Blocks.copyOut(m.select(col(idCol).as("doc_id"),
+    m.select(col(idCol).as("doc_id"),
       (round(log(lit(1.0) + col("n_words").cast("double")), 6) / lit(10.0))
         .as("x1"),
       round(col("top_word_frac"), 6).as("x2"),
       round(col("dup_bigram_frac"), 6).as("x3"),
       (round(abs(col("mean_word_len") - lit(5.0)), 6) / lit(10.0)).as("x4"),
       col("has_stopword").cast("double").as("x5"),
-      col("keep").cast("double").as("y")), singleEval = true)
+      col("keep").cast("double").as("y"))
   }
+
+  /** [[featureFrameRaw]] returned FILE-BACKED (eager copy-out) — the
+    * corpus-scale tokenize pass runs exactly once. */
+  private def featureFrame(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    Blocks.copyOut(featureFrameRaw(docs, idCol, textCol), singleEval = true)
 
   /** Linear prediction under weights `w`, rounded to 9 dp — the term
     * order is FIXED (left-assoc chain) so the double arithmetic is
@@ -93,8 +99,15 @@ object QualityProbe {
           sum(round(col("x5") * col("r"), 9).cast(dec)).as("g5"))
         .head()
       w = Array.tabulate(6) { j =>
-        val gj = g.getDecimal(j).doubleValue
-        round9(w(j) + scale * gj / n)
+        // a null gradient sum means every row's feature was null (the
+        // sum skipped them all) — a corpus-contract violation that must
+        // surface as a diagnosis, not a bare NullPointerException
+        val gd = g.getDecimal(j)
+        require(gd != null,
+          s"qualityProbe: gradient sum g$j is NULL — every document's " +
+            "feature/residual is null; the feature frame violates the " +
+            "non-null contract")
+        round9(w(j) + scale * gd.doubleValue / n)
       }
     }
     w
@@ -111,7 +124,42 @@ object QualityProbe {
     val w = trainWeights(feats, iterations, lr)
     feats.select(col("doc_id"),
       (col("y") === 1.0).as("rule_keep"),
-      predict(w, 6).as("probe_score"),
-      (predict(w, 6) >= 0.5).as("probe_keep"))
+      predict(w, 6).as("probe_score"))
+      .withColumn("probe_keep", col("probe_score") >= 0.5)
+  }
+
+  /** HELD-OUT-LABEL probe — the transfer form of [[trainAndScore]]: the
+    * label comes from an EXTERNAL `labels` frame (`doc_id`, `y` 0/1) —
+    * an expensive upstream signal (a perplexity-LM gate, a labeled
+    * reference slice, an annotation table) — never from the rule gate's
+    * own features→label loop. Training sees only rows where `holdout`
+    * is false; the returned frame scores exactly the held-out rows:
+    * `(doc_id, label_keep, rule_keep, probe_score, probe_keep)`. This
+    * is the CCNet/GPT-3 curation shape: distill an expensive signal
+    * into a cheap linear scorer, validated on documents the training
+    * never saw. Same decimal-deterministic GD as [[trainAndScore]] —
+    * the DuckDB oracle replays the split, the label join, and every
+    * iteration bit for bit.
+    *
+    * Scale shape: ONE corpus tokenize pass (materialized), one
+    * broadcast-friendly label equi-join, then the per-iteration
+    * 6-decimal-sum aggregate over the train split — O(corpus) once +
+    * O(train) per iteration, nothing driver-bound but the 6 scalars. */
+  def trainAndScoreHoldout(docs: DataFrame, idCol: String, textCol: String,
+                           labels: DataFrame, holdout: Column,
+                           iterations: Int = DefaultIterations,
+                           lr: Double = DefaultLr): DataFrame = {
+    val joined = Blocks.copyOut(
+      featureFrameRaw(docs, idCol, textCol)
+        .withColumnRenamed("y", "y_rule")
+        .join(labels.select(col("doc_id"),
+          col("y").cast("double").as("y")), "doc_id"),
+      singleEval = true)
+    val w = trainWeights(joined.filter(!holdout), iterations, lr)
+    joined.filter(holdout).select(col("doc_id"),
+      (col("y") === 1.0).as("label_keep"),
+      (col("y_rule") === 1.0).as("rule_keep"),
+      predict(w, 6).as("probe_score"))
+      .withColumn("probe_keep", col("probe_score") >= 0.5)
   }
 }

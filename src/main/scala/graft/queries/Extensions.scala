@@ -780,6 +780,27 @@ object Extensions {
     graft.operators.QualityProbe.trainAndScore(docs(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** HELD-OUT-LABEL probe: labels come from the perplexity-LM gate (the
+    * EXPENSIVE external signal — reference-likeness at the corpus-median
+    * 3.55 surprisal, ~46/54 split), the probe trains on the doc_id%5!=0
+    * slice, and exactly the held-out 20% is scored. Demonstrates the
+    * transfer MACHINERY (external-label join, split-disciplined GD,
+    * holdout scoring) with the same decimal-deterministic oracle; the
+    * driver corpus is feature-blind w.r.t. external labels (measured
+    * |r| < 0.11 for every surface-feature/label pair — uniform word
+    * salad), so ranking QUALITY of the learned probe is pinned by
+    * `HoldoutProbeSpec` on a planted-signal fixture instead. */
+  def textQualityProbeHoldout(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val labels = TextAnalysis.perplexityFilter(all,
+        all.filter(col("doc_id") % 10 === 1), "doc_id", "text",
+        threshold = 3.55)
+      .select(col("doc_id"), col("keep").cast("double").as("y"))
+    graft.operators.QualityProbe.trainAndScoreHoldout(all, "doc_id", "text",
+      labels, holdout = col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+  }
+
   /** Composition-drift gate: per-source mix across 3 id-derived epochs,
     * share movement + per-epoch total-variation distance. */
   def textCompositionDrift(s: SparkSession, d: String): DataFrame =
@@ -1934,6 +1955,7 @@ object Extensions {
     "graph_pagerank_weighted" -> (graphPagerankWeighted _),
     "text_cms_incremental" -> (textCmsIncremental _),
     "text_quality_probe" -> (textQualityProbe _),
+    "text_quality_probe_holdout" -> (textQualityProbeHoldout _),
     "text_dedup_substrings_incremental" -> (textDedupSubstringsIncremental _),
     "dedup_streaming_substrings" -> (dedupStreamingSubstrings _),
     "text_perplexity_filter" -> (textPerplexityFilter _),
@@ -2289,7 +2311,10 @@ object Extensions {
     * every cross-engine float op is either IEEE-identical on identical
     * inputs or rounded before reuse (the pageRank recipe). */
   /** Perplexity replay shared by the one-shot and maintained-LM gates. */
-  private lazy val perplexityFilterSql: String = tokensCte + """
+  /** The perplexity-LM CTE chain (reference slice → smoothed bigram LM →
+    * per-doc mean surprisal `pd`) — threshold-free; shared by the gate
+    * oracle and the held-out-label probe oracle. */
+  private lazy val perplexityCtes: String = """
         |, refw AS (SELECT toks FROM w WHERE doc_id % 10 = 1),
         |rbg AS MATERIALIZED (
         |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM (
@@ -2323,7 +2348,10 @@ object Extensions {
         |pd AS (
         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |    round(CAST(sum(nlp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_nlp
-        |  FROM sc GROUP BY doc_id)
+        |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  private lazy val perplexityFilterSql: String = tokensCte + perplexityCtes +
+    """
         |SELECT w.doc_id,
         |  coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
         |  coalesce(mean_nlp, CAST(0 AS DOUBLE)) AS mean_neg_logprob,
@@ -2380,9 +2408,69 @@ object Extensions {
          |  SELECT doc_id, y, ${pred(iterations, 6)} AS probe_score FROM f)""".stripMargin
   }
 
+  /** Held-out-label probe oracle: perplexity-LM labels (threshold 3.55),
+    * GD over the doc_id%5!=0 train split only, holdout rows scored —
+    * the same unrolled-MATERIALIZED-CTE replay as `qualityProbeSql`,
+    * with the training frame swapped for the external-label join. */
+  private def qualityProbeHoldoutSql(iterations: Int, lr: Double): String = {
+    val scale = lr * 2.0 // exact in IEEE for the default 0.1
+    val scaleSql = s"CAST(${scale.toString} AS DOUBLE)"
+    def wRef(k: Int, j: Int) = s"(SELECT h_$j FROM h$k)"
+    def pred(k: Int, prec: Int) =
+      s"round(${wRef(k, 0)} + ${wRef(k, 1)} * x1 + ${wRef(k, 2)} * x2 + " +
+        s"${wRef(k, 3)} * x3 + ${wRef(k, 4)} * x4 + ${wRef(k, 5)} * x5, $prec)"
+    val fCte =
+      """, f AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    round(ln(1.0 + CAST(n_words AS DOUBLE)), 6) / CAST(10 AS DOUBLE) AS x1,
+        |    round(top_word_frac, 6) AS x2,
+        |    round(dup_bigram_frac, 6) AS x3,
+        |    round(abs(mean_word_len - 5.0), 6) / CAST(10 AS DOUBLE) AS x4,
+        |    CAST(has_stopword AS DOUBLE) AS x5,
+        |    CAST((n_words > 0 AND n_words BETWEEN 20 AND 10000
+        |      AND mean_word_len BETWEEN 3.0 AND 10.0 AND has_stopword
+        |      AND top_word_frac <= 0.2 AND dup_bigram_frac <= 0.1) AS DOUBLE) AS y
+        |  FROM m),
+        |lab AS MATERIALIZED (
+        |  SELECT w.doc_id,
+        |    CAST((n_bigrams IS NOT NULL AND mean_nlp <= CAST(3.55 AS DOUBLE)) AS DOUBLE) AS yl
+        |  FROM w LEFT JOIN pd USING (doc_id)),
+        |ftr AS MATERIALIZED (
+        |  SELECT f.doc_id, x1, x2, x3, x4, x5, yl AS y
+        |  FROM f JOIN lab USING (doc_id) WHERE doc_id % 5 <> 0),
+        |nn2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM ftr),
+        |h0 AS (SELECT """.stripMargin +
+        (0 to 5).map(j => s"CAST(0 AS DOUBLE) AS h_$j").mkString(", ") + ")"
+    val iterCtes = (1 to iterations).map { k =>
+      val terms = Seq("r", "x1 * r", "x2 * r", "x3 * r", "x4 * r", "x5 * r")
+      val cols = terms.zipWithIndex.map { case (t, j) =>
+        s"round(${wRef(k - 1, j)} + $scaleSql * " +
+          s"CAST(sum(CAST(round($t, 9) AS DECIMAL(28,9))) AS DOUBLE)" +
+          s" / (SELECT n FROM nn2), 9) AS h_$j"
+      }.mkString(",\n    ")
+      s""",
+         |h$k AS MATERIALIZED (
+         |  SELECT $cols
+         |  FROM (SELECT x1, x2, x3, x4, x5,
+         |        y - ${pred(k - 1, 9)} AS r FROM ftr) t)""".stripMargin
+    }.mkString
+    tokensCte + perplexityCtes + qualityMCte + fCte + iterCtes +
+      s"""
+         |SELECT f.doc_id, yl = CAST(1 AS DOUBLE) AS label_keep,
+         |  f.y = CAST(1 AS DOUBLE) AS rule_keep,
+         |  ${pred(iterations, 6)} AS probe_score,
+         |  ${pred(iterations, 6)} >= CAST(0.5 AS DOUBLE) AS probe_keep
+         |FROM f JOIN lab USING (doc_id) WHERE doc_id % 5 = 0
+         |ORDER BY doc_id""".stripMargin
+  }
+
   /** qualityFilter's feature frame (`m`) — shared by the rule-filter and
     * classifier oracles. */
-  private def qualityFeatureCte: String = tokensCte +
+  private def qualityFeatureCte: String = tokensCte + qualityMCte
+
+  /** The `m` CTE alone (no tokens prefix) — for oracles that splice the
+    * feature frame after other `w`-consuming chains. */
+  private def qualityMCte: String =
     """, m AS (
       |  SELECT doc_id,
       |    CAST(len(toks) AS BIGINT) AS n_words,
@@ -4117,6 +4205,9 @@ object Extensions {
         |  FROM inter JOIN tt ta ON ta.doc_id = id_a JOIN tt tb ON tb.doc_id = id_b)
         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin),
     "text_quality_probe" -> qualityProbeSql(
+      graft.operators.QualityProbe.DefaultIterations,
+      graft.operators.QualityProbe.DefaultLr),
+    "text_quality_probe_holdout" -> qualityProbeHoldoutSql(
       graft.operators.QualityProbe.DefaultIterations,
       graft.operators.QualityProbe.DefaultLr),
     "text_phrase_search" -> (tokensCte +

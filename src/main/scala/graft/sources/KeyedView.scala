@@ -57,11 +57,36 @@ object KeyedView {
       .foldLeft(-1L)(math.max)
   }
 
-  /** The committed grouped view. */
+  /** The committed grouped view. Extrema states carry a `__rc`
+    * recompute flag: a flagged row was superseded by an appended
+    * recomputed row in the same state dir (the rare buffer-exhaustion
+    * path writes a delta instead of rewriting the whole state), so
+    * flagged rows are filtered and the marker column hidden. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val c = cursor(spark, root)
     require(c >= 0, s"no committed keyed view under $root")
-    spark.read.parquet(stateDir(root, c))
+    val hint = stateSchemaHints.get(stateDir(root, c))
+    val df =
+      if (hint != null) spark.read.schema(hint).parquet(stateDir(root, c))
+      else spark.read.parquet(stateDir(root, c))
+    if (df.columns.contains("__rc")) df.filter(!col("__rc")).drop("__rc")
+    else df
+  }
+
+  // write-time state-schema hints (same contract as the lake's epoch
+  // hints): the refresh that wrote state_v<c> records its schema so the
+  // committed read skips the footer-inference job; a reader in a fresh
+  // process just infers. Keyed by the versioned dir, which is never
+  // rewritten under a different schema (a retry rewrites identically).
+  private val stateSchemaHints = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+  private def recordStateSchema(dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (stateSchemaHints.size > 1024) stateSchemaHints.clear()
+    stateSchemaHints.put(dir,
+      org.apache.spark.sql.types.StructType(
+        schema.fields.map(_.copy(nullable = true))))
+    ()
   }
 
   /** [[read]] with a caller-supplied schema — the state layout is fixed
@@ -88,13 +113,22 @@ object KeyedView {
   /** The committed key index (all buckets) — O(keys); used by tests and
     * full rebuilds, not by refresh. */
   def readKeyIndex(spark: SparkSession, root: String,
-                   buckets: Int = DefaultBuckets): DataFrame = {
+                   buckets: Int = DefaultBuckets): DataFrame =
+    readKeyIndexAs(spark, root, buckets, None)
+
+  /** [[readKeyIndex]] with an optional caller-supplied (k, g, v) schema —
+    * skips the footer-inference job (internal fast path, same contract
+    * as [[readAs]]). */
+  private def readKeyIndexAs(spark: SparkSession, root: String, buckets: Int,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val c = cursor(spark, root)
     require(c >= 0, s"no committed keyed view under $root")
     val dirs = (0L until buckets.toLong)
       .flatMap(liveBucketDir(spark, root, _, c))
     require(dirs.nonEmpty, s"keyed view under $root has an empty key index")
-    spark.read.parquet(dirs: _*)
+    val reader = spark.read
+    schema.foreach(reader.schema)
+    reader.parquet(dirs: _*)
   }
 
   /** Advance the view over merge lake `lakeRoot` (keyed by `keyCol`,
@@ -123,11 +157,12 @@ object KeyedView {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("total",
             org.apache.spark.sql.types.DecimalType(28, 2)))))
-      prev.unionByName(groupDelta)
+      val st = prev.unionByName(groupDelta)
         .groupBy("g").agg(sum(col("cnt")).cast("long").as("cnt"),
           sum(col("total")).cast("decimal(28,2)").as("total"))
         .filter(col("cnt") > 0)
-        .write.mode("overwrite").parquet(stateDir(viewRoot, head))
+      st.write.mode("overwrite").parquet(stateDir(viewRoot, head))
+      recordStateSchema(stateDir(viewRoot, head), st.schema)
     }
 
   /** Shared advance machinery for every keyed-view strategy: resolve the
@@ -382,7 +417,10 @@ object KeyedView {
         StructField("lobuf", bufT),
         StructField("hibuf", bufT),
         StructField("lo_ceil", DoubleType),
-        StructField("hi_floor", DoubleType))))
+        StructField("hi_floor", DoubleType),
+        StructField("__rc", BooleanType))))
+        // rc-flagged rows were superseded by appended recomputed rows
+        .filter(!col("__rc")).drop("__rc")
       else added.select(col("g"), lit(0L).as("cnt"),
         lit(null).cast("decimal(28,2)").as("total"),
         emptyBuf.as("lobuf"), emptyBuf.as("hibuf"),
@@ -453,34 +491,33 @@ object KeyedView {
       ((size(col("keptLo")) === 0) || (size(col("keptHi")) === 0))
         .as("__rc"))
     // the state is written ONCE, carrying the `__rc` flag column, and
-    // the recompute probe reads the tiny written file back — one write
-    // job + one small-scan job, replacing the earlier copy-out (local +
-    // reliable checkpoint jobs) + probe + separate final write (2 fewer
-    // driver dispatches per refresh; the per-refresh job FLOOR times
-    // local-mode dispatch was the whole cost of pipe_extrema_view).
-    // Readers project explicit columns, so the extra __rc column (false
-    // on every committed row outside the rare path below) is inert.
-    merged0.write.mode("overwrite").parquet(stateDir(viewRoot, head))
-    val stateSchema = StructType(Seq(
-      StructField("g", delta.schema("g").dataType),
-      StructField("cnt", LongType),
-      StructField("total", DecimalType(28, 2)),
-      StructField("lobuf", bufT),
-      StructField("hibuf", bufT),
-      StructField("lo_ceil", DoubleType),
-      StructField("hi_floor", DoubleType),
-      StructField("__rc", BooleanType)))
-    val written = spark.read.schema(stateSchema)
-      .parquet(stateDir(viewRoot, head))
+    // the recompute groups ride the SAME write job as an observed
+    // metric (collect_set skips the nulls of unflagged rows) — no
+    // read-back scan, no separate collect dispatch. Committed readers
+    // filter `__rc` (see [[read]]/`prev`), so a flagged row is a
+    // tombstone the rare path below supersedes by APPENDING its
+    // recomputed replacement to the same state dir — the whole-state
+    // copy-out + rewrite (2 checkpoint jobs + a second full write) this
+    // replaces was the largest remaining slice of the refresh job floor.
+    val obs = org.apache.spark.sql.Observation()
+    merged0.observe(obs, collect_set(when(col("__rc"), col("g"))).as("rc"))
+      .write.mode("overwrite").parquet(stateDir(viewRoot, head))
+    recordStateSchema(stateDir(viewRoot, head), merged0.schema)
     // rare path: a buffer some refresh fully exhausted (every one of
     // the K extremes changed at once) recomputes ITS group from the
     // key index — a distributed windowed top-K over that group's live
     // rows (old index minus changed keys plus this delta's upserts)
-    val rcGroups = written.filter(col("__rc")).select("g")
-      .collect().map(_.get(0))
+    val rcGroups = obs.get("rc") match {
+      case s: scala.collection.Seq[_] => s.toSeq
+      case other => throw new IllegalStateException(
+        s"extrema refresh: unexpected observed rc metric $other")
+    }
     if (rcGroups.nonEmpty) {
-      val keep = written.filter(!col("__rc"))
-      val rcLive = readKeyIndex(spark, viewRoot, buckets)
+      val keyT2 = delta.schema("k").dataType
+      val rcLive = readKeyIndexAs(spark, viewRoot, buckets,
+        Some(StructType(Seq(StructField("k", keyT2),
+          StructField("g", delta.schema("g").dataType),
+          StructField("v", delta.schema("v").dataType)))))
         .filter(col("g").isin(rcGroups: _*))
         .join(delta.select("k").distinct(), Seq("k"), "left_anti")
         .select("k", "g", "v")
@@ -509,11 +546,13 @@ object KeyedView {
         .select(col("g"), col("cnt"), col("total"), col("lobuf"),
           col("hibuf"), col("lo_ceil"), col("hi_floor"),
           lit(false).as("__rc"))
-      // the final state reads the file we are about to overwrite —
-      // materialize out of it first (rare path only, extra jobs fine)
-      val fin = graft.operators.Blocks.copyOut(
-        keep.unionByName(recomputed), singleEval = true)
-      fin.write.mode("overwrite").parquet(stateDir(viewRoot, head))
+      // APPEND the recomputed groups to the state dir: readers filter
+      // the rc-flagged originals, so this is a supersede-by-delta — no
+      // read of the dir being written, no copy-out, one small write.
+      // A crash between the two writes is invisible (the commit marker
+      // flips only after stateFn returns) and a retry's overwrite-mode
+      // main write clears the partial dir first.
+      recomputed.write.mode("append").parquet(stateDir(viewRoot, head))
     }
   }
 }
