@@ -215,13 +215,21 @@ object AnnRecall {
         Scaling.SynthX16Dir, replicas = 16)
       synthSection("synth_x16", Scaling.SynthX16Dir, Seq(4, 11, 22, 44))
     }
+    // FOURTH scale point (r13 verdict #5): ×32 — 64k vectors, √n cells
+    // ≈ 253; the sweep lands the same ~2.5–25 % scanned budgets
+    val synthX32Json: Option[String] = if (!includeSynth) None else Some {
+      Scaling.ensureSynthEmbeddings(spark, "/root/testdata/sf0.1",
+        Scaling.SynthX32Dir, replicas = 32)
+      synthSection("synth_x32", Scaling.SynthX32Dir, Seq(6, 16, 32, 64))
+    }
 
     s"""{"sf":"$sfDir","corpus":$nCorpus,"probes":$nProbes,"k":$k,""" +
       s""""curves":{"lsh":${curve(lsh)},"ivf":${curve(ivf)},""" +
       s""""pq":${curve(pq)},"ivfpq":${curve(ivfpq)},""" +
       s""""ivfpq_rerank":${curve(ivfpqR)}}""" +
       synthJson.fold("")("," + _) +
-      synthX16Json.fold("")("," + _) + "}"
+      synthX16Json.fold("")("," + _) +
+      synthX32Json.fold("")("," + _) + "}"
   }
 
   private def f(d: Double): String = "%.6f".format(d)

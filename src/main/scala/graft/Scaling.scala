@@ -185,6 +185,11 @@ object Scaling {
     * shortlist holds recall as nCells keeps growing with √n. */
   private[graft] val SynthX16Dir = "/root/repo/target/sf_synth_x16"
 
+  /** The ×32 embeddings-only synth dir — the FOURTH recall scale point
+    * (64k vectors, √n cells ≈ 253): the shift step is dim/32 = 2, still
+    * decorrelating distinct replicas. */
+  private[graft] val SynthX32Dir = "/root/repo/target/sf_synth_x32"
+
   /** EMBEDDINGS-ONLY decorrelated ×`replicas` synth (the ANN third scale
     * point needs no documents): same circular-shift construction as
     * [[ensureSynth]] — norm and within-replica geometry exactly

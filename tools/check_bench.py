@@ -134,6 +134,17 @@ def check_recall(path):
         curves = {f"synth16_{k}": v for k, v in synth16["curves"].items()}
         floor_at("synth16_ivf", 0.25, 0.80)
         floor_at("synth16_ivfpq_rerank_scaled", 0.25, 0.70)
+    # x32 fourth scale point (r14): 64k vectors, sqrt(n) cells ~252 —
+    # same budgets, same discipline (r14 measured ivf 1.0 and
+    # rerank_scaled 0.85 best-in-budget)
+    synth32 = d.get("synth_x32")
+    if synth32 is None:
+        print("MISS synth_x32: no x32-scale recall section in the artifact")
+        bad.append("synth_x32")
+    else:
+        curves = {f"synth32_{k}": v for k, v in synth32["curves"].items()}
+        floor_at("synth32_ivf", 0.25, 0.80)
+        floor_at("synth32_ivfpq_rerank_scaled", 0.25, 0.70)
     if bad:
         print(f"RECALL REGRESSIONS: {bad}")
         return 1
