@@ -144,10 +144,22 @@ object Blocks {
 
   /** Enroll an eagerly-materialized frame with the innermost open scope
     * on this thread (identity no-op when none is open — callers outside
-    * a scope own release themselves) and return it. */
+    * a scope own release themselves) and return it.
+    *
+    * The no-scope case is LOGGED: every builder that enrolls a
+    * checkpoint expects a [[scope]] around it, and a silent no-op here
+    * leaks the checkpoint blocks permanently (the class of leak the old
+    * process-wide snapshot-diff sweep used to catch). The one-line
+    * stderr note makes a missing scope visible in the first local run
+    * instead of as slow block-manager growth in production. */
   def scoped(df: DataFrame): DataFrame = {
     val stack = scopeReg.get()
     if (!stack.isEmpty) stack.peek() += df
+    else System.err.println(
+      "[blocks] WARN: Blocks.scoped called with no open scope on thread " +
+        s"'${Thread.currentThread().getName}' - the enrolled frame will " +
+        "NOT be auto-released; wrap the caller in Blocks.scope or release " +
+        "it explicitly")
     df
   }
 }

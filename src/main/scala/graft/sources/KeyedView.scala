@@ -202,9 +202,16 @@ object KeyedView {
         else 0L)) {
     val op = TransactionalLake.OpCol
     // change rows in (cur, head], resolved to ONE winner per key (the
-    // highest epoch in range — several epochs can touch the same key)
+    // highest epoch in range — several epochs can touch the same key).
+    // `mergeCommit` enforces one change per key PER epoch at commit
+    // time, so epoch alone is normally a total order per key; the
+    // (_op, g, v) tiebreak makes the winner deterministic even against
+    // a contract-violating epoch (validate=false) — the delta below is
+    // a LAZY persist, and a block recompute on a cluster must re-elect
+    // the same winner between the staging write and the state write.
     val winsW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("k")).orderBy(col("epoch").cast("long").desc)
+      .partitionBy(col("k")).orderBy(col("epoch").cast("long").desc,
+        col("_op").asc, col("g").asc_nulls_first, col("v").asc_nulls_first)
     // persist, NOT an eager localCheckpoint: the `touched` collect right
     // below is already a materializing action over the whole delta, so
     // an eager checkpoint job before it would compute the same rows
