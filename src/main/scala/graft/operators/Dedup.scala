@@ -963,6 +963,57 @@ object Dedup {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** FUZZY eval-set decontamination — MinHash-banded DOC-level
+    * similarity between the training corpus and the eval suite, the
+    * complement of the exact-k-gram passes ([[decontaminate]] /
+    * [[decontaminateFraction]]): a paraphrased or partially-rewritten
+    * eval item shares few exact 8-grams with its training-set leak but
+    * keeps high 3-shingle Jaccard, and this catches it at banded-LSH
+    * cost. Candidates come ONLY from cross-set band-bucket collisions
+    * (never the |train|×|eval| product); each candidate is then
+    * EXACT-verified, so the output is identical to the exact cross-set
+    * Jaccard join at the same threshold minus LSH misses
+    * (P(miss | s) = (1-s^r)^b — the default b=32, r=2 reads ≤ 1e-4 at
+    * s = 0.5; the sf-scale oracle IS the exact join, so the gate also
+    * certifies zero misses at test scale). Output:
+    * `(train_id, eval_id, jaccard)`, one row per contaminated pair.
+    *
+    * Scale shape: two codegen'd signature passes (one per side, no
+    * shuffle), a band-bucket equi-join whose shuffle keys are 8-byte
+    * hashes, and an exact-verify join fetching only candidate rows'
+    * shingle sets. The eval side is suite-sized (thousands of docs) —
+    * its band index and sets broadcast; the train corpus never
+    * re-shuffles on anything wider than the collision keys. */
+  def decontaminateFuzzy(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, k: Int = 3,
+                         threshold: Double = 0.5, bands: Int = 32,
+                         rowsPerBand: Int = 2): DataFrame = {
+    val tSets = withShingleSets(train, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eSets = withShingleSets(evalSet, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tIdx = bandIndexFromSets(tSets, idCol, bands, rowsPerBand)
+        .select(col("id").as("train_id"), col("band"), col("bucket"))
+      val eIdx = bandIndexFromSets(eSets, idCol, bands, rowsPerBand)
+        .select(col("id").as("eval_id"), col("band"), col("bucket"))
+      val candidates = tIdx.join(broadcast(eIdx), Seq("band", "bucket"))
+        .select("train_id", "eval_id").distinct()
+      Blocks.copyOut(candidates
+        .join(tSets.select(col(idCol).as("train_id"), col("sh").as("sh_t")),
+          "train_id")
+        .join(broadcast(eSets.select(col(idCol).as("eval_id"),
+          col("sh").as("sh_e"))), "eval_id")
+        .withColumn("jaccard", TF.jaccard(col("sh_t"), col("sh_e")))
+        .filter(col("jaccard") >= threshold)
+        .select("train_id", "eval_id", "jaccard"), singleEval = true)
+    } finally {
+      tSets.unpersist(blocking = true)
+      eSets.unpersist(blocking = true)
+      ()
+    }
+  }
+
   /** THRESHOLD-fraction decontamination — the published-recipe variant
     * of [[decontaminate]] (Llama/GPT-3-style): instead of flagging on
     * ANY shared n-gram, score each train doc by the FRACTION of its

@@ -764,6 +764,19 @@ object Extensions {
       .orderBy("train_id")
   }
 
+  /** FUZZY decontamination: MinHash-banded train↔eval doc similarity at
+    * Jaccard ≥ 0.5 over 3-shingles — catches paraphrased/partial eval
+    * leakage the exact 8-gram passes miss. The oracle is the EXACT
+    * cross-set join, so the gate also certifies the banding (b=32, r=2)
+    * missed nothing at test scale. */
+  def textDecontaminateFuzzy(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.decontaminateFuzzy(all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .orderBy("train_id", "eval_id")
+  }
+
   def textQualityFilter(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityFilter(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
@@ -1906,6 +1919,7 @@ object Extensions {
     "text_fingerprint" -> (textFingerprint _),
     "text_boilerplate" -> (textBoilerplate _),
     "text_decontaminate" -> (textDecontaminate _),
+    "text_decontaminate_fuzzy" -> (textDecontaminateFuzzy _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "text_composition_drift" -> (textCompositionDrift _),
@@ -3135,6 +3149,17 @@ object Extensions {
         |JOIN df USING (term)
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
     "text_decontaminate" -> decontaminateSql,
+    "text_decontaminate_fuzzy" -> (shingleCte +
+      """
+        |SELECT train_id, eval_id, jaccard FROM (
+        |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |    CAST(len(a.sh) + len(b.sh)
+        |         - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE jaccard >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin),
     "text_decontaminate_frac" -> decontaminateFracSql,
     // the SQL-surface gate: nfc + shingles + intersect count replayed
     // natively in DuckDB over the same linear next-doc join
