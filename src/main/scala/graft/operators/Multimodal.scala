@@ -90,6 +90,56 @@ object Multimodal {
       }
     catch { case _: java.io.IOException => None }
 
+  /** 64-bit dHash (difference hash) over decoded pixels: resample to a
+    * 9×8 grid (the [[resampleNearest]] integer-exact resampler),
+    * integer-luma each sample (299r+587g+114b / 1000 — no floats, so the
+    * hash is bit-stable across JVMs), and set bit y*8+x iff the right
+    * neighbor is strictly brighter. The classic perceptual-dedup code:
+    * small local edits, re-encodes, and resizes move a handful of bits;
+    * unrelated textured images differ in ~32. */
+  private[graft] def dHash64(pix: Array[Int], w: Int, h: Int): Long = {
+    val s = resampleNearest(pix, w, h, 9, 8)
+    val g = new Array[Int](72)
+    var i = 0
+    while (i < 72) {
+      val p = s(i)
+      g(i) = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+        114 * (p & 0xff)) / 1000
+      i += 1
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** No-codec dHash FALLBACK: the same 9×8 comparison lattice over
+    * payload bytes sampled at even strides — keeps the plumbing (binary
+    * in, 64-bit code out) identical when no codec matches. */
+  private[graft] def dHash64Bytes(payload: Array[Byte]): Long = {
+    if (payload.isEmpty) return 0L
+    val g = Array.tabulate(72)(i =>
+      payload(((i.toLong * (payload.length - 1)) / 71).toInt) & 0xff)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   /** No-codec FALLBACK features for undecodable payloads: "pixel mean" =
     * mean byte value (one double division, one float cast), 8 lanes. */
   private[graft] def byteMeanFeatures(payload: Array[Byte]): Array[Float] = {
@@ -210,6 +260,85 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  /** PERCEPTUAL HASHES for an image table: one 64-bit dHash per payload
+    * (decode → 9×8 luma lattice → neighbor comparisons), computed inside
+    * `mapPartitions` (per-partition codec init — an ImageIO reader
+    * cannot be a Catalyst expression; the correct exception to the
+    * no-UDF rule, same as [[extractFeatures]]). Output
+    * `(media_id, width, height, phash, decoded)`; undecodable payloads
+    * take the byte-stride fallback lattice with -1 dims.
+    *
+    * Pairs come from [[Dedup.simhashPairsFromSigs]] — the banded
+    * pigeonhole-exact Hamming join already gated for text SimHash — so
+    * image near-dup at 100 TB is one codegen'd-shape scan producing 8
+    * bytes per image plus a band-bucket shuffle of the 8-byte codes,
+    * never pixels. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("phash", LongType),
+      StructField("decoded", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val id = r.getAs[Long]("media_id")
+          decodeImage(payload) match {
+            case Some((w, h, pix)) => Row(id, w, h, dHash64(pix, w, h), true)
+            case None => Row(id, -1, -1, dHash64Bytes(payload), false)
+          }
+        }
+      }(enc)
+  }
+
+  /** Deterministic noise-textured PNG fixture WITH planted near-dups:
+    * `n/2` base images of per-pixel hash noise (so unrelated dHashes are
+    * ~independent, ~32 bits apart) and one clone per base with a 3×3
+    * patch rewritten — the clone's dHash moves 0–4 bits, cleanly inside
+    * a Hamming-6 radius. Idempotent (marker file). */
+  def ensurePngNearDupFixture(spark: SparkSession, dir: String,
+                              n: Int = 120): String = this.synchronized {
+    val done = new java.io.File(dir, "_FIXTURE_OK")
+    if (!done.exists) {
+      val imgDir = new java.io.File(dir, "png")
+      imgDir.mkdirs()
+      val half = n / 2
+      val w = 32; val h = 32
+      def basePix(i: Int): Array[Int] = Array.tabulate(w * h) { p =>
+        var v = i * 0x9E3779B9 + p * 0x85EBCA6B
+        v ^= v >>> 13; v *= 0xC2B2AE35; v ^= v >>> 16
+        v & 0xffffff
+      }
+      (0 until n).foreach { i =>
+        val src = if (i < half) i else i - half
+        val pix = basePix(src)
+        if (i >= half) {
+          val bx = (src * 5) % (w - 3); val by = (src * 7) % (h - 3)
+          var dy = 0
+          while (dy < 3) {
+            var dx = 0
+            while (dx < 3) {
+              pix((by + dy) * w + bx + dx) = 0xffffff; dx += 1
+            }
+            dy += 1
+          }
+        }
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, w, h, pix, 0, w)
+        val f = new java.io.File(imgDir, f"img_$i%04d.png")
+        require(javax.imageio.ImageIO.write(img, "png", f),
+          s"no PNG writer for $f")
+      }
+      done.createNewFile()
+    }
+    dir
   }
 
   /** Batch resize: decode → nearest-neighbor half-resolution resample →

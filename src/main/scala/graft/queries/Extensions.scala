@@ -1801,6 +1801,24 @@ object Extensions {
     * computed from the raw pixel arrays before encoding — a lossless
     * round-trip, so any codec defect breaks the hash match. */
   private val mmFixture = "/root/repo/target/multimodal_fixture"
+  private val mmDedupFixture = "/root/repo/target/multimodal_neardup_fixture"
+
+  /** Perceptual image dedup: 64-bit dHash per PNG (real decode), pairs
+    * via the pigeonhole-exact banded Hamming join at radius 6 — the
+    * multimodal rendition of SimHash dedup. Split-phase oracle: the
+    * codes persist during Verify; DuckDB brute-forces Hamming over the
+    * SAME artifact, certifying the banding missed nothing. */
+  def multimodalDedup(s: SparkSession, d: String): DataFrame = {
+    Multimodal.ensurePngNearDupFixture(s, mmDedupFixture)
+    val codes = Multimodal.perceptualHashes(s,
+        Multimodal.pngMediaTable(s, mmDedupFixture))
+      .select(col("media_id").as("doc_id"), col("phash").as("simhash"))
+    val path = s"${splitDir(d)}/phash_codes"
+    codes.coalesce(1).write.mode("overwrite").parquet(path)
+    Dedup.simhashPairsFromSigs(s.read.parquet(path), "doc_id", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+  }
+
 
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     Multimodal.ensurePngFixture(s, mmFixture)
@@ -1932,6 +1950,7 @@ object Extensions {
     "q_sql_surface" -> (qSqlSurface _),
     "text_pii_redact" -> (textPiiRedact _),
     "multimodal_meta" -> (multimodalMeta _),
+    "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_retrieval" -> (multimodalRetrieval _),
@@ -2845,6 +2864,14 @@ object Extensions {
     // reads the SAME artifact and exactly recomputes the downstream half.
     // dedup_simhash: banding is pigeonhole-exact within the radius, so
     // the banded pair set must equal brute-force Hamming over the codes.
+    "multimodal_dedup" ->
+      s"""WITH s AS (SELECT doc_id, simhash
+         |  FROM read_parquet('$oracleSplitDir/phash_codes/*.parquet'))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH s AS (SELECT doc_id, simhash
          |  FROM read_parquet('$oracleSplitDir/simhash_codes/*.parquet'))
