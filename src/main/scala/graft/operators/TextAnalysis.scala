@@ -597,6 +597,58 @@ object TextAnalysis {
           col("n_words").cast("int")), " ").as("chunk_text"))
   }
 
+  /** TRAINER-FACING LOSS MASKS over packed sequences — the artifact a
+    * training job actually consumes: for every `(shard, seq_id)` of the
+    * [[packSequences]] layout, a '0'/'1' character per token position
+    * ('0' = no loss: the token sits inside a corpus-duplicated k-gram
+    * span, the Lee-et-al. masking [[Dedup.maskRepeatedSpans]] applies at
+    * span level), plus token/masked totals. Masking at the LOSS instead
+    * of deleting text keeps document structure and sequence packing
+    * stable while the optimizer never rewards memorized boilerplate.
+    *
+    * Scale shape: the coverage pass is the span-dedup one (token-scale,
+    * 8-byte gram-key shuffle, df≥2 gating); placement is arithmetic on
+    * the packing offsets (global = doc_start + pos; seq = div, slot =
+    * mod — a doc spanning a sequence boundary contributes to both); the
+    * output aggregate groups by (shard, seq) — ~n_tokens/tokensPerSeq
+    * rows, each bounded by `tokensPerSeq` characters. */
+  def packedLossMasks(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, minOccurrences: Int = 2,
+                      tokensPerSeq: Int = 512, nShards: Int = 8): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TF.words(col(textCol)).as("ws"))
+    val kgrams = base.select(col("doc_id"), col("ws"),
+        explode(when(size(col("ws")) >= k,
+          sequence(lit(0), size(col("ws")) - k))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"), col("p"),
+        xxhash64(array_join(slice(col("ws"), col("p") + 1, lit(k)), " "))
+          .as("gkey"))
+    val dup = kgrams.groupBy("gkey").count()
+      .filter(col("count") >= minOccurrences).select("gkey")
+    val covered = kgrams.join(dup, Seq("gkey"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val packed = packSequences(docs, idCol, textCol, tokensPerSeq, nShards)
+      .select(col(idCol).as("doc_id"), col("shard"),
+        (col("seq_id") * tokensPerSeq + col("seq_offset")).as("doc_start"))
+    val tokens = base.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "word")))
+    tokens.join(packed, "doc_id")
+      .join(covered.withColumn("cv", lit(1)), Seq("doc_id", "pos"), "left")
+      .withColumn("g", col("doc_start") + col("pos"))
+      .withColumn("seq_id", expr(s"g DIV $tokensPerSeq"))
+      .withColumn("pos_in_seq", col("g") % tokensPerSeq)
+      .withColumn("m", when(col("cv").isNull, lit("1")).otherwise(lit("0")))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("m") === "0", 1L).otherwise(0L)).as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos_in_seq"), col("m")))),
+          s => s.getField("m")), "").as("loss_mask"))
+  }
+
   /** TRAINING-SHARD MANIFEST — the operational artifact a training job
     * reads instead of listing data files: per shard of a
     * [[packSequences]] output, the document/sequence/token totals, the

@@ -982,6 +982,14 @@ object Extensions {
   def textBigramLogProb(s: SparkSession, d: String): DataFrame =
     TextAnalysis.bigramLogProb(docs(s, d), "doc_id", "text").orderBy("doc_id")
 
+  /** Trainer-facing loss-mask artifact: per packed (shard, seq_id), a
+    * '0'/'1' char per token slot — 0 where the token lies inside a
+    * corpus-duplicated 8-gram span (loss-masked, not deleted). */
+  def trainLossMask(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.packedLossMasks(docs(s, d), "doc_id", "text",
+      k = 8, minOccurrences = 2, tokensPerSeq = 512, nShards = 8)
+      .orderBy("shard", "seq_id")
+
   def textPackSequences(s: SparkSession, d: String): DataFrame =
     TextAnalysis.packSequences(docs(s, d), "doc_id", "text",
       tokensPerSeq = 512, nShards = 8)
@@ -1944,6 +1952,7 @@ object Extensions {
     "text_tfidf" -> (textTfidf _),
     "text_unigram_logprob" -> (textUnigramLogProb _),
     "text_pack_sequences" -> (textPackSequences _),
+    "train_loss_mask" -> (trainLossMask _),
     "text_chunk" -> (textChunk _),
     "text_shard_manifest" -> (textShardManifest _),
     "text_decontaminate_frac" -> (textDecontaminateFrac _),
@@ -3300,6 +3309,31 @@ object Extensions {
         |    AS mean_neg_logprob
         |FROM t JOIN sc USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "train_loss_mask" -> (packCoreSql +
+      """, kg AS (
+        |  SELECT doc_id, r.p, array_to_string(toks[r.p:r.p+7], ' ') AS g
+        |  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 6, 1))) AS p) r
+        |), dup AS (
+        |  SELECT g FROM kg GROUP BY g HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT kg.doc_id, c.p2
+        |  FROM kg JOIN dup USING (g),
+        |    LATERAL (SELECT unnest(range(kg.p, kg.p + 8)) AS p2) c
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos FROM w
+        |), placed AS (
+        |  SELECT packed.shard,
+        |    CAST((packed.seq_id * 512 + packed.seq_offset + t.pos - 1) // 512 AS BIGINT) AS seq_id,
+        |    CAST((packed.seq_id * 512 + packed.seq_offset + t.pos - 1) % 512 AS BIGINT) AS pos_in_seq,
+        |    CASE WHEN c.p2 IS NULL THEN '1' ELSE '0' END AS m
+        |  FROM tok t JOIN packed USING (doc_id)
+        |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p2 = t.pos)
+        |SELECT shard, seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE m = '0') AS BIGINT) AS n_masked,
+        |  string_agg(m, '' ORDER BY pos_in_seq) AS loss_mask
+        |FROM placed GROUP BY shard, seq_id
+        |ORDER BY shard, seq_id""".stripMargin),
     "text_pack_sequences" -> (packCoreSql +
       "\nSELECT doc_id, shard, n_tokens, seq_id, seq_offset FROM packed ORDER BY doc_id"),
     // manifest = one aggregate over the same pack; checksum is the
