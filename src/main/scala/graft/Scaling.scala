@@ -73,7 +73,14 @@ object Scaling {
     "text_quality_probe",
     // weighted Jaccard is the same budget-guarded postings self-join
     // class as the substring anchors
-    "dedup_weighted_jaccard")
+    "dedup_weighted_jaccard",
+    // round-14: the banded cross-set decontamination join (LSH-candidate
+    // class), the packed loss-mask artifact (coverage shuffle + packing
+    // window), and the held-out-label probe (label join + fixed-iteration
+    // GD aggregates) — all must stay ~linear. multimodal_dedup reads a
+    // fixed-size fixture, so an sf exponent would be meaningless for it.
+    "text_decontaminate_fuzzy", "train_loss_mask",
+    "text_quality_probe_holdout")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */

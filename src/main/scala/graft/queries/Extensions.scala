@@ -211,6 +211,40 @@ object Extensions {
     graft.streaming.StreamingDedup.quarantineLog(s, base).orderBy("train_id")
   }
 
+  /** Streaming FUZZY decontamination gate: the same three-batch stream
+    * + forced crash replay as the exact variant, with the MinHash-banded
+    * cross-set pass per batch — the accumulated log must equal the
+    * one-shot fuzzy join over the whole train corpus (the batch oracle). */
+  def dedupStreamingFuzzyDecon(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/sfdecon_$tag"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val all = docs(s, d).select(col("doc_id"), col("text"))
+    val train = all.filter(col("doc_id") % 10 =!= 0)
+    val evalSet = all.filter(col("doc_id") % 10 === 0)
+    (0 until 3).foreach(i => train.filter(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").json(s"$base/in"))
+    def run(): Unit = graft.streaming.StreamingIngest.awaitWithRestartRetry(() =>
+      graft.streaming.StreamingDedup.startDecontaminateFuzzy(
+        s.readStream.schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType))))
+          .option("maxFilesPerTrigger", 1).json(s"$base/in"),
+        evalSet, "doc_id", "text", base, s"$base/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    run()
+    // the crash: the final epoch's STREAM commit vanishes — restart
+    // re-delivers the batch; the idempotent epoch commit must keep the
+    // fuzzy quarantine log exact (no duplicates, no loss)
+    val commits = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits"))
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
+    run()
+    graft.streaming.StreamingDedup.fuzzyQuarantineLog(s, base)
+      .orderBy("train_id", "eval_id")
+  }
+
   /** STREAMING QUALITY CIRCUIT-BREAKER gate: three micro-batches, the
     * middle one poisoned by a truncating producer (every text cut to 20
     * chars — individually parseable rows, statistically broken batch).
@@ -1913,6 +1947,7 @@ object Extensions {
     "dedup_incremental_fold" -> (dedupIncrementalFold _),
     "dedup_streaming_index" -> (dedupStreamingIndex _),
     "dedup_streaming_decon" -> (dedupStreamingDecon _),
+    "dedup_streaming_fuzzy_decon" -> (dedupStreamingFuzzyDecon _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_canonical_incremental" -> (dedupCanonicalIncremental _),
@@ -2244,6 +2279,22 @@ object Extensions {
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact cross-set (train % 10 != 0 vs eval % 10 = 0) 3-shingle
+    * Jaccard join at 0.5 — the fuzzy-decontamination ground truth
+    * shared by the batch and streaming gates (hash match certifies the
+    * banding missed nothing). */
+  private val fuzzyDeconSql: String = shingleCte +
+    """
+      |SELECT train_id, eval_id, jaccard FROM (
+      |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+      |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+      |    CAST(len(a.sh) + len(b.sh)
+      |         - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+      |  FROM s a JOIN s b ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+      |WHERE jaccard >= 0.5
+      |ORDER BY train_id, eval_id""".stripMargin
 
   private val vecCte =
     """WITH v AS (
@@ -3185,17 +3236,9 @@ object Extensions {
         |JOIN df USING (term)
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin),
     "text_decontaminate" -> decontaminateSql,
-    "text_decontaminate_fuzzy" -> (shingleCte +
-      """
-        |SELECT train_id, eval_id, jaccard FROM (
-        |  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
-        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
-        |    CAST(len(a.sh) + len(b.sh)
-        |         - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
-        |  FROM s a JOIN s b ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
-        |WHERE jaccard >= 0.5
-        |ORDER BY train_id, eval_id""".stripMargin),
+    "text_decontaminate_fuzzy" -> fuzzyDeconSql,
+    // the streamed log must equal the one-shot fuzzy pass
+    "dedup_streaming_fuzzy_decon" -> fuzzyDeconSql,
     "text_decontaminate_frac" -> decontaminateFracSql,
     // the SQL-surface gate: nfc + shingles + intersect count replayed
     // natively in DuckDB over the same linear next-doc join

@@ -218,6 +218,43 @@ object StreamingDedup {
                     root: String): DataFrame =
     TransactionalLake.readCommitted(spark, quarantineRoot(root)).drop("epoch")
 
+  def fuzzyQuarantineRoot(root: String): String = s"$root/quarantine_fuzzy"
+
+  /** STREAMING FUZZY decontamination — the paraphrase-catching twin of
+    * [[startDecontaminate]]: every micro-batch runs the MinHash-banded
+    * cross-set pass ([[Dedup.decontaminateFuzzy]]) against the static
+    * eval suite and commits the verified `(train_id, eval_id, jaccard)`
+    * pairs under the batch epoch. Each train doc arrives in exactly one
+    * batch and candidates always pair a batch doc with an eval doc, so
+    * the accumulated log equals the one-shot fuzzy pass over everything
+    * ingested — exactly-once across crash replays via the idempotent
+    * epoch commit. Per-batch cost: one batch-scale signature pass plus
+    * the suite-scale (broadcast) eval side — never a corpus re-scan. */
+  def startDecontaminateFuzzy(docs: DataFrame, evalSet: DataFrame,
+                              idCol: String, textCol: String, root: String,
+                              checkpoint: String, trigger: Trigger,
+                              k: Int = 3, threshold: Double = 0.5,
+                              bands: Int = 32,
+                              rowsPerBand: Int = 2): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val flagged = Dedup.decontaminateFuzzy(batch, evalSet, idCol,
+          textCol, k, threshold, bands, rowsPerBand)
+        TransactionalLake.commitEpoch(flagged, fuzzyQuarantineRoot(root),
+          epochId, Nil)
+        ()
+      }
+      .start()
+
+  /** The accumulated fuzzy quarantine log (exactly-once across
+    * replays). */
+  def fuzzyQuarantineLog(spark: org.apache.spark.sql.SparkSession,
+                         root: String): DataFrame =
+    TransactionalLake.readCommitted(spark, fuzzyQuarantineRoot(root))
+      .drop("epoch")
+
   /** STREAMING substring-dedup index maintenance: every micro-batch
     * advances the gram-postings lake and the per-doc best-repeat state
     * through [[Dedup.commitSubstringBatch]] — both commits are keyed on

@@ -57,6 +57,30 @@ class FuzzyDeconSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("streamed quarantine log equals the one-shot fuzzy pass") {
+    val base = "/root/repo/target/tmp/fuzzy_decon_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    (0 until 2).foreach(i => train.filter(col("doc_id") % 2 === i)
+      .coalesce(1).write.mode("append").json(s"$base/in"))
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val q = graft.streaming.StreamingDedup.startDecontaminateFuzzy(
+      spark.readStream.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+        .option("maxFilesPerTrigger", 1).json(s"$base/in"),
+      evalSet, "doc_id", "text", base, s"$base/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val streamed = graft.streaming.StreamingDedup
+      .fuzzyQuarantineLog(spark, base)
+      .orderBy("train_id", "eval_id").collect().toSeq
+    val oneShot = Dedup.decontaminateFuzzy(train, evalSet, "doc_id", "text",
+      k = 3, threshold = 0.5)
+      .orderBy("train_id", "eval_id").collect().toSeq
+    assert(streamed == oneShot && streamed.nonEmpty)
+  }
+
   test("clean corpora produce no pairs") {
     val got = Dedup.decontaminateFuzzy(
       (2L to 8L).map(i => (i, noise(i.toInt))).toDF("doc_id", "text"),
