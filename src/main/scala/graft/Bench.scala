@@ -209,15 +209,23 @@ object Bench {
     // quiesce, re-run the full series, commit the smaller-median series,
     // record both plus the ratio. Code regressions move the entry but
     // not the canary, so they never trip this.
+    // The baseline merges PER-ENTRY MINIMA across every committed full
+    // record (and takes the lowest steady-canary median seen): a full
+    // record committed from a degraded window — drift is recorded in
+    // the artifact, the machine does not always recover inside a round
+    // — must not blunt the next round's trigger. "Contention only ever
+    // inflates", so the best-known median is the truest reference; the
+    // 1.3x headroom absorbs legitimate accepted regressions.
     case class LevelBaseline(queries: Map[String, Double], canaryMed: Double)
     val levelBaseline: Option[LevelBaseline] = {
-      val path = sys.env.get("SPARK_GRAFT_LEVEL_BASELINE").orElse {
-        Option(new java.io.File("/root/repo").listFiles()).flatMap(
-          _.filter(_.getName.matches("bench_full_r\\d+\\.json"))
-            .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-            .lastOption.map(_.getPath))
-      }
-      path.flatMap { p =>
+      val paths = sys.env.get("SPARK_GRAFT_LEVEL_BASELINE").map(Seq(_))
+        .getOrElse {
+          Option(new java.io.File("/root/repo").listFiles()).toSeq.flatMap(
+            _.filter(_.getName.matches("bench_full_r\\d+\\.json"))
+              .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+              .map(_.getPath))
+        }
+      val loaded = paths.flatMap { p =>
         try {
           val om = new com.fasterxml.jackson.databind.ObjectMapper()
           val root = om.readTree(new java.io.File(p))
@@ -230,17 +238,23 @@ object Bench {
           val cm =
             if (steady.isEmpty) Double.NaN
             else steady.sorted.apply(steady.size / 2)
-          if (qs.nonEmpty && cm > 0 && !cm.isNaN) {
-            System.err.println(s"[bench] level baseline: $p " +
-              f"(${qs.size} entries, canary median $cm%.3f s)")
-            Some(LevelBaseline(qs, cm))
-          } else None
+          if (qs.nonEmpty && cm > 0 && !cm.isNaN) Some((p, qs, cm)) else None
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] level baseline unreadable ($p): " +
-              e.getClass.getSimpleName + " - level trigger disabled")
+              e.getClass.getSimpleName + " - record skipped")
             None
         }
+      }
+      if (loaded.isEmpty) None
+      else {
+        val qs = loaded.flatMap(_._2.toSeq)
+          .groupMapReduce(_._1)(_._2)(math.min)
+        val cm = loaded.map(_._3).min
+        System.err.println(s"[bench] level baseline: per-entry minima over " +
+          s"${loaded.size} record(s) [${loaded.map(l => new java.io.File(l._1).getName).mkString(", ")}] " +
+          f"(${qs.size} entries, canary median $cm%.3f s)")
+        Some(LevelBaseline(qs, cm))
       }
     }
     // budget bounds worst-case suite inflation under sustained
