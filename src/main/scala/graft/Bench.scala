@@ -232,8 +232,11 @@ object Bench {
           import scala.jdk.CollectionConverters._
           val qs = root.get("queries").properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
-          val cs = root.get("canary").elements().asScala
-            .map(_.get(1).asDouble()).toSeq
+          // pre-r12 records carry no canary series — skip them cleanly
+          // (their per-entry minima would lack the machine reference the
+          // level trigger divides by)
+          val cs = Option(root.get("canary")).map(_.elements().asScala
+            .map(_.get(1).asDouble()).toSeq).getOrElse(Seq.empty)
           val steady = if (cs.size > 1) cs.drop(1) else cs
           val cm =
             if (steady.isEmpty) Double.NaN
@@ -257,10 +260,24 @@ object Bench {
         Some(LevelBaseline(qs, cm))
       }
     }
-    // budget bounds worst-case suite inflation under sustained
-    // contention (each level retry costs ~1 entry); the trail of the
-    // first N elevated entries is evidence enough
-    var levelRetriesLeft = 12
+    // Budget bounds worst-case suite inflation under sustained
+    // contention — but it burns only on WASTED retries (retry landed
+    // neither under the 1.3x trigger nor >=10% below the raw median).
+    // A retry that rescued an entry paid for itself and is free. The
+    // r14 close run showed why a flat all-retries budget is wrong: 12
+    // retries burned on the dedup_* block (first alphabetically) under
+    // sustained elevation, then q_zorder_zonemap_scan committed 4.76x
+    // its baseline (0.98 s -> 4.66 s, right on a 3.9x canary spike)
+    // with the protection already exhausted.
+    var levelWastedBudget = 12
+    // Sustained-contention backoff: when a retry is wasted AND the
+    // machine still reads heavily elevated (canary > 1.5x committed),
+    // retrying the next elevated entry immediately is near-certain to
+    // waste again — skip level retries for a window of entries, then
+    // re-arm. Skips are RECORDED in the artifact (level_skips) so the
+    // judge can discount those entries without forensics.
+    var levelBackoffUntil = -1
+    val levelSkips = scala.collection.mutable.LinkedHashMap[String, String]()
     // rolling machine baseline for the retry decision: median of the
     // steady canary samples so far (sample[0] excluded — it pays
     // first-touch page-cache/JIT warm-up even after the untimed probe,
@@ -334,17 +351,31 @@ object Bench {
             // level trigger: spread-clean series, but uniformly elevated
             // vs the committed record AND the machine reads elevated vs
             // the committed canary. Returns the canary level ratio.
+            // Budget-exhausted and backoff skips land in levelSkips
+            // (serialized as level_skips) — the artifact must carry the
+            // evidence that an entry was SEEN elevated and deliberately
+            // not retried, not silently commit it as if healthy.
             def levelRatio(): Option[(Double, Double)] =
               levelBaseline.flatMap { b =>
                 b.queries.get(name)
                   .filter(bm => bm > 0 && ts(ts.size / 2) >= 1.0 &&
                     ts(ts.size / 2) > 1.3 * bm)
                   .flatMap { bm =>
-                    if (levelRetriesLeft <= 0) {
+                    val elev = ts(ts.size / 2) / bm
+                    if (qIdx < levelBackoffUntil) {
                       System.err.println(
                         f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
-                          f"${ts(ts.size / 2) / bm}%.2fx the committed $bm%.2f s " +
-                          "but the level-retry budget is exhausted - keeping raw")
+                          f"$elev%.2fx the committed $bm%.2f s but sustained " +
+                          f"contention backoff is active until entry " +
+                          s"$levelBackoffUntil - keeping raw, recorded")
+                      levelSkips(name) = f"backoff@$elev%.2fx"
+                      None
+                    } else if (levelWastedBudget <= 0) {
+                      System.err.println(
+                        f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
+                          f"$elev%.2fx the committed $bm%.2f s " +
+                          "but the wasted-retry budget is exhausted - keeping raw, recorded")
+                      levelSkips(name) = f"budget@$elev%.2fx"
                       None
                     } else {
                       val lr = canary() / b.canaryMed
@@ -355,7 +386,6 @@ object Bench {
             if (!violates(ts)) levelRatio() match {
               case None => Right(Meas(ts, None, None, None))
               case Some((lr, bm)) =>
-                levelRetriesLeft -= 1
                 System.err.println(
                   f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
                     f"${ts(ts.size / 2) / bm}%.2fx the committed $bm%.2f s with a " +
@@ -371,9 +401,8 @@ object Bench {
                     // committed median AND the machine still reads elevated
                     // (contention spanned the first retry window)
                     val rts =
-                      if (rts0(rts0.size / 2) > 1.3 * bm && levelRetriesLeft > 0 &&
+                      if (rts0(rts0.size / 2) > 1.3 * bm && levelWastedBudget > 1 &&
                           canary() / levelBaseline.get.canaryMed > 1.15) {
-                        levelRetriesLeft -= 1
                         System.err.println(
                           f"[bench] $name level retry still " +
                             f"${rts0(rts0.size / 2) / bm}%.2fx the committed median " +
@@ -396,6 +425,32 @@ object Bench {
                       case (false, true) => ts
                       case _ =>
                         if (rts(rts.size / 2) <= ts(ts.size / 2)) rts else ts
+                    }
+                    // settle the budget: a retry that landed under the
+                    // trigger or >=10% below the raw median RESCUED the
+                    // entry (free); one that didn't was wasted — and if
+                    // the machine still reads heavily elevated, further
+                    // immediate retries are near-certain waste too, so
+                    // back off for a window of entries (skips recorded)
+                    val cm = chosen(chosen.size / 2)
+                    val rescued = cm <= 1.3 * bm || cm <= 0.9 * ts(ts.size / 2)
+                    if (!rescued) {
+                      levelWastedBudget -= 1
+                      val lrNow = canary() / levelBaseline.get.canaryMed
+                      if (lrNow > 1.5) {
+                        levelBackoffUntil = qIdx + 8
+                        System.err.println(
+                          f"[bench] $name level retry wasted (still " +
+                            f"${cm / bm}%.2fx) under canary $lrNow%.2fx - " +
+                            f"sustained contention, backing off level " +
+                            s"retries until entry $levelBackoffUntil " +
+                            s"(wasted budget left $levelWastedBudget)")
+                      } else {
+                        System.err.println(
+                          f"[bench] $name level retry wasted (still " +
+                            f"${cm / bm}%.2fx, canary now $lrNow%.2fx) - " +
+                            s"wasted budget left $levelWastedBudget")
+                      }
                     }
                     Right(Meas(chosen, Some(ts), Some(rts), Some(lr),
                       Some("level")))
@@ -507,6 +562,12 @@ object Bench {
       case (k, Right(m)) if m.retryKind.isDefined =>
         jsonStr(k) + ":" + jsonStr(m.retryKind.get)
     }.mkString("{", ",", "}")
+    // entries SEEN elevated vs the committed baseline but deliberately
+    // not retried (sustained-contention backoff / wasted-retry budget):
+    // the gate and the judge discount these with evidence, not forensics
+    val levelSkipsJson = levelSkips.map { case (k, v) =>
+      jsonStr(k) + ":" + jsonStr(v)
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(msg)) =>
       jsonStr(k) + ":" + jsonStr(msg)
     }.mkString("{", ",", "}")
@@ -583,7 +644,7 @@ object Bench {
     val canaryDrift =
       if (steadyCanaries.isEmpty) 1.0
       else steadyCanaries.max / math.max(1e-9, steadyCanaries.min)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"reps_raw":$repsRaw,"reps_retried":$repsRetried,"canary_ratio":$canaryRatios,"retry_kind":$retryKinds,"errors":$errs,"ingest_records_per_s":$ingestRate,"freshness_sec":$freshness,"canary":$canaryJson,"canary_drift":${f"$canaryDrift%.3f"},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"reps_raw":$repsRaw,"reps_retried":$repsRetried,"canary_ratio":$canaryRatios,"retry_kind":$retryKinds,"level_skips":$levelSkipsJson,"errors":$errs,"ingest_records_per_s":$ingestRate,"freshness_sec":$freshness,"canary":$canaryJson,"canary_drift":${f"$canaryDrift%.3f"},"sf":"$sfDir"}"""
     // STDOUT gets a COMPACT headline line: the driver keeps only the last
     // ~2000 chars of output, and the full 126-query line (~6 KB) has
     // exceeded that since round 1 — every BENCH_r*.json shows

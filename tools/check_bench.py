@@ -172,8 +172,14 @@ def main():
         ratio = new_t / old_t if old_t > 0 else float("inf")
         flag = old_t >= noise_floor and ratio > threshold
         mark = "SLOW" if flag else "ok  "
+        # the bench records entries it SAW elevated but deliberately did
+        # not retry (sustained-contention backoff / wasted-retry budget)
+        # — annotate so the gate output carries the machine-state
+        # evidence next to the violation; the entry still FAILS
+        skip = new.get("level_skips", {}).get(q)
+        note = f" [bench recorded contended: {skip}]" if skip else ""
         if flag or ratio > threshold:
-            print(f"{mark} {q}: {old_t:.2f}s -> {new_t:.2f}s ({ratio:.2f}x)")
+            print(f"{mark} {q}: {old_t:.2f}s -> {new_t:.2f}s ({ratio:.2f}x){note}")
         if flag:
             bad.append(q)
     for q, msg in sorted(new.get("errors", {}).items()):
