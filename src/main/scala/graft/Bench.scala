@@ -270,6 +270,12 @@ object Bench {
     // its baseline (0.98 s -> 4.66 s, right on a 3.9x canary spike)
     // with the protection already exhausted.
     var levelWastedBudget = 12
+    // and a TOTAL cap (rescued retries included): on a mildly-elevated
+    // day most retries improve their entry and are budget-free, which
+    // without a ceiling could re-run nearly every >=1 s entry and double
+    // the suite wall time. 60 retries bounds inflation at ~25% of the
+    // suite while covering 5x the old flat budget.
+    var levelRetriesTotal = 60
     // Sustained-contention backoff: when a retry is wasted AND the
     // machine still reads heavily elevated (canary > 1.5x committed),
     // retrying the next elevated entry immediately is near-certain to
@@ -370,11 +376,13 @@ object Bench {
                           s"$levelBackoffUntil - keeping raw, recorded")
                       levelSkips(name) = f"backoff@$elev%.2fx"
                       None
-                    } else if (levelWastedBudget <= 0) {
+                    } else if (levelWastedBudget <= 0 || levelRetriesTotal <= 0) {
+                      val which =
+                        if (levelWastedBudget <= 0) "wasted-retry" else "total-retry"
                       System.err.println(
                         f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
                           f"$elev%.2fx the committed $bm%.2f s " +
-                          "but the wasted-retry budget is exhausted - keeping raw, recorded")
+                          s"but the $which budget is exhausted - keeping raw, recorded")
                       levelSkips(name) = f"budget@$elev%.2fx"
                       None
                     } else {
@@ -386,6 +394,7 @@ object Bench {
             if (!violates(ts)) levelRatio() match {
               case None => Right(Meas(ts, None, None, None))
               case Some((lr, bm)) =>
+                levelRetriesTotal -= 1
                 System.err.println(
                   f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
                     f"${ts(ts.size / 2) / bm}%.2fx the committed $bm%.2f s with a " +
@@ -402,7 +411,9 @@ object Bench {
                     // (contention spanned the first retry window)
                     val rts =
                       if (rts0(rts0.size / 2) > 1.3 * bm && levelWastedBudget > 1 &&
+                          levelRetriesTotal > 0 &&
                           canary() / levelBaseline.get.canaryMed > 1.15) {
+                        levelRetriesTotal -= 1
                         System.err.println(
                           f"[bench] $name level retry still " +
                             f"${rts0(rts0.size / 2) / bm}%.2fx the committed median " +
