@@ -80,7 +80,11 @@ object Scaling {
     // GD aggregates) — all must stay ~linear. multimodal_dedup reads a
     // fixed-size fixture, so an sf exponent would be meaningless for it.
     "text_decontaminate_fuzzy", "train_loss_mask",
-    "text_quality_probe_holdout")
+    "text_quality_probe_holdout",
+    // round-14 close session: the sweep shares the loosest-threshold
+    // candidate pass — its growth must track the single-threshold join
+    // (same PPJoin class), not multiply by the sweep size
+    "dedup_threshold_sweep")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */

@@ -139,6 +139,68 @@ object Dedup {
     verifyPairs(candidates, sets, idCol, threshold)
   }
 
+  /** DEDUP-POLICY THRESHOLD SWEEP — the dup-rate curve a corpus owner
+    * reads before PICKING a near-dup threshold: for each candidate
+    * threshold, how many qualifying pairs exist and how many documents
+    * participate in at least one. Choosing a policy by running the full
+    * near-dup join once per candidate threshold is the naive shape; at
+    * 100 TB each run re-pays the corpus-scale shingle pass, the postings
+    * aggregate, and the candidate join. This sweep pays them ONCE:
+    * candidates are generated at the LOOSEST threshold (the PPJoin
+    * prefix at t_min is a superset of every prefix at t ≥ t_min, so
+    * recall is exact for the whole sweep), each candidate pair is
+    * verified to its exact Jaccard once, and the per-threshold rollup is
+    * metadata-scale work over the verified pair set (pairs × |sweep|
+    * rows). Thresholds with zero qualifying pairs still get a row
+    * (n_pairs = 0) — a sweep that silently dropped the strict end would
+    * read as "no data", not "no dups".
+    *
+    * Output: (threshold, n_pairs, n_dup_docs, n_docs) per sweep point,
+    * ordered by threshold — n_docs rides along so the dup-doc fraction
+    * is a consumer-side division, not a stored rounded double.
+    * Same eager/file-backed contract as [[ngramJaccardPairs]]. */
+  def thresholdSweep(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3,
+                     thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9),
+                     stopShingleFraction: Double = 0.05,
+                     maxDensePairs: Long = 10000000L): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: empty threshold sweep")
+    require(thresholds.forall(t => t > 0.0 && t <= 1.0),
+      "thresholdSweep: thresholds must be in (0, 1]")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sets = withShingleSets(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs =
+      try Blocks.scope {
+        Blocks.copyOut(
+          ngramJaccardPairsFromSets(sets, idCol, thresholds.min,
+            stopShingleFraction, maxDensePairs),
+          singleEval = true)
+      } finally { sets.unpersist(blocking = true); () }
+    // everything below is arithmetic over the SMALL verified pair set:
+    // the sweep frame and the corpus count are broadcast metadata
+    val th = thresholds.sorted.toDF("threshold")
+    val perT = pairs.crossJoin(broadcast(th))
+      .filter(col("jaccard") >= col("threshold"))
+    val pairCounts = perT.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = perT
+      .select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("doc"))
+      .distinct()
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_dup_docs"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    th.join(pairCounts, Seq("threshold"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("threshold"), col("n_pairs"), col("n_dup_docs"),
+        col("n_docs"))
+      .orderBy(col("threshold"))
+  }
+
   /** Candidate (id_a, id_b) pairs of the stop-shingle-aware PPJoin+
     * self-join — factored out so the blocking-budget spec can AUDIT the
     * fan-out blocking actually produces (candidates ≪ all-pairs),

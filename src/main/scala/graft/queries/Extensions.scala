@@ -51,6 +51,14 @@ object Extensions {
       k = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  /** Dup-rate curve across candidate near-dup thresholds — ONE
+    * candidate pass at the loosest point serves the whole sweep
+    * (policy selection without re-paying the corpus-scale join per
+    * threshold). */
+  def dedupThresholdSweep(s: SparkSession, d: String): DataFrame =
+    Dedup.thresholdSweep(docs(s, d), "doc_id", "text", k = 3,
+      thresholds = Seq(0.6, 0.7, 0.8, 0.9))
+
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashNearDupPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)
       .orderBy("id_a", "id_b")
@@ -2039,6 +2047,7 @@ object Extensions {
     "sample_probe_budget" -> (sampleProbeBudget _),
     "text_dup_report" -> (textDupReport _),
     "dedup_weighted_jaccard" -> (dedupWeightedJaccard _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "text_perplexity_incremental" -> (textPerplexityIncremental _)))
 
   private val tokensCte =
@@ -2279,6 +2288,38 @@ object Extensions {
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |WHERE jaccard >= 0.8
         |ORDER BY id_a, id_b""".stripMargin
+
+  /** Threshold-sweep ground truth: the exact all-pairs Jaccard join
+    * once (MATERIALIZED — pc and dc both consume it), then the
+    * per-threshold rollup the one-candidate-pass operator must match.
+    * Thresholds CAST to DOUBLE (DuckDB list literals default to
+    * DECIMAL); zero-pair thresholds keep their row via the left join. */
+  private val thresholdSweepSql: String = shingleCte +
+    """, p AS MATERIALIZED (
+      |  SELECT id_a, id_b, jaccard FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+      |      CAST(len(a.sh) + len(b.sh)
+      |           - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS jaccard
+      |    FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+      |  WHERE jaccard >= 0.6
+      |),
+      |t AS (SELECT CAST(unnest([0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+      |pt AS MATERIALIZED (
+      |  SELECT t.threshold, p.id_a, p.id_b
+      |  FROM t JOIN p ON p.jaccard >= t.threshold),
+      |pc AS (SELECT threshold, count(*) AS n_pairs FROM pt GROUP BY threshold),
+      |dc AS (SELECT threshold, count(DISTINCT doc) AS n_dup_docs FROM (
+      |  SELECT threshold, unnest([id_a, id_b]) AS doc FROM pt) GROUP BY threshold),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT t.threshold,
+      |  CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(dc.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+      |  n.n_docs
+      |FROM t LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
+      |CROSS JOIN n
+      |ORDER BY threshold""".stripMargin
 
   /** Exact cross-set (train % 10 != 0 vs eval % 10 = 0) 3-shingle
     * Jaccard join at 0.5 — the fuzzy-decontamination ground truth
@@ -2831,6 +2872,7 @@ object Extensions {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_threshold_sweep" -> thresholdSweepSql,
     // containment is ASYMMETRIC (|A∩B| / |A|): ordered pairs, a ≠ b —
     // the naive cross product is the oracle for the prefix-blocked join
     "dedup_containment" -> (shingleCte +

@@ -645,4 +645,30 @@ class DedupSimilaritySpec extends SparkSpec {
     // relative to ann order when gaps differ — sanity: scores descend
     assert(b8.map(_._3) == b8.map(_._3).sorted.reverse)
   }
+
+  test("threshold sweep: one candidate pass equals per-threshold joins; strict end keeps its zero row") {
+    val ts = Seq(0.6, 0.8, 0.95)
+    val sweep = Dedup.thresholdSweep(docs, "doc_id", "text", k = 3,
+      thresholds = ts)
+      .as[(Double, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(sweep.map(_._1) === ts.sorted, "every sweep point keeps a row")
+    val nDocs = docs.count()
+    assert(sweep.forall(_._4 == nDocs), "corpus size rides along")
+    // reference: the full near-dup join run once PER threshold — the
+    // single loosest-threshold candidate pass must lose nothing at any
+    // tighter point (the PPJoin prefix at t_min is a superset)
+    for ((t, np, nd, _) <- sweep) {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(np == pairs.size.toLong, s"n_pairs at $t")
+      assert(nd == pairs.flatMap(p => Seq(p._1, p._2)).size.toLong,
+        s"n_dup_docs at $t")
+    }
+    // tightening the threshold never adds pairs or participating docs
+    assert(sweep.sliding(2).forall {
+      case Seq(a, b) => b._2 <= a._2 && b._3 <= a._3
+      case _ => true
+    })
+  }
 }
