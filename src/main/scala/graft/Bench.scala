@@ -369,13 +369,29 @@ object Bench {
                   .flatMap { bm =>
                     val elev = ts(ts.size / 2) / bm
                     if (qIdx < levelBackoffUntil) {
-                      System.err.println(
-                        f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
-                          f"$elev%.2fx the committed $bm%.2f s but sustained " +
-                          f"contention backoff is active until entry " +
-                          s"$levelBackoffUntil - keeping raw, recorded")
-                      levelSkips(name) = f"backoff@$elev%.2fx"
-                      None
+                      // the backoff is entry-index-blind, but bursts are
+                      // time-bound: probe before skipping, and retry after
+                      // all when the machine has RECOVERED (a rescue is
+                      // then likely and budget-free). Still-elevated →
+                      // skip as before, recorded.
+                      val lr = canary() / b.canaryMed
+                      if (lr <= 1.15) {
+                        System.err.println(
+                          f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
+                            f"$elev%.2fx the committed $bm%.2f s inside a " +
+                            f"backoff window but the canary recovered " +
+                            f"($lr%.2fx) - retrying after all")
+                        Some((lr, bm))
+                      } else {
+                        System.err.println(
+                          f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
+                            f"$elev%.2fx the committed $bm%.2f s but sustained " +
+                            f"contention backoff is active until entry " +
+                            f"$levelBackoffUntil (canary still $lr%.2fx) - " +
+                            "keeping raw, recorded")
+                        levelSkips(name) = f"backoff@$elev%.2fx"
+                        None
+                      }
                     } else if (levelWastedBudget <= 0 || levelRetriesTotal <= 0) {
                       val which =
                         if (levelWastedBudget <= 0) "wasted-retry" else "total-retry"
