@@ -220,8 +220,14 @@ object Bench {
     val levelBaseline: Option[LevelBaseline] = {
       val paths = sys.env.get("SPARK_GRAFT_LEVEL_BASELINE").map(Seq(_))
         .getOrElse {
+          // committed round records PLUS cross-validation runs
+          // (bench_full_r14_runC.json): a same-code validation run's
+          // clean minima are as true a reference as a round close's —
+          // adopting them keeps a degraded-day record from blunting
+          // the trigger (r14 close: record 341 s at canary drift 3.15,
+          // run C 333 s with v3 8.69 vs the record's 11.80)
           Option(new java.io.File("/root/repo").listFiles()).toSeq.flatMap(
-            _.filter(_.getName.matches("bench_full_r\\d+\\.json"))
+            _.filter(_.getName.matches("bench_full_r\\d+(_run[A-Z])?\\.json"))
               .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
               .map(_.getPath))
         }
@@ -376,12 +382,27 @@ object Bench {
                       // skip as before, recorded.
                       val lr = canary() / b.canaryMed
                       if (lr <= 1.15) {
-                        System.err.println(
-                          f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
-                            f"$elev%.2fx the committed $bm%.2f s inside a " +
-                            f"backoff window but the canary recovered " +
-                            f"($lr%.2fx) - retrying after all")
-                        Some((lr, bm))
+                        // a recovered-canary rescue is still a RETRY:
+                        // gate it on both budgets (under oscillating
+                        // contention the rescue path would otherwise
+                        // retry past exhaustion and drive the counters
+                        // negative, voiding the suite-inflation ceiling)
+                        if (levelWastedBudget > 0 && levelRetriesTotal > 0) {
+                          System.err.println(
+                            f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
+                              f"$elev%.2fx the committed $bm%.2f s inside a " +
+                              f"backoff window but the canary recovered " +
+                              f"($lr%.2fx) - retrying after all")
+                          Some((lr, bm))
+                        } else {
+                          System.err.println(
+                            f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +
+                              f"$elev%.2fx the committed $bm%.2f s, canary " +
+                              f"recovered ($lr%.2fx) but the retry budget is " +
+                              "exhausted - keeping raw, recorded")
+                          levelSkips(name) = f"budget@$elev%.2fx"
+                          None
+                        }
                       } else {
                         System.err.println(
                           f"[bench] $name median ${ts(ts.size / 2)}%.2f s is " +

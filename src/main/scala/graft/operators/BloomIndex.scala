@@ -147,6 +147,28 @@ object BloomIndex {
     indexed
   }
 
+  /** OFFBOARDING CASCADE for the bloom index — the bloom twin of
+    * [[ZoneMap.purgeTenantStats]]: drop every index row whose indexed
+    * file lives under the purged tenant's partition subtree (committed
+    * index epochs via [[graft.sources.TransactionalLake
+    * .purgeRowsWhere]], refold generations via `purgeRowsInDir`). Run
+    * AFTER the data lake's `purgeTenant`; metadata-scale. */
+  def purgeTenantRows(spark: SparkSession, indexRoot: String,
+                      tenant: String): Int = {
+    val T = graft.sources.TransactionalLake
+    val pred = col("file").contains(s"/tenant=$tenant/")
+    var n = T.purgeRowsWhere(spark, indexRoot, pred)
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexRoot), spark.sparkContext.hadoopConfiguration)
+    val genRoot = new org.apache.hadoop.fs.Path(s"$indexRoot/gen")
+    if (fsys.exists(genRoot))
+      fsys.listStatus(genRoot).map(_.getPath)
+        .filter(_.getName.startsWith("v=")).foreach { p =>
+          if (T.purgeRowsInDir(spark, p.toString, pred)) n += 1
+        }
+    n
+  }
+
   /** The bloom index of a lake that has been through retention folds:
     * per-epoch rows for LIVE epochs plus the per-generation index
     * [[refoldIndex]] maintains. Fails loud if a fold happened but its

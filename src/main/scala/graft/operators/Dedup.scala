@@ -178,23 +178,34 @@ object Dedup {
             stopShingleFraction, maxDensePairs),
           singleEval = true)
       } finally { sets.unpersist(blocking = true); () }
-    // everything below is arithmetic over the SMALL verified pair set:
-    // the sweep frame and the corpus count are broadcast metadata
-    val th = thresholds.sorted.toDF("threshold")
-    val perT = pairs.crossJoin(broadcast(th))
-      .filter(col("jaccard") >= col("threshold"))
-    val pairCounts = perT.groupBy(col("threshold"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val docCounts = perT
-      .select(col("threshold"),
-        explode(array(col("id_a"), col("id_b"))).as("doc"))
-      .distinct()
-      .groupBy(col("threshold"))
-      .agg(count(lit(1)).as("n_dup_docs"))
+    // everything below is arithmetic over the SMALL verified pair set —
+    // and stays PAIR-SCALE regardless of sweep width: both rollups are
+    // single-pass CONDITIONAL aggregations (one per-threshold sum each),
+    // never a pairs × |sweep| expansion (the earlier crossJoin shape
+    // materialized that product twice — pair counts AND exploded doc
+    // rows — which belied the metadata-scale contract for wide sweeps)
+    val tS = thresholds.sorted
+    def sweepCounts(src: DataFrame, v: Column): DataFrame = {
+      val aggs = tS.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(v >= t, 1L)), lit(0L)).as(s"c$i") }
+      src.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${tS.size}, " +
+          tS.zipWithIndex.map { case (t, i) =>
+            s"CAST($t AS DOUBLE), c$i" }.mkString(", ") +
+          ") as (threshold, n)")
+    }
+    val pairCounts = sweepCounts(pairs, col("jaccard"))
+      .withColumnRenamed("n", "n_pairs")
+    // a doc participates at threshold t iff its BEST pair ≥ t — one
+    // doc-grain max pass replaces the per-threshold explode+distinct
+    val docBest = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc"),
+        col("jaccard"))
+      .groupBy("doc").agg(max(col("jaccard")).as("bj"))
+    val docCounts = sweepCounts(docBest, col("bj"))
+      .withColumnRenamed("n", "n_dup_docs")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    th.join(pairCounts, Seq("threshold"), "left")
-      .join(docCounts, Seq("threshold"), "left")
-      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+    pairCounts.join(docCounts, Seq("threshold"))
       .crossJoin(broadcast(nDocs))
       .select(col("threshold"), col("n_pairs"), col("n_dup_docs"),
         col("n_docs"))
@@ -1407,6 +1418,32 @@ object Dedup {
     graft.sources.TransactionalLake.commitEpoch(
       newG.groupBy("gkey").agg(count(lit(1)).as("cnt")),
       sdfRoot(indexRoot), epochId, partitionCols = Nil)
+    // UPGRADE BACKFILL: a root whose gram epochs were committed before
+    // the df artifact existed has no df deltas for them — reading
+    // corpus df solely from the df lake would then undercount, the
+    // df>=2 gate would drop real cross-doc anchor keys, and repeat
+    // spans would be missed SILENTLY (the current batch always commits
+    // its own delta, so nothing errors). Detect the gap by comparing
+    // epoch sets and backfill each missing epoch's delta from the
+    // committed gram postings (folds preserve per-row epoch values, so
+    // the filter works on folded roots too). One-time O(missing
+    // epochs) maintenance; afterwards the sets match forever.
+    def epochSet(root: String): Set[Long] =
+      (graft.sources.TransactionalLake.committedEpochs(spark, root) ++
+        graft.sources.TransactionalLake.foldState(spark, root)
+          .map(_._2).getOrElse(Seq.empty)).toSet
+    val missingDf = epochSet(sgramsRoot(indexRoot)) -- epochSet(sdfRoot(indexRoot))
+    if (missingDf.nonEmpty) {
+      System.err.println(s"commitSubstringBatch: df artifact missing " +
+        s"${missingDf.size} gram epoch(s) [${missingDf.toSeq.sorted.mkString(",")}]" +
+        " - backfilling deltas from the committed gram postings")
+      missingDf.toSeq.sorted.foreach { e =>
+        graft.sources.TransactionalLake.commitEpoch(
+          allG.filter(col("epoch") === e)
+            .groupBy("gkey").agg(count(lit(1)).as("cnt")),
+          sdfRoot(indexRoot), e, partitionCols = Nil)
+      }
+    }
     // corpus-df >= 2 keys only (a corpus-unique gram cannot anchor a
     // cross-doc repeat); the batch-df x corpus-df product upper-bounds
     // the anchor join and refuses IN-PLAN past the budget

@@ -99,6 +99,31 @@ object ZoneMap {
     statted
   }
 
+  /** OFFBOARDING CASCADE for the stats lake: drop every stats row whose
+    * indexed file lives under the purged tenant's partition subtree.
+    * The stats artifact is SHARED across tenants (keyed by file path,
+    * not tenant-partitioned), so the cascade is a row-level rewrite —
+    * [[graft.sources.TransactionalLake.purgeRowsWhere]] over the
+    * committed stats epochs plus the same rewrite over any refold
+    * generations. Run AFTER the data lake's `purgeTenant` (the dropped
+    * rows name the files that purge deleted); metadata-scale — per-file
+    * rows, never data rows. Returns subtrees rewritten. */
+  def purgeTenantStats(spark: SparkSession, statsRoot: String,
+                       tenant: String): Int = {
+    val T = graft.sources.TransactionalLake
+    val pred = col("file").contains(s"/tenant=$tenant/")
+    var n = T.purgeRowsWhere(spark, statsRoot, pred)
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statsRoot), spark.sparkContext.hadoopConfiguration)
+    val genRoot = new org.apache.hadoop.fs.Path(s"$statsRoot/gen")
+    if (fsys.exists(genRoot))
+      fsys.listStatus(genRoot).map(_.getPath)
+        .filter(_.getName.startsWith("v=")).foreach { p =>
+          if (T.purgeRowsInDir(spark, p.toString, pred)) n += 1
+        }
+    n
+  }
+
   /** The stats index of a lake that has been through retention folds:
     * per-epoch stats for LIVE epochs (a folded epoch's rows point at
     * deleted files) plus the per-generation stats [[refoldStats]]

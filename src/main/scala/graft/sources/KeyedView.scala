@@ -65,7 +65,7 @@ object KeyedView {
   def read(spark: SparkSession, root: String): DataFrame = {
     val c = cursor(spark, root)
     require(c >= 0, s"no committed keyed view under $root")
-    val hint = stateSchemaHints.get(stateDir(root, c))
+    val hint = stateSchemaHints.get(stateHintKey(spark, root, c))
     val df =
       if (hint != null) spark.read.schema(hint).parquet(stateDir(root, c))
       else spark.read.parquet(stateDir(root, c))
@@ -76,14 +76,31 @@ object KeyedView {
   // write-time state-schema hints (same contract as the lake's epoch
   // hints): the refresh that wrote state_v<c> records its schema so the
   // committed read skips the footer-inference job; a reader in a fresh
-  // process just infers. Keyed by the versioned dir, which is never
-  // rewritten under a different schema (a retry rewrites identically).
+  // process just infers. Keyed by the versioned dir PLUS its file
+  // listing fingerprint (names + mtimes) — a root deleted and
+  // re-created by another process at the same cursor ids writes new
+  // files with new mtimes, so its reads miss the hint and re-infer
+  // instead of trusting a stale schema (a same-process retry rewrites
+  // the dir, changing the fingerprint too, which only costs one extra
+  // inference). The fingerprint is pure file metadata — no Spark job.
   private val stateSchemaHints = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.types.StructType]()
-  private def recordStateSchema(dir: String,
+  private def stateHintKey(spark: SparkSession, root: String,
+                           c: Long): String = {
+    val dir = stateDir(root, c)
+    val f = fs(spark, root)
+    val p = new Path(dir)
+    val fp =
+      if (!f.exists(p)) ""
+      else f.listStatus(p)
+        .map(s => s.getPath.getName + "@" + s.getModificationTime)
+        .sorted.mkString(";")
+    s"$dir|$fp"
+  }
+  private def recordStateSchema(spark: SparkSession, root: String, c: Long,
       schema: org.apache.spark.sql.types.StructType): Unit = {
     if (stateSchemaHints.size > 1024) stateSchemaHints.clear()
-    stateSchemaHints.put(dir,
+    stateSchemaHints.put(stateHintKey(spark, root, c),
       org.apache.spark.sql.types.StructType(
         schema.fields.map(_.copy(nullable = true))))
     ()
@@ -162,7 +179,7 @@ object KeyedView {
           sum(col("total")).cast("decimal(28,2)").as("total"))
         .filter(col("cnt") > 0)
       st.write.mode("overwrite").parquet(stateDir(viewRoot, head))
-      recordStateSchema(stateDir(viewRoot, head), st.schema)
+      recordStateSchema(spark, viewRoot, head, st.schema)
     }
 
   /** Shared advance machinery for every keyed-view strategy: resolve the
@@ -509,7 +526,6 @@ object KeyedView {
     val obs = org.apache.spark.sql.Observation()
     merged0.observe(obs, collect_set(when(col("__rc"), col("g"))).as("rc"))
       .write.mode("overwrite").parquet(stateDir(viewRoot, head))
-    recordStateSchema(stateDir(viewRoot, head), merged0.schema)
     // rare path: a buffer some refresh fully exhausted (every one of
     // the K extremes changed at once) recomputes ITS group from the
     // key index — a distributed windowed top-K over that group's live
@@ -561,5 +577,9 @@ object KeyedView {
       // main write clears the partial dir first.
       recomputed.write.mode("append").parquet(stateDir(viewRoot, head))
     }
+    // hint recorded AFTER the rare-path append (the fingerprinted key
+    // pins the dir's final file listing; the appended rows share
+    // merged0's schema, so the hint itself is unchanged either way)
+    recordStateSchema(spark, viewRoot, head, merged0.schema)
   }
 }

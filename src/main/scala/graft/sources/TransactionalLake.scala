@@ -131,9 +131,14 @@ object TransactionalLake {
     // without a footer-inference job — data columns (partition cols are
     // dir names, not file columns; inference marks everything nullable)
     // followed by the partition columns, epoch outermost, all strings
-    // (partition type inference is disabled engine-wide)
+    // (partition type inference is disabled engine-wide). The key
+    // carries the manifest entry's mtime (it exists — just renamed), so
+    // a root deleted and re-created by ANOTHER process at the same
+    // epoch ids misses the hint and falls back to footer inference
+    // instead of silently reading with a stale schema.
     if (epochSchemaHints.size > 4096) epochSchemaHints.clear()
-    epochSchemaHints.put(s"$root|$epochId",
+    epochSchemaHints.put(
+      s"$root|$epochId|${f.getFileStatus(fin).getModificationTime}",
       org.apache.spark.sql.types.StructType(
         df.schema.fields.filterNot(fd => partitionCols.contains(fd.name))
           .map(_.copy(nullable = true)) ++
@@ -170,12 +175,21 @@ object TransactionalLake {
     MaintenanceExec.dirFootprintBytes(spark, d)
 
   /** Committed epoch ids, ascending. */
-  def committedEpochs(spark: SparkSession, root: String): Seq[Long] = {
+  def committedEpochs(spark: SparkSession, root: String): Seq[Long] =
+    manifestEntries(spark, root).map(_._1)
+
+  /** Committed `(epochId, manifest-entry mtime)` pairs, ascending by id —
+    * the mtime keys the epoch-schema hints (a re-created root's entries
+    * carry new mtimes, so stale hints can never match). */
+  private def manifestEntries(spark: SparkSession,
+                              root: String): Seq[(Long, Long)] = {
     val dir = new Path(manifestDir(root))
     val f = fs(spark, root)
     if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).map(_.getPath.getName)
-      .filterNot(_.startsWith(".")).map(_.toLong).sorted.toSeq
+    else f.listStatus(dir)
+      .filterNot(_.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.getName.toLong, s.getModificationTime))
+      .sortBy(_._1).toSeq
   }
 
   /** Current fold VIEW: the view number plus the live generations it
@@ -316,7 +330,9 @@ object TransactionalLake {
     val gens = foldView(spark, root).map(_._2).getOrElse(Seq.empty)
       .filter(_._2.nonEmpty)
     val folded = gens.flatMap(_._2).toSet
-    val live = committedEpochs(spark, root).filterNot(folded)
+    val liveEntries = manifestEntries(spark, root)
+      .filterNot { case (e, _) => folded(e) }
+    val live = liveEntries.map(_._1)
     val reads =
       gens.map { case (g, _) =>
         // fold-pointer files are never mutated in place: their listing
@@ -330,7 +346,8 @@ object TransactionalLake {
         // the same schema — read with the commit-time hint, no job. A
         // restart, an evolved epoch, or a mixed-schema window falls back
         // to the fingerprint-cached inference below.
-        val hints = live.map(e => epochSchemaHints.get(s"$root|$e"))
+        val hints = liveEntries.map { case (e, mt) =>
+          epochSchemaHints.get(s"$root|$e|$mt") }
         val hinted =
           if (hints.forall(_ != null) && hints.distinct.size == 1)
             Some(spark.read.schema(hints.head)
@@ -471,6 +488,75 @@ object TransactionalLake {
         }
     }
     removed
+  }
+
+  /** ROW-LEVEL purge: rewrite every live committed epoch dir and every
+    * fold generation WITHOUT the rows matching `pred` — the cascade
+    * path for shared per-FILE artifacts that key tenant data in a data
+    * COLUMN instead of a partition dir (zone-map / bloom stats rows
+    * carry the indexed file's path; a lake purge leaves them naming
+    * deleted tenant files). Cost O(artifact), which for stats lakes is
+    * metadata-scale — per-file rows, never corpus rows.
+    *
+    * Crash-safe, single-writer, idempotent: each subtree is rewritten
+    * to a `.purge_tmp` sibling, the original deleted, the tmp renamed
+    * in. A crash between delete and rename is repaired by the re-run
+    * (tmp present + original missing → rename completes); a crash
+    * earlier just re-rewrites. Commit markers and the fold view are
+    * untouched — replay/no-op semantics are unchanged. Returns the
+    * number of subtrees rewritten. */
+  def purgeRowsWhere(spark: SparkSession, root: String,
+                     pred: org.apache.spark.sql.Column): Int = {
+    var rewritten = 0
+    committedEpochs(spark, root).foreach { e =>
+      if (purgeRowsInDir(spark, epochDir(root, e), pred,
+          epochPartitioned = false)) rewritten += 1
+    }
+    foldView(spark, root).map(_._2).getOrElse(Seq.empty).foreach {
+      case (g, _) =>
+        if (purgeRowsInDir(spark, foldGenDir(root, g), pred,
+            epochPartitioned = true)) rewritten += 1
+    }
+    rewritten
+  }
+
+  /** One-directory unit of [[purgeRowsWhere]] — public so refold
+    * generations living OUTSIDE a transactional root (`ZoneMap
+    * .refoldStats` / `BloomIndex.refoldIndex` write `gen/v=<g>` plain
+    * dirs) can cascade with the same tmp/delete/rename crash protocol.
+    * Live epoch dirs are flat (stats/index lakes commit with
+    * partitionCols = Nil); fold generations keep `epoch` as their one
+    * partition level and are rewritten preserving it. Deeper hive
+    * layouts (tenant-partitioned DATA lakes) are out of scope — those
+    * purge by subtree ([[purgeTenant]]), not by row. Returns true iff
+    * the dir was rewritten (false = absent). */
+  def purgeRowsInDir(spark: SparkSession, dir: String,
+                     pred: org.apache.spark.sql.Column,
+                     epochPartitioned: Boolean = false): Boolean = {
+    val f = fs(spark, dir)
+    val orig = new Path(dir)
+    val tmp = new Path(dir + ".purge_tmp")
+    if (f.exists(orig)) {
+      require(f.listStatus(orig).forall(s => !s.isDirectory ||
+        (epochPartitioned && s.getPath.getName.startsWith("epoch="))),
+        s"purgeRowsInDir: $dir carries unexpected partition levels; " +
+          "row-level purge supports flat (or epoch-partitioned fold) " +
+          "payloads only")
+      val src =
+        if (epochPartitioned)
+          spark.read.option("basePath", dir).parquet(dir)
+        else spark.read.parquet(dir)
+      val out = src.filter(!pred).write.mode("overwrite")
+      (if (epochPartitioned) out.partitionBy("epoch") else out)
+        .parquet(tmp.toString)
+      f.delete(orig, true)
+      ()
+    }
+    if (f.exists(tmp)) {
+      if (!f.rename(tmp, orig) && !f.exists(orig))
+        throw new java.io.IOException(s"purgeRowsInDir: rename failed for $dir")
+      true
+    } else false
   }
 
   /** Fold every committed epoch with id <= `upTo` into the consolidated,

@@ -124,6 +124,34 @@ class SubstringIndexSpec extends SparkSpec {
     assert(got("sB") === expect(Seq(9L, 10L)))
   }
 
+  test("pre-upgrade root (gram epochs without df deltas) is backfilled") {
+    val root = freshRoot()
+    // build epoch 0 (docs 3, 6, 9 — the same-batch `shared` pairs),
+    // then simulate a root committed by the pre-df-artifact version:
+    // delete the df lake entirely
+    Dedup.commitSubstringBatch(corpus.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", root, 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/df"), true))
+    // epoch 1 carries doc 1, whose only repeat partners live in epoch
+    // 0: its anchor keys need CORPUS df >= 2, and the batch's own df
+    // delta alone reads df = 1 for them — without the backfill the
+    // gate would silently drop doc 1's repeat and served() would
+    // diverge from the one-shot
+    (1 until 3).foreach(i => Dedup.commitSubstringBatch(
+      corpus.filter(col("doc_id") % 3 === i), "doc_id", "text", root,
+      i.toLong))
+    assert(served(root) === oneShot)
+    assert(served(root).contains(1L))
+    // df lake now covers every gram epoch again
+    val gramEpochs = graft.sources.TransactionalLake
+      .committedEpochs(spark, s"$root/grams").toSet
+    val dfEpochs = graft.sources.TransactionalLake
+      .committedEpochs(spark, s"$root/df").toSet
+    assert(gramEpochs === dfEpochs)
+  }
+
   test("anchor budget refuses loudly at commit time") {
     val root = freshRoot()
     val same = (1 to 10).map(i => s"b$i").mkString(" ")
