@@ -1393,6 +1393,15 @@ object Dedup {
     require(minWords >= 1, "commitSubstringBatch: minWords must be >= 1")
     val L = minWords
     val spark = docs.sparkSession
+    // fully-committed batch (all three lakes): a crash replay is a
+    // TOTAL no-op — no re-tokenize, no anchor join, no reads. This also
+    // makes replays against an OFFBOARDED tenant's scrubbed index safe:
+    // TenantArtifacts.purgeTenant keeps the commit markers precisely so
+    // a replayed batch can neither resurrect data nor crash on the
+    // scrubbed (manifest-listed, dir-gone) lakes.
+    if (graft.sources.TransactionalLake.isCommitted(spark, sgramsRoot(indexRoot), epochId) &&
+      graft.sources.TransactionalLake.isCommitted(spark, sdfRoot(indexRoot), epochId) &&
+      graft.sources.TransactionalLake.isCommitted(spark, sbestRoot(indexRoot), epochId)) return
     val grams = docs.select(col(idCol).as("doc"),
         TF.words(col(textCol)).as("ws"))
       .select(col("doc"), col("ws"),

@@ -42,6 +42,13 @@ object TextIndex {
   def commitPostings(docs: DataFrame, idCol: String, textCol: String,
                      indexRoot: String, epochId: Long,
                      nBuckets: Int = DefaultBuckets): Unit = {
+    // fully-committed batch: a crash replay (or a replay against an
+    // OFFBOARDED tenant's scrubbed root — markers survive the purge
+    // exactly so this holds) skips without reading anything
+    if (TransactionalLake.isCommitted(docs.sparkSession,
+        postingsRoot(indexRoot), epochId) &&
+      TransactionalLake.isCommitted(docs.sparkSession,
+        doclenRoot(indexRoot), epochId)) return
     val toks = docs.select(col(idCol).as("doc"),
       TF.words(col(textCol)).as("__toks"))
       .select(col("doc"), col("__toks"),

@@ -1820,6 +1820,118 @@ object Extensions {
       evalSet = all.filter(col("doc_id") % 10 === 0))
   }
 
+  /** TENANT-PURGE CASCADE over DERIVED artifacts, driver-gated
+    * end-to-end — offboarding parity for everything the engine DERIVES
+    * from tenant text, not just the lake rows (`pipe_tenant_purge`
+    * covers those). Fixture: three tenants (`t<doc_id % 3>`), each with
+    * its OWN substring gram/df/best index and BM25 postings index under
+    * per-tenant roots ([[graft.sources.TenantArtifacts]] — cross-tenant
+    * derived state would violate tenant isolation anyway), plus SHARED
+    * per-file zone-map/bloom artifacts over a tenant-partitioned
+    * transactional doc lake. Tenant t2 is then offboarded: per-tenant
+    * roots scrubbed (commit markers kept), lake subtree purged,
+    * stats/bloom rows naming t2 files dropped by row-level rewrite.
+    *
+    * The oracle derives each surviving tenant's per-doc longest repeat
+    * from `documents` AS IF t2 NEVER EXISTED (tenant-scoped anchor
+    * join), so the hash gate IS the invariant "post-purge index ≡ an
+    * index built on a corpus that never had the tenant". Engine-side
+    * asserts pin what the SQL cannot see: tombstones, scrubbed data
+    * dirs, no stats/bloom row naming a t2 file, stats covering exactly
+    * the surviving lake files, and CRASH-REPLAYED index batches for the
+    * purged tenant staying total no-ops (data neither resurrects nor
+    * crashes the replay — the reason the purge keeps commit markers). */
+  def tenantPurgeDerived(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{BloomIndex, TextIndex, ZoneMap}
+    import graft.sources.{TenantArtifacts, TransactionalLake}
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/root/repo/target/tmp/purgederiv_$tag"
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(base), true)
+    val all = docs(s, d).select(col("doc_id"), col("text"),
+      concat(lit("t"), (col("doc_id") % 3).cast("string")).as("tenant"))
+    val subBase = s"$base/substr"
+    val bmBase = s"$base/bm25"
+    Seq("t0", "t1", "t2").foreach { t =>
+      val td = all.filter(col("tenant") === t)
+      Dedup.commitSubstringBatch(td, "doc_id", "text",
+        TenantArtifacts.tenantRoot(subBase, t), 0L)
+      TextIndex.commitPostings(td, "doc_id", "text",
+        TenantArtifacts.tenantRoot(bmBase, t), 0L)
+    }
+    val lroot = s"$base/lake"
+    val zroot = s"$base/zstats"
+    val broot = s"$base/bloom"
+    (0 until 2).foreach { e =>
+      TransactionalLake.commitEpoch(
+        all.filter(col("doc_id") % 2 === e)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+            col("tenant")),
+        lroot, e.toLong, partitionCols = Seq("tenant"))
+      ZoneMap.appendEpochStats(s, lroot, zroot, e.toLong, "doc_id")
+      BloomIndex.appendEpochIndex(s, lroot, broot, e.toLong, "doc_id")
+    }
+
+    // ---- OFFBOARD t2 across every derived artifact ----
+    require(TenantArtifacts.purgeTenant(s, subBase, "t2") > 0,
+      "substring-index purge must scrub data subtrees")
+    require(TenantArtifacts.purgeTenant(s, bmBase, "t2") > 0,
+      "bm25-index purge must scrub data subtrees")
+    TransactionalLake.purgeTenant(s, lroot, "t2")
+    require(ZoneMap.purgeTenantStats(s, zroot, "t2") > 0,
+      "zone-map cascade must rewrite the stats epochs")
+    require(BloomIndex.purgeTenantRows(s, broot, "t2") > 0,
+      "bloom cascade must rewrite the index epochs")
+
+    // crash-replay after the purge: epoch 0 is committed in every lake,
+    // so the replayed maintenance batches are TOTAL no-ops — the purged
+    // tenant's derived data must neither resurrect nor crash the replay
+    val t2docs = all.filter(col("tenant") === "t2")
+    Dedup.commitSubstringBatch(t2docs, "doc_id", "text",
+      TenantArtifacts.tenantRoot(subBase, "t2"), 0L)
+    TextIndex.commitPostings(t2docs, "doc_id", "text",
+      TenantArtifacts.tenantRoot(bmBase, "t2"), 0L)
+    Seq(s"${TenantArtifacts.tenantRoot(subBase, "t2")}/grams/data",
+      s"${TenantArtifacts.tenantRoot(subBase, "t2")}/best/data",
+      s"${TenantArtifacts.tenantRoot(subBase, "t2")}/df/data",
+      s"${TenantArtifacts.tenantRoot(bmBase, "t2")}/postings/data").foreach { p =>
+      require(!fsys.exists(new org.apache.hadoop.fs.Path(p)),
+        s"purged derived data must not resurrect from replay: $p")
+    }
+    require(TenantArtifacts.isPurged(s, subBase, "t2") &&
+      TenantArtifacts.isPurged(s, bmBase, "t2"), "tombstones must exist")
+    require(TenantArtifacts.tenants(s, subBase) == Seq("t0", "t1"),
+      "surviving tenants must remain listed")
+    // shared artifacts: no row may name a t2 file, and the zone-map
+    // must cover EXACTLY the surviving lake files (nothing dropped,
+    // nothing stale)
+    require(ZoneMap.statsIndex(s, zroot)
+      .filter(col("file").contains("/tenant=t2/")).isEmpty,
+      "no zone-map row may reference a purged tenant file")
+    require(BloomIndex.index(s, broot)
+      .filter(col("file").contains("/tenant=t2/")).isEmpty,
+      "no bloom row may reference a purged tenant file")
+    val lakeFiles = TransactionalLake.readCommitted(s, lroot)
+      .select(input_file_name().as("file")).distinct()
+    val statFiles = ZoneMap.statsIndex(s, zroot).select("file").distinct()
+    require(statFiles.exceptAll(lakeFiles).isEmpty &&
+      lakeFiles.exceptAll(statFiles).isEmpty,
+      "zone-map rows must cover exactly the surviving lake files")
+    // survivors still serve: BM25 over t0's untouched index
+    require(TextIndex.bm25FromIndex(s,
+      TenantArtifacts.tenantRoot(bmBase, "t0"),
+      Seq("the"), topK = 3).count() >= 0, "survivor index must serve")
+
+    Seq("t0", "t1").map { t =>
+      Dedup.longestDupSubstringsFromIndex(s,
+        TenantArtifacts.tenantRoot(subBase, t))
+        .withColumn("tenant", lit(t))
+    }.reduce(_ unionByName _)
+      .select(col("tenant"), col("doc_id"), col("dup_len"), col("dup_start"))
+      .orderBy("doc_id")
+  }
+
   /** The SQL FUNCTION SURFACE gated end-to-end: the engine's custom
     * codegen'd expressions registered through `GraftExtensions` and
     * driven from pure `spark.sql` — per-doc NFC-normalized length,
@@ -2023,6 +2135,7 @@ object Extensions {
     "train_corpus_prep_v2" -> (trainCorpusPrepV2 _),
     "train_corpus_prep_v3" -> (trainCorpusPrepV3 _),
     "train_corpus_prep_v4" -> (trainCorpusPrepV4 _),
+    "pipe_tenant_purge_derived" -> (tenantPurgeDerived _),
     "text_dedup_spans" -> (textDedupSpans _),
     "text_dedup_substrings" -> (textDedupSubstrings _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -2427,14 +2540,19 @@ object Extensions {
   /** The substring-repeat CTE chain ending in a per-doc `perdoc` CTE —
     * shared by the one-shot/incremental/streaming gates and the
     * per-source duplication report. */
-  private val dedupSubstringsCtes: String = tokensCte +
-    """, kg AS (
+  private val dedupSubstringsCtes: String = dedupSubstringsCtesWhere("")
+
+  /** [[dedupSubstringsCtes]] with an extra predicate on the anchor
+    * self-join — the tenant-scoped cascade gate appends tenant equality
+    * (per-tenant indexes must only see WITHIN-tenant repeats). */
+  private def dedupSubstringsCtesWhere(extraPred: String): String = tokensCte +
+    s""", kg AS (
       |  SELECT doc_id, r.p, array_to_string(toks[r.p:r.p+7], ' ') AS g
       |  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 6, 1))) AS p) r
       |), m AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, a.p - b.p AS diag
       |  FROM kg a JOIN kg b USING (g)
-      |  WHERE a.doc_id <> b.doc_id
+      |  WHERE a.doc_id <> b.doc_id$extraPred
       |), runs AS (
       |  SELECT id_a, count(*) + 7 AS len, min(pa) - 1 AS start
       |  FROM (
@@ -3846,6 +3964,15 @@ object Extensions {
     // IDENTICAL whole-corpus answer
     "text_dedup_substrings_incremental" -> dedupSubstringsSql,
     "dedup_streaming_substrings" -> dedupSubstringsSql,
+    // post-purge derived indexes ≡ indexes built on a corpus that never
+    // had tenant t2: the anchor join is TENANT-SCOPED (per-tenant
+    // indexes only see within-tenant repeats) and t2 is absent
+    "pipe_tenant_purge_derived" -> (dedupSubstringsCtesWhere(
+      " AND a.doc_id % 3 = b.doc_id % 3 AND a.doc_id % 3 <> 2") +
+      """
+        |SELECT 't' || CAST(doc_id % 3 AS VARCHAR) AS tenant,
+        |  doc_id, dup_len, dup_start
+        |FROM perdoc ORDER BY doc_id""".stripMargin),
 
     // SemDeDup: seeded centroids + argmin cell assignment (the verified
     // IVF CTEs), then within-cell max cosine to any LOWER id — drop list

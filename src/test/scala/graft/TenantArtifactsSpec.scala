@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.Dedup
+import graft.sources.{TenantArtifacts, TransactionalLake}
+import org.apache.spark.sql.functions._
+
+/** Tenant-purge CASCADE over derived artifacts
+  * ([[graft.sources.TenantArtifacts]] + [[graft.sources.TransactionalLake
+  * .purgeRowsWhere]]) — the offboarding invariant is "post-purge index ≡
+  * an index built on a corpus that never had the tenant", plus the
+  * crash/replay properties the gated `pipe_tenant_purge_derived` entry
+  * asserts at sf scale. */
+class TenantArtifactsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val shared = (1 to 10).map(i => s"c$i").mkString(" ")
+  private def filler(i: Long, n: Int) =
+    (1 to n).map(k => s"u${i}w$k").mkString(" ")
+  // tenant = t<doc_id % 2>; each tenant has one within-tenant repeat
+  private val corpus = Seq(
+    (2L, s"$shared ${filler(2, 12)}"),
+    (4L, s"${filler(4, 9)} $shared"),
+    (6L, filler(6, 15)),
+    (1L, s"$shared ${filler(1, 11)}"),
+    (3L, s"${filler(3, 7)} $shared"),
+    (5L, filler(5, 14))).toDF("doc_id", "text")
+    .withColumn("tenant",
+      concat(lit("t"), (col("doc_id") % 2).cast("string")))
+
+  private def buildPerTenant(base: String, tenants: Seq[String]): Unit =
+    tenants.foreach { t =>
+      Dedup.commitSubstringBatch(corpus.filter(col("tenant") === t),
+        "doc_id", "text", TenantArtifacts.tenantRoot(base, t), 0L)
+    }
+
+  private def bests(root: String): Map[Long, Long] =
+    Dedup.longestDupSubstringsFromIndex(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("purge scrubs data, keeps markers; survivor ≡ never-had build") {
+    val base = tmpDir("ta_base_")
+    buildPerTenant(base, Seq("t0", "t1"))
+    val removed = TenantArtifacts.purgeTenant(spark, base, "t1")
+    assert(removed > 0)
+    assert(TenantArtifacts.isPurged(spark, base, "t1"))
+    assert(!TenantArtifacts.isPurged(spark, base, "t0"))
+    assert(TenantArtifacts.tenants(spark, base) === Seq("t0"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val t1root = TenantArtifacts.tenantRoot(base, "t1")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t1root/grams/data")))
+    // markers KEPT: the committed epoch still reads as committed
+    assert(TransactionalLake.isCommitted(spark, s"$t1root/grams", 0L))
+    // survivor serves the same answer as a base that never had t1
+    val ref = tmpDir("ta_ref_")
+    buildPerTenant(ref, Seq("t0"))
+    assert(bests(TenantArtifacts.tenantRoot(base, "t0")) ===
+      bests(TenantArtifacts.tenantRoot(ref, "t0")))
+    assert(bests(TenantArtifacts.tenantRoot(base, "t0")) ===
+      Map(2L -> 10L, 4L -> 10L))
+    // replayed committed batch: TOTAL no-op — nothing resurrects, no crash
+    Dedup.commitSubstringBatch(corpus.filter(col("tenant") === "t1"),
+      "doc_id", "text", t1root, 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t1root/grams/data")))
+    // purge replay is idempotent
+    assert(TenantArtifacts.purgeTenant(spark, base, "t1") === 0)
+  }
+
+  test("purgeRowsWhere rewrites epochs; crash between delete and rename repairs") {
+    val root = tmpDir("ta_rows_")
+    val rows = Seq(("a/tenant=t0/f1", 1L), ("a/tenant=t1/f2", 2L),
+      ("a/tenant=t0/f3", 3L)).toDF("file", "n")
+    TransactionalLake.commitEpoch(rows, root, 0L, partitionCols = Nil)
+    TransactionalLake.commitEpoch(rows.withColumn("n", col("n") + 10), root,
+      1L, partitionCols = Nil)
+    val pred = col("file").contains("/tenant=t1/")
+    assert(TransactionalLake.purgeRowsWhere(spark, root, pred) === 2)
+    val after = TransactionalLake.readCommitted(spark, root)
+    assert(after.filter(pred).isEmpty)
+    assert(after.count() === 4)
+    // crash simulation: tmp written, original deleted, rename missed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val e0 = s"$root/data/epoch=0"
+    assert(fs.rename(new org.apache.hadoop.fs.Path(e0),
+      new org.apache.hadoop.fs.Path(e0 + ".purge_tmp")))
+    assert(TransactionalLake.purgeRowsWhere(spark, root, pred) === 2)
+    assert(TransactionalLake.readCommitted(spark, root).count() === 4)
+  }
+
+  test("purgeRowsInDir refuses unexpected partition levels") {
+    val root = tmpDir("ta_part_")
+    Seq(("x", "t0", 1L)).toDF("file", "tenant", "n")
+      .write.partitionBy("tenant").parquet(s"$root/d")
+    val e = intercept[IllegalArgumentException] {
+      TransactionalLake.purgeRowsInDir(spark, s"$root/d", col("n") === 1)
+    }
+    assert(e.getMessage.contains("partition levels"))
+  }
+}
