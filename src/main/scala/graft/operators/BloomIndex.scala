@@ -278,6 +278,15 @@ object BloomIndex {
       require(total > 0,
         "bloom index is empty — nothing has been indexed; run " +
           "buildIndex/appendEpochIndex before planning point reads against it")
+      // fail-loud driver budget (same discipline as ZoneMap's planning
+      // reads): per-file rows are bounded by the compaction invariant —
+      // an over-budget index means fold/compact maintenance is overdue,
+      // and the candidate collect below must refuse, not OOM the driver
+      require(total <= ZoneMap.MaxPlannedFiles,
+        s"bloom planning would consider $total per-file rows (> " +
+          s"${ZoneMap.MaxPlannedFiles}) — the lake's compaction/fold " +
+          "maintenance is overdue; compact before planning point reads " +
+          "against this index")
       // all probe arrays (and cast-validity flags) in ONE local 1-row
       // job, not one per value. `lossy` round-trips the cast probe back
       // to the probe's own type: try_cast admits value-CHANGING casts

@@ -25,6 +25,24 @@ import org.apache.spark.sql.functions._
   * bounded by the file count of one table, never by rows. */
 object ZoneMap {
 
+  /** Fail-loud ceiling on the per-file rows a scan-planning read pulls
+    * to the driver (same budget discipline as the pair-join
+    * `maxCandidatePairs`). The file count is BOUNDED BY THE COMPACTION
+    * INVARIANT — `Lake.compact` / `TransactionalLake.foldCommittedEpochs`
+    * bin-pack to `targetRecordsPerFile`, so files ≈ rows / target and a
+    * million stat rows means compaction has not run for a very long
+    * time. Planning reads `limit(cap + 1)` so an over-budget index
+    * refuses BEFORE materializing on the driver, never after.
+    * Deployment-tunable via `-Dgraft.maxPlannedFiles=N` (also how the
+    * refusal path is spec-covered without building a million files). */
+  def MaxPlannedFiles: Int =
+    sys.props.get("graft.maxPlannedFiles").map(_.toInt).getOrElse(1000000)
+  private[operators] def plannerBudgetMsg: String =
+    s"zone-map planning would collect more than $MaxPlannedFiles per-file " +
+      "stat rows to the driver — the lake's compaction/fold maintenance " +
+      "is overdue (files should be ~rows/targetRecordsPerFile); compact " +
+      "before planning scans against this index"
+
   /** One (file, min_v, max_v, n) row per parquet file under `path`.
     * Persist next to the table and refresh per ingest batch (append-only
     * layouts only ever ADD rows here — a new file's stats row is
@@ -191,7 +209,8 @@ object ZoneMap {
     val cols = Seq(col("file")) ++
       box.flatMap { case (c, _, _) =>
         Seq(col(s"min_$c").cast("long"), col(s"max_$c").cast("long")) }
-    val all = stats.select(cols: _*).collect()
+    val all = stats.select(cols: _*).limit(MaxPlannedFiles + 1).collect()
+    require(all.length <= MaxPlannedFiles, plannerBudgetMsg)
     require(all.nonEmpty,
       "zone-map stats index is empty — nothing has been indexed; run " +
         "buildStatsMulti before planning box reads against it")
@@ -231,7 +250,9 @@ object ZoneMap {
     * factored for [[ComposedScan]]'s index intersection. */
   private[graft] def candidateFilesRange(stats: DataFrame, lo: Long,
                                              hi: Long): (Array[String], Long) = {
-    val all = stats.select(col("file"), col("min_v"), col("max_v")).collect()
+    val all = stats.select(col("file"), col("min_v"), col("max_v"))
+      .limit(MaxPlannedFiles + 1).collect()
+    require(all.length <= MaxPlannedFiles, plannerBudgetMsg)
     require(all.nonEmpty,
       "zone-map stats index is empty — nothing has been indexed; run " +
         "appendEpochStats before planning range reads against it")

@@ -199,4 +199,20 @@ class BloomIndexSpec extends SparkSpec {
       BloomIndex.prunedInRead(spark, idx, "k", Seq.empty)
     }.getMessage.contains("non-empty"))
   }
+
+  test("planner budget: an over-cap index refuses before collecting") {
+    val root = tmpDir("bl_budget")
+    writeScattered(root)
+    val idx = BloomIndex.buildIndex(spark, root, "k")
+    assert(idx.count() > 3)
+    sys.props("graft.maxPlannedFiles") = "3"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        BloomIndex.prunedPointRead(spark, idx, "k", 1L).count()
+      }
+      assert(e.getMessage.contains("compaction"))
+    } finally { sys.props.remove("graft.maxPlannedFiles"); () }
+    assert(BloomIndex.prunedPointRead(spark, idx, "k", 1L)
+      .filter(col("k") === 1L).count() === 1L)
+  }
 }

@@ -119,4 +119,21 @@ class ZoneMapSpec extends SparkSpec {
     // without the guard it still answers correctly (every file scanned)
     assert(ZoneMap.prunedRangeRead(spark, stats, "k", 10L, 60L).count() === 51L)
   }
+
+  test("planner budget: an over-cap stats index refuses before collecting") {
+    val root = tmpDir("zm_budget")
+    (1L to 100L).toDF("k").repartition(5)
+      .write.mode("overwrite").parquet(root)
+    val stats = ZoneMap.buildStats(spark, root, "k")
+    assert(stats.count() === 5)
+    sys.props("graft.maxPlannedFiles") = "3"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ZoneMap.prunedRangeRead(spark, stats, "k", 10L, 20L).count()
+      }
+      assert(e.getMessage.contains("compaction"))
+    } finally { sys.props.remove("graft.maxPlannedFiles"); () }
+    // back under budget, the same read serves
+    assert(ZoneMap.prunedRangeRead(spark, stats, "k", 10L, 20L).count() === 11L)
+  }
 }
