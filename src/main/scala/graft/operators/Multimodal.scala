@@ -297,6 +297,115 @@ object Multimodal {
       }(enc)
   }
 
+  /** MIXED-CODEC fixture: deterministic images written as PNG
+    * (i % 3 = 0), JPEG (i % 3 = 1), and PLANTED UNDECODABLE payloads
+    * (i % 3 = 2 — headerless pseudo-random bytes no ImageIO reader
+    * claims), under `dir/img/`, plus `dir/expected/` ground truth. The
+    * codec boundary this gates: PNG truth is ENCODE-TIME (lossless
+    * round-trip — the strongest form); JPEG truth is dims at encode
+    * time (JPEG preserves dimensions) and channel means/dHash from a
+    * DRIVER-SIDE decode of the written file (JPEG is lossy, so
+    * decode-time truth is the only exact truth; the same file bytes
+    * decode identically in the executors — deterministic for a given
+    * JDK's codec, which is the deployment unit); undecodable truth is
+    * the byte-lattice fallback ([[byteMeanFeatures]]/[[dHash64Bytes]]).
+    * A `decodable` column pins WHERE the fallback is allowed to fire:
+    * the gate proves real JPEG decode happens (decoded dims must equal
+    * encode-time dims) and that the fallback absorbs ONLY the planted
+    * garbage, never a real format. */
+  def ensureMixedCodecFixture(spark: SparkSession, dir: String,
+                              n: Int = 120): String =
+    this.synchronized {
+      val done = new java.io.File(dir, "_FIXTURE_OK")
+      if (!done.exists) {
+        val imgDir = new java.io.File(dir, "img")
+        imgDir.mkdirs()
+        val rows = (0 until n).map { i =>
+          val w = 16 + (i * 7) % 48
+          val h = 16 + (i * 11) % 48
+          val pix = Array.tabulate(w * h) { p =>
+            val x = p % w; val y = p / w
+            val r = (i * 31 + x * 3 + y * 5) & 0xff
+            val g = (i * 17 + x * 7 + y * 2) & 0xff
+            val b = (i * 13 + x * 2 + y * 11) & 0xff
+            (r << 16) | (g << 8) | b
+          }
+          i % 3 match {
+            case 2 =>
+              // headerless bytes: a deterministic LCG stream — no magic
+              // number, so ImageIO.read returns null (the fallback path)
+              var s = i * 2654435761L + 12345L
+              val bytes = Array.tabulate[Byte](192) { _ =>
+                s = s * 6364136223846793005L + 1442695040888963407L
+                (s >>> 33).toByte
+              }
+              val f = new java.io.File(imgDir, f"img_$i%04d.bin")
+              java.nio.file.Files.write(f.toPath, bytes)
+              val bf = byteMeanFeatures(bytes)
+              (i.toLong, "bin", false, -1, -1,
+                bf(2), bf(3), bf(4), dHash64Bytes(bytes))
+            case c =>
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              img.setRGB(0, 0, w, h, pix, 0, w)
+              val (fmt, ext) = if (c == 0) ("png", "png") else ("jpg", "jpg")
+              val f = new java.io.File(imgDir, f"img_$i%04d.$ext")
+              require(javax.imageio.ImageIO.write(img, fmt, f),
+                s"no $fmt writer for $f")
+              // PNG: encode-time truth. JPEG: decode the WRITTEN file
+              // for the lossy channels; dims stay encode-time truth.
+              val tpix =
+                if (c == 0) pix
+                else decodeImage(java.nio.file.Files.readAllBytes(f.toPath))
+                  .map { case (dw, dh, dp) =>
+                    require(dw == w && dh == h,
+                      s"JPEG round-trip changed dims for $f"); dp
+                  }.getOrElse(throw new IllegalStateException(
+                    s"fixture JPEG $f did not decode"))
+              val (rm, gm, bm) = channelMeans(tpix)
+              (i.toLong, fmt, true, w, h, rm, gm, bm, dHash64(tpix, w, h))
+          }
+        }
+        import spark.implicits._
+        rows.toDF("media_id", "codec", "decodable", "width", "height",
+          "r_mean", "g_mean", "b_mean", "dhash")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/expected")
+        done.createNewFile()
+      }
+      dir
+    }
+
+  /** The mixed-codec fixture as a media table — same binaryFile load
+    * shape as [[pngMediaTable]] but extension-agnostic (mime derived
+    * from the file suffix; unknown suffixes get octet-stream, exactly
+    * how a real blob lake carries undecodable attachments). */
+  def mixedMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val imgDir = new java.io.File(dir, "img")
+    require(imgDir.isDirectory && Option(imgDir.list()).exists(_.nonEmpty),
+      s"mixed-codec fixture missing or empty at $imgDir — run " +
+        "ensureMixedCodecFixture")
+    def load(attempt: Int): DataFrame =
+      try spark.read.format("binaryFile")
+        .option("pathGlobFilter", "img_*.*").load(imgDir.toString)
+      catch {
+        case e: Throwable if attempt < 3 &&
+            Option(e.getMessage).exists(_.contains("does not exist")) =>
+          Thread.sleep(200L * (attempt + 1)); load(attempt + 1)
+      }
+    load(0)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.", 1).cast("long")
+          .as("media_id"),
+        col("content").as("payload"),
+        struct(
+          when(col("path").endsWith(".png"), "image/png")
+            .when(col("path").endsWith(".jpg"), "image/jpeg")
+            .otherwise("application/octet-stream").as("mime"),
+          lit(-1).as("width"),
+          lit(-1).as("height"),
+          col("length").as("n_bytes")).as("media_meta"))
+  }
+
   /** Deterministic noise-textured PNG fixture WITH planted near-dups:
     * `n/2` base images of per-pixel hash noise (so unrelated dHashes are
     * ~independent, ~32 bits apart) and one clone per base with a 3×3

@@ -1977,6 +1977,38 @@ object Extensions {
     * round-trip, so any codec defect breaks the hash match. */
   private val mmFixture = "/root/repo/target/multimodal_fixture"
   private val mmDedupFixture = "/root/repo/target/multimodal_neardup_fixture"
+  private val mmMixedFixture = "/root/repo/target/multimodal_mixed_fixture"
+
+  /** MIXED-CODEC gate ([[Multimodal.ensureMixedCodecFixture]]): PNG +
+    * JPEG + planted undecodable payloads through ONE media table, the
+    * real decode path, and the perceptual-hash path. The hash gate pins
+    * (a) JPEG is REALLY decoded (decoded dims = encode-time dims,
+    * channel means = the written file's decode — not the byte
+    * fallback), and (b) the `dHash64Bytes`/`byteMeanFeatures` fallback
+    * absorbs ONLY the planted garbage; an engine-side require makes the
+    * decoded-fraction contract explicit before the oracle ever sees the
+    * rows. */
+  def multimodalMixedCodec(s: SparkSession, d: String): DataFrame = {
+    Multimodal.ensureMixedCodecFixture(s, mmMixedFixture)
+    val media = Multimodal.mixedMediaTable(s, mmMixedFixture)
+    val feats = Multimodal.extractFeatures(s, media)
+      .select(col("media_id"), col("width"), col("height"),
+        element_at(col("features"), 3).as("r_mean"),
+        element_at(col("features"), 4).as("g_mean"),
+        element_at(col("features"), 5).as("b_mean"))
+    val hashes = Multimodal.perceptualHashes(s, media)
+      .select(col("media_id"), col("phash"), col("decoded"))
+    val out = feats.join(hashes, "media_id")
+    require(out.filter(
+      col("decoded") =!= (col("media_id") % 3 =!= 2)).isEmpty,
+      "codec fallback must fire for exactly the planted undecodable " +
+        "payloads — a real format fell through to the byte lattice " +
+        "(or garbage decoded)")
+    out.select(col("media_id"), col("decoded"), col("width"),
+        col("height"), col("r_mean"), col("g_mean"), col("b_mean"),
+        col("phash"))
+      .orderBy("media_id")
+  }
 
   /** Perceptual image dedup: 64-bit dHash per PNG (real decode), pairs
     * via the pigeonhole-exact banded Hamming join at radius 6 — the
@@ -2130,6 +2162,7 @@ object Extensions {
     "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_mixed_codec" -> (multimodalMixedCodec _),
     "multimodal_retrieval" -> (multimodalRetrieval _),
     "train_corpus_prep" -> (trainCorpusPrep _),
     "train_corpus_prep_v2" -> (trainCorpusPrepV2 _),
@@ -3753,6 +3786,14 @@ object Extensions {
     "multimodal_features" ->
       s"""SELECT media_id, width, height, r_mean, g_mean, b_mean
          |FROM read_parquet('$mmFixture/expected/*.parquet')
+         |ORDER BY media_id""".stripMargin,
+    // mixed PNG/JPEG/undecodable: decode-or-fallback per planted codec
+    // (PNG truth encode-time, JPEG truth decode-time, garbage truth =
+    // the byte-lattice fallback)
+    "multimodal_mixed_codec" ->
+      s"""SELECT media_id, decodable AS decoded, width, height,
+         |  r_mean, g_mean, b_mean, dhash AS phash
+         |FROM read_parquet('$mmMixedFixture/expected/*.parquet')
          |ORDER BY media_id""".stripMargin,
     // the retrieval composition reuses multimodal_features' byte-mean
     // derivation and sim_topk_exact's fold arithmetic verbatim

@@ -58,6 +58,42 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(r => !r.isNullAt(3)))
   }
 
+  test("JPEG rides the REAL decode path: dHash perceptually tracks the PNG twin") {
+    // encode the same pixels as PNG and JPEG: if JPEG went through the
+    // decode path its dHash is within a few bits of the lossless twin
+    // (dHash's whole point); if it fell through to the byte lattice the
+    // codes are unrelated (~32 bits apart in expectation)
+    def encode(fmt: String, w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, w, h, pix, 0, w)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val w = 40; val h = 32
+    val pix = Array.tabulate(w * h) { p =>
+      val x = p % w; val y = p / w
+      ((x * 6 + y) & 0xff) << 16 | ((y * 5 + x * 2) & 0xff) << 8 |
+        ((x * 3 + y * 7) & 0xff)
+    }
+    def hash(bytes: Array[Byte]): (Long, Boolean) =
+      Multimodal.decodeImage(bytes) match {
+        case Some((dw, dh, dp)) => (Multimodal.dHash64(dp, dw, dh), true)
+        case None => (Multimodal.dHash64Bytes(bytes), false)
+      }
+    val (hp, dp) = hash(encode("png", w, h, pix))
+    val jb = encode("jpg", w, h, pix)
+    val (hj, dj) = hash(jb)
+    assert(dp && dj, "both codecs must decode")
+    assert(java.lang.Long.bitCount(hp ^ hj) <= 6,
+      s"JPEG dHash drifted ${java.lang.Long.bitCount(hp ^ hj)} bits from " +
+        "the lossless twin — decode path broken")
+    // the byte lattice over the SAME jpeg bytes is unrelated to the
+    // perceptual code — proof the fallback is not silently absorbing it
+    assert(java.lang.Long.bitCount(hj ^ Multimodal.dHash64Bytes(jb)) > 6)
+  }
+
   test("resampleNearest is identity at equal dims and exact on uniform images") {
     val pix = Array.tabulate(12 * 8)(i => i * 7)
     assert(Multimodal.resampleNearest(pix, 12, 8, 12, 8).toSeq == pix.toSeq)
