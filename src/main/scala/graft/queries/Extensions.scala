@@ -638,6 +638,14 @@ object Extensions {
       .map(_.getPath.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
     fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/${commits.last}"), false)
     run()
+    // DELETE-THEN-QUERY (offboarding/re-canonicalization): tombstone
+    // vec_id % 17 = 3, CRASH-REPLAY the delete epoch (second commit is a
+    // no-op), and search — the oracle excludes the deleted ids from the
+    // candidate set, so the hash gate proves deleted ids never surface
+    // in top-k while centroids and probe routing stay untouched
+    val del = embs(s, d).filter(col("vec_id") % 17 === 3).select("vec_id")
+    graft.streaming.StreamingSimilarity.commitDeletes(s, base, del, "vec_id", 0L)
+    graft.streaming.StreamingSimilarity.commitDeletes(s, base, del, "vec_id", 0L)
     graft.streaming.StreamingSimilarity.searchCommitted(
       s, base, embs(s, d).filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
       .orderBy("probe_id", "rank")
@@ -3206,9 +3214,17 @@ object Extensions {
     // the streaming ingest accumulates the same per-batch assignments the
     // incremental fold models, through transactional epochs + a forced
     // crash replay — identical deterministic lifecycle, identical oracle
+    // seed = first batch's vectors; deleted ids (vec_id % 17 = 3) are
+    // excluded from CANDIDATES only — centroids and probe routing are
+    // built before/independent of the deletions, exactly the engine's
+    // tombstone semantics
     "sim_streaming_index" -> ivfSql.replaceFirst(
       "FROM n ORDER BY vec_id LIMIT 16",
-      "FROM n WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 16"),
+      "FROM n WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 16")
+      .replaceFirst(java.util.regex.Pattern.quote(
+        "FROM pa JOIN ca USING (cell) WHERE pa.p_id <> ca.c_id"),
+        "FROM pa JOIN ca USING (cell) WHERE pa.p_id <> ca.c_id " +
+          "AND ca.c_id % 17 <> 3"),
     // the cell-partitioned lake changes WHERE candidates are read from
     // (pruned directories), never WHICH are scored — identical routing,
     // identical SQL

@@ -51,6 +51,7 @@ object StreamingSimilarity {
   def corpusRoot(root: String): String = s"$root/corpus"
   def indexRoot(root: String): String = s"$root/index"
   def centroidsRoot(root: String): String = s"$root/centroids"
+  def deletesRoot(root: String): String = s"$root/deletes"
 
   /** Maintenance-generation epoch ids start here — far above any stream
     * epoch id (micro-batch epochs count from 0). */
@@ -101,17 +102,55 @@ object StreamingSimilarity {
     gens.max
   }
 
-  /** All committed vectors (exactly-once across replays). */
-  def committedCorpus(spark: SparkSession, root: String): DataFrame =
-    TransactionalLake.readCommitted(spark, corpusRoot(root)).drop("epoch")
+  /** DELETION: tombstone-commit ids to remove from the index — a purged
+    * tenant's vectors, a re-canonicalized doc's stale embedding. Rides
+    * the same idempotent-epoch protocol as every other artifact (a
+    * crash-replayed delete epoch is a no-op), takes effect IMMEDIATELY
+    * on every committed read ([[committedCorpus]]/[[assignmentIndex]]
+    * subtract the tombstone set before search — a deleted id can never
+    * surface in top-k, even mid-maintenance), and COMPACTS AWAY
+    * physically at the next [[refineAndReindex]] (the new generation is
+    * built from the already-filtered corpus, so tombstones never
+    * accumulate into the assignment path's working set; the corpus
+    * lake's dead rows go at fold/retention like any other superseded
+    * data). The tombstone set is id-scale metadata, shuffled as an
+    * anti-join side — never collected. */
+  def commitDeletes(spark: SparkSession, root: String, ids: DataFrame,
+                    idCol: String, epochId: Long): Unit =
+    TransactionalLake.commitEpoch(ids.select(col(idCol).as("id")).distinct(),
+      deletesRoot(root), epochId, Nil)
 
-  /** The accumulated (id, cell) index for one generation. Within a
-    * generation every id maps to ONE cell (same centroids ⇒ same argmin),
-    * so the dedup only collapses replay-identical rows. */
+  /** The committed tombstone set (empty frame when none committed). */
+  private def deletedIds(spark: SparkSession, root: String): Option[DataFrame] =
+    if (TransactionalLake.committedEpochs(spark, deletesRoot(root)).isEmpty)
+      None
+    else Some(TransactionalLake.readCommitted(spark, deletesRoot(root))
+      .select(col("id")).distinct())
+
+  private def minusDeleted(spark: SparkSession, root: String, df: DataFrame,
+                           onCol: String): DataFrame =
+    deletedIds(spark, root).fold(df)(del =>
+      df.join(del.select(col("id").as(onCol)), Seq(onCol), "left_anti"))
+
+  /** All committed vectors (exactly-once across replays), tombstoned
+    * deletions excluded (`idCol` names the corpus id column the
+    * tombstones key on). */
+  def committedCorpus(spark: SparkSession, root: String,
+                      idCol: String = "id"): DataFrame =
+    minusDeleted(spark, root,
+      TransactionalLake.readCommitted(spark, corpusRoot(root)).drop("epoch"),
+      onCol = idCol)
+
+  /** The accumulated (id, cell) index for one generation, tombstoned
+    * deletions excluded. Within a generation every id maps to ONE cell
+    * (same centroids ⇒ same argmin), so the dedup only collapses
+    * replay-identical rows. */
   def assignmentIndex(spark: SparkSession, root: String, gen: Long): DataFrame =
-    TransactionalLake.readCommitted(spark, indexRoot(root)).drop("epoch")
-      .filter(col("gen") === gen).select(col("id"), col("cell"))
-      .dropDuplicates(Seq("id", "cell"))
+    minusDeleted(spark, root,
+      TransactionalLake.readCommitted(spark, indexRoot(root)).drop("epoch")
+        .filter(col("gen") === gen).select(col("id"), col("cell"))
+        .dropDuplicates(Seq("id", "cell")),
+      onCol = "id")
 
   /** Search the committed index: newest generation's centroids +
     * assignments + the committed corpus, through the completeness-guarded
@@ -123,7 +162,7 @@ object StreamingSimilarity {
     Similarity.ivfTopKPreassigned(
       centroidGeneration(spark, root, g),
       assignmentIndex(spark, root, g),
-      committedCorpus(spark, root), probes, idCol, vecCol, k, nProbe)
+      committedCorpus(spark, root, idCol), probes, idCol, vecCol, k, nProbe)
   }
 
   /** Periodic centroid refinement + full re-assignment as a NEW
@@ -132,7 +171,9 @@ object StreamingSimilarity {
   def refineAndReindex(spark: SparkSession, root: String, idCol: String,
                        vecCol: String, nCells: Int = 16,
                        iters: Int = 2): Long = {
-    val corpus = committedCorpus(spark, root)
+    // built from the TOMBSTONE-FILTERED corpus: the new generation is
+    // the physical compaction point for deletions
+    val corpus = committedCorpus(spark, root, idCol)
     val cents = Similarity.ivfCentroidsRefined(corpus, idCol, vecCol, nCells, iters)
     val gens = TransactionalLake.committedEpochs(spark, centroidsRoot(root))
     val gen = math.max(GenBase, gens.max + 1L)

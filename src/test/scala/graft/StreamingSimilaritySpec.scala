@@ -55,6 +55,34 @@ class StreamingSimilaritySpec extends SparkSpec {
       == embs.count())
   }
 
+  test("deletes: tombstoned ids never surface; refine compacts them away") {
+    val root = tmpDir("ssim_del")
+    ingest3(root)
+    val probes = embs.filter(col("vec_id") < 10)
+    def results() = StreamingSimilarity.searchCommitted(
+      spark, root, probes, "vec_id", "embedding", k = 5)
+    // delete a set guaranteed to include current top-k members: the
+    // first probe's own nearest neighbors
+    val victims = results().filter(col("probe_id") === 0)
+      .select(col("neighbor_id").as("vec_id")).limit(3)
+    val vIds = victims.collect().map(_.getLong(0)).toSet
+    assert(vIds.size == 3)
+    StreamingSimilarity.commitDeletes(spark, root, victims, "vec_id", 0L)
+    // crash replay of the delete epoch: a no-op
+    StreamingSimilarity.commitDeletes(spark, root, victims, "vec_id", 0L)
+    val after = results().collect()
+    assert(after.length == 50, "k results still fill from survivors")
+    assert(!after.exists(r => vIds(r.getLong(1))),
+      "deleted ids must never surface in top-k")
+    // refinement = physical compaction: the new generation's index
+    // carries no tombstoned id at all
+    val gen = StreamingSimilarity.refineAndReindex(spark, root, "vec_id", "embedding")
+    assert(StreamingSimilarity.assignmentIndex(spark, root, gen).count()
+      == embs.count() - 3)
+    val post = results().collect()
+    assert(post.length == 50 && !post.exists(r => vIds(r.getLong(1))))
+  }
+
   test("completeness guard fails fast when a corpus row lacks an assignment") {
     val root = tmpDir("ssim_guard")
     ingest3(root)
