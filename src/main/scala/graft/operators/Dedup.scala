@@ -184,6 +184,21 @@ object Dedup {
     // never a pairs × |sweep| expansion (the earlier crossJoin shape
     // materialized that product twice — pair counts AND exploded doc
     // rows — which belied the metadata-scale contract for wide sweeps)
+    sweepRollup(pairs, col("jaccard"),
+      explode(array(col("id_a"), col("id_b"))), "n_dup_docs",
+      thresholds, docs)
+  }
+
+  /** Shared per-threshold rollup for the sweep family: one conditional
+    * aggregation over the verified pairs (n_pairs per threshold) and one
+    * over the per-doc best score (participating docs per threshold — a
+    * doc participates at t iff its BEST pair ≥ t, so one doc-grain max
+    * pass replaces any per-threshold explode+distinct), then the corpus
+    * count broadcast alongside. Pair-scale regardless of sweep width —
+    * never a pairs × |sweep| expansion. */
+  private def sweepRollup(pairs: DataFrame, score: Column, docSide: Column,
+                          docCountName: String, thresholds: Seq[Double],
+                          docs: DataFrame): DataFrame = {
     val tS = thresholds.sorted
     def sweepCounts(src: DataFrame, v: Column): DataFrame = {
       val aggs = tS.zipWithIndex.map { case (t, i) =>
@@ -194,22 +209,59 @@ object Dedup {
             s"CAST($t AS DOUBLE), c$i" }.mkString(", ") +
           ") as (threshold, n)")
     }
-    val pairCounts = sweepCounts(pairs, col("jaccard"))
+    val pairCounts = sweepCounts(pairs, score)
       .withColumnRenamed("n", "n_pairs")
-    // a doc participates at threshold t iff its BEST pair ≥ t — one
-    // doc-grain max pass replaces the per-threshold explode+distinct
     val docBest = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("doc"),
-        col("jaccard"))
-      .groupBy("doc").agg(max(col("jaccard")).as("bj"))
-    val docCounts = sweepCounts(docBest, col("bj"))
-      .withColumnRenamed("n", "n_dup_docs")
+      .select(docSide.as("doc"), score.as("__s"))
+      .groupBy("doc").agg(max(col("__s")).as("bs"))
+    val docCounts = sweepCounts(docBest, col("bs"))
+      .withColumnRenamed("n", docCountName)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     pairCounts.join(docCounts, Seq("threshold"))
       .crossJoin(broadcast(nDocs))
-      .select(col("threshold"), col("n_pairs"), col("n_dup_docs"),
+      .select(col("threshold"), col("n_pairs"), col(docCountName),
         col("n_docs"))
       .orderBy(col("threshold"))
+  }
+
+  /** CONTAINMENT-policy threshold sweep — [[thresholdSweep]]'s ordered
+    * twin over [[containmentPairs]] semantics (|A∩B| / |A| ≥ t: the
+    * quote-expansion shape Jaccard under-scores). Same one-candidate-pass
+    * argument: the a-side prefix at t_min (length n − ⌈t_min·n⌉ + 1) is a
+    * SUPERSET of every prefix at t ≥ t_min, so candidates generated once
+    * at the loosest threshold have exact recall for the whole sweep; each
+    * candidate's containment is verified once and the per-threshold
+    * rollup is a conditional aggregation. `n_contained_docs` counts docs
+    * participating as the CONTAINED (a) side. */
+  def containmentSweep(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3,
+                       thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9)): DataFrame = {
+    require(thresholds.nonEmpty, "containmentSweep: empty threshold sweep")
+    require(thresholds.forall(t => t > 0.0 && t <= 1.0),
+      "containmentSweep: thresholds must be in (0, 1]")
+    val pairs = containmentPairs(docs, idCol, textCol, k, thresholds.min)
+    sweepRollup(pairs, col("containment"), col("id_a"),
+      "n_contained_docs", thresholds, docs)
+  }
+
+  /** WEIGHTED-Jaccard threshold sweep over [[weightedJaccardPairs]]
+    * semantics (multiset Σmin/Σmax — catches the repetition padding set
+    * Jaccard scores ~1). Candidate generation there is threshold-FREE
+    * (the df ≥ 2 postings self-join; the threshold only gates the final
+    * filter), so one verified pass at t_min covers the sweep exactly;
+    * the rollup is the shared conditional aggregation. */
+  def weightedJaccardSweep(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3,
+                           thresholds: Seq[Double] = Seq(0.7, 0.8, 0.9),
+                           maxCandidatePairs: Long = 10000000L): DataFrame = {
+    require(thresholds.nonEmpty, "weightedJaccardSweep: empty threshold sweep")
+    require(thresholds.forall(t => t > 0.0 && t <= 1.0),
+      "weightedJaccardSweep: thresholds must be in (0, 1]")
+    val pairs = weightedJaccardPairs(docs, idCol, textCol, k,
+      thresholds.min, maxCandidatePairs)
+    sweepRollup(pairs, col("jaccard"),
+      explode(array(col("id_a"), col("id_b"))), "n_dup_docs",
+      thresholds, docs)
   }
 
   /** Candidate (id_a, id_b) pairs of the stop-shingle-aware PPJoin+

@@ -2077,6 +2077,19 @@ object Extensions {
       threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  /** One-candidate-pass containment sweep (the [[dedupThresholdSweep]]
+    * trick on the ordered metric — policy curve before picking a
+    * containment cutoff). */
+  def dedupContainmentSweep(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentSweep(docs(s, d), "doc_id", "text", k = 3,
+      thresholds = Seq(0.6, 0.8, 0.9, 1.0))
+
+  /** One-candidate-pass weighted-Jaccard sweep (multiset Σmin/Σmax —
+    * the repetition-aware policy curve). */
+  def dedupWeightedJaccardSweep(s: SparkSession, d: String): DataFrame =
+    Dedup.weightedJaccardSweep(docs(s, d), "doc_id", "text", k = 3,
+      thresholds = Seq(0.5, 0.7, 0.8, 0.9))
+
   /** Hard-negative mining gate: per anchor (vec_id < 10), exact top-5
     * most-similar vectors below the cosine-0.98 positive cut — the
     * contrastive-batch sampler with near-dup false negatives excluded. */
@@ -2215,6 +2228,8 @@ object Extensions {
     "text_dup_report" -> (textDupReport _),
     "dedup_weighted_jaccard" -> (dedupWeightedJaccard _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "dedup_containment_sweep" -> (dedupContainmentSweep _),
+    "dedup_weighted_sweep" -> (dedupWeightedJaccardSweep _),
     "text_perplexity_incremental" -> (textPerplexityIncremental _)))
 
   private val tokensCte =
@@ -2473,6 +2488,71 @@ object Extensions {
       |  WHERE jaccard >= 0.6
       |),
       |t AS (SELECT CAST(unnest([0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+      |pt AS MATERIALIZED (
+      |  SELECT t.threshold, p.id_a, p.id_b
+      |  FROM t JOIN p ON p.jaccard >= t.threshold),
+      |pc AS (SELECT threshold, count(*) AS n_pairs FROM pt GROUP BY threshold),
+      |dc AS (SELECT threshold, count(DISTINCT doc) AS n_dup_docs FROM (
+      |  SELECT threshold, unnest([id_a, id_b]) AS doc FROM pt) GROUP BY threshold),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT t.threshold,
+      |  CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(dc.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+      |  n.n_docs
+      |FROM t LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
+      |CROSS JOIN n
+      |ORDER BY threshold""".stripMargin
+
+  /** Containment-sweep oracle: exact ordered cross product at the
+    * loosest threshold, then per-threshold rollups — the contained-doc
+    * count keys on the a (subset) side. */
+  private val containmentSweepSql: String = shingleCte +
+    """, p AS MATERIALIZED (
+      |  SELECT id_a, id_b, containment FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |      CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+      |      CAST(len(a.sh) AS DOUBLE) AS containment
+      |    FROM s a JOIN s b ON a.doc_id <> b.doc_id
+      |    WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+      |  WHERE containment >= 0.6
+      |),
+      |t AS (SELECT CAST(unnest([0.6, 0.8, 0.9, 1.0]) AS DOUBLE) AS threshold),
+      |pt AS MATERIALIZED (
+      |  SELECT t.threshold, p.id_a
+      |  FROM t JOIN p ON p.containment >= t.threshold),
+      |pc AS (SELECT threshold, count(*) AS n_pairs FROM pt GROUP BY threshold),
+      |dc AS (SELECT threshold, count(DISTINCT id_a) AS n_contained_docs
+      |       FROM pt GROUP BY threshold),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT t.threshold,
+      |  CAST(coalesce(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(dc.n_contained_docs, 0) AS BIGINT) AS n_contained_docs,
+      |  n.n_docs
+      |FROM t LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)
+      |CROSS JOIN n
+      |ORDER BY threshold""".stripMargin
+
+  /** Weighted-Jaccard-sweep oracle: the exact multiset Σmin/Σmax pair
+    * set at the loosest threshold, then per-threshold rollups. */
+  private val weightedSweepSql: String = tokensCte +
+    """, sb AS (
+      |  SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS w FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) ELSE
+      |      list_transform(range(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS sh
+      |    FROM w) GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tot FROM sb GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(sum(least(a.w, b.w)) AS BIGINT) AS i
+      |  FROM sb a JOIN sb b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |p AS MATERIALIZED (
+      |  SELECT id_a, id_b, jaccard FROM (
+      |    SELECT id_a, id_b,
+      |      round(CAST(i AS DOUBLE) / CAST(ta.tot + tb.tot - i AS DOUBLE), 6) AS jaccard
+      |    FROM inter JOIN tt ta ON ta.doc_id = id_a JOIN tt tb ON tb.doc_id = id_b)
+      |  WHERE jaccard >= 0.5),
+      |t AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
       |pt AS MATERIALIZED (
       |  SELECT t.threshold, p.id_a, p.id_b
       |  FROM t JOIN p ON p.jaccard >= t.threshold),
@@ -3045,6 +3125,8 @@ object Extensions {
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_threshold_sweep" -> thresholdSweepSql,
+    "dedup_containment_sweep" -> containmentSweepSql,
+    "dedup_weighted_sweep" -> weightedSweepSql,
     // containment is ASYMMETRIC (|A∩B| / |A|): ordered pairs, a ≠ b —
     // the naive cross product is the oracle for the prefix-blocked join
     "dedup_containment" -> (shingleCte +

@@ -671,4 +671,35 @@ class DedupSimilaritySpec extends SparkSpec {
       case _ => true
     })
   }
+
+  test("containment sweep: one candidate pass equals per-threshold joins") {
+    val ts = Seq(0.6, 0.85, 1.0)
+    val sweep = Dedup.containmentSweep(docs, "doc_id", "text", k = 3,
+      thresholds = ts)
+      .as[(Double, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(sweep.map(_._1) === ts.sorted)
+    for ((t, np, nc, _) <- sweep) {
+      val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(np == pairs.size.toLong, s"n_pairs at $t")
+      assert(nc == pairs.map(_._1).size.toLong, s"n_contained_docs at $t")
+    }
+  }
+
+  test("weighted-jaccard sweep: one candidate pass equals per-threshold joins") {
+    val ts = Seq(0.5, 0.8, 0.95)
+    val sweep = Dedup.weightedJaccardSweep(docs, "doc_id", "text", k = 3,
+      thresholds = ts)
+      .as[(Double, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(sweep.map(_._1) === ts.sorted)
+    for ((t, np, nd, _) <- sweep) {
+      val pairs = Dedup.weightedJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(np == pairs.size.toLong, s"n_pairs at $t")
+      assert(nd == pairs.flatMap(p => Seq(p._1, p._2)).size.toLong,
+        s"n_dup_docs at $t")
+    }
+  }
 }
