@@ -84,7 +84,13 @@ object Scaling {
     // round-14 close session: the sweep shares the loosest-threshold
     // candidate pass — its growth must track the single-threshold join
     // (same PPJoin class), not multiply by the sweep size
-    "dedup_threshold_sweep")
+    "dedup_threshold_sweep",
+    // round-15: the sweep family's other two members (containment's
+    // prefix join, weighted Jaccard's budget-guarded postings self-join)
+    // and the tenant-purge cascade (3 per-tenant index builds + the
+    // offboarding scrub — must track the corpus, not multiply by it)
+    "dedup_containment_sweep", "dedup_weighted_sweep",
+    "pipe_tenant_purge_derived")
 
   /** Dedup/ANN/flagship queries also measured on the synthetic ×8 corpus
     * (documents+embeddings only — the tables this subset reads). */
