@@ -88,6 +88,48 @@ class TenantArtifactsSpec extends SparkSpec {
     assert(TransactionalLake.readCommitted(spark, root).count() === 4)
   }
 
+  test("streaming-ANN roots offboard through the same cascade") {
+    import graft.streaming.StreamingSimilarity
+    val base = tmpDir("ta_ann_")
+    val embs = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    Seq("t0", "t1").foreach { t =>
+      val root = TenantArtifacts.tenantRoot(base, t)
+      val te = embs.filter((col("vec_id") % 2 === (if (t == "t0") 0 else 1)))
+      val cents = graft.operators.Similarity
+        .seedCentroids(te, "vec_id", "embedding", 8)
+      val assignments = graft.operators.Similarity
+        .ivfAssignments(cents, te, "vec_id", "embedding")
+        .withColumn("gen", lit(0L))
+      TransactionalLake.commitEpoch(te,
+        StreamingSimilarity.corpusRoot(root), 0L, Nil)
+      TransactionalLake.commitEpoch(cents,
+        StreamingSimilarity.centroidsRoot(root), 0L, Nil)
+      TransactionalLake.commitEpoch(assignments,
+        StreamingSimilarity.indexRoot(root), 0L, Nil)
+    }
+    assert(TenantArtifacts.purgeTenant(spark, base, "t1") > 0)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val t1 = TenantArtifacts.tenantRoot(base, "t1")
+    Seq("corpus", "index", "centroids").foreach { sub =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t1/$sub/data")),
+        s"$sub data must be scrubbed")
+      assert(TransactionalLake.isCommitted(spark, s"$t1/$sub", 0L),
+        s"$sub markers must survive (replay no-op)")
+    }
+    // replayed committed epoch cannot resurrect vectors
+    TransactionalLake.commitEpoch(
+      embs.filter(col("vec_id") % 2 === 1),
+      StreamingSimilarity.corpusRoot(t1), 0L, Nil)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t1/corpus/data")))
+    // the survivor still serves top-k
+    val res = StreamingSimilarity.searchCommitted(spark,
+      TenantArtifacts.tenantRoot(base, "t0"),
+      embs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+    assert(res.count() === 3)
+  }
+
   test("purgeRowsInDir refuses unexpected partition levels") {
     val root = tmpDir("ta_part_")
     Seq(("x", "t0", 1L)).toDF("file", "tenant", "n")
