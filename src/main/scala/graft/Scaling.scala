@@ -130,8 +130,14 @@ object Scaling {
     * progress) — factored out so Bench can regenerate the artifact each
     * round inside its own session without clobbering its stdout line.
     * `only`: optional query-name filter (CLI args) for fast iteration on
-    * one operator's exponent without the full ~20 min sweep. */
-  def run(spark: SparkSession, only: Option[Set[String]] = None): String = {
+    * one operator's exponent without the full ~20 min sweep.
+    * `knownBig`: already-measured sf0.1 medians from the SAME session
+    * (Bench passes its per-entry medians — median-of-3 with warm-up and
+    * retry adjudication, a strictly stronger measurement than this
+    * sweep's bare median-of-3) — entries present there skip the sf0.1
+    * re-timing leg. Standalone runs pass nothing and measure all legs. */
+  def run(spark: SparkSession, only: Option[Set[String]] = None,
+          knownBig: Map[String, Double] = Map.empty): String = {
     val sfSmall = "/root/testdata/sf0.01"
     val sfBig = "/root/testdata/sf0.1"
     // v2: per-word replica tagging (true shingle decorrelation) — new
@@ -172,7 +178,7 @@ object Scaling {
 
     val entries = smallSubset.filter(q => only.forall(_.contains(q))).map { q =>
       val t1 = time(q, sfSmall)
-      val t2 = time(q, sfBig)
+      val t2 = knownBig.getOrElse(q, time(q, sfBig))
       val aSmall = math.log(t2 / t1) / math.log(10.0)
       val (tS, aLarge) =
         if (synthSubset.contains(q)) {

@@ -1861,45 +1861,120 @@ object Extensions {
       concat(lit("t"), (col("doc_id") % 3).cast("string")).as("tenant"))
     val subBase = s"$base/substr"
     val bmBase = s"$base/bm25"
-    Seq("t0", "t1", "t2").foreach { t =>
-      val td = all.filter(col("tenant") === t)
-      Dedup.commitSubstringBatch(td, "doc_id", "text",
-        TenantArtifacts.tenantRoot(subBase, t), 0L)
-      TextIndex.commitPostings(td, "doc_id", "text",
-        TenantArtifacts.tenantRoot(bmBase, t), 0L)
-    }
     val lroot = s"$base/lake"
     val zroot = s"$base/zstats"
     val broot = s"$base/bloom"
-    (0 until 2).foreach { e =>
-      TransactionalLake.commitEpoch(
-        all.filter(col("doc_id") % 2 === e)
-          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-            col("tenant")),
-        lroot, e.toLong, partitionCols = Seq("tenant"))
-      ZoneMap.appendEpochStats(s, lroot, zroot, e.toLong, "doc_id")
-      BloomIndex.appendEpochIndex(s, lroot, broot, e.toLong, "doc_id")
+    // FIXTURE CONSTRUCTION runs as 7 INDEPENDENT tracks submitted from a
+    // small thread pool (guide §2.6 — actions are only sequential because
+    // the driver calls them sequentially): 3 tenants x 2 per-tenant index
+    // builds (disjoint roots, each internally the sequential single-writer
+    // commit protocol) + the lake/stats track (epochs stay ordered inside
+    // it; zone-map and bloom read the committed epoch and write disjoint
+    // roots). Each track's jobs back-fill executors freed by another
+    // track's driver-dispatch gaps — the entry was measured
+    // dispatch-bound, ~60% driver gap (profiles/ and OPTIMIZATION_r16.md).
+    // Thread-safety: no track mutates session conf (commitEpoch/
+    // commitSubstringBatch/commitPostings never call MaintenanceExec),
+    // and Blocks release-scopes are thread-confined by design.
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val tracks =
+        Seq("t0", "t1", "t2").flatMap { t =>
+          val td = all.filter(col("tenant") === t)
+          Seq(
+            scala.concurrent.Future(Dedup.commitSubstringBatch(td, "doc_id",
+              "text", TenantArtifacts.tenantRoot(subBase, t), 0L)),
+            scala.concurrent.Future(TextIndex.commitPostings(td, "doc_id",
+              "text", TenantArtifacts.tenantRoot(bmBase, t), 0L)))
+        } :+ scala.concurrent.Future {
+          (0 until 2).foreach { e =>
+            TransactionalLake.commitEpoch(
+              all.filter(col("doc_id") % 2 === e)
+                .select(col("doc_id"),
+                  length(col("text")).cast("long").as("n_chars"),
+                  col("tenant")),
+              lroot, e.toLong, partitionCols = Seq("tenant"))
+            ZoneMap.appendEpochStats(s, lroot, zroot, e.toLong, "doc_id")
+            BloomIndex.appendEpochIndex(s, lroot, broot, e.toLong, "doc_id")
+          }
+        }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(tracks),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     }
 
     // ---- OFFBOARD t2 across every derived artifact ----
-    require(TenantArtifacts.purgeTenant(s, subBase, "t2") > 0,
-      "substring-index purge must scrub data subtrees")
-    require(TenantArtifacts.purgeTenant(s, bmBase, "t2") > 0,
-      "bm25-index purge must scrub data subtrees")
-    TransactionalLake.purgeTenant(s, lroot, "t2")
-    require(ZoneMap.purgeTenantStats(s, zroot, "t2") > 0,
-      "zone-map cascade must rewrite the stats epochs")
-    require(BloomIndex.purgeTenantRows(s, broot, "t2") > 0,
-      "bloom cascade must rewrite the index epochs")
+    // the five purge targets are DISJOINT roots — same §2.6 overlap as
+    // the fixture phase (the two row-level rewrites are the only Spark
+    // work; the subtree scrubs are filesystem-only)
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+        scala.concurrent.Future(
+          require(TenantArtifacts.purgeTenant(s, subBase, "t2") > 0,
+            "substring-index purge must scrub data subtrees")),
+        scala.concurrent.Future(
+          require(TenantArtifacts.purgeTenant(s, bmBase, "t2") > 0,
+            "bm25-index purge must scrub data subtrees")),
+        scala.concurrent.Future(TransactionalLake.purgeTenant(s, lroot, "t2")),
+        scala.concurrent.Future(
+          require(ZoneMap.purgeTenantStats(s, zroot, "t2") > 0,
+            "zone-map cascade must rewrite the stats epochs")),
+        scala.concurrent.Future(
+          require(BloomIndex.purgeTenantRows(s, broot, "t2") > 0,
+            "bloom cascade must rewrite the index epochs")))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
 
     // crash-replay after the purge: epoch 0 is committed in every lake,
     // so the replayed maintenance batches are TOTAL no-ops — the purged
-    // tenant's derived data must neither resurrect nor crash the replay
+    // tenant's derived data must neither resurrect nor crash the replay.
+    // The two replays and the post-purge assertion probes are again
+    // independent (disjoint roots / read-only actions): one overlap pool.
     val t2docs = all.filter(col("tenant") === "t2")
-    Dedup.commitSubstringBatch(t2docs, "doc_id", "text",
-      TenantArtifacts.tenantRoot(subBase, "t2"), 0L)
-    TextIndex.commitPostings(t2docs, "doc_id", "text",
-      TenantArtifacts.tenantRoot(bmBase, "t2"), 0L)
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val replays = Seq(
+        scala.concurrent.Future(Dedup.commitSubstringBatch(t2docs, "doc_id",
+          "text", TenantArtifacts.tenantRoot(subBase, "t2"), 0L)),
+        scala.concurrent.Future(TextIndex.commitPostings(t2docs, "doc_id",
+          "text", TenantArtifacts.tenantRoot(bmBase, "t2"), 0L)))
+      // read-only probes that do not depend on the replay no-ops
+      val probes = Seq(
+        scala.concurrent.Future(
+          require(ZoneMap.statsIndex(s, zroot)
+            .filter(col("file").contains("/tenant=t2/")).isEmpty,
+            "no zone-map row may reference a purged tenant file")),
+        scala.concurrent.Future(
+          require(BloomIndex.index(s, broot)
+            .filter(col("file").contains("/tenant=t2/")).isEmpty,
+            "no bloom row may reference a purged tenant file")),
+        scala.concurrent.Future {
+          val lakeFiles = TransactionalLake.readCommitted(s, lroot)
+            .select(input_file_name().as("file")).distinct()
+          val statFiles = ZoneMap.statsIndex(s, zroot).select("file").distinct()
+          require(statFiles.exceptAll(lakeFiles).isEmpty &&
+            lakeFiles.exceptAll(statFiles).isEmpty,
+            "zone-map rows must cover exactly the surviving lake files")
+        },
+        // survivors still serve: BM25 over t0's untouched index
+        scala.concurrent.Future(
+          require(TextIndex.bm25FromIndex(s,
+            TenantArtifacts.tenantRoot(bmBase, "t0"),
+            Seq("the"), topK = 3).count() >= 0, "survivor index must serve")))
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(replays ++ probes),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
     Seq(s"${TenantArtifacts.tenantRoot(subBase, "t2")}/grams/data",
       s"${TenantArtifacts.tenantRoot(subBase, "t2")}/best/data",
       s"${TenantArtifacts.tenantRoot(subBase, "t2")}/df/data",
@@ -1911,25 +1986,6 @@ object Extensions {
       TenantArtifacts.isPurged(s, bmBase, "t2"), "tombstones must exist")
     require(TenantArtifacts.tenants(s, subBase) == Seq("t0", "t1"),
       "surviving tenants must remain listed")
-    // shared artifacts: no row may name a t2 file, and the zone-map
-    // must cover EXACTLY the surviving lake files (nothing dropped,
-    // nothing stale)
-    require(ZoneMap.statsIndex(s, zroot)
-      .filter(col("file").contains("/tenant=t2/")).isEmpty,
-      "no zone-map row may reference a purged tenant file")
-    require(BloomIndex.index(s, broot)
-      .filter(col("file").contains("/tenant=t2/")).isEmpty,
-      "no bloom row may reference a purged tenant file")
-    val lakeFiles = TransactionalLake.readCommitted(s, lroot)
-      .select(input_file_name().as("file")).distinct()
-    val statFiles = ZoneMap.statsIndex(s, zroot).select("file").distinct()
-    require(statFiles.exceptAll(lakeFiles).isEmpty &&
-      lakeFiles.exceptAll(statFiles).isEmpty,
-      "zone-map rows must cover exactly the surviving lake files")
-    // survivors still serve: BM25 over t0's untouched index
-    require(TextIndex.bm25FromIndex(s,
-      TenantArtifacts.tenantRoot(bmBase, "t0"),
-      Seq("the"), topK = 3).count() >= 0, "survivor index must serve")
 
     Seq("t0", "t1").map { t =>
       Dedup.longestDupSubstringsFromIndex(s,

@@ -77,7 +77,9 @@ object KeyedView {
   // hints): the refresh that wrote state_v<c> records its schema so the
   // committed read skips the footer-inference job; a reader in a fresh
   // process just infers. Keyed by the versioned dir PLUS its file
-  // listing fingerprint (names + mtimes) — a root deleted and
+  // listing fingerprint (names + mtimes + lengths — length defeats a
+  // same-timestamp recreate with different content on coarse-mtime
+  // filesystems) — a root deleted and
   // re-created by another process at the same cursor ids writes new
   // files with new mtimes, so its reads miss the hint and re-infer
   // instead of trusting a stale schema (a same-process retry rewrites
@@ -93,7 +95,7 @@ object KeyedView {
     val fp =
       if (!f.exists(p)) ""
       else f.listStatus(p)
-        .map(s => s.getPath.getName + "@" + s.getModificationTime)
+        .map(s => s.getPath.getName + "@" + s.getModificationTime + "@" + s.getLen)
         .sorted.mkString(";")
     s"$dir|$fp"
   }

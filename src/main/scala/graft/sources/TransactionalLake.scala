@@ -503,8 +503,10 @@ object TransactionalLake {
     * in. A crash between delete and rename is repaired by the re-run
     * (tmp present + original missing → rename completes); a crash
     * earlier just re-rewrites. Commit markers and the fold view are
-    * untouched — replay/no-op semantics are unchanged. Returns the
-    * number of subtrees rewritten. */
+    * untouched — replay/no-op semantics are unchanged. Dirs where the
+    * predicate matches nothing are SKIPPED byte-identical (probe before
+    * rewrite — r15 verdict #5), so the cost is O(dirs touched), not
+    * O(all epochs). Returns the number of subtrees rewritten. */
   def purgeRowsWhere(spark: SparkSession, root: String,
                      pred: org.apache.spark.sql.Column): Int = {
     var rewritten = 0
@@ -546,9 +548,33 @@ object TransactionalLake {
         if (epochPartitioned)
           spark.read.option("basePath", dir).parquet(dir)
         else spark.read.parquet(dir)
-      val out = src.filter(!pred).write.mode("overwrite")
-      (if (epochPartitioned) out.partitionBy("epoch") else out)
-        .parquet(tmp.toString)
+      // SKIP-UNTOUCHED-DIRS (r15 verdict #5): a dir where the predicate
+      // matches nothing keeps its files byte-identical — no rewrite, no
+      // mtime churn. At deployment scale a tenant purge then pays
+      // O(dirs touched), not O(all epochs) read-filter-rewrite. The
+      // probe is one limit-1 job over a metadata-scale dir. A stale
+      // `.purge_tmp` from an interrupted run under a DIFFERENT predicate
+      // is dropped here rather than renamed over intact data.
+      if (src.filter(pred).isEmpty) {
+        if (f.exists(tmp)) f.delete(tmp, true)
+        return false
+      }
+      val survivors = src.filter(!pred)
+      if (epochPartitioned && survivors.isEmpty) {
+        // EMPTY-RESULT RESCUE (r15 ADVICE, medium): partitionBy on an
+        // empty frame writes a dir with only _SUCCESS — no epoch=
+        // subdirs, no parquet footers — and every later schema-inferring
+        // read of the shared artifact fails for ALL tenants. Write the
+        // empty result non-partitioned instead: one schema-bearing
+        // (zero-row) parquet file, `epoch` kept as a data column with
+        // the same string type a basePath read derives, so fold-aware
+        // readers keep working and the dir stays self-describing.
+        survivors.write.mode("overwrite").parquet(tmp.toString)
+      } else {
+        val out = survivors.write.mode("overwrite")
+        (if (epochPartitioned) out.partitionBy("epoch") else out)
+          .parquet(tmp.toString)
+      }
       f.delete(orig, true)
       ()
     }

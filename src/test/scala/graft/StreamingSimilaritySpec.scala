@@ -63,10 +63,18 @@ class StreamingSimilaritySpec extends SparkSpec {
       spark, root, probes, "vec_id", "embedding", k = 5)
     // delete a set guaranteed to include current top-k members: the
     // first probe's own nearest neighbors
-    val victims = results().filter(col("probe_id") === 0)
+    // collect the 3 ids ONCE and rebuild the delete frame from literals:
+    // filter+limit with no ordering may pick different rows when the
+    // frame is re-evaluated inside commitDeletes (r15 ADVICE)
+    val vIds = results().filter(col("probe_id") === 0)
       .select(col("neighbor_id").as("vec_id")).limit(3)
-    val vIds = victims.collect().map(_.getLong(0)).toSet
+      .collect().map(_.getLong(0)).toSet
     assert(vIds.size == 3)
+    val victims = spark.createDataFrame(
+      spark.sparkContext.parallelize(vIds.toSeq.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType))))
     StreamingSimilarity.commitDeletes(spark, root, victims, "vec_id", 0L)
     // crash replay of the delete epoch: a no-op
     StreamingSimilarity.commitDeletes(spark, root, victims, "vec_id", 0L)

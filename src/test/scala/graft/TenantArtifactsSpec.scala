@@ -84,8 +84,50 @@ class TenantArtifactsSpec extends SparkSpec {
     val e0 = s"$root/data/epoch=0"
     assert(fs.rename(new org.apache.hadoop.fs.Path(e0),
       new org.apache.hadoop.fs.Path(e0 + ".purge_tmp")))
-    assert(TransactionalLake.purgeRowsWhere(spark, root, pred) === 2)
+    // the repair run completes epoch 0's rename; epoch 1 (already
+    // purged, predicate matches nothing) is now SKIPPED untouched
+    assert(TransactionalLake.purgeRowsWhere(spark, root, pred) === 1)
     assert(TransactionalLake.readCommitted(spark, root).count() === 4)
+  }
+
+  test("purgeRowsWhere skips untouched dirs byte-identical") {
+    val root = tmpDir("ta_skip_")
+    val rows = Seq(("a/tenant=t0/f1", 1L), ("a/tenant=t1/f2", 2L))
+      .toDF("file", "n")
+    // epoch 0 carries a matching row; epoch 1 has NO t1 rows at all
+    TransactionalLake.commitEpoch(rows, root, 0L, partitionCols = Nil)
+    TransactionalLake.commitEpoch(
+      rows.filter(!col("file").contains("/tenant=t1/")), root, 1L,
+      partitionCols = Nil)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def listing(dir: String): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(s => s"${s.getPath.getName}@${s.getModificationTime}@${s.getLen}")
+        .sorted.toSeq
+    val before = listing(s"$root/data/epoch=1")
+    val pred = col("file").contains("/tenant=t1/")
+    // only epoch 0 is rewritten; epoch 1 keeps its files byte-identical
+    assert(TransactionalLake.purgeRowsWhere(spark, root, pred) === 1)
+    assert(listing(s"$root/data/epoch=1") === before)
+    assert(TransactionalLake.readCommitted(spark, root)
+      .filter(pred).isEmpty)
+  }
+
+  test("purgeRowsInDir: purging EVERY row leaves a schema-bearing dir") {
+    val root = tmpDir("ta_empty_")
+    // fold-generation shape: epoch-partitioned payload
+    Seq(("a/tenant=t1/f1", "0", 1L), ("a/tenant=t1/f2", "1", 2L))
+      .toDF("file", "epoch", "n")
+      .write.partitionBy("epoch").parquet(s"$root/gen")
+    assert(TransactionalLake.purgeRowsInDir(spark, s"$root/gen",
+      col("file").contains("/tenant=t1/"), epochPartitioned = true))
+    // the rewritten dir must stay readable WITHOUT a schema hint
+    // (r15 ADVICE: partitionBy of an empty frame wrote only _SUCCESS and
+    // bricked schema inference for the whole shared artifact)
+    val back = spark.read.option("basePath", s"$root/gen").parquet(s"$root/gen")
+    assert(back.count() === 0)
+    assert(back.columns.toSet === Set("file", "epoch", "n"))
   }
 
   test("streaming-ANN roots offboard through the same cascade") {
