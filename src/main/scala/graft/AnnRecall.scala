@@ -36,6 +36,9 @@ object AnnRecall {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local-mode only (same rationale as Bench): avoid parallel-listing
+      // jobs over many-small-file dirs
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val json = run(spark, sfDir, nProbesProbe = 50, k = 10,

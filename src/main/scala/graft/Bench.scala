@@ -30,6 +30,14 @@ object Bench {
       // providers between runs anyway, so within-run maintenance buys
       // nothing here — push it past any plausible entry duration
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+      // many-small-file dirs (the HTTP spool's one-file-per-record
+      // putRecord analog: ~1600 files) trip the PARALLEL listing path at
+      // the default threshold (32), turning one driver-side readdir into
+      // a 1600-task Spark job — measured 2.6 s of pure dispatch on a
+      // local FS where the sequential stat loop is milliseconds. Local
+      // mode only: on a cluster against an object store the parallel
+      // listing is the right call and the default threshold stands.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
       // shuffle/localCheckpoint scratch on tmpfs: the container disk's
       // writeback stalls made every ~4th run of the iterative operators
       // ~2x slower (measured on canonicalize: [4.5..6.3]s stable on

@@ -114,6 +114,9 @@ object Scaling {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // local-mode only (same rationale as Bench): avoid parallel-listing
+      // jobs over many-small-file fixture dirs
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect() // JVM warm

@@ -23,6 +23,11 @@ object Verify {
       // many-small-file dynamic partition writes (measured 2x); real
       // clusters rely on HDFS/S3 storage integrity instead
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // local-mode only (same rationale as Bench): many-small-file dirs
+      // (HTTP spool, bucketed index lakes) otherwise turn one readdir
+      // into a >1000-task parallel listing job — pure dispatch on a
+      // local FS; clusters on object stores keep the default.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
