@@ -55,7 +55,18 @@ python3 tools/check_bench.py target/bench_last.json "$PREV" > target/gate_bench.
 B=$?
 F=0
 if [ -n "$PREV_FULL" ]; then
-  python3 tools/check_bench.py target/bench_last.json "$PREV_FULL" > target/gate_full.txt 2>&1
+  # STANDING METHODOLOGY (r15 verdict #3): the FULL gate compares
+  # against per-entry CROSS-RUN MINIMA merged over every committed full
+  # record (round closes + cross-validation runs), not a single prior
+  # record — a baseline committed from a degraded host window must not
+  # blunt the regression trigger. merge_minima.py pairs each entry's
+  # minimum with its own record's spread so the VAR/recurrence rule
+  # stays coherent. The named PREV_FULL is still required: it anchors
+  # the merge set to committed artifacts and keeps the invocation shape.
+  python3 tools/merge_minima.py target/minima_full.json > /dev/null 2>&1
+  MINIMA=target/minima_full.json
+  [ -s "$MINIMA" ] || MINIMA="$PREV_FULL"
+  python3 tools/check_bench.py target/bench_last.json "$MINIMA" > target/gate_full.txt 2>&1
   F=$?
 fi
 python3 tools/check_bench.py --scaling target/scaling.json > target/gate_scaling.txt 2>&1
@@ -66,7 +77,7 @@ R=$?
 st() { if [ "$1" -eq 0 ]; then echo OK; else echo FAIL; fi; }
 RATIO=$(grep -oE 'total: .*\(([0-9.]+)x\)' target/gate_bench.txt | grep -oE '[0-9.]+x' | tail -1)
 FULLPART=""
-if [ -n "$PREV_FULL" ]; then FULLPART=", FULL $(st $F) vs $PREV_FULL"; fi
+if [ -n "$PREV_FULL" ]; then FULLPART=", FULL $(st $F) vs cross-run minima (anchor $PREV_FULL)"; fi
 echo "gates @ $(git rev-parse --short HEAD): BENCH $(st $B) vs $PREV ${RATIO:-?}${FULLPART}, SCALING $(st $S), RECALL $(st $R)"
 for f in gate_bench gate_full gate_scaling gate_recall; do
   [ -f "target/$f.txt" ] || continue
