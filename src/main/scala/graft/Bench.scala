@@ -60,6 +60,7 @@ object Bench {
     // thread whose snapshot/cleanup work lands on whichever query runs
     // next (measured up to +5 s on the follower vs an isolated run).
     def quiesce(): Unit = {
+      val hadStreams = spark.streams.active.nonEmpty
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => })
       // unload state-store providers and stop the maintenance thread (it
       // restarts lazily on the next stateful query)
@@ -72,16 +73,20 @@ object Bench {
       // this the block manager accumulates over the suite and the
       // pressure lands on whichever query runs last (measured 6x on the
       // alphabetically-final flagship entry).
+      val hadPersistent = spark.sparkContext.getPersistentRDDs.nonEmpty
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       // reclaim prior entries' RELIABLE-checkpoint files (Blocks.copyOut
       // artifacts): their consumers died with the previous entry, and
       // with the checkpoint dir colocated on the tmpfs local dir they
       // accumulate IN RAM over the suite — memory the later streaming
       // entries would otherwise have as page cache for their lake I/O
+      var hadCkptFiles = false
       try spark.sparkContext.getCheckpointDir.foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (f.exists(p)) f.listStatus(p).foreach(s => f.delete(s.getPath, true))
+        if (f.exists(p)) f.listStatus(p).foreach { s =>
+          hadCkptFiles = true; f.delete(s.getPath, true)
+        }
       } catch { case _: Throwable => }
       // absorb accumulated garbage OUTSIDE the next timing window; the GC
       // also fires the ContextCleaner's weak references so shuffle files
@@ -96,8 +101,18 @@ object Bench {
       // the GC also enqueues shuffle/broadcast cleanup on the ASYNC
       // ContextCleaner thread; give it a settle window so that IO lands
       // here instead of inside the next timing window (repeat runs of the
-      // shuffle-heavy iterative canonicalize entry measured ~2x without it)
-      Thread.sleep(250)
+      // shuffle-heavy iterative canonicalize entry measured ~2x without
+      // it). ADAPTIVE (r16): the 2x was measured on the iterative
+      // checkpoint-leaving class — when this quiesce found block-manager
+      // residents, checkpoint artifacts, or live streams to tear down,
+      // keep the full settle; when it found NOTHING (the plain-SQL
+      // majority of the suite), the only async work is the previous
+      // rep's shuffle-file cleanup on tmpfs (microseconds per file) and
+      // a short settle suffices. ~230 entries x ~3.6 quiesces x the
+      // 150 ms delta is ~3 min of suite wall; the spread-retry protocol
+      // still catches (and records) any entry this under-serves.
+      Thread.sleep(
+        if (hadPersistent || hadCkptFiles || hadStreams) 250 else 100)
     }
     // SPARK_GRAFT_ONLY=a,b,c — time just those queries (isolated-number
     // debugging; the driver never sets it)
