@@ -753,6 +753,21 @@ object Bench {
     // bench — a broken instrument is reported, not fatal.
     // SPARK_GRAFT_SKIP_ARTIFACTS=1 skips (isolated debugging only).
     if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_SKIP_ARTIFACTS")) {
+      // r16 post-mortem (VERDICT r16 #1): the artifact phase emits 10-16
+      // minutes of stderr — including thousands of "RDD ... was locally
+      // checkpointed" WARNs from the quiesce unpersists — and the driver
+      // keeps only the TAIL of the combined output, so the compact JSON
+      // line printed above scrolled out of the captured window two rounds
+      // running (parsed: null at both core counts). Two-part fix: the
+      // expected local-checkpoint WARN class is silenced for the artifact
+      // phase (the messages describe deliberate quiesce teardown, not a
+      // problem), and the SAME compact line is re-printed as the final
+      // stdout statement after the artifacts (below) so the driver's tail
+      // always contains it. The early print + bench_last.json stay as the
+      // kill-safety net for a timeout inside the artifact phase.
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+      catch { case _: Throwable => }
       def artifact(name: String, path: String)(mk: => String): Unit =
         try {
           quiesce()
@@ -780,6 +795,10 @@ object Bench {
       artifact("ann_recall", "/root/repo/target/ann_recall.json")(
         AnnRecall.run(spark, "/root/testdata/sf0.01", nProbesProbe = 50,
           k = 10, includeSynth = true))
+      // FINAL stdout statement: the identical compact line again, so the
+      // driver's tail window always contains a complete copy no matter
+      // how much the artifact phase logged (see the r16 note above).
+      println(compact)
     }
     spark.stop()
   }

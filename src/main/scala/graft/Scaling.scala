@@ -157,6 +157,28 @@ object Scaling {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
+    // Host-state context for cross-window exponents (r16 ADVICE): the
+    // sf0.1 legs may be reused from bench medians measured up to an hour
+    // earlier, while the sf0.01/synth legs are timed NOW — under the
+    // documented hours-long contention windows the two legs can sit in
+    // different regimes. Each leg therefore records its offset from the
+    // sweep start, and a canary series (the bench's fixed CPU-bound
+    // probe, min-of-2) brackets the sweep, so a suspicious exponent is
+    // attributable to a machine window instead of guessed at.
+    val sweepT0 = System.nanoTime()
+    def offsetSec(): Double = (System.nanoTime() - sweepT0) / 1e9
+    def canaryProbe(): Double = {
+      quiesce()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(3000000000L)
+          .selectExpr("sum(cast(id as double) * cast(id as double))").head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    def recordCanary(): Unit = { canaries += ((offsetSec(), canaryProbe())); () }
     // The LSH blocker's bucket count is ITS scale knob (nBits ~ log2 n:
     // fixed buckets make within-bucket pairing quadratic by design, which
     // the operator's scaladoc documents). The synthetic ×8 point therefore
@@ -168,34 +190,63 @@ object Scaling {
           Tables.load(s, d, "embeddings"), "vec_id", "embedding",
           threshold = 0.4, nBits = 9)
       else SparkEntry.queries(name)
+    // Rep protocol (r17, disclosed in OPTIMIZATION_r17.md): the legs this
+    // sweep still times itself (sf0.01 + synth — the sf0.1 legs reuse the
+    // same session's bench medians) run MIN-OF-2 instead of median-of-3.
+    // Rationale: the standing methodology's own premise — external
+    // contention only ever inflates a timing — makes the min the robust
+    // cheap estimator, and the third rep bought ~6 min of the r16 driver
+    // wall (44 sf0.01 legs + 11 synth legs, train_corpus_prep_v2's synth
+    // leg alone 23.6 s/rep). Bias note: a min sits a few % under a
+    // median, so alpha_small (t1 in the denominator) shifts a few
+    // hundredths CONSERVATIVE (up) and alpha_large (t3 in the numerator)
+    // a few hundredths optimistic (down) — noise against the 1.35 gate
+    // with measured alphas 0.1–1.1.
     def time(name: String, dir: String): Double = {
       val fn = fnFor(name, dir)
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to 2).map { _ =>
         quiesce()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(1) // median of 3
+      }
+      ts.min
     }
 
-    val entries = smallSubset.filter(q => only.forall(_.contains(q))).map { q =>
+    recordCanary()
+    val subset = smallSubset.filter(q => only.forall(_.contains(q)))
+    val entries = subset.zipWithIndex.map { case (q, i) =>
+      if (i > 0 && i % 15 == 0) recordCanary()
+      val at1 = offsetSec()
       val t1 = time(q, sfSmall)
+      val reused = knownBig.contains(q)
+      val at2 = offsetSec()
       val t2 = knownBig.getOrElse(q, time(q, sfBig))
       val aSmall = math.log(t2 / t1) / math.log(10.0)
-      val (tS, aLarge) =
+      val (tS, aLarge, at3) =
         if (synthSubset.contains(q)) {
+          val a3 = offsetSec()
           val t3 = time(q, synthDir)
-          (Some(t3), Some(math.log(t3 / t2) / math.log(SynthReplicas.toDouble)))
-        } else (None, None)
+          (Some(t3), Some(math.log(t3 / t2) / math.log(SynthReplicas.toDouble)),
+            Some(a3))
+        } else (None, None, None)
       System.err.println(f"[scaling] $q%-24s t01=$t1%6.2f t1=$t2%6.2f " +
         f"a_small=$aSmall%5.2f" + tS.map(t => f" t_synth=$t%7.2f " +
         f"a_large=${aLarge.get}%5.2f").getOrElse(""))
       val extra = tS.map(t =>
         s""","t_synth":${fmt(t)},"alpha_large":${fmt(aLarge.get)}""").getOrElse("")
-      s""""$q":{"t_sf001":${fmt(t1)},"t_sf01":${fmt(t2)},"alpha_small":${fmt(aSmall)}$extra}"""
+      // leg timestamps (sec offsets from sweep start; t_sf01's is null
+      // when the leg is a bench-median reuse — its window is the bench's)
+      val ats = s""","at":[${fmt(at1)},${if (reused) "null" else fmt(at2)}""" +
+        at3.map(a => s",${fmt(a)}").getOrElse("") + "]"
+      s""""$q":{"t_sf001":${fmt(t1)},"t_sf01":${fmt(t2)},"alpha_small":${fmt(aSmall)}$extra$ats}"""
     }
+    recordCanary()
+    val canaryJson = canaries.map { case (at, s) => f"[${fmt(at)},${fmt(s)}]" }
+      .mkString("[", ",", "]")
     s"""{"rows_ratio_small":10,"rows_ratio_large":$SynthReplicas,""" +
+      s""""reps":"min-of-2 (sf0.1 legs reuse the session's bench medians)",""" +
+      s""""canary":$canaryJson,""" +
       s""""queries":{${entries.mkString(",")}}}"""
   }
 

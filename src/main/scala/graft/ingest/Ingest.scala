@@ -42,22 +42,28 @@ object Ingest {
       envelope.getField("Data").getField("event").isNotNull &&
       envelope.getField("Data").getField("region").isNotNull
 
-  /** Classify a raw string into an error type (null = valid). Mirrors the
-    * reference's two failure classes: unparsable bytes vs schema-invalid. */
-  def errorType(raw: Column): Column = {
-    val env = parse(raw)
+  /** Error classification over an ALREADY-PARSED envelope column —
+    * [[errorType]] with the parse factored out. Exists so a caller that
+    * materializes the parse once can derive the class without a textual
+    * re-parse: Catalyst inlines alias definitions into pushed-down
+    * filter conditions, and the r17 plan audit found pipe_error_replay's
+    * filter carrying SEVEN inlined copies of the same `from_json`
+    * (~140 µs/row measured — guide §4.4's expression-duplication class). */
+  def errorTypeOf(env: Column): Column =
     when(env.isNull || env.getField("Data").isNull, lit("parse-error"))
       .when(!isValid(env), lit("validation-error"))
       .otherwise(lit(null).cast("string"))
-  }
 
-  /** One-pass valid/error split: returns (valid, errors). `valid` carries
-    * the projected payload columns; `errors` carries raw + error_type.
-    * Both sides come from the same cached scan — the "both outputs from one
-    * pass" requirement of S6 (SURVEY §7.4). */
-  def validateAndSplit(df: DataFrame, rawCol: String): (DataFrame, DataFrame) = {
-    val parsed = df.withColumn("__env", parse(col(rawCol)))
-      .withColumn(ErrorTypeCol, errorType(col(rawCol)))
+  /** Classify a raw string into an error type (null = valid). Mirrors the
+    * reference's two failure classes: unparsable bytes vs schema-invalid. */
+  def errorType(raw: Column): Column = errorTypeOf(parse(raw))
+
+  /** The split half of [[validateAndSplit]] over a frame that already
+    * carries `__env` (parsed envelope) and [[ErrorTypeCol]] — factored
+    * out so callers can materialize the parsed frame once (file-backed)
+    * and split the MATERIALIZED columns instead of re-deriving both from
+    * raw per consumer. */
+  def splitParsed(parsed: DataFrame, rawCol: String): (DataFrame, DataFrame) = {
     val valid = parsed.filter(col(ErrorTypeCol).isNull)
       .withColumn("device", col("__env.Data.device"))
       .withColumn("event", col("__env.Data.event"))
@@ -66,6 +72,16 @@ object Ingest {
     val errors = parsed.filter(col(ErrorTypeCol).isNotNull)
       .select(col(rawCol).as("raw"), col(ErrorTypeCol))
     (valid, errors)
+  }
+
+  /** One-pass valid/error split: returns (valid, errors). `valid` carries
+    * the projected payload columns; `errors` carries raw + error_type.
+    * Both sides come from the same cached scan — the "both outputs from one
+    * pass" requirement of S6 (SURVEY §7.4). */
+  def validateAndSplit(df: DataFrame, rawCol: String): (DataFrame, DataFrame) = {
+    val parsed = df.withColumn("__env", parse(col(rawCol)))
+      .withColumn(ErrorTypeCol, errorTypeOf(col("__env")))
+    splitParsed(parsed, rawCol)
   }
 
   /** S3/P4: enrichment. Tenant comes from the SERVER-side context (C3 —

@@ -842,7 +842,20 @@ object PipelineQueries {
         when(col("event_id") % 5 === 0, mkNoDevice)
           .when(col("event_id") % 7 === 0, lit("not-json"))
           .otherwise(mkValid).as("raw"))
-    val (valid, errors) = Ingest.validateAndSplit(raw, "raw")
+    // Parse ONCE, materialized (guide §4.4 expression duplication): the
+    // optimizer inlines the `__env` alias into every pushed-down filter
+    // condition — the before-plan carried 7 copies of the same from_json
+    // in ONE Filter (~140 µs/row measured) — and this entry's probe +
+    // final union would re-evaluate that chain 4-6x. The parsed envelope
+    // + error class are computed in one pass into a file-backed artifact
+    // (O(errors-fixture) = 3 k rows); every consumer below, including
+    // the replayed records' SECOND pass through the same validator,
+    // reads materialized columns instead of re-parsing raw.
+    val parsed = graft.operators.Blocks.copyOut(raw
+      .withColumn("__env", Ingest.parse(col("raw")))
+      .withColumn(Ingest.ErrorTypeCol, Ingest.errorTypeOf(col("__env"))),
+      singleEval = true)
+    val (valid, errors) = Ingest.splitParsed(parsed, "raw")
     val repairedRaw = errors
       .filter(col(Ingest.ErrorTypeCol) === "validation-error")
       .withColumn("__env", Ingest.parse(col("raw")))
@@ -850,7 +863,14 @@ object PipelineQueries {
         col("__env.Data.event"),
         lit("""","region":""""), col("__env.Data.region"),
         lit("""","device":"fixed-by-replay"}}""")).as("raw"))
-    val (replayed, unrepaired) = Ingest.validateAndSplit(repairedRaw, "raw")
+    // the replay earns its way back through the SAME validator — parsed
+    // once and materialized the same way (the probe below and the final
+    // union both consume it)
+    val repParsed = graft.operators.Blocks.copyOut(repairedRaw
+      .withColumn("__env", Ingest.parse(col("raw")))
+      .withColumn(Ingest.ErrorTypeCol, Ingest.errorTypeOf(col("__env"))),
+      singleEval = true)
+    val (replayed, unrepaired) = Ingest.splitParsed(repParsed, "raw")
     require(unrepaired.limit(1).count() == 0L,
       "replay must clear the validation-error class — the repair policy " +
         "produced a record the validator still rejects")
