@@ -111,8 +111,13 @@ object Bench {
       // a short settle suffices. ~230 entries x ~3.6 quiesces x the
       // 150 ms delta is ~3 min of suite wall; the spread-retry protocol
       // still catches (and records) any entry this under-serves.
+      // SPARK_GRAFT_SETTLE_FLAT=1 restores the flat 250 ms for the r17
+      // suite-scale A/B (VERDICT r16 #3: the adaptive settle was
+      // validated on 11 entries, not the 200-entry small tail) — the
+      // knob only moves inter-rep sleeps, never timed regions.
       Thread.sleep(
-        if (hadPersistent || hadCkptFiles || hadStreams) 250 else 100)
+        if (sys.env.contains("SPARK_GRAFT_SETTLE_FLAT")) 250
+        else if (hadPersistent || hadCkptFiles || hadStreams) 250 else 100)
     }
     // SPARK_GRAFT_ONLY=a,b,c — time just those queries (isolated-number
     // debugging; the driver never sets it)

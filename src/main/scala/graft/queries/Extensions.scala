@@ -99,23 +99,34 @@ object Extensions {
     val all = docs(s, d)
     val batches = (0 until 3).map(i => all.filter(col("doc_id") % 3 === i))
     val empty = all.filter(lit(false))
-    val (_, _, pairLog) = batches.foldLeft(
-      (empty, Dedup.minhashBandIndex(empty, "doc_id", "text"),
-        Seq.empty[DataFrame])) { case ((corpus, index, logs), batch) =>
-      // each batch's index is built ONCE (used for this round's collision
-      // join AND appended to the accumulator); the accumulated index is
-      // copied out per step like a real deployment would persist it —
-      // lineage must not re-derive every prior batch's signatures per
-      // round, and the accumulator must not pin block-manager storage
-      // across steps (Blocks.copyOut = disk-backed, zero block residency)
-      val batchIndex = Dedup.minhashBandIndex(batch, "doc_id", "text")
-      val pairs = Dedup.incrementalNearDupPairs(batch, corpus, index,
-        "doc_id", "text", newIndex = Some(batchIndex))
-      (corpus.unionByName(batch),
-        Blocks.copyOut(index.unionByName(batchIndex)),
-        logs :+ pairs)
-    }
-    pairLog.reduce(_ unionByName _).orderBy("id_a", "id_b")
+    // guide §2.6 overlap (r17, same schedule as dedupCanonicalIncremental):
+    // per step the accumulated-index copyOut needs only (index, batchIndex)
+    // while the pair generator's eager internals need (batch, corpus,
+    // index, batchIndex) — independent of the copyOut, so it runs on a
+    // pool thread next to the pair construction. Same inputs, same pair
+    // log; only the driver-side schedule changes.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    try {
+      val (_, _, pairLog) = batches.foldLeft(
+        (empty, Dedup.minhashBandIndex(empty, "doc_id", "text"),
+          Seq.empty[DataFrame])) { case ((corpus, index, logs), batch) =>
+        // each batch's index is built ONCE (used for this round's collision
+        // join AND appended to the accumulator); the accumulated index is
+        // copied out per step like a real deployment would persist it —
+        // lineage must not re-derive every prior batch's signatures per
+        // round, and the accumulator must not pin block-manager storage
+        // across steps (Blocks.copyOut = disk-backed, zero block residency)
+        val batchIndex = Dedup.minhashBandIndex(batch, "doc_id", "text")
+        val idxF = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame =
+            Blocks.copyOut(index.unionByName(batchIndex))
+        })
+        val pairs = Dedup.incrementalNearDupPairs(batch, corpus, index,
+          "doc_id", "text", newIndex = Some(batchIndex))
+        (corpus.unionByName(batch), idxF.get(), logs :+ pairs)
+      }
+      pairLog.reduce(_ unionByName _).orderBy("id_a", "id_b")
+    } finally pool.shutdown()
   }
 
   /** STREAMING incremental dedup gate — the deployment integration the
@@ -1248,14 +1259,23 @@ object Extensions {
       .withColumn("degree", lit(0L)).withColumn("tri_count", lit(0L))
       .limit(0)
     // fold the three epochs; epoch 1 is delivered TWICE (replay) — the
-    // anti-join against the accumulated edge set must no-op it
-    val (state, acc) = (batches :+ batches(1)).foldLeft((emptyState, empty)) {
-      case ((st, ed), b) =>
-        val (st2, ed2) = Graph.incrementalTriangles(st, ed, b,
-          "vec_id", "neighbor_id")
-        (Blocks.copyOut(st2, singleEval = true),
-          Blocks.copyOut(ed2, singleEval = true))
-    }
+    // anti-join against the accumulated edge set must no-op it.
+    // guide §2.6: the per-step state/edge copyOuts are independent
+    // materializations of one incrementalTriangles call — overlap them
+    // (the next step needs both, so each step still barriers).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val (state, acc) = try {
+      (batches :+ batches(1)).foldLeft((emptyState, empty)) {
+        case ((st, ed), b) =>
+          val (st2, ed2) = Graph.incrementalTriangles(st, ed, b,
+            "vec_id", "neighbor_id")
+          val stF = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame = Blocks.copyOut(st2, singleEval = true)
+          })
+          val edOut = Blocks.copyOut(ed2, singleEval = true)
+          (stF.get(), edOut)
+      }
+    } finally pool.shutdown()
     Blocks.release(acc)
     Graph.triangleStateView(state)
       .select(col("id").as("vec_id"), col("degree"), col("tri_count"),
