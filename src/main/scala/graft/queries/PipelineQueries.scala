@@ -1222,25 +1222,53 @@ object PipelineQueries {
       Ingest.enrich(events(spark, dir).filter(col("event_id") <= 2000),
         tenantCol, unix_timestamp(col("ts"))))
       .select(cols.map(col): _*)
-    Lake.writeValid(enriched, root)
     val errs = events(spark, dir)
       .filter(col("event_type") === "error" && col("event_id") <= 2000)
       .select(col("event_id"), tenantCol.as("tenant_key"),
         lit("event-error").as("error_type"))
-    Lake.writeErrors(errs, root)
-    Lake.registerExternal(spark, tbl, s"$root/data")
     val troot = s"$root/tx"
-    (0 until 3).foreach(i => graft.sources.TransactionalLake.commitEpoch(
-      enriched.filter(col("event_id") % 3 === i), troot, i.toLong))
-    val keptErrs = errs.filter(col("tenant_key") =!= "t2").count()
+    // guide §2.6 (r17, same schedule as the derived entry's r16 change):
+    // the fixture writes three DISJOINT roots ($root/data valid lake,
+    // $root/error, $root/tx 3-epoch transactional lake) and the purge
+    // phase scrubs two disjoint roots — each track is single-writer on
+    // its own root, none mutates session conf (registerExternal DOES
+    // toggle mergeSchema, so it stays outside the overlap window), and
+    // the tx track keeps its internal commit ORDER on one thread.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def task[T](body: => T): java.util.concurrent.Future[T] =
+      pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = body
+      })
+    try {
+      val errTrack = task { Lake.writeErrors(errs, root) }
+      val txTrack = task {
+        (0 until 3).foreach(i => graft.sources.TransactionalLake.commitEpoch(
+          enriched.filter(col("event_id") % 3 === i), troot, i.toLong))
+      }
+      Lake.writeValid(enriched, root)
+      errTrack.get(); txTrack.get()
+      Lake.registerExternal(spark, tbl, s"$root/data")
+      val keptErrs = errs.filter(col("tenant_key") =!= "t2").count()
 
-    Lake.purgeTenant(spark, tbl, root, "t2")
-    graft.sources.TransactionalLake.purgeTenant(spark, troot, "t2")
-    // crash-replay after the purge: the epoch is committed, so this must
-    // stay a no-op — t2 must NOT resurrect from the replayed source rows
-    graft.sources.TransactionalLake.commitEpoch(
-      enriched.filter(col("event_id") % 3 === 0), troot, 0L)
+      val txPurge = task {
+        graft.sources.TransactionalLake.purgeTenant(spark, troot, "t2")
+        // crash-replay after the purge ON THE SAME THREAD (order is the
+        // contract): the epoch is committed, so this must stay a no-op —
+        // t2 must NOT resurrect from the replayed source rows
+        graft.sources.TransactionalLake.commitEpoch(
+          enriched.filter(col("event_id") % 3 === 0), troot, 0L)
+      }
+      Lake.purgeTenant(spark, tbl, root, "t2")
+      txPurge.get()
 
+      tenantPurgeAsserts(spark, fs, tbl, root, troot, keptErrs, cols)
+    } finally pool.shutdown()
+  }
+
+  private def tenantPurgeAsserts(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem, tbl: String,
+      root: String, troot: String, keptErrs: Long,
+      cols: Seq[String]): DataFrame = {
     require(spark.sessionState.catalog.listPartitions(
       org.apache.spark.sql.catalyst.TableIdentifier(tbl),
       Some(Map("tenant" -> "t2"))).isEmpty,
